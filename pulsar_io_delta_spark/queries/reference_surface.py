@@ -1,0 +1,131 @@
+"""Reference-surface (ingestion/CDC) queries — SURVEY.md §2.3 table 1.
+
+These re-express what the reference connector computes (snapshot scan,
+CDC envelope, canonical partition encoding, murmur3 routing, time-travel
+bounds, type widening) over the driver fixtures.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pulsar_io_delta_spark.operators.cdc import OP_INSERT, cdc_envelope, partition_value_expr
+from pulsar_io_delta_spark.functions.murmur3 import murmur3_route_col
+from pulsar_io_delta_spark.queries._util import epoch_s, sql_epoch
+from pulsar_io_delta_spark.registry import register
+from pulsar_io_delta_spark.tables import table
+
+
+@register(
+    "q_snapshot_scan",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity FROM lineitem
+""",
+)
+def q_snapshot_scan(spark, sf_dir):
+    """Full-copy snapshot scan + projection (reference op #4/#7,
+    `DeltaReader.java:174-184`, `ParquetReaderUtils.java:72-91`).
+    Column pruning reaches the parquet footer (ReadSchema shows only the
+    5 projected columns)."""
+    return table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity"
+    )
+
+
+@register(
+    "q_cdc_envelope",
+    oracle=f"""
+SELECT event_id, 'c' AS op, 'event_type=' || event_type AS partition_value,
+       {sql_epoch("ts")} AS ts_epoch, value
+FROM events
+""",
+)
+def q_cdc_envelope(spark, sf_dir):
+    """CDC envelope derivation (reference op #15, `DeltaRecord.java:75-99`):
+    op code + canonical partition_value + event time."""
+    e = table(spark, sf_dir, "events")
+    enveloped = cdc_envelope(
+        e, OP_INSERT, partition_cols={"event_type": F.col("event_type")}
+    )
+    return enveloped.select(
+        "event_id", "op", "partition_value", epoch_s("ts").alias("ts_epoch"), "value"
+    )
+
+
+@register(
+    "q_partition_encode",
+    oracle="""
+SELECT event_id,
+       'dt=' || strftime(ts, '%Y-%m-%d') || 'event_type=' || event_type
+         AS partition_value
+FROM events
+""",
+)
+def q_partition_encode(spark, sf_dir):
+    """Canonical partition-value string: TreeMap key order, `k=v` pairs,
+    no pair separator (reference op #12, `DeltaReader.java:290-299`)."""
+    e = table(spark, sf_dir, "events")
+    pv = partition_value_expr(
+        {
+            "dt": F.date_format("ts", "yyyy-MM-dd"),
+            "event_type": F.col("event_type"),
+        }
+    )
+    return e.select("event_id", pv.alias("partition_value"))
+
+
+@register("q_hash_route", oracle=None)  # murmur3-seed0 not expressible in DuckDB SQL
+def q_hash_route(spark, sf_dir):
+    """Murmur3-seed-0 routing parity (reference op #11,
+    `DeltaReader.java:60-63`): slot = hash(partition_value) & MAX_INT % 8."""
+    e = table(spark, sf_dir, "events")
+    pv = partition_value_expr({"event_type": F.col("event_type")})
+    return e.select(
+        "event_id",
+        pv.alias("partition_value"),
+        murmur3_route_col(pv, 8).alias("partition_id"),
+    )
+
+
+@register(
+    "q_time_travel_filter",
+    oracle=f"""
+SELECT event_id, {sql_epoch("ts")} AS ts_epoch, event_type, value
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'
+""",
+)
+def q_time_travel_filter(spark, sf_dir):
+    """Version/timestamp-bounded read (reference ops #2/#3,
+    `DeltaReader.java:134-164`) modeled as an event-time range; the
+    predicate pushes down to the parquet scan (PushedFilters)."""
+    e = table(spark, sf_dir, "events")
+    return e.where((F.col("ts") >= "2024-01-10") & (F.col("ts") < "2024-01-20")).select(
+        "event_id", epoch_s("ts").alias("ts_epoch"), "event_type", "value"
+    )
+
+
+@register(
+    "q_type_widening",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       CAST(l_linenumber AS BIGINT) AS ln_long,
+       CAST(l_linenumber AS DOUBLE) AS ln_dbl,
+       CAST(l_orderkey AS VARCHAR) AS ok_str,
+       CAST(l_shipdate AS DATE) AS ship_date
+FROM lineitem
+""",
+)
+def q_type_widening(spark, sf_dir):
+    """Type conversion surface (reference ops #13/#14,
+    `DeltaRecord.java:101-191`), minus the reference's lossy
+    decimal→double defect (SURVEY §2.4 #10)."""
+    l = table(spark, sf_dir, "lineitem")
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_linenumber").cast("long").alias("ln_long"),
+        F.col("l_linenumber").cast("double").alias("ln_dbl"),
+        F.col("l_orderkey").cast("string").alias("ok_str"),
+        F.col("l_shipdate").cast("date").alias("ship_date"),
+    )
