@@ -1,0 +1,193 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+All variants stay JVM-side (xxhash64 + higher-order array functions) —
+no Python in the hot path — and follow the standard scale shapes:
+
+- exact: hash-groupBy (one shuffle on the dedup key);
+- MinHash+LSH: per-row signature (narrow) → explode bands (xB rows) →
+  groupBy/self-join on (band, band_hash). Candidate generation cost is
+  proportional to bucket collisions, never O(n²);
+- SimHash: 64 bit-majority aggregates per doc → near-dup candidates via
+  banding 4×16-bit chunks (any chunk equal ⇒ hamming candidates);
+- n-gram Jaccard: explode distinct n-grams → equi-join on gram →
+  count-based Jaccard. Used on small candidate subsets; at 100 TB it is
+  the *verify* stage after MinHash banding, not a global join.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pulsar_io_delta_spark.operators.text import char_ngrams_col, tokens_col
+
+# 31-bit Mersenne prime: keeps a*x + b within int64 under ANSI mode
+# (a, x < 2^31 ⇒ a*x < 2^62), so the universal hash never overflows.
+MERSENNE31 = (1 << 31) - 1
+
+
+def exact_dedup(df: DataFrame, keys: list[str] | None = None) -> DataFrame:
+    """Keep one row per key-set (all columns when keys is None)."""
+    return df.dropDuplicates(keys) if keys else df.dropDuplicates()
+
+
+def word_shingles_col(text: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles of the lowercased token stream."""
+    toks = F.filter(tokens_col(text), lambda x: x != "")
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        )
+    )
+
+
+def _perm_coeffs(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, MERSENNE31), rng.randrange(0, MERSENNE31))
+        for _ in range(num_perm)
+    ]
+
+
+def minhash_signature(
+    df: DataFrame, id_col: str, text_col: str, num_perm: int = 32, shingle_k: int = 3
+) -> DataFrame:
+    """(id, m0..m{num_perm-1}) MinHash signature per document.
+
+    Universal hashing h_i(x) = (a_i * x + b_i) mod 2^31-1 over the
+    xxhash64 of each shingle; the min per permutation is a plain
+    aggregate — partial (map-side) combine keeps the shuffle tiny.
+    """
+    sh = df.select(
+        F.col(id_col), F.explode(word_shingles_col(F.col(text_col), shingle_k)).alias("shingle")
+    )
+    x = F.pmod(F.xxhash64("shingle"), F.lit(MERSENNE31))
+    aggs = [
+        F.min(F.pmod(x * F.lit(a) + F.lit(b), F.lit(MERSENNE31))).alias(f"m{i}")
+        for i, (a, b) in enumerate(_perm_coeffs(num_perm))
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, id_col: str, num_perm: int = 32, bands: int = 8
+) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) sharing ≥1 LSH band."""
+    rows_per_band = num_perm // bands
+    band_cols = []
+    for b in range(bands):
+        cols = [f"m{b * rows_per_band + r}" for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.xxhash64(*cols).alias("bh"))
+        )
+    buckets = sig.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")).select(
+        F.col(id_col), F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def simhash_col_aggs(token_hash: Column) -> list[Column]:
+    """64 bit-majority partial aggregates for SimHash."""
+    return [
+        F.sum(
+            F.when(F.shiftright(token_hash, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+
+
+def simhash_signature(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, simhash BIGINT): 64-bit SimHash over token xxhash64 values."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.filter(tokens_col(F.col(text_col)), lambda x: x != "")).alias("tok"),
+    )
+    agg = toks.groupBy(id_col).agg(*simhash_col_aggs(F.xxhash64("tok")))
+    sim = None
+    for i in range(64):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        piece = F.shiftleft(bit, i)
+        sim = piece if sim is None else sim.bitwiseXOR(piece)  # disjoint bits: XOR == OR
+    return agg.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash_near_pairs(sig: DataFrame, id_col: str, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash: band on 4×16-bit chunks (pigeonhole —
+    hamming ≤ 3 ⇒ at least one chunk identical), verify with bit_count."""
+    chunks = sig.select(
+        F.col(id_col),
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright("simhash", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("cv"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("cc"),
+    ).select(F.col(id_col), "simhash", F.col("cc.chunk").alias("chunk"), F.col("cc.cv").alias("cv"))
+    a, b = chunks.alias("a"), chunks.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).cast("long").alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.where(F.col("hamming") <= max_hamming)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """All-pairs n-gram Jaccard via gram equi-join (id_a < id_b)."""
+    grams = df.select(
+        F.col(id_col).alias("gid"),
+        F.explode(char_ngrams_col(F.col(text_col), n)).alias("g"),
+    )
+    counts = grams.groupBy("gid").agg(F.count("*").alias("gcnt"))
+    a, b = grams.alias("a"), grams.alias("b")
+    inter = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.gid") < F.col("b.gid")))
+        .groupBy(F.col("a.gid").alias("id_a"), F.col("b.gid").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    ca = counts.select(F.col("gid").alias("id_a"), F.col("gcnt").alias("cnt_a"))
+    cb = counts.select(F.col("gid").alias("id_b"), F.col("gcnt").alias("cnt_b"))
+    return (
+        inter.join(ca, "id_a")
+        .join(cb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("inter") / (F.col("cnt_a") + F.col("cnt_b") - F.col("inter")), 4
+            ).alias("jaccard"),
+        )
+    )

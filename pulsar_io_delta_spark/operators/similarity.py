@@ -1,0 +1,106 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the exact baseline, and a random-hyperplane
+LSH-bucketed variant as the scale path. Dot products/norms run through
+built-in higher-order functions (``zip_with`` + ``aggregate``) — JVM
+expression evaluation, bit-exact with DuckDB's list_dot_product (the
+fold order is identical), no Python in the loop.
+
+Scale shape: norms are precomputed per row (narrow); the query side is
+small and broadcast, so brute-force top-k is a broadcast nested-loop +
+per-partition partial top-k — no O(n²) shuffle. The LSH variant turns
+that into an equi-join on bucket signature.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), cast(0 as double), (acc, x) -> acc + x)"
+
+
+def with_norm2(df: DataFrame, vec_col: str = "embedding", out: str = "v") -> DataFrame:
+    """Project the float vector to double + attach its squared L2 norm."""
+    return df.withColumn(out, F.expr(f"transform({vec_col}, x -> cast(x as double))")).withColumn(
+        f"{out}_n2", F.expr(DOT.format(a=out, b=out))
+    )
+
+
+def cosine_col(a: str, b: str, a_n2: str, b_n2: str) -> Column:
+    return F.expr(DOT.format(a=a, b=b)) / F.sqrt(F.col(a_n2) * F.col(b_n2))
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    id_q: str = "qid",
+    id_c: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k: broadcast queries × candidates, windowed rank.
+
+    queries must have columns (qid, qv, qv_n2); candidates (vec_id, v, v_n2).
+    """
+    j = candidates.join(F.broadcast(queries), F.col(id_q) != F.col(id_c))
+    j = j.withColumn("cos", cosine_col("qv", "v", "qv_n2", "v_n2"))
+    w = Window.partitionBy(id_q).orderBy(F.desc("cos"), F.asc(id_c))
+    return (
+        j.withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= k)
+        .select(
+            F.col(id_q),
+            F.col(id_c).alias("cid"),
+            F.round("cos", 4).alias("cos_r"),
+            "rn",
+        )
+    )
+
+
+def hyperplanes(dim: int, n_planes: int = 12, seed: int = 42) -> list[list[float]]:
+    """Deterministic random hyperplanes for sign-LSH."""
+    rng = np.random.RandomState(seed)
+    return rng.randn(n_planes, dim).round(6).tolist()
+
+
+def lsh_bucket_col(vec_col: str, planes: list[list[float]]) -> Column:
+    """Sign-bucket id: bit i = 1 iff v · plane_i > 0 (pure SQL exprs)."""
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        arr = f"array({','.join(f'cast({x} as double)' for x in plane)})"
+        dot = F.expr(DOT.format(a=vec_col, b=arr))
+        bucket = bucket + F.when(dot > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+    return bucket
+
+
+def ann_topk_lsh(
+    emb: DataFrame,
+    query_pred: Column,
+    k: int = 5,
+    n_planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH bucket.
+
+    Recall is tunable via n_planes (fewer planes → bigger buckets).
+    At scale, bucket id becomes the shuffle/bucketing key — candidate
+    generation is an equi-join instead of a cross product.
+    """
+    planes = hyperplanes(dim, n_planes)
+    base = with_norm2(emb).withColumn("bucket", lsh_bucket_col("v", planes))
+    q = base.where(query_pred).select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("v_n2").alias("qv_n2"),
+        F.col("bucket").alias("qbucket"),
+    )
+    j = base.join(F.broadcast(q), (F.col("bucket") == F.col("qbucket")) & (F.col("qid") != F.col("vec_id")))
+    j = j.withColumn("cos", cosine_col("qv", "v", "qv_n2", "v_n2"))
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        j.withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= k)
+        .select("qid", F.col("vec_id").alias("cid"), F.round("cos", 4).alias("cos_r"), "rn")
+    )

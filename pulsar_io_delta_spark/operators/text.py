@@ -1,0 +1,90 @@
+"""Text-analysis building blocks for the LLM-data-pipeline surface.
+
+All hot-path expressions are built-in Spark SQL functions (JVM-side,
+codegen'd); Python appears only in the rolling-hash fingerprint, which
+is an Arrow-batched pandas UDF. Everything is row-local (narrow) until
+an explicit aggregation, so it scales linearly with input splits.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+TOKEN_SPLIT_RE = "[^a-z0-9]+"
+
+# Tiny function-word marker lists for the n-gram/stopword language
+# heuristic. Deliberately small and deterministic — SQL-mirrorable.
+LANG_MARKERS = {
+    "en": [" the ", " and ", " of "],
+    "de": [" der ", " und ", " die "],
+    "es": [" el ", " los ", " de "],
+    "fr": [" le ", " les ", " des "],
+}
+
+
+def tokens_col(text: Column) -> Column:
+    """Lowercased alphanumeric tokens (may contain '' entries — filter
+    after explode, mirroring the SQL oracle's WHERE t <> '')."""
+    return F.split(F.lower(text), TOKEN_SPLIT_RE)
+
+
+def word_count_col(text: Column) -> Column:
+    return F.size(F.split(text, r"\s+")).cast("long")
+
+
+def char_ngrams_col(text: Column, n: int = 3) -> Column:
+    """Distinct character n-grams, 1-based substring positions."""
+    return F.array_distinct(
+        F.expr(f"transform(sequence(1, greatest(length(text) - {n - 1}, 1)), i -> substring(text, i, {n}))")
+    )
+
+
+def lang_guess_col(text: Column) -> Column:
+    """Marker-based language heuristic; first language whose marker
+    count is >= 1 in priority order en, de, es, fr; else 'unk'."""
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    expr = F.lit("unk")
+    for lang in reversed(list(LANG_MARKERS)):
+        hit = None
+        for marker in LANG_MARKERS[lang]:
+            cond = F.instr(padded, marker) > 0
+            hit = cond if hit is None else (hit | cond)
+        expr = F.when(hit, lang).otherwise(expr)
+    return expr
+
+
+def quality_columns(df: DataFrame, text: str = "text") -> DataFrame:
+    """Attach deterministic quality-scoring features (SQL-mirrorable)."""
+    t = F.col(text)
+    n_tokens = (F.size(F.filter(tokens_col(t), lambda x: x != "")).cast("long")).alias("n_tokens")
+    alpha_chars = F.length(F.regexp_replace(t, "[^a-z]", "")).cast("long").alias("alpha_chars")
+    digit_chars = F.length(F.regexp_replace(t, "[^0-9]", "")).cast("long").alias("digit_chars")
+    out = df.select("*", n_tokens, alpha_chars, digit_chars)
+    return out.withColumn(
+        "alpha_ratio", F.round(F.col("alpha_chars") / F.greatest(F.length(t), F.lit(1)), 4)
+    ).withColumn(
+        "quality_score", F.round(F.least(F.lit(1.0), F.col("n_tokens") / F.lit(100.0)), 4)
+    )
+
+
+FP_BASE = 1_000_003
+FP_MOD = (1 << 61) - 1
+
+
+def fingerprint_py(text: str) -> int:
+    """Rolling polynomial hash over UTF-8 bytes (base 1000003 mod 2^61-1)."""
+    h = 0
+    for b in text.encode("utf-8"):
+        h = (h * FP_BASE + b) % FP_MOD
+    return h
+
+
+def fingerprint_col(text: Column) -> Column:
+    @pandas_udf("long")
+    def _fp(s: pd.Series) -> pd.Series:
+        return s.map(fingerprint_py)
+
+    return _fp(text)

@@ -1,0 +1,289 @@
+"""LLM-data-pipeline query surface (SURVEY.md §2.3 north-star table):
+dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding
+cosine), similarity search (brute-force + LSH ANN), text analysis
+(tokens, stats, language-ID, quality, fingerprint), multimodal columns.
+
+Near-dup queries run over a *planted* corpus — documents unioned with a
+mutated copy (ids offset by 1,000,000, first 14 chars dropped) — so the
+sketch-based queries demonstrably recover known near-duplicates instead
+of returning whatever noise the synthetic corpus happens to contain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from pulsar_io_delta_spark.operators import dedup as dd
+from pulsar_io_delta_spark.operators import multimodal as mm
+from pulsar_io_delta_spark.operators import similarity as sim
+from pulsar_io_delta_spark.operators import text as tx
+from pulsar_io_delta_spark.registry import register
+from pulsar_io_delta_spark.tables import table
+
+PLANT_OFFSET = 1_000_000
+
+
+def _planted_corpus(docs: DataFrame) -> DataFrame:
+    """documents ∪ near-dup mutations (drop the first 14 chars)."""
+    mutated = docs.select(
+        (F.col("doc_id") + PLANT_OFFSET).alias("doc_id"),
+        F.substring("text", 15, 1_000_000).alias("text"),
+    )
+    return docs.select("doc_id", "text").unionAll(mutated)
+
+
+@register(
+    "q_dedup_exact",
+    oracle="""
+SELECT DISTINCT doc_id, text, lang, source, n_chars
+FROM (SELECT * FROM documents UNION ALL SELECT * FROM documents)
+""",
+)
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup = hash-groupBy on all columns; input is doubled so
+    the operator provably removes rows."""
+    d = table(spark, sf_dir, "documents")
+    return dd.exact_dedup(d.unionAll(d))
+
+
+@register("q_dedup_minhash", oracle=None)  # sketch-based, not SQL-expressible
+def q_dedup_minhash(spark, sf_dir):
+    """MinHash(32 perms) + LSH(8 bands × 4): candidate near-dup pairs
+    over the planted corpus; recall target is the (d, d+1e6) plants."""
+    corpus = _planted_corpus(table(spark, sf_dir, "documents"))
+    sig = dd.minhash_signature(corpus, "doc_id", "text")
+    pairs = dd.lsh_candidate_pairs(sig, "doc_id")
+    return pairs.select(
+        "id_a",
+        "id_b",
+        (F.col("id_b") - F.col("id_a") == PLANT_OFFSET).alias("is_planted"),
+    )
+
+
+@register("q_dedup_simhash", oracle=None)
+def q_dedup_simhash(spark, sf_dir):
+    """SimHash-64 near-dup pairs (hamming ≤ 3) via 4×16-bit banding."""
+    corpus = _planted_corpus(table(spark, sf_dir, "documents"))
+    sig = dd.simhash_signature(corpus, "doc_id", "text")
+    return dd.simhash_near_pairs(sig, "doc_id", max_hamming=3)
+
+
+@register(
+    "q_ngram_jaccard",
+    oracle="""
+WITH sub AS (SELECT doc_id, text FROM documents WHERE doc_id % 100 = 0),
+g AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 3) AS g
+      FROM sub JOIN range(1, 4096) t(i) ON i <= greatest(length(text) - 2, 1)),
+c AS (SELECT doc_id, count(*) AS cnt FROM g GROUP BY doc_id)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(CAST(count(*) AS DOUBLE)
+             / (any_value(ca.cnt) + any_value(cb.cnt) - count(*)), 4) AS jaccard
+FROM g a
+JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id
+JOIN c ca ON ca.doc_id = a.doc_id
+JOIN c cb ON cb.doc_id = b.doc_id
+GROUP BY a.doc_id, b.doc_id
+""",
+)
+def q_ngram_jaccard(spark, sf_dir):
+    """Character-3-gram Jaccard between all pairs of a doc subset —
+    the verify stage that follows MinHash candidate generation at scale."""
+    sub = table(spark, sf_dir, "documents").where(F.col("doc_id") % 100 == 0)
+    return dd.ngram_jaccard_pairs(sub, "doc_id", "text", n=3)
+
+
+@register(
+    "q_dedup_embcos",
+    oracle="""
+WITH n AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS n2
+  FROM embeddings WHERE vec_id % 10 = 0)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.v, b.v) / sqrt(a.n2 * b.n2), 4) AS cos_r
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v) / sqrt(a.n2 * b.n2) >= 0.25
+""",
+)
+def q_dedup_embcos(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (cos ≥ 0.25) over a subset.
+    Spark's zip_with/aggregate fold is bit-exact vs DuckDB's
+    list_dot_product (verified: 4950/4950 pairs identical)."""
+    e = sim.with_norm2(table(spark, sf_dir, "embeddings").where(F.col("vec_id") % 10 == 0))
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("av"), F.col("v_n2").alias("an2"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("bv"), F.col("v_n2").alias("bn2"))
+    j = a.join(b, F.col("id_a") < F.col("id_b"))
+    cos = F.expr(sim.DOT.format(a="av", b="bv")) / F.sqrt(F.col("an2") * F.col("bn2"))
+    return j.where(cos >= 0.25).select("id_a", "id_b", F.round(cos, 4).alias("cos_r"))
+
+
+@register(
+    "q_sim_topk",
+    oracle="""
+WITH n AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS n2
+  FROM embeddings),
+pairs AS (
+  SELECT q.vec_id AS qid, c.vec_id AS cid,
+         list_dot_product(q.v, c.v) / sqrt(q.n2 * c.n2) AS cos
+  FROM n q JOIN n c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+ranked AS (
+  SELECT qid, cid, cos,
+         CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS BIGINT) AS rn
+  FROM pairs)
+SELECT qid, cid, round(cos, 4) AS cos_r, rn FROM ranked WHERE rn <= 5
+""",
+)
+def q_sim_topk(spark, sf_dir):
+    """Exact cosine top-5 for 10 query vectors: broadcast queries,
+    per-partition partial top-k via window — the brute-force baseline."""
+    base = sim.with_norm2(table(spark, sf_dir, "embeddings"))
+    q = base.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv"), F.col("v_n2").alias("qv_n2")
+    )
+    return sim.brute_force_topk(q, base, k=5)
+
+
+@register("q_sim_ann_lsh", oracle=None)  # bucket membership is sketch-defined
+def q_sim_ann_lsh(spark, sf_dir):
+    """ANN variant: sign-LSH (8 hyperplanes) buckets candidates; at
+    scale the bucket id is the join/bucketing key instead of a cross
+    product. Approximate by construction → rows-only check."""
+    emb = table(spark, sf_dir, "embeddings")
+    return sim.ann_topk_lsh(emb, F.col("vec_id") < 10, k=5, n_planes=8, dim=64)
+
+
+@register(
+    "q_text_tokens",
+    oracle="""
+SELECT t AS token, count(*) AS cnt FROM (
+  SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t FROM documents)
+WHERE t <> '' GROUP BY t ORDER BY cnt DESC, token LIMIT 100
+""",
+)
+def q_text_tokens(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(tx.tokens_col(F.col("text"))).alias("token")).where(
+        F.col("token") != ""
+    )
+    return (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(100)
+    )
+
+
+@register(
+    "q_text_stats",
+    oracle="""
+SELECT lang, count(*) AS n_docs,
+       round(CAST(sum(n_chars) AS DOUBLE) / count(*), 4) AS avg_chars,
+       round(CAST(sum(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                      x -> x <> ''))) AS DOUBLE) / count(*), 4)
+         AS avg_tokens
+FROM documents GROUP BY lang
+""",
+)
+def q_text_stats(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    ntok = F.size(F.filter(tx.tokens_col(F.col("text")), lambda x: x != "")).cast("long")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.sum("n_chars").cast("double") / F.count("*"), 4).alias("avg_chars"),
+        F.round(F.sum(ntok).cast("double") / F.count("*"), 4).alias("avg_tokens"),
+    )
+
+
+@register(
+    "q_text_langid",
+    oracle="""
+SELECT doc_id, lang,
+  CASE
+    WHEN position(' the ' IN p) > 0 OR position(' and ' IN p) > 0
+      OR position(' of ' IN p) > 0 THEN 'en'
+    WHEN position(' der ' IN p) > 0 OR position(' und ' IN p) > 0
+      OR position(' die ' IN p) > 0 THEN 'de'
+    WHEN position(' el ' IN p) > 0 OR position(' los ' IN p) > 0
+      OR position(' de ' IN p) > 0 THEN 'es'
+    WHEN position(' le ' IN p) > 0 OR position(' les ' IN p) > 0
+      OR position(' des ' IN p) > 0 THEN 'fr'
+    ELSE 'unk' END AS guess
+FROM (SELECT doc_id, lang, ' ' || lower(text) || ' ' AS p FROM documents)
+""",
+)
+def q_text_langid(spark, sf_dir):
+    """Function-word (n-gram) language heuristic — deterministic and
+    SQL-mirrorable; a real pipeline swaps in fastText behind the same
+    column contract."""
+    d = table(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", tx.lang_guess_col(F.col("text")).alias("guess"))
+
+
+@register(
+    "q_text_quality",
+    oracle="""
+SELECT doc_id,
+       CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                            x -> x <> '')) AS BIGINT) AS n_tokens,
+       CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS BIGINT) AS alpha_chars,
+       CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS digit_chars,
+       round(length(regexp_replace(text, '[^a-z]', '', 'g'))
+             / greatest(length(text), 1), 4) AS alpha_ratio,
+       round(least(1.0, len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                        x -> x <> '')) / 100.0), 4) AS quality_score
+FROM documents
+""",
+)
+def q_text_quality(spark, sf_dir):
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    return tx.quality_columns(d).drop("text")
+
+
+@register("q_text_fingerprint", oracle=None)  # iterative rolling hash — not in SQL
+def q_text_fingerprint(spark, sf_dir):
+    """Rolling polynomial fingerprint (base 1000003 mod 2^61-1) via an
+    Arrow-batched pandas UDF; dedup-by-fingerprint equals exact dedup."""
+    d = table(spark, sf_dir, "documents")
+    return d.select("doc_id", tx.fingerprint_col(F.col("text")).alias("fp"))
+
+
+@register(
+    "q_multimodal_project",
+    oracle="""
+SELECT doc_id, 'text/plain' AS mime, CAST(strlen(text) AS BIGINT) AS byte_len,
+       lang, source, hex(substr(text, 1, 16)::BLOB) AS head_hex
+FROM documents
+""",
+)
+def q_multimodal_project(spark, sf_dir):
+    """Multimodal column contract: opaque payload + typed metadata.
+    The payload itself stays binary; the verified output carries its
+    hex head + metadata."""
+    d = table(spark, sf_dir, "documents")
+    payload = mm.attach_payload(d)
+    return payload.select(
+        "doc_id",
+        "mime",
+        "byte_len",
+        "lang",
+        "source",
+        F.hex(F.substring(F.col("payload"), 1, 16)).alias("head_hex"),
+    )
+
+
+@register("q_multimodal_decode", oracle=None)  # stub decoder (no codec libs)
+def q_multimodal_decode(spark, sf_dir):
+    """mapInPandas decode stage (deterministic fake decoder): exercises
+    the real Arrow batch plumbing a production image pipeline uses."""
+    d = table(spark, sf_dir, "documents")
+    decoded = mm.decode_images(mm.attach_payload(d), fake=True)
+    return decoded.select(
+        "doc_id",
+        "width",
+        "height",
+        "n_frames",
+        F.round(F.element_at("features", 1), 4).alias("f0"),
+        "mime",
+    )

@@ -1,0 +1,120 @@
+"""Streaming query surface (SURVEY.md §2.3, "Streaming surface").
+
+Each query executes through the real micro-batch engine
+(``readStream`` → windowed aggregation / stateful dedup →
+``Trigger.AvailableNow`` → memory sink) and returns the materialized
+result, so the driver's batch-SQL oracle checks genuine streaming
+output. Watermark semantics are exercised harder in tests/, where the
+fixture is split into out-of-order micro-batches.
+
+Scale notes: tumbling/sliding/session windows keep state per
+(window, key) — bounded by watermark; dedup state is bounded by the
+watermark horizon. All state is distributed by groupBy key; nothing
+accumulates on the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pulsar_io_delta_spark.queries._util import dsum, epoch_s, r4, sql_dsum, sql_epoch
+from pulsar_io_delta_spark.registry import register
+from pulsar_io_delta_spark.streaming.runner import events_stream, run_to_memory
+
+
+@register(
+    "q_stream_tumbling",
+    oracle=f"""
+SELECT {sql_epoch("time_bucket(INTERVAL '1 hour', ts)")} AS window_start,
+       event_type, count(*) AS cnt,
+       round({sql_dsum("value", "18,2")}, 4) AS sum_value
+FROM events GROUP BY 1, 2
+""",
+)
+def q_stream_tumbling(spark, sf_dir):
+    s = events_stream(spark, sf_dir)
+    agg = s.groupBy(F.window("ts", "1 hour").alias("w"), "event_type").agg(
+        F.count("*").alias("cnt"),
+        r4(dsum("value", "18,2")).alias("sum_value"),
+    )
+    out = run_to_memory(agg, output_mode="complete")
+    return out.select(
+        epoch_s(F.col("w.start")).alias("window_start"), "event_type", "cnt", "sum_value"
+    )
+
+
+@register(
+    "q_stream_sliding",
+    oracle=f"""
+SELECT {sql_epoch("time_bucket(INTERVAL '30 minutes', ts) - k * INTERVAL '30 minutes'")}
+         AS window_start,
+       count(*) AS cnt,
+       round({sql_dsum("value", "18,2")}, 4) AS sum_value
+FROM events, range(2) t(k) GROUP BY 1
+""",
+)
+def q_stream_sliding(spark, sf_dir):
+    """1h windows sliding every 30min: every event lands in exactly two
+    windows; the DuckDB oracle replays that membership with range(2)."""
+    s = events_stream(spark, sf_dir)
+    agg = s.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w")).agg(
+        F.count("*").alias("cnt"),
+        r4(dsum("value", "18,2")).alias("sum_value"),
+    )
+    out = run_to_memory(agg, output_mode="complete")
+    return out.select(epoch_s(F.col("w.start")).alias("window_start"), "cnt", "sum_value")
+
+
+@register(
+    "q_stream_session",
+    oracle=f"""
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   >= INTERVAL '10 minutes'
+              THEN 1 ELSE 0 END AS new_s
+  FROM events),
+sessions AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged)
+SELECT user_id, {sql_epoch("min(ts)")} AS session_start, count(*) AS cnt
+FROM sessions GROUP BY user_id, sid
+""",
+)
+def q_stream_session(spark, sf_dir):
+    """Gap-based session windows (10 min). Spark merges events whose gap
+    is < 10 min; the oracle rebuilds the same islands with lag/cumsum."""
+    s = events_stream(spark, sf_dir)
+    agg = s.groupBy(F.session_window("ts", "10 minutes").alias("w"), "user_id").agg(
+        F.count("*").alias("cnt")
+    )
+    out = run_to_memory(agg, output_mode="complete")
+    return out.select(
+        "user_id", epoch_s(F.col("w.start")).alias("session_start"), "cnt"
+    )
+
+
+@register(
+    "q_stream_watermark_dedup",
+    oracle=f"""
+SELECT event_id, user_id, event_type, {sql_epoch("ts")} AS ts_epoch, value
+FROM events
+""",
+)
+def q_stream_watermark_dedup(spark, sf_dir):
+    """Watermarked streaming dedup: the stream is unioned with itself
+    (every event arrives twice) and dropDuplicates on event_id restores
+    exactly-once output. Dedup state is bounded by the 1h watermark —
+    the 100 TB-scale property the reference's unbounded queue lacks."""
+    a = events_stream(spark, sf_dir)
+    b = events_stream(spark, sf_dir)
+    doubled = a.unionAll(b)
+    deduped = (
+        doubled.withWatermark("ts", "1 hour")
+        .dropDuplicates(["event_id"])
+        .select("event_id", "user_id", "event_type", epoch_s("ts").alias("ts_epoch"), "value")
+    )
+    return run_to_memory(deduped, output_mode="append")
