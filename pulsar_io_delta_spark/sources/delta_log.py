@@ -1,0 +1,360 @@
+"""Minimal Delta-Lake transaction-log layer (reader + writer).
+
+The environment has no ``delta-spark`` package, and the reference reads
+the log directly through delta-standalone anyway, so this module owns
+the same protocol surface the reference consumes
+(`DeltaReader.java:171-253`): JSON commit files under ``_delta_log/``
+with ``add`` / ``remove`` / ``metaData`` / ``commitInfo`` actions.
+
+Semantics mirrored from the reference (intent, not bugs — SURVEY §2.4):
+
+- latest-version resolve (`DeltaReader.java:166-169`);
+- snapshot by version with fallback-to-latest on a missing version
+  (`DeltaReader.java:148-164`);
+- snapshot by timestamp → greatest version whose commit time ≤ ts,
+  fallback-to-latest (`DeltaReader.java:134-146`);
+- change feed from a start version (`DeltaReader.java:185-251`) — all
+  versions ≥ start, not the reference's single-version bug (§2.4 #6);
+- CDC derivation: added file rows → op='c', removed file rows → op='r'
+  (the intended semantics of the broken RemoveFile path, §2.4 #5),
+  metadata → schema-change boundary (op='m').
+
+Out of scope (fail loudly): parquet checkpoints / `_last_checkpoint`,
+column-mapping, deletion vectors. Single-writer optimistic concurrency
+via O_EXCL commit-file creation.
+
+Scale notes: the log is small (one JSON per commit); only the driver
+reads it. Data files are read by executors through the ordinary
+vectorized parquet scan with partition-directory inference
+(``basePath``), so snapshot reads get pruning/pushdown for free.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pulsar_io_delta_spark.operators.cdc import OP_DELETE, OP_INSERT
+from pulsar_io_delta_spark.session import pin_session
+
+
+class DeltaProtocolError(Exception):
+    """Raised on protocol features outside this reader's scope."""
+
+
+@dataclass
+class Snapshot:
+    version: int
+    files: list[str]  # relative paths
+    partition_values: dict[str, dict[str, str]]  # path → partitionValues
+    schema_string: str | None
+    partition_columns: list[str]
+    add_times: dict[str, int] = field(default_factory=dict)  # path → modTime ms
+
+
+class DeltaTable:
+    def __init__(self, path: str):
+        self.path = path
+        self.log_dir = os.path.join(path, "_delta_log")
+
+    # ---------- log reading ----------
+
+    def exists(self) -> bool:
+        return os.path.isdir(self.log_dir)
+
+    def versions(self) -> list[int]:
+        if not self.exists():
+            raise DeltaProtocolError(f"not a delta table: {self.path}")
+        if os.path.exists(os.path.join(self.log_dir, "_last_checkpoint")):
+            raise DeltaProtocolError("parquet checkpoints not supported")
+        out = []
+        for name in os.listdir(self.log_dir):
+            if name.endswith(".json") and name[: -len(".json")].isdigit():
+                out.append(int(name[: -len(".json")]))
+        return sorted(out)
+
+    def latest_version(self) -> int:
+        versions = self.versions()
+        if not versions:
+            raise DeltaProtocolError(f"empty delta log: {self.log_dir}")
+        return versions[-1]
+
+    def actions(self, version: int) -> list[dict]:
+        fp = os.path.join(self.log_dir, f"{version:020d}.json")
+        with open(fp, encoding="utf-8") as f:
+            return [json.loads(line) for line in f if line.strip()]
+
+    def commit_timestamp_ms(self, version: int) -> int:
+        for action in self.actions(version):
+            info = action.get("commitInfo")
+            if info and "timestamp" in info:
+                return int(info["timestamp"])
+        return int(os.path.getmtime(os.path.join(self.log_dir, f"{version:020d}.json")) * 1000)
+
+    def resolve_version(self, version: int | None = None, timestamp_ms: int | None = None) -> int:
+        """Reference semantics: -1/None/missing → latest; timestamp →
+        greatest version with commit ts ≤ timestamp, else latest."""
+        versions = self.versions()
+        latest = versions[-1]
+        if timestamp_ms is not None:
+            eligible = [v for v in versions if self.commit_timestamp_ms(v) <= timestamp_ms]
+            return eligible[-1] if eligible else latest
+        if version is None or version < 0 or version not in versions:
+            return latest
+        return version
+
+    def snapshot(self, version: int | None = None, timestamp_ms: int | None = None) -> Snapshot:
+        v = self.resolve_version(version, timestamp_ms)
+        live: dict[str, dict] = {}
+        schema_string: str | None = None
+        partition_columns: list[str] = []
+        for ver in self.versions():
+            if ver > v:
+                break
+            for action in self.actions(ver):
+                if "add" in action:
+                    live[action["add"]["path"]] = action["add"]
+                elif "remove" in action:
+                    live.pop(action["remove"]["path"], None)
+                elif "metaData" in action:
+                    schema_string = action["metaData"].get("schemaString")
+                    partition_columns = action["metaData"].get("partitionColumns", [])
+                elif "protocol" in action:
+                    p = action["protocol"]
+                    if p.get("minReaderVersion", 1) > 1:
+                        raise DeltaProtocolError(f"unsupported protocol: {p}")
+        return Snapshot(
+            version=v,
+            files=sorted(live),
+            partition_values={p: a.get("partitionValues", {}) for p, a in live.items()},
+            schema_string=schema_string,
+            partition_columns=partition_columns,
+            add_times={p: int(a.get("modificationTime", 0)) for p, a in live.items()},
+        )
+
+    # ---------- reading data ----------
+
+    def _read_files(self, spark: SparkSession, rel_paths: list[str]) -> DataFrame:
+        pin_session(spark)
+        paths = [os.path.join(self.path, p) for p in rel_paths]
+        return spark.read.option("basePath", self.path).parquet(*paths)
+
+    def read(
+        self,
+        spark: SparkSession,
+        version: int | None = None,
+        timestamp_ms: int | None = None,
+    ) -> DataFrame:
+        """Time-travel batch read (versionAsOf / timestampAsOf / latest)."""
+        snap = self.snapshot(version, timestamp_ms)
+        if not snap.files:
+            if snap.schema_string is None:
+                raise DeltaProtocolError("empty table with no schema")
+            from pyspark.sql.types import StructType
+
+            return spark.createDataFrame([], StructType.fromJson(json.loads(snap.schema_string)))
+        return self._read_files(spark, snap.files)
+
+    # ---------- change feed / CDC ----------
+
+    def changes(self, start_version: int = 0) -> list[tuple[int, list[dict]]]:
+        """All commits with version ≥ start_version, in order."""
+        return [(v, self.actions(v)) for v in self.versions() if v >= start_version]
+
+    def cdc(self, spark: SparkSession, start_version: int = 0) -> DataFrame:
+        """Change-data rows from the log tail: op 'c' for rows of added
+        files, 'r' for rows of removed (pre-vacuum) files, with
+        partition_value string, event time, and commit version."""
+        from pulsar_io_delta_spark.operators.cdc import partition_value_expr
+
+        frames: list[DataFrame] = []
+        for version, actions in self.changes(start_version):
+            adds = [a["add"] for a in actions if "add" in a]
+            removes = [a["remove"] for a in actions if "remove" in a]
+            for op, group in ((OP_INSERT, adds), (OP_DELETE, removes)):
+                if not group:
+                    continue
+                df = self._read_files(spark, [g["path"] for g in group])
+                snap_pcols = self.snapshot(version).partition_columns
+                pv = partition_value_expr({c: F.col(c) for c in snap_pcols}) if snap_pcols else F.lit("")
+                ts_key = "modificationTime" if op == OP_INSERT else "deletionTimestamp"
+                ts_ms = max((int(g.get(ts_key) or 0) for g in group), default=0)
+                frames.append(
+                    df.withColumn("op", F.lit(op))
+                    .withColumn("partition_value", pv)
+                    .withColumn("ts", F.timestamp_millis(F.lit(ts_ms)))
+                    .withColumn("_commit_version", F.lit(version))
+                )
+        if not frames:
+            raise DeltaProtocolError(f"no data-changing commits ≥ {start_version}")
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out
+
+    def schema_changes(self, start_version: int = 0) -> list[tuple[int, str]]:
+        """(version, schemaString) for each metaData action — the op='m'
+        boundary events (reference emits these inline; Spark restarts the
+        stream on schema change, so we surface them out-of-band)."""
+        out = []
+        for version, actions in self.changes(start_version):
+            for action in actions:
+                if "metaData" in action and action["metaData"].get("schemaString"):
+                    out.append((version, action["metaData"]["schemaString"]))
+        return out
+
+    # ---------- writing ----------
+
+    def _commit(self, actions: list[dict], operation: str) -> int:
+        os.makedirs(self.log_dir, exist_ok=True)
+        version = (self.versions()[-1] + 1) if self.versions() else 0
+        payload = [
+            {"commitInfo": {"timestamp": int(time.time() * 1000), "operation": operation}}
+        ] + actions
+        fp = os.path.join(self.log_dir, f"{version:020d}.json")
+        # O_EXCL: optimistic single-writer concurrency — a concurrent
+        # committer of the same version loses with FileExistsError.
+        with open(fp, "x", encoding="utf-8") as f:
+            for a in payload:
+                f.write(json.dumps(a) + "\n")
+        return version
+
+    def _stage_and_move(self, df: DataFrame, partition_by: list[str]) -> list[dict]:
+        """Write df as parquet into the table dir; return add actions."""
+        staging = os.path.join(self.path, f"_staging_{uuid.uuid4().hex}")
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(staging)
+        adds: list[dict] = []
+        for root, _dirs, files in os.walk(staging):
+            for name in files:
+                if not name.endswith(".parquet"):
+                    continue
+                src = os.path.join(root, name)
+                rel_dir = os.path.relpath(root, staging)
+                pvals: dict[str, str] = {}
+                if rel_dir != ".":
+                    for piece in rel_dir.split(os.sep):
+                        k, _, val = piece.partition("=")
+                        pvals[k] = val
+                final_rel = os.path.join(
+                    "" if rel_dir == "." else rel_dir, f"part-{uuid.uuid4().hex}.parquet"
+                )
+                dst = os.path.join(self.path, final_rel)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                shutil.move(src, dst)
+                adds.append(
+                    {
+                        "add": {
+                            "path": final_rel,
+                            "partitionValues": pvals,
+                            "size": os.path.getsize(dst),
+                            "modificationTime": int(os.path.getmtime(dst) * 1000),
+                            "dataChange": True,
+                        }
+                    }
+                )
+        shutil.rmtree(staging)
+        return adds
+
+    def _metadata_action(self, df: DataFrame, partition_by: list[str]) -> dict:
+        return {
+            "metaData": {
+                "id": str(uuid.uuid4()),
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": df.schema.json(),
+                "partitionColumns": partition_by,
+                "configuration": {},
+            }
+        }
+
+    def write(
+        self,
+        df: DataFrame,
+        mode: str = "append",
+        partition_by: list[str] | None = None,
+        txn: tuple[str, int] | None = None,
+    ) -> int:
+        """Append/overwrite commit. ``txn=(app_id, txn_version)`` makes
+        the commit idempotent (streaming sink exactly-once)."""
+        partition_by = partition_by or []
+        actions: list[dict] = []
+        if txn is not None:
+            app_id, txn_version = txn
+            if self.last_txn_version(app_id) >= txn_version:
+                return -1  # already committed — idempotent no-op
+            actions.append({"txn": {"appId": app_id, "version": txn_version, "lastUpdated": int(time.time() * 1000)}})
+        first = not (self.exists() and self.versions())
+        if first:
+            actions.append({"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}})
+            actions.append(self._metadata_action(df, partition_by))
+        if mode == "overwrite" and not first:
+            snap = self.snapshot()
+            now_ms = int(time.time() * 1000)
+            actions.extend(
+                {
+                    "remove": {
+                        "path": p,
+                        "deletionTimestamp": now_ms,
+                        "dataChange": True,
+                        "partitionValues": snap.partition_values.get(p, {}),
+                    }
+                }
+                for p in snap.files
+            )
+        elif mode not in ("append", "overwrite"):
+            raise ValueError(f"unsupported mode: {mode}")
+        actions.extend(self._stage_and_move(df, partition_by))
+        return self._commit(actions, operation=mode.upper())
+
+    def delete_where(self, spark: SparkSession, predicate: str) -> int:
+        """Row-level delete: rewrite affected files, emit remove+add —
+        produces the op='r' stream the reference intends for RemoveFile."""
+        snap = self.snapshot()
+        now_ms = int(time.time() * 1000)
+        actions: list[dict] = [
+            {
+                "remove": {
+                    "path": p,
+                    "deletionTimestamp": now_ms,
+                    "dataChange": True,
+                    "partitionValues": snap.partition_values.get(p, {}),
+                }
+            }
+            for p in snap.files
+        ]
+        kept = self.read(spark).where(f"NOT ({predicate})")
+        actions.extend(self._stage_and_move(kept, snap.partition_columns))
+        return self._commit(actions, operation="DELETE")
+
+    def last_txn_version(self, app_id: str) -> int:
+        if not (self.exists() and self.versions()):
+            return -1
+        last = -1
+        for _v, actions in self.changes(0):
+            for action in actions:
+                t = action.get("txn")
+                if t and t.get("appId") == app_id:
+                    last = max(last, int(t.get("version", -1)))
+        return last
+
+
+def delta_sink(table_path: str, app_id: str, partition_by: list[str] | None = None):
+    """foreachBatch sink writing each micro-batch into the Delta log with
+    an idempotent txn marker — exactly-once even across batch retries.
+    Pair with ``writeStream.foreachBatch(delta_sink(...))`` and a
+    checkpointLocation; together they replace the reference's
+    per-partition state-store checkpoints."""
+
+    def write_batch(df: DataFrame, batch_id: int) -> None:
+        DeltaTable(table_path).write(df, mode="append", partition_by=partition_by, txn=(app_id, batch_id))
+
+    return write_batch

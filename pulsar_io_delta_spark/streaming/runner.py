@@ -52,9 +52,20 @@ EVENTS_RAW_SCHEMA = StructType(
 
 
 def stream_dir_for(sf_dir: str, name: str) -> str:
-    """File-source-compatible directory containing a symlink to the fixture."""
-    d = tempfile.mkdtemp(prefix=f"pids_stream_{name}_")
-    os.symlink(os.path.join(sf_dir, f"{name}.parquet"), os.path.join(d, f"{name}.parquet"))
+    """File-source-compatible directory containing a symlink to the fixture.
+
+    Deterministic per (sf_dir, name): checkpointed restarts must resolve
+    the *same* source path, so a fresh random dir per call would break
+    recovery (offsets store absolute file paths).
+    """
+    import hashlib
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    d = os.path.join(tempfile.gettempdir(), f"pids_stream_{name}_{key}")
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, f"{name}.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, f"{name}.parquet"), link)
     return d
 
 

@@ -1,0 +1,157 @@
+"""Delta-log layer tests (FIXTURES.md §4): snapshots, time travel with
+the reference's fallback semantics, CDC op streams, writer atomicity,
+idempotent txns, and protocol guards."""
+
+import json
+import os
+import time
+
+import pytest
+import pyspark.sql.functions as F
+
+from pulsar_io_delta_spark.sources.delta_log import (
+    DeltaProtocolError,
+    DeltaTable,
+    delta_sink,
+)
+
+
+@pytest.fixture()
+def table_path(tmp_path):
+    return str(tmp_path / "tbl")
+
+
+def events_df(spark, ids, etype="click"):
+    return spark.createDataFrame(
+        [(i, etype, float(i)) for i in ids], "event_id long, event_type string, value double"
+    )
+
+
+def test_create_append_read(spark, table_path):
+    t = DeltaTable(table_path)
+    v0 = t.write(events_df(spark, range(10)))
+    v1 = t.write(events_df(spark, range(10, 15)))
+    assert (v0, v1) == (0, 1)
+    assert t.read(spark).count() == 15
+    assert t.read(spark, version=0).count() == 10
+
+
+def test_version_fallback_to_latest(spark, table_path):
+    """Missing version → latest (DeltaReader.java:148-164)."""
+    t = DeltaTable(table_path)
+    t.write(events_df(spark, range(5)))
+    t.write(events_df(spark, range(5, 8)))
+    assert t.resolve_version(version=99) == 1
+    assert t.resolve_version(version=-1) == 1
+    assert t.resolve_version(version=0) == 0
+
+
+def test_timestamp_resolution(spark, table_path):
+    t = DeltaTable(table_path)
+    t.write(events_df(spark, range(3)))
+    ts0 = t.commit_timestamp_ms(0)
+    time.sleep(0.05)
+    t.write(events_df(spark, range(3, 6)))
+    assert t.resolve_version(timestamp_ms=ts0) == 0
+    assert t.resolve_version(timestamp_ms=int(time.time() * 1000) + 10_000) == 1
+    # before table creation → fallback to latest (DeltaReader.java:134-146)
+    assert t.resolve_version(timestamp_ms=ts0 - 1_000_000) == 1
+
+
+def test_overwrite_and_cdc_ops(spark, table_path):
+    t = DeltaTable(table_path)
+    t.write(events_df(spark, range(4)))
+    t.write(events_df(spark, range(100, 102)), mode="overwrite")
+    assert t.read(spark).count() == 2
+    cdc = t.cdc(spark, start_version=0)
+    by_op = {r["op"]: r["cnt"] for r in cdc.groupBy("op").agg(F.count("*").alias("cnt")).collect()}
+    # v0 adds 4 rows (c), v1 removes those 4 (r) and adds 2 (c)
+    assert by_op == {"c": 6, "r": 4}
+    versions = {r._commit_version for r in cdc.select("_commit_version").distinct().collect()}
+    assert versions == {0, 1}
+
+
+def test_delete_where_emits_removes(spark, table_path):
+    t = DeltaTable(table_path)
+    t.write(events_df(spark, range(10)))
+    t.delete_where(spark, "event_id >= 5")
+    assert t.read(spark).count() == 5
+    cdc = t.cdc(spark, start_version=1)
+    ops = {r["op"] for r in cdc.select("op").distinct().collect()}
+    assert "r" in ops
+
+
+def test_partitioned_write_and_partition_value(spark, table_path):
+    t = DeltaTable(table_path)
+    df = events_df(spark, range(6)).withColumn(
+        "event_type", F.when(F.col("event_id") % 2 == 0, "click").otherwise("buy")
+    )
+    t.write(df, partition_by=["event_type"])
+    snap = t.snapshot()
+    assert snap.partition_columns == ["event_type"]
+    assert all(set(pv) == {"event_type"} for pv in snap.partition_values.values())
+    back = t.read(spark)
+    assert back.count() == 6
+    assert set(back.columns) == {"event_id", "value", "event_type"}
+    pvs = {r.partition_value for r in t.cdc(spark, 0).select("partition_value").collect()}
+    assert pvs == {"event_type=click", "event_type=buy"}
+
+
+def test_schema_changes_surface(spark, table_path):
+    t = DeltaTable(table_path)
+    t.write(events_df(spark, range(2)))
+    changes = t.schema_changes(0)
+    assert len(changes) == 1 and changes[0][0] == 0
+
+
+def test_txn_idempotent(spark, table_path):
+    t = DeltaTable(table_path)
+    t.write(events_df(spark, range(3)), txn=("app", 0))
+    again = t.write(events_df(spark, range(3)), txn=("app", 0))
+    assert again == -1  # replayed batch is a no-op
+    assert t.read(spark).count() == 3
+    t.write(events_df(spark, range(3, 5)), txn=("app", 1))
+    assert t.read(spark).count() == 5
+
+
+def test_checkpoint_guard(spark, table_path):
+    t = DeltaTable(table_path)
+    t.write(events_df(spark, range(2)))
+    with open(os.path.join(table_path, "_delta_log", "_last_checkpoint"), "w") as f:
+        json.dump({"version": 0}, f)
+    with pytest.raises(DeltaProtocolError):
+        t.versions()
+
+
+def test_handwritten_log(spark, tmp_path):
+    """Reader consumes logs written by any Delta writer — fabricate one
+    by hand with the four action types the reference consumes."""
+    root = str(tmp_path / "hand")
+    os.makedirs(os.path.join(root, "_delta_log"))
+    df = events_df(spark, range(7))
+    df.coalesce(1).write.parquet(os.path.join(root, "data"))
+    part = next(
+        f for f in os.listdir(os.path.join(root, "data")) if f.endswith(".parquet")
+    )
+    rel = f"data/{part}"
+    actions = [
+        {"commitInfo": {"timestamp": 1700000000000, "operation": "WRITE"}},
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": {"id": "x", "schemaString": df.schema.json(), "partitionColumns": []}},
+        {"add": {"path": rel, "partitionValues": {}, "size": 1, "modificationTime": 1700000000000, "dataChange": True}},
+    ]
+    with open(os.path.join(root, "_delta_log", f"{0:020d}.json"), "w") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+    t = DeltaTable(root)
+    assert t.read(spark).count() == 7
+    assert t.commit_timestamp_ms(0) == 1700000000000
+
+
+def test_streaming_delta_sink_exactly_once(spark, table_path):
+    sink = delta_sink(table_path, app_id="stream-test")
+    batch = events_df(spark, range(5))
+    sink(batch, 0)
+    sink(batch, 0)  # retried batch must not duplicate
+    sink(events_df(spark, range(5, 9)), 1)
+    assert DeltaTable(table_path).read(spark).count() == 9

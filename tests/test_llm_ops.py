@@ -1,0 +1,68 @@
+"""LLM-pipeline operator semantics: planted-near-dup recall, sketch
+properties, ANN vs exact overlap, multimodal stub behavior."""
+
+import pytest
+import pyspark.sql.functions as F
+
+from pulsar_io_delta_spark.operators import dedup as dd
+from pulsar_io_delta_spark.operators import multimodal as mm
+from pulsar_io_delta_spark.operators import similarity as sim
+from pulsar_io_delta_spark.operators.text import fingerprint_py
+from pulsar_io_delta_spark.queries.llm import PLANT_OFFSET, _planted_corpus
+from pulsar_io_delta_spark.tables import table
+
+
+def test_minhash_recall_on_planted(spark, sf_dir):
+    corpus = _planted_corpus(table(spark, sf_dir, "documents"))
+    n_docs = corpus.count() // 2
+    pairs = dd.lsh_candidate_pairs(dd.minhash_signature(corpus, "doc_id", "text"), "doc_id")
+    planted_found = pairs.where(F.col("id_b") - F.col("id_a") == PLANT_OFFSET).count()
+    recall = planted_found / n_docs
+    assert recall >= 0.85, f"minhash recall too low: {recall}"
+
+
+def test_simhash_close_on_neardups(spark, sf_dir):
+    corpus = _planted_corpus(table(spark, sf_dir, "documents").limit(50))
+    sig = dd.simhash_signature(corpus, "doc_id", "text")
+    pairs = dd.simhash_near_pairs(sig, "doc_id", max_hamming=6)
+    planted = pairs.where(F.col("id_b") - F.col("id_a") == PLANT_OFFSET)
+    assert planted.count() >= 25  # most 14-char mutations stay within hamming 6
+    assert pairs.where(F.col("hamming") > 6).count() == 0
+
+
+def test_ngram_jaccard_bounds(spark, sf_dir):
+    sub = table(spark, sf_dir, "documents").where(F.col("doc_id") < 20)
+    pairs = dd.ngram_jaccard_pairs(sub, "doc_id", "text").collect()
+    assert pairs
+    assert all(0.0 <= r.jaccard <= 1.0 for r in pairs)
+
+
+def test_ann_subset_of_bruteforce_space(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    base = sim.with_norm2(emb)
+    q = base.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv"), F.col("v_n2").alias("qv_n2")
+    )
+    exact = sim.brute_force_topk(q, base, k=5).collect()
+    approx = sim.ann_topk_lsh(emb, F.col("vec_id") < 5, k=5).collect()
+    assert {r.qid for r in exact} == set(range(5))
+    # ANN returns ≤ k per query, all with valid rank + cosine range
+    for r in approx:
+        assert 1 <= r.rn <= 5 and -1.0001 <= r.cos_r <= 1.0001
+
+
+def test_fingerprint_matches_exact_dedup(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    n_text = d.select("text").distinct().count()
+    fps = {fingerprint_py(r.text) for r in d.select("text").distinct().collect()}
+    assert len(fps) == n_text  # no collisions on this corpus
+
+
+def test_multimodal_stub_contract(spark, sf_dir):
+    d = table(spark, sf_dir, "documents").limit(20)
+    payload = mm.attach_payload(d)
+    decoded = mm.decode_images(payload, fake=True).collect()
+    assert len(decoded) == 20
+    assert all(len(r.features) == 8 for r in decoded)
+    with pytest.raises(Exception, match="NotImplementedError|media decode"):
+        mm.decode_images(payload, fake=False).collect()

@@ -1,0 +1,104 @@
+"""Streaming semantics under out-of-order micro-batches: watermark
+dedup, late-data drop, and the availableNow runner used by q_stream_*."""
+
+import os
+
+import pyspark.sql.functions as F
+
+from pulsar_io_delta_spark.streaming.runner import (
+    EVENTS_RAW_SCHEMA,
+    events_stream,
+    run_to_memory,
+)
+from pulsar_io_delta_spark.tables import table
+
+
+def _write_batches(spark, sf_dir, out_dir):
+    """Split events into 3 files ordered so the middle batch is 'late'."""
+    e = table(spark, sf_dir, "events")
+    cut1, cut2 = "2024-01-10", "2024-01-20"
+    parts = [
+        e.where(F.col("ts") < cut1),
+        e.where((F.col("ts") >= cut2)),  # arrives before the middle range
+        e.where((F.col("ts") >= cut1) & (F.col("ts") < cut2)),
+    ]
+    for i, p in enumerate(parts):
+        # re-encode ts to the raw nanos-long layout the stream reader expects
+        raw = p.withColumn("ts", (F.unix_micros("ts") * 1000).cast("long")).select(
+            "event_id", "ts", "user_id", "event_type", "value", "props"
+        )
+        raw.coalesce(1).write.mode("append").parquet(os.path.join(out_dir, f"b{i}"))
+    return [os.path.join(out_dir, f"b{i}") for i in range(3)]
+
+
+def test_runner_counts_match_batch(spark, sf_dir):
+    s = events_stream(spark, sf_dir)
+    out = run_to_memory(s.groupBy("event_type").count(), output_mode="complete")
+    batch = table(spark, sf_dir, "events").groupBy("event_type").count()
+    assert {(r.event_type, r["count"]) for r in out.collect()} == {
+        (r.event_type, r["count"]) for r in batch.collect()
+    }
+
+
+def test_watermark_drops_late_batch(spark, sf_dir, tmp_path):
+    """The middle ts-range arrives in a later *run* against the same
+    checkpoint (watermark state persists across restarts), after the
+    watermark advanced past it → its windows never reach append output."""
+    import shutil
+
+    d = str(tmp_path / "batches")
+    batch_dirs = _write_batches(spark, sf_dir, d)
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    emitted = []
+
+    def run_pass():
+        stream = (
+            spark.readStream.schema(EVENTS_RAW_SCHEMA)
+            .parquet(src)
+            .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        )
+        agg = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 day").alias("w"))
+            .agg(F.count("*").alias("cnt"))
+        )
+        q = (
+            agg.writeStream.foreachBatch(
+                lambda df, _bid: emitted.extend(df.collect())
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+
+    def add_files(bdir):
+        for name in os.listdir(bdir):
+            if name.endswith(".parquet"):
+                shutil.copy(os.path.join(bdir, name), os.path.join(src, f"{os.path.basename(bdir)}_{name}"))
+
+    add_files(batch_dirs[0])  # early range
+    run_pass()
+    add_files(batch_dirs[1])  # newest range → advances watermark to Jan 30
+    run_pass()
+    add_files(batch_dirs[2])  # middle range, now older than the watermark
+    run_pass()
+    run_pass()  # one more pass so closable windows flush
+
+    days = sorted(str(r.w.date()) if not hasattr(r.w, "start") else str(r.w.start.date()) for r in emitted)
+    assert days, "no windows emitted"
+    # middle-range days (Jan 10–19) arrived late → dropped by the watermark
+    assert all(not ("2024-01-10" <= d2 < "2024-01-20") for d2 in days), days
+
+
+def test_streaming_dedup_exact_counts(spark, sf_dir):
+    a = events_stream(spark, sf_dir)
+    b = events_stream(spark, sf_dir)
+    dd = a.unionAll(b).withWatermark("ts", "1 hour").dropDuplicates(["event_id"])
+    out = run_to_memory(dd.select("event_id"), output_mode="append")
+    n = table(spark, sf_dir, "events").count()
+    assert out.count() == n
+    assert out.distinct().count() == n
