@@ -1,0 +1,87 @@
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": <float>}
+
+Each query is forced end-to-end with the noop sink (full computation,
+no driver materialization cost). A warmup query amortizes JVM/session
+startup out of the numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pulsar_io_delta_spark.registry import all_queries  # noqa: E402
+from pulsar_io_delta_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    # reference surface
+    "q_snapshot_scan",
+    "q_cdc_envelope",
+    "q_hash_route",
+    # relational core
+    "q_agg_groupby",
+    "q_agg_rollup",
+    "q_join_inner",
+    "q_join_broadcast",
+    "q_join_range",
+    "q_window_rank",
+    "q_topk",
+    # streaming
+    "q_stream_tumbling",
+    "q_stream_watermark_dedup",
+    # LLM pipeline
+    "q_dedup_exact",
+    "q_dedup_minhash",
+    "q_text_tokens",
+    "q_text_quality",
+    "q_sim_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf"))
+    except ValueError:
+        sf = -1.0
+    spark = get_spark(app_name="pids-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    specs = all_queries()
+
+    def run(name: str) -> float:
+        t0 = time.time()
+        df = specs[name].fn(spark, sf_dir)
+        df.write.mode("overwrite").format("noop").save()
+        return time.time() - t0
+
+    run("q_filter_project")  # warmup: session + parquet footer caches
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        timings[name] = round(run(name), 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline query wall time (noop sink, local)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

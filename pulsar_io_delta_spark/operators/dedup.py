@@ -61,9 +61,20 @@ def minhash_signature(
     xxhash64 of each shingle; the min per permutation is a plain
     aggregate — partial (map-side) combine keeps the shuffle tiny.
     """
-    sh = df.select(
-        F.col(id_col), F.explode(word_shingles_col(F.col(text_col), shingle_k)).alias("shingle")
+    # Materialize the token array once per row before building shingles —
+    # referencing tokens_col() three times inside the higher-order exprs
+    # makes codegen re-split the text per reference (~3× the regex work).
+    toks = df.select(
+        F.col(id_col),
+        F.filter(tokens_col(F.col(text_col)), lambda x: x != "").alias("toks"),
     )
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size("toks") - (shingle_k - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice("toks", i, shingle_k)),
+        )
+    )
+    sh = toks.select(F.col(id_col), F.explode(shingles).alias("shingle"))
     x = F.pmod(F.xxhash64("shingle"), F.lit(MERSENNE31))
     aggs = [
         F.min(F.pmod(x * F.lit(a) + F.lit(b), F.lit(MERSENNE31))).alias(f"m{i}")
