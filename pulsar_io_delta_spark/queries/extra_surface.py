@@ -1,0 +1,137 @@
+"""Additional operator coverage: pivot, analytic-window variants,
+content-hash dedup, BPE-ish token counting, and a custom stateful
+streaming operator via applyInPandasWithState.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.window import Window
+
+from pulsar_io_delta_spark.registry import register
+from pulsar_io_delta_spark.streaming.runner import events_stream, run_to_memory
+from pulsar_io_delta_spark.tables import table
+
+PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+@register(
+    "q_pivot",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS BIGINT) AS "1-URGENT",
+       CAST(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS BIGINT) AS "2-HIGH",
+       CAST(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS BIGINT) AS "3-MEDIUM",
+       CAST(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END) AS BIGINT) AS "4-NOT SPECIFIED",
+       CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS BIGINT) AS "5-LOW"
+FROM orders GROUP BY o_orderstatus
+""",
+)
+def q_pivot(spark, sf_dir):
+    """DataFrame pivot with explicit value list — at scale, listing the
+    pivot values avoids the extra distinct-values job."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").pivot("o_orderpriority", PRIORITIES).count()
+
+
+@register(
+    "q_window_variants",
+    oracle="""
+SELECT o_orderkey, o_orderpriority, o_totalprice,
+       CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+       percent_rank() OVER w AS prnk,
+       cume_dist() OVER w AS cdist,
+       CAST(ntile(4) OVER w AS BIGINT) AS quartile
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
+""",
+)
+def q_window_variants(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.percent_rank().over(w).alias("prnk"),
+        F.cume_dist().over(w).alias("cdist"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
+
+
+@register(
+    "q_dedup_hash",
+    oracle="""
+SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS copies
+FROM (SELECT * FROM documents UNION ALL SELECT * FROM documents)
+GROUP BY md5(text)
+""",
+)
+def q_dedup_hash(spark, sf_dir):
+    """Content-hash dedup — the 100 TB shape for exact dedup: shuffle
+    16-byte digests, never full documents."""
+    d = table(spark, sf_dir, "documents")
+    doubled = d.unionAll(d)
+    return doubled.groupBy(F.md5(F.encode(F.col("text"), "UTF-8")).alias("h")).agg(
+        F.min("doc_id").alias("keep_id"), F.count("*").alias("copies")
+    )
+
+
+@register(
+    "q_text_token_count",
+    oracle="""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT)
+         AS n_bpe,
+       CAST(len(string_split_regex(text, ' ')) AS BIGINT) AS n_ws,
+       round(CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS DOUBLE)
+             / greatest(len(string_split_regex(text, ' ')), 1), 4) AS bpe_per_word
+FROM documents
+""",
+)
+def q_text_token_count(spark, sf_dir):
+    """Token counting two ways: whitespace words and a BPE-ish regex
+    (alpha runs | digit runs | single punctuation) — the usual cheap
+    proxy for LLM token budgeting."""
+    d = table(spark, sf_dir, "documents")
+    bpe = F.size(F.expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")).cast("long")
+    ws = F.size(F.split(F.col("text"), " ")).cast("long")
+    return d.select(
+        "doc_id",
+        bpe.alias("n_bpe"),
+        ws.alias("n_ws"),
+        F.round(bpe.cast("double") / F.greatest(ws, F.lit(1)), 4).alias("bpe_per_word"),
+    )
+
+
+@register(
+    "q_stream_stateful_count",
+    oracle="""
+SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id
+""",
+)
+def q_stream_stateful_count(spark, sf_dir):
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-user running event count kept in explicit state — the escape
+    hatch for stateful logic Spark's built-ins can't express. State is
+    per-key and distributed; output here is one row per key per batch."""
+
+    def update(key, pdfs, state: GroupState):
+        total = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            total += len(pdf)
+        state.update((total,))
+        yield pd.DataFrame({"user_id": [key[0]], "cnt": [total]})
+
+    s = events_stream(spark, sf_dir)
+    counted = s.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, cnt long",
+        stateStructType="cnt long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return run_to_memory(counted, output_mode="update")
