@@ -68,7 +68,12 @@ def murmur3_route_col(col: Column, num_partitions: int) -> Column:
 
     @pandas_udf("long")
     def _route(s: pd.Series) -> pd.Series:
-        return s.map(lambda v: partition_id_for(v, num_partitions))
+        # Partition-value cardinality is tiny relative to row count
+        # (it's a partition key): hash each distinct value once per
+        # Arrow batch, then broadcast-map — ~cardinality hashes instead
+        # of ~batch-size.
+        lut = {v: partition_id_for(v, num_partitions) for v in s.unique()}
+        return s.map(lut)
 
     return _route(col)
 

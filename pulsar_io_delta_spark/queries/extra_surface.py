@@ -108,6 +108,40 @@ def q_text_token_count(spark, sf_dir):
 
 
 @register(
+    "q_minmax_scale",
+    oracle="""
+SELECT o_orderkey, o_orderpriority,
+       round((o_totalprice - min(o_totalprice) OVER (PARTITION BY o_orderpriority))
+             / (max(o_totalprice) OVER (PARTITION BY o_orderpriority)
+                - min(o_totalprice) OVER (PARTITION BY o_orderpriority)), 4) AS scaled
+FROM orders
+""",
+)
+def q_minmax_scale(spark, sf_dir):
+    """Grouped-map applyInPandas (vectorized per-group transform):
+    min-max scale order totals within each priority group. Min/max are
+    exact, so the pandas path hash-matches a pure-SQL window oracle —
+    demonstrating that Arrow-batched Python transforms can still be
+    oracle-verified. At scale each group processes as one-or-more Arrow
+    batches on its own executor partition."""
+    o = table(spark, sf_dir, "orders")
+
+    def scale(pdf: pd.DataFrame) -> pd.DataFrame:
+        lo, hi = pdf["o_totalprice"].min(), pdf["o_totalprice"].max()
+        return pd.DataFrame(
+            {
+                "o_orderkey": pdf["o_orderkey"],
+                "o_orderpriority": pdf["o_orderpriority"],
+                "scaled": ((pdf["o_totalprice"] - lo) / (hi - lo)).round(4),
+            }
+        )
+
+    return o.groupBy("o_orderpriority").applyInPandas(
+        scale, "o_orderkey long, o_orderpriority string, scaled double"
+    )
+
+
+@register(
     "q_stream_stateful_count",
     oracle="""
 SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id

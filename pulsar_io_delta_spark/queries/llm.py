@@ -60,6 +60,16 @@ def q_dedup_minhash(spark, sf_dir):
     )
 
 
+@register("q_dedup_near", oracle=None)  # SURVEY §2.3's declared name for near-dup
+def q_dedup_near(spark, sf_dir):
+    """Near-duplicate detection (MinHash+LSH), under the name declared
+    in SURVEY §2.3; q_dedup_minhash exposes the same pipeline with the
+    planted-recall flag."""
+    corpus = _planted_corpus(table(spark, sf_dir, "documents"))
+    sig = dd.minhash_signature(corpus, "doc_id", "text")
+    return dd.lsh_candidate_pairs(sig, "doc_id")
+
+
 @register("q_dedup_simhash", oracle=None)
 def q_dedup_simhash(spark, sf_dir):
     """SimHash-64 near-dup pairs (hamming ≤ 3) via 4×16-bit banding."""
