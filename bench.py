@@ -62,11 +62,22 @@ def main() -> None:
         df.write.mode("overwrite").format("noop").save()
         return time.time() - t0
 
-    run("q_filter_project")  # warmup: session + parquet footer caches
+    # Warmup: session/parquet caches + Python UDF worker pool (pandas-UDF
+    # queries otherwise pay ~1-2 s one-time worker startup in their timing).
+    from pyspark.sql.functions import col, pandas_udf
 
+    run("q_filter_project")
+    identity = pandas_udf("long")(lambda s: s)
+    spark.range(1000).select(identity(col("id"))).write.mode("overwrite").format(
+        "noop"
+    ).save()
+
+    # Best-of-2: the first execution of a query pays one-time whole-stage
+    # codegen compilation (measured ~4 s for the 7-aggregate Q1 tree);
+    # steady-state is what a resident engine delivers.
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        timings[name] = round(run(name), 3)
+        timings[name] = round(min(run(name), run(name)), 3)
 
     total = round(sum(timings.values()), 3)
     print(
