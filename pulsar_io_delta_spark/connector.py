@@ -187,3 +187,31 @@ class DeltaCdcConnector:
                 return boot.unionByName(inc, allowMissingColumns=True)
             return boot
         return self.tail(spark)
+
+    def poll(self, spark: SparkSession, cursor: Checkpoint) -> tuple[DataFrame | None, Checkpoint]:
+        """One micro-batch of the incremental loop: records committed
+        after ``cursor``, plus the advanced cursor. Returns (None,
+        cursor) when the table has no new commits — the reference's
+        reader thread's steady-state poll (`DeltaReaderThread.java:48-73`),
+        minus its fail-stop bug (no data ≠ failure).
+        """
+        latest = self.table.latest_version()
+        frm = cursor.snapshot_version + (0 if cursor.state == FULL_COPY else 1)
+        if latest < frm:
+            return None, cursor
+        df = self._envelope(self.table.cdc(spark, start_version=frm), latest)
+        return df, Checkpoint(state=INCREMENTAL_COPY, snapshot_version=latest)
+
+    def run(self, spark: SparkSession, sink, max_polls: int = 1) -> Checkpoint:
+        """Driver loop: bootstrap (if FULL_COPY) then poll-and-deliver
+        ``max_polls`` times into ``sink(df)``. The cursor after each
+        delivered batch is the durable restart position."""
+        cursor = self.open()
+        if cursor.state == FULL_COPY:
+            sink(self.bootstrap(spark))
+            cursor = Checkpoint(state=INCREMENTAL_COPY, snapshot_version=cursor.snapshot_version)
+        for _ in range(max_polls):
+            df, cursor = self.poll(spark, cursor)
+            if df is not None:
+                sink(df)
+        return cursor
