@@ -19,9 +19,13 @@ Semantics mirrored from the reference (intent, not bugs — SURVEY §2.4):
   (the intended semantics of the broken RemoveFile path, §2.4 #5),
   metadata → schema-change boundary (op='m').
 
-Out of scope (fail loudly): parquet checkpoints / `_last_checkpoint`,
-column-mapping, deletion vectors. Single-writer optimistic concurrency
-via O_EXCL commit-file creation.
+Checkpoint parquet files are supported (single-part): `checkpoint()`
+collapses the replay state into `N.checkpoint.parquet` +
+`_last_checkpoint`, and snapshot reads start from the newest checkpoint
+≤ the target version instead of replaying every JSON commit — the O(1)
+snapshot path a 10⁶-commit table needs. Multi-part checkpoints,
+column-mapping, and deletion vectors remain out of scope (fail loudly).
+Single-writer optimistic concurrency via O_EXCL commit-file creation.
 
 Scale notes: the log is small (one JSON per commit); only the driver
 reads it. Data files are read by executors through the ordinary
@@ -70,15 +74,37 @@ class DeltaTable:
         return os.path.isdir(self.log_dir)
 
     def versions(self) -> list[int]:
+        """All commit versions visible in the log: JSON commits plus any
+        checkpointed versions whose JSON was expired."""
         if not self.exists():
             raise DeltaProtocolError(f"not a delta table: {self.path}")
-        if os.path.exists(os.path.join(self.log_dir, "_last_checkpoint")):
-            raise DeltaProtocolError("parquet checkpoints not supported")
-        out = []
+        out = set()
         for name in os.listdir(self.log_dir):
             if name.endswith(".json") and name[: -len(".json")].isdigit():
-                out.append(int(name[: -len(".json")]))
+                out.add(int(name[: -len(".json")]))
+            elif ".checkpoint." in name:
+                stem = name[: -len(".checkpoint.parquet")] if name.endswith(".checkpoint.parquet") else ""
+                if not stem.isdigit():
+                    # multi-part (N.checkpoint.i.of.parquet) or foreign layout
+                    raise DeltaProtocolError(f"unsupported checkpoint layout: {name}")
+                out.add(int(stem))
         return sorted(out)
+
+    def json_versions(self) -> list[int]:
+        return sorted(
+            int(n[: -len(".json")])
+            for n in os.listdir(self.log_dir)
+            if n.endswith(".json") and n[: -len(".json")].isdigit()
+        )
+
+    def checkpoint_versions(self) -> list[int]:
+        if not self.exists():
+            return []
+        return sorted(
+            int(n[: -len(".checkpoint.parquet")])
+            for n in os.listdir(self.log_dir)
+            if n.endswith(".checkpoint.parquet") and n[: -len(".checkpoint.parquet")].isdigit()
+        )
 
     def latest_version(self) -> int:
         versions = self.versions()
@@ -92,11 +118,16 @@ class DeltaTable:
             return [json.loads(line) for line in f if line.strip()]
 
     def commit_timestamp_ms(self, version: int) -> int:
-        for action in self.actions(version):
-            info = action.get("commitInfo")
-            if info and "timestamp" in info:
-                return int(info["timestamp"])
-        return int(os.path.getmtime(os.path.join(self.log_dir, f"{version:020d}.json")) * 1000)
+        fp = os.path.join(self.log_dir, f"{version:020d}.json")
+        if os.path.exists(fp):
+            for action in self.actions(version):
+                info = action.get("commitInfo")
+                if info and "timestamp" in info:
+                    return int(info["timestamp"])
+            return int(os.path.getmtime(fp) * 1000)
+        if version in self.checkpoint_versions():
+            return self._load_checkpoint(version)["timestamp"]
+        raise DeltaProtocolError(f"version {version} not present in log")
 
     def resolve_version(self, version: int | None = None, timestamp_ms: int | None = None) -> int:
         """Reference semantics: -1/None/missing → latest; timestamp →
@@ -115,9 +146,17 @@ class DeltaTable:
         live: dict[str, dict] = {}
         schema_string: str | None = None
         partition_columns: list[str] = []
-        for ver in self.versions():
-            if ver > v:
-                break
+        replay_from = 0
+        usable_ckpts = [c for c in self.checkpoint_versions() if c <= v]
+        if usable_ckpts:
+            ck = self._load_checkpoint(usable_ckpts[-1])
+            live = dict(ck["live"])
+            schema_string = ck["schema_string"]
+            partition_columns = ck["partition_columns"]
+            replay_from = usable_ckpts[-1] + 1
+        for ver in self.json_versions():
+            if ver < replay_from or ver > v:
+                continue
             for action in self.actions(ver):
                 if "add" in action:
                     live[action["add"]["path"]] = action["add"]
@@ -138,6 +177,120 @@ class DeltaTable:
             partition_columns=partition_columns,
             add_times={p: int(a.get("modificationTime", 0)) for p, a in live.items()},
         )
+
+    # ---------- checkpoints (O(1) snapshot for long logs) ----------
+
+    def checkpoint(self, version: int | None = None) -> int:
+        """Collapse replay state through ``version`` (default latest)
+        into a single-part parquet checkpoint + ``_last_checkpoint``.
+        Carries live adds, metadata, protocol, and the latest txn per
+        appId so idempotent sinks survive log expiry."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        v = self.resolve_version(version)
+        snap = self.snapshot(v)
+        rows: list[dict] = [
+            {
+                "action_type": "metaData",
+                "schemaString": snap.schema_string,
+                "partitionColumns": json.dumps(snap.partition_columns),
+            },
+            {"action_type": "protocol", "minReaderVersion": 1, "minWriterVersion": 2},
+        ]
+        for path in snap.files:
+            rows.append(
+                {
+                    "action_type": "add",
+                    "path": path,
+                    "partitionValues": json.dumps(snap.partition_values.get(path, {})),
+                    "modificationTime": snap.add_times.get(path, 0),
+                }
+            )
+        for app_id, txn_v in self._txns_through(v).items():
+            rows.append({"action_type": "txn", "txn_appId": app_id, "txn_version": txn_v})
+        cols = [
+            "action_type",
+            "path",
+            "partitionValues",
+            "modificationTime",
+            "schemaString",
+            "partitionColumns",
+            "minReaderVersion",
+            "minWriterVersion",
+            "txn_appId",
+            "txn_version",
+        ]
+        data = {c: [r.get(c) for r in rows] for c in cols}
+        data["commit_timestamp"] = [self.commit_timestamp_ms(v)] * len(rows)
+        pq.write_table(
+            pa.table(data), os.path.join(self.log_dir, f"{v:020d}.checkpoint.parquet")
+        )
+        with open(os.path.join(self.log_dir, "_last_checkpoint"), "w", encoding="utf-8") as f:
+            json.dump({"version": v, "parts": 1}, f)
+        return v
+
+    def _load_checkpoint(self, version: int) -> dict:
+        import pyarrow.parquet as pq
+
+        fp = os.path.join(self.log_dir, f"{version:020d}.checkpoint.parquet")
+        rows = pq.read_table(fp).to_pylist()
+        live: dict[str, dict] = {}
+        schema_string = None
+        partition_columns: list[str] = []
+        txns: dict[str, int] = {}
+        ts = 0
+        for r in rows:
+            ts = int(r.get("commit_timestamp") or 0)
+            if r["action_type"] == "add":
+                live[r["path"]] = {
+                    "path": r["path"],
+                    "partitionValues": json.loads(r["partitionValues"] or "{}"),
+                    "modificationTime": int(r["modificationTime"] or 0),
+                }
+            elif r["action_type"] == "metaData":
+                schema_string = r["schemaString"]
+                partition_columns = json.loads(r["partitionColumns"] or "[]")
+            elif r["action_type"] == "protocol":
+                if int(r["minReaderVersion"] or 1) > 1:
+                    raise DeltaProtocolError(f"unsupported protocol in checkpoint: {r}")
+            elif r["action_type"] == "txn":
+                txns[r["txn_appId"]] = int(r["txn_version"])
+        return {
+            "live": live,
+            "schema_string": schema_string,
+            "partition_columns": partition_columns,
+            "txns": txns,
+            "timestamp": ts,
+        }
+
+    def _txns_through(self, version: int) -> dict[str, int]:
+        txns: dict[str, int] = {}
+        ckpts = [c for c in self.checkpoint_versions() if c <= version]
+        if ckpts:
+            txns.update(self._load_checkpoint(ckpts[-1])["txns"])
+        for ver in self.json_versions():
+            if ver > version:
+                continue
+            for action in self.actions(ver):
+                t = action.get("txn")
+                if t and t.get("appId"):
+                    txns[t["appId"]] = max(txns.get(t["appId"], -1), int(t.get("version", -1)))
+        return txns
+
+    def expire_log(self) -> list[int]:
+        """Delete JSON commits already covered by the newest checkpoint
+        (log retention). Snapshot reads keep working via the checkpoint;
+        CDC history before the checkpoint becomes unavailable (callers
+        get a clear error)."""
+        ckpts = self.checkpoint_versions()
+        if not ckpts:
+            raise DeltaProtocolError("no checkpoint — refusing to expire the only history")
+        horizon = ckpts[-1]
+        expired = [v for v in self.json_versions() if v <= horizon]
+        for v in expired:
+            os.remove(os.path.join(self.log_dir, f"{v:020d}.json"))
+        return expired
 
     # ---------- reading data ----------
 
@@ -165,8 +318,21 @@ class DeltaTable:
     # ---------- change feed / CDC ----------
 
     def changes(self, start_version: int = 0) -> list[tuple[int, list[dict]]]:
-        """All commits with version ≥ start_version, in order."""
-        return [(v, self.actions(v)) for v in self.versions() if v >= start_version]
+        """All commits with version ≥ start_version, in order. History
+        behind an expired (checkpoint-collapsed) log tail raises — a
+        CDC consumer cannot silently skip changes."""
+        jsons = self.json_versions()
+        earliest = jsons[0] if jsons else None
+        expired_horizon = max(
+            (c for c in self.checkpoint_versions() if earliest is None or c < earliest),
+            default=None,
+        )
+        if expired_horizon is not None and start_version <= expired_horizon:
+            raise DeltaProtocolError(
+                f"change history ≤ v{expired_horizon} was expired; "
+                f"earliest readable commit is v{earliest}"
+            )
+        return [(v, self.actions(v)) for v in jsons if v >= start_version]
 
     def cdc(self, spark: SparkSession, start_version: int = 0) -> DataFrame:
         """Change-data rows from the log tail: op 'c' for rows of added
@@ -338,13 +504,7 @@ class DeltaTable:
     def last_txn_version(self, app_id: str) -> int:
         if not (self.exists() and self.versions()):
             return -1
-        last = -1
-        for _v, actions in self.changes(0):
-            for action in actions:
-                t = action.get("txn")
-                if t and t.get("appId") == app_id:
-                    last = max(last, int(t.get("version", -1)))
-        return last
+        return self._txns_through(self.latest_version()).get(app_id, -1)
 
 
 def delta_sink(table_path: str, app_id: str, partition_by: list[str] | None = None):

@@ -114,11 +114,40 @@ def test_txn_idempotent(spark, table_path):
     assert t.read(spark).count() == 5
 
 
-def test_checkpoint_guard(spark, table_path):
+def test_checkpoint_collapse_and_expiry(spark, table_path):
+    """Checkpoint → O(1) snapshot: replay state collapses into parquet,
+    expired JSON history stays readable via the checkpoint, and CDC
+    over the expired range errors instead of silently skipping."""
+    t = DeltaTable(table_path)
+    t.write(events_df(spark, range(4)), txn=("app", 0))          # v0
+    t.write(events_df(spark, range(4, 7)))                       # v1
+    t.delete_where(spark, "event_id < 2")                        # v2
+    cv = t.checkpoint()
+    assert cv == 2
+    before = {tuple(r) for r in t.read(spark).collect()}
+    expired = t.expire_log()
+    assert expired == [0, 1, 2]
+    after = {tuple(r) for r in t.read(spark).collect()}
+    assert after == before and len(after) == 5
+    # idempotent-sink state survives expiry via checkpointed txn actions
+    assert t.last_txn_version("app") == 0
+    # new commits replay on top of the checkpoint
+    t.write(events_df(spark, range(100, 102)))                   # v3
+    assert t.read(spark).count() == 7
+    assert t.latest_version() == 3
+    # CDC from the expired range must fail loudly...
+    with pytest.raises(DeltaProtocolError, match="expired"):
+        t.cdc(spark, start_version=0)
+    # ...but post-checkpoint CDC works
+    assert t.cdc(spark, start_version=3).count() == 2
+
+
+def test_multipart_checkpoint_guard(spark, table_path):
     t = DeltaTable(table_path)
     t.write(events_df(spark, range(2)))
-    with open(os.path.join(table_path, "_delta_log", "_last_checkpoint"), "w") as f:
-        json.dump({"version": 0}, f)
+    weird = os.path.join(table_path, "_delta_log", "00000000000000000000.checkpoint.0000000001.0000000002.parquet")
+    with open(weird, "wb") as f:
+        f.write(b"")
     with pytest.raises(DeltaProtocolError):
         t.versions()
 
