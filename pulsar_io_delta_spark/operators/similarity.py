@@ -75,6 +75,110 @@ def lsh_bucket_col(vec_col: str, planes: list[list[float]]) -> Column:
     return bucket
 
 
+def kmeans_centroids(
+    emb: DataFrame, k: int = 8, iters: int = 5, id_col: str = "vec_id", vec: str = "v"
+) -> list[list[float]]:
+    """Tiny k-means coarse quantizer for IVF, as an iterative DataFrame
+    computation: assignment is a broadcast argmin over centroids
+    (narrow), the update is one groupBy over (cluster, dim). Only the
+    k×dim centroid matrix ever reaches the driver — at 100 TB the data
+    side stays distributed and each iteration is one shuffle of
+    k×dim partial sums per partition.
+
+    Deterministic: initialized from the k lowest ids.
+    """
+    first = (
+        emb.orderBy(id_col).limit(k).select(vec).collect()
+    )
+    centroids = [list(r[vec]) for r in first]
+    for _ in range(iters):
+        assigned = emb.withColumn("cluster", _nearest_centroid_col(vec, centroids))
+        dims = assigned.select(
+            "cluster", F.posexplode(F.col(vec)).alias("dim", "val")
+        )
+        rows = (
+            dims.groupBy("cluster", "dim")
+            .agg(F.avg("val").alias("c"))
+            .collect()
+        )
+        new = {c: list(cent) for c, cent in enumerate(centroids)}
+        for r in rows:
+            new.setdefault(r.cluster, list(centroids[r.cluster]))[r.dim] = r.c
+        centroids = [new[c] for c in sorted(new)]
+    return centroids
+
+
+def _nearest_centroid_col(vec: str, centroids: list[list[float]]) -> Column:
+    """argmin over squared distance to each centroid (pure JVM exprs)."""
+    best_d, best_i = None, None
+    for i, cent in enumerate(centroids):
+        arr = f"array({','.join(f'cast({x} as double)' for x in cent)})"
+        d = F.expr(
+            f"aggregate(zip_with({vec}, {arr}, (x, y) -> (x - y) * (x - y)), "
+            "cast(0 as double), (acc, x) -> acc + x)"
+        )
+        if best_d is None:
+            best_d, best_i = d, F.lit(i)
+        else:
+            cond = d < best_d
+            best_i = F.when(cond, F.lit(i)).otherwise(best_i)
+            best_d = F.when(cond, d).otherwise(best_d)
+    return best_i.cast("int")
+
+
+def ann_topk_ivf(
+    emb: DataFrame,
+    query_pred: Column,
+    k: int = 5,
+    n_clusters: int = 8,
+    nprobe: int = 2,
+    iters: int = 3,
+) -> DataFrame:
+    """IVF approximate top-k: assign vectors to k-means cells; each
+    query probes only its ``nprobe`` nearest cells. At scale, the cell
+    id becomes the table's bucketing key (classic IVF layout): candidate
+    generation is an equi-join on cell, touching nprobe/n_clusters of
+    the data."""
+    base = with_norm2(emb)
+    centroids = kmeans_centroids(base, k=n_clusters, iters=iters)
+    cell = _nearest_centroid_col("v", centroids)
+    data = base.withColumn("cell", cell)
+    # nprobe nearest cells per query: rank cells by distance
+    dists = []
+    for i, cent in enumerate(centroids):
+        arr = f"array({','.join(f'cast({x} as double)' for x in cent)})"
+        dists.append(
+            F.struct(
+                F.expr(
+                    f"aggregate(zip_with(v, {arr}, (x, y) -> (x - y) * (x - y)), "
+                    "cast(0 as double), (acc, x) -> acc + x)"
+                ).alias("d"),
+                F.lit(i).alias("cell"),
+            )
+        )
+    probe_cells = F.slice(F.array_sort(F.array(*dists)), 1, nprobe)
+    q = (
+        data.where(query_pred)
+        .withColumn("probe", F.explode(probe_cells))
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("v").alias("qv"),
+            F.col("v_n2").alias("qv_n2"),
+            F.col("probe.cell").alias("qcell"),
+        )
+    )
+    j = data.join(
+        F.broadcast(q), (F.col("cell") == F.col("qcell")) & (F.col("qid") != F.col("vec_id"))
+    )
+    j = j.withColumn("cos", cosine_col("qv", "v", "qv_n2", "v_n2"))
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        j.withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= k)
+        .select("qid", F.col("vec_id").alias("cid"), F.round("cos", 4).alias("cos_r"), "rn")
+    )
+
+
 def ann_topk_lsh(
     emb: DataFrame,
     query_pred: Column,

@@ -108,6 +108,66 @@ def q_text_token_count(spark, sf_dir):
 
 
 @register(
+    "q_string_funcs2",
+    oracle="""
+SELECT p_partkey,
+       CAST(levenshtein(p_brand, 'Brand#00') AS BIGINT) AS lev,
+       split_part(p_type, ' ', 1) AS type_head,
+       translate(p_brand, '#', '-') AS tbrand,
+       lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
+       reverse(p_brand) AS rbrand,
+       repeat(left(p_name, 2), 2) AS rep2,
+       CAST(strpos(p_name, 'a') AS BIGINT) AS a_pos,
+       right(p_type, 3) AS type_tail
+FROM part
+""",
+)
+def q_string_funcs2(spark, sf_dir):
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.levenshtein(F.col("p_brand"), F.lit("Brand#00")).cast("long").alias("lev"),
+        F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("type_head"),
+        F.translate(F.col("p_brand"), "#", "-").alias("tbrand"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_pad"),
+        F.reverse(F.col("p_brand")).alias("rbrand"),
+        F.repeat(F.substring("p_name", 1, 2), 2).alias("rep2"),
+        F.instr(F.col("p_name"), "a").cast("long").alias("a_pos"),
+        F.substring(F.col("p_type"), -3, 3).alias("type_tail"),
+    )
+
+
+@register(
+    "q_date_funcs2",
+    oracle="""
+SELECT o_orderkey,
+       CAST(last_day(o_orderdate) AS DATE) AS month_end,
+       CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus3m,
+       CAST(o_orderdate - INTERVAL 7 DAY AS DATE) AS minus7d,
+       CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+       CAST(weekofyear(o_orderdate) AS BIGINT) AS woy,
+       CAST(dayofyear(o_orderdate) AS BIGINT) AS doy,
+       CAST(isodow(o_orderdate) AS BIGINT) AS dow_iso
+FROM orders
+""",
+)
+def q_date_funcs2(spark, sf_dir):
+    """Calendar arithmetic parity incl. month-end clamping (Jan 31 + 1
+    month = Feb 28 in both engines) and ISO day-of-week/week-of-year."""
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.last_day("o_orderdate").alias("month_end"),
+        F.add_months("o_orderdate", 3).alias("plus3m"),
+        F.date_sub(F.col("o_orderdate").cast("date"), 7).alias("minus7d"),
+        F.quarter("o_orderdate").cast("long").alias("qtr"),
+        F.weekofyear("o_orderdate").cast("long").alias("woy"),
+        F.dayofyear("o_orderdate").cast("long").alias("doy"),
+        (F.weekday("o_orderdate") + 1).cast("long").alias("dow_iso"),
+    )
+
+
+@register(
     "q_minmax_scale",
     oracle="""
 SELECT o_orderkey, o_orderpriority,

@@ -155,6 +155,14 @@ def q_sim_topk(spark, sf_dir):
     return sim.brute_force_topk(q, base, k=5)
 
 
+@register("q_sim_ann_ivf", oracle=None)  # cell membership is model-defined
+def q_sim_ann_ivf(spark, sf_dir):
+    """IVF ANN: k-means cells (iterative DataFrame k-means) + nprobe=2
+    probing — the bucketed-layout scale path for similarity search."""
+    emb = table(spark, sf_dir, "embeddings")
+    return sim.ann_topk_ivf(emb, F.col("vec_id") < 10, k=5, n_clusters=8, nprobe=2)
+
+
 @register("q_sim_ann_lsh", oracle=None)  # bucket membership is sketch-defined
 def q_sim_ann_lsh(spark, sf_dir):
     """ANN variant: sign-LSH (8 hyperplanes) buckets candidates; at

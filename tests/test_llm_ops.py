@@ -51,6 +51,21 @@ def test_ann_subset_of_bruteforce_space(spark, sf_dir):
         assert 1 <= r.rn <= 5 and -1.0001 <= r.cos_r <= 1.0001
 
 
+def test_ivf_recall_vs_bruteforce(spark, sf_dir):
+    """IVF with nprobe=4 of 8 cells should recover most exact top-5."""
+    emb = table(spark, sf_dir, "embeddings")
+    base = sim.with_norm2(emb)
+    q = base.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv"), F.col("v_n2").alias("qv_n2")
+    )
+    exact = {(r.qid, r.cid) for r in sim.brute_force_topk(q, base, k=5).collect()}
+    ivf = {(r.qid, r.cid) for r in
+           sim.ann_topk_ivf(emb, F.col("vec_id") < 10, k=5, n_clusters=8, nprobe=4).collect()}
+    assert ivf  # non-empty
+    recall = len(exact & ivf) / len(exact)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+
+
 def test_fingerprint_matches_exact_dedup(spark, sf_dir):
     d = table(spark, sf_dir, "documents")
     n_text = d.select("text").distinct().count()

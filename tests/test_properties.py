@@ -1,0 +1,62 @@
+"""Property-based tests (hypothesis) for the pure-Python kernels."""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pulsar_io_delta_spark.connector import (
+    FULL_COPY,
+    INCREMENTAL_COPY,
+    Checkpoint,
+)
+from pulsar_io_delta_spark.functions.murmur3 import murmur3_32, partition_id_for
+from pulsar_io_delta_spark.operators.text import FP_MOD, fingerprint_py
+
+
+@given(st.binary(max_size=256))
+def test_murmur3_range_and_determinism(data):
+    h = murmur3_32(data)
+    assert 0 <= h <= 0xFFFFFFFF
+    assert h == murmur3_32(data)
+
+
+@given(st.text(max_size=64), st.integers(min_value=1, max_value=1024))
+def test_partition_id_in_range(value, n):
+    assert 0 <= partition_id_for(value, n) < n
+
+
+@given(st.binary(min_size=1, max_size=64), st.binary(min_size=1, max_size=64))
+def test_murmur3_tail_sensitivity(a, b):
+    # differing inputs should (essentially always) differ; equal must match
+    if a == b:
+        assert murmur3_32(a) == murmur3_32(b)
+
+
+checkpoints = st.builds(
+    Checkpoint,
+    state=st.sampled_from([FULL_COPY, INCREMENTAL_COPY]),
+    snapshot_version=st.integers(min_value=0, max_value=10),
+    file_index=st.integers(min_value=0, max_value=10),
+    row_num=st.integers(min_value=0, max_value=10),
+)
+
+
+@given(checkpoints, checkpoints, checkpoints)
+@settings(max_examples=200)
+def test_checkpoint_total_order_properties(a, b, c):
+    # totality
+    assert (a < b) or (b < a) or (a == b)
+    # antisymmetry
+    assert not ((a < b) and (b < a))
+    # transitivity
+    if a < b and b < c:
+        assert a < c
+    # bootstrap-before-incremental invariant
+    if a.state == FULL_COPY and b.state == INCREMENTAL_COPY:
+        assert a < b
+
+
+@given(st.text(max_size=512))
+def test_fingerprint_stable_and_bounded(text):
+    fp = fingerprint_py(text)
+    assert 0 <= fp < FP_MOD
+    assert fp == fingerprint_py(text)
