@@ -1,0 +1,92 @@
+"""pulsar_delta_cdc Python DataSource: batch/stream reads, exactly-once
+restart, agreement with the DeltaTable.cdc DataFrame path."""
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from pulsar_io_delta_spark.sources.datasource import register_delta_cdc
+from pulsar_io_delta_spark.sources.delta_log import DeltaTable
+
+
+@pytest.fixture()
+def cdc_table(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    t = DeltaTable(path)
+    mk = lambda lo, hi, et: spark.range(lo, hi).select(  # noqa: E731
+        F.col("id").alias("event_id"),
+        F.lit(et).alias("event_type"),
+        (F.col("id") * 1.5).alias("value"),
+    )
+    t.write(mk(0, 10, "click"), partition_by=["event_type"])
+    t.write(mk(10, 14, "buy"), partition_by=["event_type"])
+    t.delete_where(spark, "event_type = 'buy'")
+    register_delta_cdc(spark)
+    return path
+
+
+def test_batch_read_matches_cdc(spark, cdc_table):
+    ds = (
+        spark.read.format("pulsar_delta_cdc")
+        .option("tablePath", cdc_table)
+        .option("startingVersion", 0)
+        .load()
+    )
+    ref = DeltaTable(cdc_table).cdc(spark, start_version=0)
+    a = {(r.event_id, r.op, r.partition_value, r._commit_version) for r in ds.collect()}
+    b = {(r.event_id, r.op, r.partition_value, r._commit_version) for r in ref.collect()}
+    assert a == b and len(a) > 0
+
+
+def test_batch_version_bounds(spark, cdc_table):
+    ds = (
+        spark.read.format("pulsar_delta_cdc")
+        .option("tablePath", cdc_table)
+        .option("startingVersion", 1)
+        .option("endingVersion", 1)
+        .load()
+    )
+    assert {r._commit_version for r in ds.select("_commit_version").collect()} == {1}
+
+
+def test_envelope_and_pushdown_columns(spark, cdc_table):
+    ds = spark.read.format("pulsar_delta_cdc").option("tablePath", cdc_table).load()
+    assert {"op", "partition_value", "ts", "_commit_version"} <= set(ds.columns)
+    ops = {r.op for r in ds.select("op").distinct().collect()}
+    assert ops == {"c", "r"}
+    pvs = {r.partition_value for r in ds.select("partition_value").distinct().collect()}
+    assert pvs == {"event_type=click", "event_type=buy"}
+
+
+def test_stream_exactly_once_restart(spark, cdc_table, tmp_path):
+    ck = str(tmp_path / "ck")
+    counts = []
+
+    def run():
+        q = (
+            spark.readStream.format("pulsar_delta_cdc")
+            .option("tablePath", cdc_table)
+            .load()
+            .writeStream.foreachBatch(lambda b, _i: counts.append(b.count()))
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180)
+
+    run()
+    total_first = sum(counts)
+    assert total_first == DeltaTable(cdc_table).cdc(spark, 0).count()
+    run()  # no new commits → no duplicate delivery
+    assert sum(counts) == total_first
+    DeltaTable(cdc_table).write(
+        spark.range(100, 103).select(
+            F.col("id").alias("event_id"),
+            F.lit("click").alias("event_type"),
+            (F.col("id") * 1.5).alias("value"),
+        ),
+        partition_by=["event_type"],
+    )
+    run()
+    assert sum(counts) == total_first + 3
