@@ -106,6 +106,41 @@ def q_time_travel_filter(spark, sf_dir):
 
 
 @register(
+    "q_cdc_source",
+    oracle="""
+SELECT event_id, user_id, event_type, value,
+       'c' AS op, 'event_type=' || event_type AS partition_value,
+       CAST(0 AS BIGINT) AS _commit_version
+FROM events
+""",
+)
+def q_cdc_source(spark, sf_dir):
+    """End-to-end CDC through the registered Python DataSource: events →
+    partitioned Delta table (our writer) → spark.read.format(
+    'pulsar_delta_cdc') — the reference connector's whole read path as
+    one Spark query. (ts is file-mtime and excluded from verified
+    output.)"""
+    import tempfile
+
+    from pulsar_io_delta_spark.sources.datasource import register_delta_cdc
+    from pulsar_io_delta_spark.sources.delta_log import DeltaTable
+
+    e = table(spark, sf_dir, "events")
+    path = tempfile.mkdtemp(prefix="pids_cdc_src_") + "/tbl"
+    DeltaTable(path).write(e, partition_by=["event_type"])
+    register_delta_cdc(spark)
+    cdc = (
+        spark.read.format("pulsar_delta_cdc")
+        .option("tablePath", path)
+        .option("startingVersion", 0)
+        .load()
+    )
+    return cdc.select(
+        "event_id", "user_id", "event_type", "value", "op", "partition_value", "_commit_version"
+    )
+
+
+@register(
     "q_type_widening",
     oracle="""
 SELECT l_orderkey, l_linenumber,

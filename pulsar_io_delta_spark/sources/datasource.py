@@ -104,10 +104,12 @@ def _read_slice(slice_: _FileSlice, schema: StructType):
         n = batch.num_rows
         cols, names = [], []
         present = {name: batch.column(i) for i, name in enumerate(batch.schema.names)}
-        for field in schema.fields:
+        for idx, field in enumerate(schema.fields):
             name = field.name
-            target = arrow_schema.field(name).type
-            if name == "op":
+            target = arrow_schema.field(idx).type
+            if name in present:  # base-table column (wins over envelope names)
+                col = present[name].cast(target)
+            elif name == "op":
                 col = pa.array([slice_.op] * n, pa.string())
             elif name == "partition_value":
                 col = pa.array([_canonical_pv(pvals)] * n, pa.string())
@@ -115,8 +117,6 @@ def _read_slice(slice_: _FileSlice, schema: StructType):
                 col = pa.array([slice_.ts_ms * 1000] * n, pa.int64()).cast(target)
             elif name == "_commit_version":
                 col = pa.array([slice_.version] * n, pa.int64())
-            elif name in present:
-                col = present[name].cast(target)
             elif name in pvals:  # partition column: constant from the action
                 col = pa.array([pvals[name]] * n, pa.string()).cast(target)
             else:
@@ -208,7 +208,8 @@ class DeltaCdcDataSource(DataSource):
         if snap.schema_string is None:
             raise ValueError("table has no metaData/schemaString")
         base = json.loads(snap.schema_string)
-        envelope = json.loads(f"[{ENVELOPE_FIELDS}]")
+        taken = {f["name"] for f in base["fields"]}
+        envelope = [f for f in json.loads(f"[{ENVELOPE_FIELDS}]") if f["name"] not in taken]
         base["fields"] = base["fields"] + envelope
         return StructType.fromJson(base)
 
