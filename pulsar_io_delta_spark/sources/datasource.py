@@ -32,7 +32,10 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -193,6 +196,90 @@ class _CdcStreamReader(DataSourceStreamReader):
         pass  # progress is durable in the stream's checkpointLocation
 
 
+@dataclass
+class _WroteFiles(WriterCommitMessage):
+    adds: tuple  # tuple of add-action dicts
+
+
+def _rows_to_adds(iterator, schema: StructType, table_path: str, partition_by: list[str]):
+    """Executor-side: write this partition's rows as parquet file(s)
+    under the table dir (one per partition-value combo), return add
+    actions. Files become visible only when the driver commits them."""
+    import time as _time
+    import uuid as _uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    groups: dict[tuple, list] = {}
+    for row in iterator:
+        key = tuple(str(row[c]) for c in partition_by)
+        groups.setdefault(key, []).append(row)
+    adds = []
+    data_cols = [f for f in schema.fields if f.name not in partition_by]
+    for key, rows in groups.items():
+        arrays = {
+            f.name: pa.array([r[f.name] for r in rows], _to_arrow(f.dataType.simpleString()))
+            for f in data_cols
+        }
+        rel_dir = "/".join(f"{c}={v}" for c, v in zip(partition_by, key))
+        rel_path = (rel_dir + "/" if rel_dir else "") + f"part-{_uuid.uuid4().hex}.parquet"
+        abs_path = os.path.join(table_path, rel_path)
+        os.makedirs(os.path.dirname(abs_path), exist_ok=True)
+        pq.write_table(pa.table(arrays), abs_path)
+        adds.append(
+            {
+                "path": rel_path,
+                "partitionValues": dict(zip(partition_by, key)),
+                "size": os.path.getsize(abs_path),
+                "modificationTime": int(_time.time() * 1000),
+                "dataChange": True,
+            }
+        )
+    return _WroteFiles(adds=tuple(adds))
+
+
+class _DeltaWriterBase:
+    def __init__(self, schema: StructType, options):
+        self.schema_ = schema
+        self.table_path = options["tablePath"]
+        self.partition_by = [
+            c for c in (options.get("partitionBy") or "").split(",") if c
+        ]
+        self.app_id = options.get("appId", "pulsar_delta_cdc_sink")
+
+    def write(self, iterator):
+        return _rows_to_adds(iterator, self.schema_, self.table_path, self.partition_by)
+
+    def _commit_adds(self, messages, txn):
+        from pulsar_io_delta_spark.sources.delta_log import DeltaTable
+
+        adds = [a for m in messages if m is not None for a in m.adds]
+        DeltaTable(self.table_path).commit_external_adds(
+            adds,
+            operation="STREAMING UPDATE" if txn else "WRITE",
+            schema_json=self.schema_.json(),
+            partition_by=self.partition_by,
+            txn=txn,
+        )
+
+
+class _CdcBatchWriter(_DeltaWriterBase, DataSourceWriter):
+    def commit(self, messages):
+        self._commit_adds(messages, txn=None)
+
+    def abort(self, messages):
+        pass  # staged files are invisible until committed
+
+
+class _CdcStreamWriter(_DeltaWriterBase, DataSourceStreamWriter):
+    def commit(self, messages, batchId: int):
+        self._commit_adds(messages, txn=(self.app_id, batchId))
+
+    def abort(self, messages, batchId: int):
+        pass  # idem: uncommitted parquet parts are not in the log
+
+
 class DeltaCdcDataSource(DataSource):
     """spark.read/readStream format ``pulsar_delta_cdc``."""
 
@@ -218,6 +305,14 @@ class DeltaCdcDataSource(DataSource):
 
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:
         return _CdcStreamReader(schema, self.options)
+
+    def writer(self, schema: StructType, overwrite: bool) -> DataSourceWriter:
+        if overwrite:
+            raise ValueError("pulsar_delta_cdc writer supports append only")
+        return _CdcBatchWriter(schema, self.options)
+
+    def streamWriter(self, schema: StructType, overwrite: bool) -> DataSourceStreamWriter:
+        return _CdcStreamWriter(schema, self.options)
 
 
 def register_delta_cdc(spark) -> None:

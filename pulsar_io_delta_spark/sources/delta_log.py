@@ -501,6 +501,41 @@ class DeltaTable:
         actions.extend(self._stage_and_move(kept, snap.partition_columns))
         return self._commit(actions, operation="DELETE")
 
+    def commit_external_adds(
+        self,
+        adds: list[dict],
+        operation: str,
+        schema_json: str,
+        partition_by: list[str] | None = None,
+        txn: tuple[str, int] | None = None,
+    ) -> int:
+        """Commit pre-staged data files (written by an external writer,
+        e.g. the pulsar_delta_cdc DataSourceStreamWriter's executors).
+        ``adds`` are raw add-action dicts with table-relative paths."""
+        actions: list[dict] = []
+        if txn is not None:
+            app_id, txn_version = txn
+            if self.exists() and self.versions() and self.last_txn_version(app_id) >= txn_version:
+                return -1  # replayed batch: files stay orphaned outside the log
+            actions.append(
+                {"txn": {"appId": app_id, "version": txn_version, "lastUpdated": int(time.time() * 1000)}}
+            )
+        if not (self.exists() and self.versions()):
+            actions.append({"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}})
+            actions.append(
+                {
+                    "metaData": {
+                        "id": str(uuid.uuid4()),
+                        "format": {"provider": "parquet", "options": {}},
+                        "schemaString": schema_json,
+                        "partitionColumns": partition_by or [],
+                        "configuration": {},
+                    }
+                }
+            )
+        actions.extend({"add": a} for a in adds)
+        return self._commit(actions, operation)
+
     def last_txn_version(self, app_id: str) -> int:
         if not (self.exists() and self.versions()):
             return -1

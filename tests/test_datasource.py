@@ -59,6 +59,53 @@ def test_envelope_and_pushdown_columns(spark, cdc_table):
     assert pvs == {"event_type=click", "event_type=buy"}
 
 
+def test_batch_write_through_datasource(spark, tmp_path):
+    register_delta_cdc(spark)
+    path = str(tmp_path / "w1")
+    src = spark.range(20).select(
+        F.col("id").alias("event_id"),
+        F.when(F.col("id") % 2 == 0, "click").otherwise("buy").alias("event_type"),
+    )
+    (
+        src.write.format("pulsar_delta_cdc")
+        .option("tablePath", path)
+        .option("partitionBy", "event_type")
+        .mode("append")
+        .save()
+    )
+    t = DeltaTable(path)
+    assert t.read(spark).count() == 20
+    assert t.snapshot().partition_columns == ["event_type"]
+    assert {r.event_type for r in t.read(spark).select("event_type").distinct().collect()} == {
+        "click",
+        "buy",
+    }
+
+
+def test_stream_write_exactly_once(spark, tmp_path):
+    register_delta_cdc(spark)
+    path, ck = str(tmp_path / "w2"), str(tmp_path / "ck2")
+    src_dir = str(tmp_path / "in")
+    spark.range(50).select(F.col("id").alias("event_id")).coalesce(2).write.parquet(src_dir)
+
+    def run():
+        q = (
+            spark.readStream.schema("event_id long")
+            .parquet(src_dir)
+            .writeStream.format("pulsar_delta_cdc")
+            .option("tablePath", path)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180)
+
+    run()
+    assert DeltaTable(path).read(spark).count() == 50
+    run()  # restart without new input: txn marker suppresses re-commit
+    assert DeltaTable(path).read(spark).count() == 50
+
+
 def test_stream_exactly_once_restart(spark, cdc_table, tmp_path):
     ck = str(tmp_path / "ck")
     counts = []
