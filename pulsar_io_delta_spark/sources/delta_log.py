@@ -53,6 +53,60 @@ class DeltaProtocolError(Exception):
     """Raised on protocol features outside this reader's scope."""
 
 
+def _file_stats(path: str) -> dict:
+    """Per-file column stats from the parquet footer (numRecords +
+    min/maxValues for primitive columns) — the data-skipping index.
+    Footer-only: no data pages are read."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    mins: dict = {}
+    maxs: dict = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                continue
+            name = col.path_in_schema
+            if "." in name:  # nested — skip
+                continue
+            mn, mx = st.min, st.max
+            if isinstance(mn, bytes):
+                continue  # undecoded physical bytes — not comparable
+            mins[name] = mn if name not in mins else min(mins[name], mn)
+            maxs[name] = mx if name not in maxs else max(maxs[name], mx)
+    def _norm(d: dict) -> dict:
+        return {k: (v.isoformat() if hasattr(v, "isoformat") else v) for k, v in d.items()}
+
+    return {"numRecords": md.num_rows, "minValues": _norm(mins), "maxValues": _norm(maxs)}
+
+
+def _stats_admit(add: dict, filters: list[tuple[str, str, object]]) -> bool:
+    """True if the file might contain rows matching all filters
+    (conservative: missing stats admit the file)."""
+    stats = add.get("stats")
+    if not stats:
+        return True
+    s = json.loads(stats) if isinstance(stats, str) else stats
+    mins, maxs = s.get("minValues", {}), s.get("maxValues", {})
+    for col, op, val in filters:
+        if col not in mins or col not in maxs:
+            continue
+        lo, hi = mins[col], maxs[col]
+        try:
+            if op in (">", ">=") and hi < val:
+                return False
+            if op in ("<", "<=") and lo > val:
+                return False
+            if op == "=" and (val < lo or val > hi):
+                return False
+        except TypeError:
+            continue  # incomparable types: admit
+    return True
+
+
 @dataclass
 class Snapshot:
     version: int
@@ -61,6 +115,7 @@ class Snapshot:
     schema_string: str | None
     partition_columns: list[str]
     add_times: dict[str, int] = field(default_factory=dict)  # path → modTime ms
+    adds: dict[str, dict] = field(default_factory=dict)  # path → full add action
 
 
 class DeltaTable:
@@ -176,7 +231,23 @@ class DeltaTable:
             schema_string=schema_string,
             partition_columns=partition_columns,
             add_times={p: int(a.get("modificationTime", 0)) for p, a in live.items()},
+            adds=live,
         )
+
+    def prune_files(self, snap: Snapshot, filters: list[tuple[str, str, object]]) -> list[str]:
+        """Data skipping: drop files whose partition values or footer
+        stats prove no row can match. Conservative on missing stats."""
+        out = []
+        for p in snap.files:
+            pvals = snap.partition_values.get(p, {})
+            admit = True
+            for col, op, val in filters:
+                if col in pvals and op == "=" and pvals[col] != str(val):
+                    admit = False
+                    break
+            if admit and _stats_admit(snap.adds.get(p, {}), filters):
+                out.append(p)
+        return out
 
     # ---------- checkpoints (O(1) snapshot for long logs) ----------
 
@@ -205,6 +276,7 @@ class DeltaTable:
                     "path": path,
                     "partitionValues": json.dumps(snap.partition_values.get(path, {})),
                     "modificationTime": snap.add_times.get(path, 0),
+                    "stats": snap.adds.get(path, {}).get("stats"),
                 }
             )
         for app_id, txn_v in self._txns_through(v).items():
@@ -214,6 +286,7 @@ class DeltaTable:
             "path",
             "partitionValues",
             "modificationTime",
+            "stats",
             "schemaString",
             "partitionColumns",
             "minReaderVersion",
@@ -247,6 +320,7 @@ class DeltaTable:
                     "path": r["path"],
                     "partitionValues": json.loads(r["partitionValues"] or "{}"),
                     "modificationTime": int(r["modificationTime"] or 0),
+                    "stats": r.get("stats"),
                 }
             elif r["action_type"] == "metaData":
                 schema_string = r["schemaString"]
@@ -304,16 +378,29 @@ class DeltaTable:
         spark: SparkSession,
         version: int | None = None,
         timestamp_ms: int | None = None,
+        filters: list[tuple[str, str, object]] | None = None,
     ) -> DataFrame:
-        """Time-travel batch read (versionAsOf / timestampAsOf / latest)."""
+        """Time-travel batch read (versionAsOf / timestampAsOf / latest).
+
+        ``filters`` — (column, op, value) with op in {=, <, <=, >, >=} —
+        prunes files via partition values + footer stats (data
+        skipping), then re-applies the predicates exactly on the rows.
+        At 100 TB this is the difference between scanning a table and
+        scanning a date range.
+        """
         snap = self.snapshot(version, timestamp_ms)
-        if not snap.files:
+        files = self.prune_files(snap, filters) if filters else snap.files
+        if not files:
             if snap.schema_string is None:
                 raise DeltaProtocolError("empty table with no schema")
             from pyspark.sql.types import StructType
 
             return spark.createDataFrame([], StructType.fromJson(json.loads(snap.schema_string)))
-        return self._read_files(spark, snap.files)
+        df = self._read_files(spark, files)
+        for col, op, val in filters or []:
+            ops = {"=": "==", "<": "<", "<=": "<=", ">": ">", ">=": ">="}
+            df = df.where(f"{col} {ops[op]} {val!r}")
+        return df
 
     # ---------- change feed / CDC ----------
 
@@ -362,7 +449,9 @@ class DeltaTable:
             raise DeltaProtocolError(f"no data-changing commits ≥ {start_version}")
         out = frames[0]
         for f in frames[1:]:
-            out = out.unionByName(f)
+            # schema may evolve between commits (op='m' boundary): align
+            # by name, null-filling columns absent on either side
+            out = out.unionByName(f, allowMissingColumns=True)
         return out
 
     def schema_changes(self, start_version: int = 0) -> list[tuple[int, str]]:
@@ -425,6 +514,7 @@ class DeltaTable:
                             "size": os.path.getsize(dst),
                             "modificationTime": int(os.path.getmtime(dst) * 1000),
                             "dataChange": True,
+                            "stats": json.dumps(_file_stats(dst)),
                         }
                     }
                 )
