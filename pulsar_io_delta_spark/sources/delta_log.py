@@ -429,8 +429,14 @@ class DeltaTable:
 
         frames: list[DataFrame] = []
         for version, actions in self.changes(start_version):
-            adds = [a["add"] for a in actions if "add" in a]
-            removes = [a["remove"] for a in actions if "remove" in a]
+            # dataChange=false actions are file reorganization (OPTIMIZE)
+            # — invisible to change consumers
+            adds = [a["add"] for a in actions if "add" in a and a["add"].get("dataChange", True)]
+            removes = [
+                a["remove"]
+                for a in actions
+                if "remove" in a and a["remove"].get("dataChange", True)
+            ]
             for op, group in ((OP_INSERT, adds), (OP_DELETE, removes)):
                 if not group:
                     continue
@@ -625,6 +631,54 @@ class DeltaTable:
             )
         actions.extend({"add": a} for a in adds)
         return self._commit(actions, operation)
+
+    def compact(self, spark: SparkSession, target_files: int = 1) -> int:
+        """OPTIMIZE-style bin-packing: rewrite the current snapshot's
+        files into ``target_files`` per partition, committing
+        remove+add with dataChange=false semantics (CDC readers skip
+        pure-compaction commits). The small-files problem is the #1
+        operational issue of streaming ingestion at scale."""
+        snap = self.snapshot()
+        df = self.read(spark).coalesce(target_files)
+        now_ms = int(time.time() * 1000)
+        actions: list[dict] = [
+            {
+                "remove": {
+                    "path": p,
+                    "deletionTimestamp": now_ms,
+                    "dataChange": False,
+                    "partitionValues": snap.partition_values.get(p, {}),
+                }
+            }
+            for p in snap.files
+        ]
+        adds = self._stage_and_move(df, snap.partition_columns)
+        for a in adds:
+            a["add"]["dataChange"] = False
+        actions.extend(adds)
+        return self._commit(actions, operation="OPTIMIZE")
+
+    def vacuum(self, retention_ms: int = 7 * 24 * 3600 * 1000) -> list[str]:
+        """Physically delete data files no longer referenced by the
+        latest snapshot whose removal is older than the retention
+        horizon. Never touches live files or the log itself."""
+        snap = self.snapshot()
+        live = set(snap.files)
+        horizon = int(time.time() * 1000) - retention_ms
+        deleted: list[str] = []
+        removed_at: dict[str, int] = {}
+        for _v, actions in ((v, self.actions(v)) for v in self.json_versions()):
+            for action in actions:
+                r = action.get("remove")
+                if r and r["path"] not in live:
+                    removed_at[r["path"]] = int(r.get("deletionTimestamp") or 0)
+        for rel, ts in removed_at.items():
+            if ts <= horizon:
+                fp = os.path.join(self.path, rel)
+                if os.path.exists(fp):
+                    os.remove(fp)
+                    deleted.append(rel)
+        return deleted
 
     def last_txn_version(self, app_id: str) -> int:
         if not (self.exists() and self.versions()):

@@ -142,6 +142,39 @@ def test_checkpoint_collapse_and_expiry(spark, table_path):
     assert t.cdc(spark, start_version=3).count() == 2
 
 
+def test_compact_invisible_to_cdc(spark, table_path):
+    t = DeltaTable(table_path)
+    for i in range(5):
+        t.write(events_df(spark, range(i * 10, (i + 1) * 10)).coalesce(1))
+    assert len(t.snapshot().files) == 5
+    rows_before = {tuple(r) for r in t.read(spark).collect()}
+    t.compact(spark, target_files=1)
+    assert len(t.snapshot().files) == 1
+    assert {tuple(r) for r in t.read(spark).collect()} == rows_before
+    # CDC sees only the 50 original inserts — compaction adds/removes are
+    # dataChange=false and skipped
+    cdc = t.cdc(spark, start_version=0)
+    assert cdc.count() == 50
+    assert {r.op for r in cdc.select("op").distinct().collect()} == {"c"}
+
+
+def test_vacuum_removes_only_dead_files(spark, table_path):
+    import glob
+
+    t = DeltaTable(table_path)
+    t.write(events_df(spark, range(10)))
+    t.delete_where(spark, "event_id >= 5")
+    n_parquet = lambda: len(  # noqa: E731
+        [p for p in glob.glob(os.path.join(table_path, "**", "*.parquet"), recursive=True)
+         if "_delta_log" not in p]
+    )
+    before = n_parquet()
+    assert t.vacuum(retention_ms=10**12) == []  # inside retention: no-op
+    deleted = t.vacuum(retention_ms=0)
+    assert deleted and n_parquet() == before - len(deleted)
+    assert t.read(spark).count() == 5  # live data intact
+
+
 def test_multipart_checkpoint_guard(spark, table_path):
     t = DeltaTable(table_path)
     t.write(events_df(spark, range(2)))
