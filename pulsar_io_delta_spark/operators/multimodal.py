@@ -83,6 +83,28 @@ def decode_image_batch(pdf: pd.DataFrame, fake: bool) -> pd.DataFrame:
     )
 
 
+def payload_byte_stats(df: DataFrame) -> DataFrame:
+    """mapInArrow kernel: per-payload byte statistics computed directly
+    on Arrow buffers (no pandas materialization) — the zero-copy path
+    for wide binary columns at scale."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def stats(batches):
+        for batch in batches:
+            tbl = pa.table(batch)
+            payload = tbl.column("payload")
+            lengths = pc.binary_length(payload).cast(pa.int64())
+            first = pc.binary_slice(payload, 0, 1)
+            yield pa.RecordBatch.from_arrays(
+                [tbl.column("doc_id").combine_chunks(), lengths.combine_chunks(),
+                 first.cast(pa.binary()).combine_chunks()],
+                names=["doc_id", "byte_len", "first_byte"],
+            )
+
+    return df.mapInArrow(stats, "doc_id long, byte_len long, first_byte binary")
+
+
 def decode_images(df: DataFrame, fake: bool = True) -> DataFrame:
     """mapInPandas decode stage over (doc_id, payload, mime, ...) rows."""
 

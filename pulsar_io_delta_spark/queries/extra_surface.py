@@ -18,6 +18,38 @@ PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
 
 
 @register(
+    "q_udtf_tokens",
+    oracle="""
+SELECT doc_id, i AS pos, toks[CAST(i + 1 AS INT)] AS token
+FROM (SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+      FROM documents), range(5) t(i)
+WHERE i < len(toks)
+""",
+)
+def q_udtf_tokens(spark, sf_dir):
+    """Python UDTF (table function): one row per leading token of each
+    document — the UDTF modality of the UDF surface. Registered and
+    invoked through LATERAL in Spark SQL."""
+    import re
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, pos bigint, token string")
+    class LeadingTokens:
+        def eval(self, doc_id: int, text: str):
+            toks = [t for t in re.split(r"[^a-z0-9]+", (text or "").lower()) if t]
+            for i, tok in enumerate(toks[:5]):
+                yield doc_id, i, tok
+
+    table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    spark.udtf.register("leading_tokens", LeadingTokens)
+    return spark.sql(
+        "SELECT t.* FROM documents d, LATERAL leading_tokens(d.doc_id, d.text) t"
+    )
+
+
+@register(
     "q_pivot",
     oracle="""
 SELECT o_orderstatus,

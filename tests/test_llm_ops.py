@@ -73,6 +73,17 @@ def test_fingerprint_matches_exact_dedup(spark, sf_dir):
     assert len(fps) == n_text  # no collisions on this corpus
 
 
+def test_mapinarrow_byte_stats(spark, sf_dir):
+    d = table(spark, sf_dir, "documents").limit(30)
+    payload = mm.attach_payload(d)
+    out = mm.payload_byte_stats(payload).collect()
+    ref = {r.doc_id: r.byte_len for r in payload.select("doc_id", "byte_len").collect()}
+    assert len(out) == 30
+    for r in out:
+        assert r.byte_len == ref[r.doc_id]
+        assert isinstance(r.first_byte, (bytes, bytearray)) and len(r.first_byte) == 1
+
+
 def test_multimodal_stub_contract(spark, sf_dir):
     d = table(spark, sf_dir, "documents").limit(20)
     payload = mm.attach_payload(d)
