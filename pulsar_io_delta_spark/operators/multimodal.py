@@ -113,3 +113,43 @@ def decode_images(df: DataFrame, fake: bool = True) -> DataFrame:
             yield decode_image_batch(pdf, fake=fake)
 
     return df.mapInPandas(run, DECODED_SCHEMA)
+
+
+def resize_images(df: DataFrame, width: int, height: int, fake: bool = True) -> DataFrame:
+    """Resize kernel (STUB): real path needs PIL; the fake keeps the
+    payload and rewrites dimensions deterministically. Demonstrates the
+    shape of a per-batch media transform: payload in → payload out."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError("image resize requires PIL")
+            out = pdf[["doc_id", "payload", "mime"]].copy()
+            out["width"] = width
+            out["height"] = height
+            yield out
+
+    return df.mapInPandas(
+        run, "doc_id long, payload binary, mime string, width long, height long"
+    )
+
+
+def sample_frames(df: DataFrame, every_n: int = 2, fake: bool = True) -> DataFrame:
+    """Frame-sampling kernel (STUB): real path needs pyav; the fake
+    treats every 64-byte window of the payload as a 'frame' and emits
+    every Nth — one row per sampled frame (fan-out transform)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError("frame sampling requires pyav")
+            rows = {"doc_id": [], "frame_idx": [], "frame": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                frames = [payload[i : i + 64] for i in range(0, len(payload), 64)]
+                for idx in range(0, len(frames), every_n):
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(idx)
+                    rows["frame"].append(bytes(frames[idx]))
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, "doc_id long, frame_idx long, frame binary")

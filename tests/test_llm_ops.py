@@ -84,6 +84,23 @@ def test_mapinarrow_byte_stats(spark, sf_dir):
         assert isinstance(r.first_byte, (bytes, bytearray)) and len(r.first_byte) == 1
 
 
+def test_multimodal_resize_and_frames(spark, sf_dir):
+    d = table(spark, sf_dir, "documents").limit(10)
+    payload = mm.attach_payload(d)
+    resized = mm.resize_images(payload, 224, 224).collect()
+    assert len(resized) == 10 and all(r.width == 224 and r.height == 224 for r in resized)
+    frames = mm.sample_frames(payload, every_n=2).collect()
+    assert len(frames) > 10  # fan-out: multiple frames per doc
+    assert all(r.frame_idx % 2 == 0 for r in frames)
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r.doc_id, []).append(r.frame_idx)
+    lens = {r.doc_id: r.byte_len for r in payload.select("doc_id", "byte_len").collect()}
+    for doc, idxs in by_doc.items():
+        n_frames = -(-lens[doc] // 64)  # ceil
+        assert len(idxs) == len(range(0, n_frames, 2))
+
+
 def test_multimodal_stub_contract(spark, sf_dir):
     d = table(spark, sf_dir, "documents").limit(20)
     payload = mm.attach_payload(d)

@@ -12,6 +12,7 @@ Usage: python tools/verify_local.py [sf_dir] [query ...]
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 
@@ -57,7 +58,18 @@ def main() -> int:
     if only:
         specs = {k: v for k, v in specs.items() if k in only}
 
-    spark = get_spark(app_name="verify-local")
+    if os.environ.get("VERIFY_PLAIN_SESSION"):
+        # simulate the external driver: default confs, no UTC pin —
+        # queries must self-pin everything they rely on
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark(app_name="verify-local")
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
     for t in TABLE_NAMES:
