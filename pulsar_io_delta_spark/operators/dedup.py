@@ -174,6 +174,57 @@ def simhash_near_pairs(sig: DataFrame, id_col: str, max_hamming: int = 3) -> Dat
     return pairs.where(F.col("hamming") <= max_hamming)
 
 
+def near_dedup_keep_list(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    jaccard_threshold: float = 0.5,
+    num_perm: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """The composed production pipeline: MinHash+LSH candidates →
+    n-gram Jaccard verification on candidates only → connected keep
+    list (lowest id per duplicate group, single-link via min-id
+    propagation over verified pairs).
+
+    At 100 TB each stage is bounded: candidates by bucket collisions,
+    verification by candidate count, and the keep-list join by the
+    (small) duplicate-pair set. Returns (id, keep_id) for every row —
+    keep_id == id for non-duplicates.
+    """
+    sig = minhash_signature(df, id_col, text_col, num_perm=num_perm)
+    cand = lsh_candidate_pairs(sig, id_col, num_perm=num_perm, bands=bands)
+    grams = df.select(
+        F.col(id_col).alias("gid"),
+        F.explode(char_ngrams_col(F.col(text_col), 3)).alias("g"),
+    )
+    counts = grams.groupBy("gid").agg(F.count("*").alias("gcnt"))
+    # verify only candidate pairs: join grams restricted by candidate ids
+    ga = grams.withColumnRenamed("gid", "id_a")
+    gb = grams.withColumnRenamed("gid", "id_b")
+    inter = (
+        cand.join(ga, "id_a")
+        .join(gb.withColumnRenamed("g", "g_b"), "id_b")
+        .where(F.col("g") == F.col("g_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    verified = (
+        inter.join(counts.select(F.col("gid").alias("id_a"), F.col("gcnt").alias("ca")), "id_a")
+        .join(counts.select(F.col("gid").alias("id_b"), F.col("gcnt").alias("cb")), "id_b")
+        .where(
+            F.col("inter") / (F.col("ca") + F.col("cb") - F.col("inter")) >= jaccard_threshold
+        )
+        .select("id_a", "id_b")
+    )
+    # min-id propagation (1 round suffices for pair clusters; iterate for chains)
+    best = verified.groupBy(F.col("id_b").alias("id")).agg(F.min("id_a").alias("cand_keep"))
+    ids = df.select(F.col(id_col).alias("id"))
+    return ids.join(best, "id", "left").select(
+        "id", F.coalesce(F.least("cand_keep", "id"), F.col("id")).alias("keep_id")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame, id_col: str, text_col: str, n: int = 3
 ) -> DataFrame:

@@ -70,6 +70,18 @@ def q_dedup_near(spark, sf_dir):
     return dd.lsh_candidate_pairs(sig, "doc_id")
 
 
+@register("q_dedup_pipeline", oracle=None)  # sketch candidates → verified keep list
+def q_dedup_pipeline(spark, sf_dir):
+    """Composed near-dedup: MinHash+LSH candidates, Jaccard-verified on
+    candidates only, min-id keep list over the planted corpus. Planted
+    rows must map to their originals; originals keep themselves."""
+    corpus = _planted_corpus(table(spark, sf_dir, "documents"))
+    keep = dd.near_dedup_keep_list(corpus, "doc_id", "text", jaccard_threshold=0.5)
+    return keep.select(
+        "id", "keep_id", (F.col("id") != F.col("keep_id")).alias("is_dup")
+    )
+
+
 @register("q_dedup_simhash", oracle=None)
 def q_dedup_simhash(spark, sf_dir):
     """SimHash-64 near-dup pairs (hamming ≤ 3) via 4×16-bit banding."""

@@ -30,6 +30,16 @@ def test_simhash_close_on_neardups(spark, sf_dir):
     assert pairs.where(F.col("hamming") > 6).count() == 0
 
 
+def test_dedup_pipeline_recovers_plants(spark, sf_dir):
+    corpus = _planted_corpus(table(spark, sf_dir, "documents"))
+    keep = dd.near_dedup_keep_list(corpus, "doc_id", "text", jaccard_threshold=0.5)
+    rows = keep.collect()
+    assert len(rows) == corpus.count()  # every row classified
+    planted = [r for r in rows if r.id >= PLANT_OFFSET]
+    mapped = sum(1 for r in planted if r.keep_id == r.id - PLANT_OFFSET)
+    assert mapped / len(planted) >= 0.9, f"pipeline recall {mapped/len(planted)}"
+
+
 def test_ngram_jaccard_bounds(spark, sf_dir):
     sub = table(spark, sf_dir, "documents").where(F.col("doc_id") < 20)
     pairs = dd.ngram_jaccard_pairs(sub, "doc_id", "text").collect()
