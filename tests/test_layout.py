@@ -1,0 +1,37 @@
+"""Clustered layout makes data skipping effective; random layout doesn't."""
+
+import pyspark.sql.functions as F
+
+from pulsar_io_delta_spark.operators.layout import skipping_ratio, write_clustered
+from pulsar_io_delta_spark.sources.delta_log import DeltaTable
+from pulsar_io_delta_spark.tables import table
+
+
+def test_clustered_layout_skips_random_does_not(spark, sf_dir, tmp_path):
+    ev = table(spark, sf_dir, "events").select("event_id", "ts", "user_id", "value")
+    filters = [("event_id", ">=", 900)]  # top 10% of ids
+
+    rand_t = DeltaTable(str(tmp_path / "rand"))
+    # shuffle-random layout: every file spans nearly the full id range
+    rand_t.write(ev.repartition(8))
+    clus_t = DeltaTable(str(tmp_path / "clus"))
+    write_clustered(clus_t, ev, "event_id", num_files=8)
+
+    r_rand = skipping_ratio(rand_t, filters)
+    r_clus = skipping_ratio(clus_t, filters)
+    assert r_rand == 0.0  # nothing skippable
+    assert r_clus >= 0.75  # ≥6 of 8 files skipped
+
+    # correctness unchanged by layout
+    expected = ev.where("event_id >= 900").count()
+    assert clus_t.read(spark, filters=filters).count() == expected
+    assert rand_t.read(spark, filters=filters).count() == expected
+
+
+def test_clustered_timestamps(spark, sf_dir, tmp_path):
+    ev = table(spark, sf_dir, "events").select("event_id", "ts", "value")
+    t = DeltaTable(str(tmp_path / "byts"))
+    write_clustered(t, ev.withColumn("ts_epoch", F.unix_timestamp("ts")), "ts_epoch", 8)
+    cut = ev.agg(F.expr("percentile_approx(unix_timestamp(ts), 0.9)")).first()[0]
+    ratio = skipping_ratio(t, [("ts_epoch", ">=", int(cut))])
+    assert ratio >= 0.75
