@@ -1,0 +1,170 @@
+"""Third coverage batch: multi-format ingestion (CSV, JSONL),
+exact percentiles, RANGE-frame windows, first/last_value, unpivot.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from pulsar_io_delta_spark.queries._util import r4
+from pulsar_io_delta_spark.registry import register
+from pulsar_io_delta_spark.tables import table
+
+
+def _roundtrip_dir(spark, sf_dir: str, fmt: str):
+    """Write events once per (sf_dir, format) into a stable temp dir."""
+    import hashlib
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    out = os.path.join(tempfile.gettempdir(), f"pids_fmt_{fmt}_{key}")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        e = table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        writer = e.coalesce(4).write.mode("overwrite")
+        if fmt == "csv":
+            writer.option("header", True).csv(out)
+        else:
+            writer.json(out)
+    return out
+
+
+FMT_ORACLE = """
+SELECT event_id, user_id, event_type, round(value, 4) AS value_r FROM events
+"""
+
+
+@register("q_source_csv", oracle=FMT_ORACLE)
+def q_source_csv(spark, sf_dir):
+    """CSV source with explicit schema (never inferSchema at scale —
+    inference is a full extra pass over 100 TB)."""
+    path = _roundtrip_dir(spark, sf_dir, "csv")
+    df = (
+        spark.read.schema("event_id long, user_id long, event_type string, value double")
+        .option("header", True)
+        .csv(path)
+    )
+    return df.select("event_id", "user_id", "event_type", r4(F.col("value")).alias("value_r"))
+
+
+@register("q_source_jsonl", oracle=FMT_ORACLE)
+def q_source_jsonl(spark, sf_dir):
+    """JSON-lines source with explicit schema (same no-inference rule)."""
+    path = _roundtrip_dir(spark, sf_dir, "json")
+    df = spark.read.schema(
+        "event_id long, user_id long, event_type string, value double"
+    ).json(path)
+    return df.select("event_id", "user_id", "event_type", r4(F.col("value")).alias("value_r"))
+
+
+@register(
+    "q_agg_percentiles",
+    oracle="""
+SELECT o_orderpriority,
+       round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+       round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+       round(min(o_totalprice), 4) AS lo, round(max(o_totalprice), 4) AS hi
+FROM orders GROUP BY o_orderpriority
+""",
+)
+def q_agg_percentiles(spark, sf_dir):
+    """Exact percentiles (sort-based): Spark `percentile` and DuckDB
+    `quantile_cont` both linearly interpolate over the sorted values —
+    deterministic, unlike sum-order-dependent aggregates."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        r4(F.expr("percentile(o_totalprice, 0.5)")).alias("p50"),
+        r4(F.expr("percentile(o_totalprice, 0.9)")).alias("p90"),
+        r4(F.min("o_totalprice")).alias("lo"),
+        r4(F.max("o_totalprice")).alias("hi"),
+    )
+
+
+# RANGE frame over epoch seconds: a 30-day trailing revenue window.
+RANGE_SQL = """
+SELECT o_custkey, o_orderkey, CAST(floor(epoch(o_orderdate)) AS BIGINT) AS ep,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+             OVER (PARTITION BY o_custkey ORDER BY CAST(floor(epoch(o_orderdate)) AS BIGINT)
+                   RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS DOUBLE), 4)
+         AS sum_30d
+FROM orders
+"""
+
+
+@register("q_window_range_frame", oracle=RANGE_SQL)
+def q_window_range_frame(spark, sf_dir):
+    """RANGE (value-based) window frame — trailing 30-day sum per
+    customer; unlike ROWS frames, peers with equal ordering values
+    aggregate together."""
+    o = table(spark, sf_dir, "orders").withColumn(
+        "ep", F.unix_timestamp("o_orderdate").cast("long")
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("ep")
+        .rangeBetween(-30 * 86400, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "ep",
+        r4(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double")).alias(
+            "sum_30d"
+        ),
+    )
+
+
+@register(
+    "q_window_firstlast",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       first_value(o_orderkey) OVER w AS first_ok,
+       last_value(o_orderkey) OVER w AS last_ok,
+       CAST(count(*) OVER w AS BIGINT) AS n_in_part
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""",
+)
+def q_window_firstlast(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_orderkey").over(w).alias("first_ok"),
+        F.last("o_orderkey").over(w).alias("last_ok"),
+        F.count("*").over(w).cast("long").alias("n_in_part"),
+    )
+
+
+@register(
+    "q_unpivot",
+    oracle="""
+SELECT l_orderkey, l_linenumber, 'qty' AS measure, round(l_quantity, 4) AS val FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'price', round(l_extendedprice, 4) FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'disc', round(l_discount, 4) FROM lineitem
+""",
+)
+def q_unpivot(spark, sf_dir):
+    """Wide→long unpivot (melt)."""
+    l = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        r4(F.col("l_quantity")).alias("qty"),
+        r4(F.col("l_extendedprice")).alias("price"),
+        r4(F.col("l_discount")).alias("disc"),
+    )
+    return l.unpivot(
+        ["l_orderkey", "l_linenumber"], ["qty", "price", "disc"], "measure", "val"
+    )
