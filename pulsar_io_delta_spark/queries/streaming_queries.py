@@ -98,6 +98,58 @@ def q_stream_session(spark, sf_dir):
 
 
 @register(
+    "q_stream_stream_join",
+    oracle=f"""
+SELECT a.event_id AS purchase_id, b.event_id AS click_id, a.user_id,
+       {sql_epoch("a.ts")} AS purchase_ts, {sql_epoch("b.ts")} AS click_ts
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_type = 'purchase' AND b.event_type = 'click'
+ AND b.ts BETWEEN a.ts - INTERVAL 30 MINUTE AND a.ts + INTERVAL 30 MINUTE
+""",
+)
+def q_stream_stream_join(spark, sf_dir):
+    """Stream-stream inner join with a time-range condition: purchases
+    matched to clicks by the same user within ±30 min. Watermarks on
+    both sides bound the join state (without the time bound + watermark,
+    stream-stream join state grows forever — the 100 TB failure mode)."""
+    purchases = (
+        events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    clicks = (
+        events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("c_ts") <= F.col("p_ts") + F.expr("INTERVAL 30 MINUTES")),
+    )
+    out = run_to_memory(joined, output_mode="append")
+    return out.select(
+        "purchase_id",
+        "click_id",
+        "user_id",
+        epoch_s("p_ts").alias("purchase_ts"),
+        epoch_s("c_ts").alias("click_ts"),
+    )
+
+
+@register(
     "q_stream_watermark_dedup",
     oracle=f"""
 SELECT event_id, user_id, event_type, {sql_epoch("ts")} AS ts_epoch, value
