@@ -147,6 +147,57 @@ def q_window_firstlast(spark, sf_dir):
 
 
 @register(
+    "q_timeseries_gapfill",
+    oracle="""
+WITH days AS (
+  SELECT CAST(g AS DATE) AS day
+  FROM generate_series(DATE '2024-01-01', DATE '2024-01-31', INTERVAL 1 DAY) t(g)),
+types AS (SELECT DISTINCT event_type FROM events),
+daily AS (
+  SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS c,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s
+  FROM events GROUP BY 1, 2)
+SELECT d.day, t.event_type,
+       CAST(coalesce(daily.c, 0) AS BIGINT) AS cnt,
+       round(coalesce(daily.s, 0.0), 4) AS sum_value
+FROM days d CROSS JOIN types t
+LEFT JOIN daily ON daily.day = d.day AND daily.event_type = t.event_type
+""",
+)
+def q_timeseries_gapfill(spark, sf_dir):
+    """Time-series resample + gap fill: dense daily grid (calendar ×
+    dimension) left-joined to the sparse aggregate, zeros for missing
+    buckets — the hypertable-rollup shape. The dense grid is generated,
+    never materialized from data, so it costs O(days × dims) regardless
+    of fact-table size."""
+    e = table(spark, sf_dir, "events")
+    days = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-01").cast("date"),
+                F.lit("2024-01-31").cast("date"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day")
+    )
+    types = e.select("event_type").distinct()
+    daily = (
+        e.groupBy(F.col("ts").cast("date").alias("day"), "event_type")
+        .agg(
+            F.count("*").alias("c"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("s"),
+        )
+    )
+    grid = days.crossJoin(F.broadcast(types))
+    return grid.join(daily, ["day", "event_type"], "left").select(
+        "day",
+        "event_type",
+        F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("cnt"),
+        F.round(F.coalesce(F.col("s"), F.lit(0.0)), 4).alias("sum_value"),
+    )
+
+
+@register(
     "q_unpivot",
     oracle="""
 SELECT l_orderkey, l_linenumber, 'qty' AS measure, round(l_quantity, 4) AS val FROM lineitem
