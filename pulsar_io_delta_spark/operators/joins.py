@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def salted_join(
@@ -49,6 +50,53 @@ def salted_join(
     )
     drop = ["_salt_l", "_salt_r"] + (["_rkey"] if right_key == "_rkey" else [])
     return joined.drop(*drop)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+) -> DataFrame:
+    """As-of join (an operator Spark lacks natively): for each left row,
+    the most recent right row with ``right_ts <= left_ts`` per key.
+
+    Implemented as the scalable merge shape — tagged union, one sort
+    per key partition, last-value carry-forward — instead of an
+    inequality join (which Spark would execute as a per-key cross
+    product). Cost is one shuffle on the key + one within-partition
+    sort, identical asymptotics to a sort-merge join. Left semantics:
+    left rows with no prior right row keep nulls.
+    """
+    l_tagged = left.withColumn("_ts", F.col(left_ts)).withColumn("_side", F.lit(1))
+    for c in right_cols:
+        l_tagged = l_tagged.withColumn(c, F.lit(None).cast(right.schema[c].dataType))
+    r_tagged = right.select(
+        F.col(on),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        *[F.col(c) for c in right_cols],
+    )
+    for c in left.columns:
+        if c not in r_tagged.columns:
+            r_tagged = r_tagged.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    unioned = l_tagged.unionByName(r_tagged.select(*l_tagged.columns))
+    # right rows sort before left rows at equal ts → "<=" semantics
+    w = (
+        Window.partitionBy(on)
+        .orderBy("_ts", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "*",
+        *[F.last(c, ignorenulls=True).over(w).alias(f"_asof_{c}") for c in right_cols],
+    )
+    out = carried.where(F.col("_side") == 1).drop("_ts", "_side", *right_cols)
+    for c in right_cols:
+        out = out.withColumnRenamed(f"_asof_{c}", c)
+    return out
 
 
 def write_bucketed(

@@ -147,6 +147,48 @@ def q_window_firstlast(spark, sf_dir):
 
 
 @register(
+    "q_asof_join",
+    oracle="""
+SELECT p.event_id AS purchase_id, p.user_id,
+       CAST(floor(epoch(p.ts)) AS BIGINT) AS p_ts,
+       c.event_id AS click_id,
+       CAST(floor(epoch(c.ts)) AS BIGINT) AS click_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND c.ts <= p.ts
+""",
+)
+def q_asof_join(spark, sf_dir):
+    """As-of join: each purchase matched to the user's most recent
+    prior click, verified against DuckDB's native ASOF JOIN. Spark has
+    no asof operator — ours is the merge-ordered union + carry-forward
+    composition (one shuffle + one partition sort; see
+    operators/joins.py::asof_join)."""
+    from pulsar_io_delta_spark.operators.joins import asof_join
+
+    e = table(spark, sf_dir, "events")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts")
+    )
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    joined = asof_join(
+        purchases, clicks, on="user_id", left_ts="ts", right_ts="c_ts",
+        right_cols=["click_id", "c_ts"],
+    )
+    return joined.select(
+        "purchase_id",
+        "user_id",
+        F.unix_timestamp("ts").cast("long").alias("p_ts"),
+        "click_id",
+        F.unix_timestamp("c_ts").cast("long").alias("click_ts"),
+    )
+
+
+@register(
     "q_timeseries_gapfill",
     oracle="""
 WITH days AS (

@@ -64,6 +64,27 @@ def test_bucketed_join_no_shuffle(spark, sf_dir):
         spark.sql("DROP TABLE IF EXISTS b_orders")
 
 
+def test_asof_join_semantics(spark):
+    from pulsar_io_delta_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100, "p1"), (1, 200, "p2"), (2, 50, "p3")], "k int, ts long, pid string"
+    ).select("k", F.col("ts"), "pid")
+    right = spark.createDataFrame(
+        [(1, 90, "c1"), (1, 150, "c2"), (1, 200, "c3"), (2, 60, "c4")],
+        "k int, rts long, cid string",
+    )
+    out = {
+        r.pid: r.cid
+        for r in asof_join(
+            left, right, on="k", left_ts="ts", right_ts="rts", right_cols=["cid", "rts"]
+        ).collect()
+    }
+    assert out["p1"] == "c1"  # most recent prior
+    assert out["p2"] == "c3"  # equal timestamp counts (<= semantics)
+    assert out["p3"] is None  # no prior right row → null (left semantics)
+
+
 def test_connector_poll_loop(spark, tmp_path):
     from pulsar_io_delta_spark.connector import (
         Checkpoint,
