@@ -79,6 +79,10 @@ def _plan_slices(table_path: str, start_version: int, end_version: int) -> list[
                 a, op, ts_key = action["remove"], "r", "deletionTimestamp"
             else:
                 continue
+            if not a.get("dataChange", True):
+                # OPTIMIZE/compaction rewrites move bytes without changing
+                # data; mirroring DeltaTable.cdc(), they are invisible here.
+                continue
             slices.append(
                 _FileSlice(
                     table_path=table_path,
@@ -169,22 +173,46 @@ class _CdcBatchReader(DataSourceReader):
 
 
 class _CdcStreamReader(DataSourceStreamReader):
-    """Offsets are Delta versions: {"version": next_unread_version}."""
+    """Offsets are Delta versions: {"version": next_unread_version}.
+
+    ``maxVersionsPerTrigger`` bounds how many commits each micro-batch
+    admits, so a 10^4-version backfill drains as a sequence of bounded
+    batches instead of one giant one (the admission control the
+    reference gets from its cursor granularity, `DeltaReader.java:69-92`).
+    """
 
     def __init__(self, schema: StructType, options):
         self.schema_ = schema
         self.table_path = options["tablePath"]
         self.start = int(options.get("startingVersion", 0))
+        self.max_versions = int(options.get("maxVersionsPerTrigger", 0)) or None
+        # Head of the unread range, as far as this planner instance knows.
+        # latestOffset can be called before initialOffset on a fresh
+        # stream, so None means "not seeded yet" and the cap falls back
+        # to ``start``; partitions()/commit() re-seed it from the
+        # checkpointed range after a restart.
+        self._next_unread: int | None = None
+
+    def _seed(self, version: int) -> None:
+        self._next_unread = max(self._next_unread or 0, version)
 
     def initialOffset(self) -> dict:
+        self._seed(self.start)
         return {"version": self.start}
 
     def latestOffset(self) -> dict:
         from pulsar_io_delta_spark.sources.delta_log import DeltaTable
 
-        return {"version": DeltaTable(self.table_path).latest_version() + 1}
+        base = self._next_unread if self._next_unread is not None else self.start
+        latest_end = DeltaTable(self.table_path).latest_version() + 1
+        if self.max_versions is not None:
+            latest_end = min(latest_end, base + self.max_versions)
+        latest_end = max(latest_end, base)  # never regress behind progress
+        self._seed(latest_end)
+        return {"version": latest_end}
 
     def partitions(self, start: dict, end: dict):
+        self._seed(end["version"])
         if end["version"] <= start["version"]:
             return []
         return _plan_slices(self.table_path, start["version"], end["version"] - 1)
@@ -193,7 +221,9 @@ class _CdcStreamReader(DataSourceStreamReader):
         yield from _read_slice(partition, self.schema_)
 
     def commit(self, end: dict) -> None:
-        pass  # progress is durable in the stream's checkpointLocation
+        # Progress is durable in the stream's checkpointLocation; keep the
+        # local watermark in sync so the per-trigger cap resumes correctly.
+        self._seed(end["version"])
 
 
 @dataclass

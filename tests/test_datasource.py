@@ -137,3 +137,60 @@ def test_stream_exactly_once_restart(spark, cdc_table, tmp_path):
     )
     run()
     assert sum(counts) == total_first + 3
+
+
+def test_compact_invisible_through_datasource(spark, cdc_table):
+    before = (
+        spark.read.format("pulsar_delta_cdc")
+        .option("tablePath", cdc_table)
+        .load()
+        .count()
+    )
+    DeltaTable(cdc_table).compact(spark)
+    after_df = spark.read.format("pulsar_delta_cdc").option("tablePath", cdc_table).load()
+    assert after_df.count() == before
+    compact_v = DeltaTable(cdc_table).latest_version()
+    assert after_df.filter(F.col("_commit_version") == compact_v).count() == 0
+
+
+def test_stream_max_versions_per_trigger(spark, tmp_path):
+    register_delta_cdc(spark)
+    path, ck = str(tmp_path / "rl"), str(tmp_path / "ck_rl")
+    t = DeltaTable(path)
+    for lo in range(0, 25, 5):  # 5 commits of 5 rows each
+        t.write(
+            spark.range(lo, lo + 5).select(
+                F.col("id").alias("event_id"), F.lit("click").alias("event_type")
+            ),
+            partition_by=["event_type"],
+        )
+    batches = []
+
+    def sink(b, _i):
+        rows = b.select("event_id", "_commit_version").collect()
+        if rows:
+            batches.append(rows)
+
+    # availableNow captures one target offset up front (no per-batch
+    # admission for Python sources), so drive ordinary micro-batches.
+    q = (
+        spark.readStream.format("pulsar_delta_cdc")
+        .option("tablePath", path)
+        .option("maxVersionsPerTrigger", 2)
+        .load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ck)
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    import time
+
+    deadline = time.time() + 180
+    while time.time() < deadline and sum(len(b) for b in batches) < 25:
+        time.sleep(1)
+    q.stop()
+    assert len(batches) >= 3  # 5 versions / 2 per trigger
+    seen = [r.event_id for b in batches for r in b]
+    assert sorted(seen) == list(range(25))  # exactly-once, no overlap
+    for b in batches:
+        assert len({r._commit_version for r in b}) <= 2
