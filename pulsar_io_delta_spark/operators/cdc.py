@@ -31,11 +31,15 @@ OP_METADATA = "m"
 
 def partition_value_expr(partition_cols: dict[str, Column]) -> Column:
     """Canonical partition-value string: keys sorted, ``k=v`` pairs
-    concatenated with no separator (reference `DeltaReader.java:290-299`)."""
+    concatenated with no separator (reference `DeltaReader.java:290-299`).
+
+    A NULL partition value encodes as the literal ``null`` — the
+    StringBuilder.append behavior of the reference — rather than
+    nulling the whole string (F.concat is null-propagating)."""
     pieces: list[Column] = []
     for key in sorted(partition_cols):
         pieces.append(F.lit(f"{key}="))
-        pieces.append(partition_cols[key].cast("string"))
+        pieces.append(F.coalesce(partition_cols[key].cast("string"), F.lit("null")))
     return F.concat(*pieces)
 
 

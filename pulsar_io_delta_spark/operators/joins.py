@@ -35,7 +35,16 @@ def salted_join(
 
     Result columns = skewed's columns + other's columns (salt columns
     dropped), identical to ``skewed.join(other, key)``.
+
+    Only probe-side-preserving modes are allowed: replicating the build
+    side ``salt`` times would emit ``salt`` copies of every unmatched
+    build row under right/full outer semantics.
     """
+    if how not in {"inner", "left", "left_semi", "left_anti", "leftsemi", "leftanti"}:
+        raise ValueError(
+            f"salted_join supports inner/left/left_semi/left_anti, not {how!r}: "
+            "the replicated build side would duplicate unmatched rows"
+        )
     other_key = other_key or key
     s = skewed.withColumn("_salt_l", (F.rand(seed=42) * salt).cast("int"))
     # replicate the build side once per salt value
@@ -69,34 +78,50 @@ def asof_join(
     product). Cost is one shuffle on the key + one within-partition
     sort, identical asymptotics to a sort-merge join. Left semantics:
     left rows with no prior right row keep nulls.
+
+    Matches native ASOF JOIN edge semantics: null join keys never match
+    (those left rows pass through with null right columns), and the
+    carried match is one whole right row — a single struct — so a right
+    row's legitimately-NULL column can never be stitched together with a
+    value from an older right row.
     """
-    l_tagged = left.withColumn("_ts", F.col(left_ts)).withColumn("_side", F.lit(1))
-    for c in right_cols:
-        l_tagged = l_tagged.withColumn(c, F.lit(None).cast(right.schema[c].dataType))
-    r_tagged = right.select(
+    rstruct = F.struct(*[F.col(c) for c in right_cols]).alias("_r")
+    rstruct_type = right.select(rstruct).schema["_r"].dataType
+
+    l_tagged = (
+        left.where(F.col(on).isNotNull())
+        .withColumn("_ts", F.col(left_ts))
+        .withColumn("_side", F.lit(1))
+        .withColumn("_r", F.lit(None).cast(rstruct_type))
+    )
+    r_tagged = right.where(F.col(on).isNotNull()).select(
         F.col(on),
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_side"),
-        *[F.col(c) for c in right_cols],
+        rstruct,
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in left.columns
+            if c != on
+        ],
     )
-    for c in left.columns:
-        if c not in r_tagged.columns:
-            r_tagged = r_tagged.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
     unioned = l_tagged.unionByName(r_tagged.select(*l_tagged.columns))
-    # right rows sort before left rows at equal ts → "<=" semantics
+    # right rows sort before left rows at equal ts → "<=" semantics;
+    # a null left ts sorts first → carries no match, like the native op
     w = (
         Window.partitionBy(on)
         .orderBy("_ts", "_side")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = unioned.select(
-        "*",
-        *[F.last(c, ignorenulls=True).over(w).alias(f"_asof_{c}") for c in right_cols],
+    carried = unioned.select("*", F.last("_r", ignorenulls=True).over(w).alias("_m"))
+    matched = carried.where(F.col("_side") == 1).select(
+        *left.columns, *[F.col("_m")[c].alias(c) for c in right_cols]
     )
-    out = carried.where(F.col("_side") == 1).drop("_ts", "_side", *right_cols)
-    for c in right_cols:
-        out = out.withColumnRenamed(f"_asof_{c}", c)
-    return out
+    passthrough = left.where(F.col(on).isNull()).select(
+        *left.columns,
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in right_cols],
+    )
+    return matched.unionByName(passthrough)
 
 
 def write_bucketed(

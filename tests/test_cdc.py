@@ -36,3 +36,11 @@ def test_route_matches_python_hash(spark):
     for r in routed:
         assert r.partition_id == partition_id_for(r.partition_value, 8)
     assert routed and {r.partition_id for r in routed} <= set(range(8))
+
+
+def test_partition_value_null_encodes_as_literal_null(spark):
+    df = spark.createDataFrame([("a", None)], "k1 string, k2 string")
+    out = df.select(
+        partition_value_expr({"k1": F.col("k1"), "k2": F.col("k2")}).alias("pv")
+    ).first()
+    assert out.pv == "k1=ak2=null"

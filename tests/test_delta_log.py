@@ -2,6 +2,7 @@
 the reference's fallback semantics, CDC op streams, writer atomicity,
 idempotent txns, and protocol guards."""
 
+import datetime
 import json
 import os
 import time
@@ -217,3 +218,41 @@ def test_streaming_delta_sink_exactly_once(spark, table_path):
     sink(batch, 0)  # retried batch must not duplicate
     sink(events_df(spark, range(5, 9)), 1)
     assert DeltaTable(table_path).read(spark).count() == 9
+
+
+def test_cdc_single_pass_many_commits(spark, tmp_path):
+    """120-commit history: cdc() plans a handful of scans (one per
+    (op, partition-epoch)), not one union branch per commit."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "many")
+    os.makedirs(path)
+    t = DeltaTable(path)
+    schema_json = (
+        '{"type":"struct","fields":[{"name":"event_id","type":"long",'
+        '"nullable":false,"metadata":{}}]}'
+    )
+    n_commits = 120
+    for v in range(n_commits):
+        rel = f"part-{v:05d}.parquet"
+        pq.write_table(pa.table({"event_id": pa.array([v], pa.int64())}),
+                       os.path.join(path, rel))
+        t.commit_external_adds(
+            [{"path": rel, "partitionValues": {}, "size": 1,
+              "modificationTime": 1000 + v, "dataChange": True}],
+            operation="WRITE", schema_json=schema_json,
+        )
+    df = t.cdc(spark, start_version=0)
+    rows = df.collect()
+    assert len(rows) == n_commits
+    assert {r.event_id for r in rows} == set(range(n_commits))
+    assert {r._commit_version for r in rows} == set(range(n_commits))
+    # per-commit event time survives the grouped scan
+    assert {r.ts for r in rows} == {
+        datetime.datetime.fromtimestamp((1000 + v) / 1000, datetime.timezone.utc)
+        .replace(tzinfo=None)
+        for v in range(n_commits)
+    }
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") <= 4  # flat: grouped, not per-commit

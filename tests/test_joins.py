@@ -5,6 +5,7 @@ import pyspark.sql.functions as F
 import pytest
 
 from pulsar_io_delta_spark.operators.joins import (
+    asof_join,
     bucketed_join_is_shuffle_free,
     salted_join,
     write_bucketed,
@@ -114,3 +115,38 @@ def test_connector_poll_loop(spark, tmp_path):
     # idle poll: no new data, cursor unchanged
     df3, cursor3 = conn.poll(spark, cursor2)
     assert df3 is None and cursor3 == cursor2
+
+
+def test_salted_join_rejects_outer_modes(spark):
+    df = spark.range(5).withColumnRenamed("id", "k")
+    with pytest.raises(ValueError, match="salted_join supports"):
+        salted_join(df, df, "k", how="full")
+    with pytest.raises(ValueError, match="salted_join supports"):
+        salted_join(df, df, "k", how="right")
+
+
+def test_asof_null_key_passes_through(spark):
+    left = spark.createDataFrame(
+        [(None, 10, "a"), ("k1", 10, "b")], "k string, ts int, tag string"
+    )
+    right = spark.createDataFrame(
+        [(None, 5, 1.0), ("k1", 5, 2.0)], "k string, ts int, v double"
+    )
+    out = {
+        (r.tag, r.v)
+        for r in asof_join(left, right, "k", "ts", "ts", ["v"]).collect()
+    }
+    # null keys never match — even though a null-keyed right row exists
+    assert out == {("a", None), ("b", 2.0)}
+
+
+def test_asof_carries_whole_row_not_stitched_columns(spark):
+    left = spark.createDataFrame([("k1", 30, "x")], "k string, ts int, tag string")
+    right = spark.createDataFrame(
+        [("k1", 10, 1.0, "old"), ("k1", 20, None, "new")],
+        "k string, ts int, v double, label string",
+    )
+    row = asof_join(left, right, "k", "ts", "ts", ["v", "label"]).first()
+    # the match is the ts=20 row as a whole: v stays NULL, never
+    # backfilled from the ts=10 row
+    assert row.label == "new" and row.v is None
