@@ -184,13 +184,16 @@ def near_dedup_keep_list(
 ) -> DataFrame:
     """The composed production pipeline: MinHash+LSH candidates →
     n-gram Jaccard verification on candidates only → connected keep
-    list (lowest id per duplicate group, single-link via min-id
-    propagation over verified pairs).
+    list (lowest id per duplicate group = connected component root,
+    via min-label propagation iterated to fixpoint over verified pairs).
 
     At 100 TB each stage is bounded: candidates by bucket collisions,
-    verification by candidate count, and the keep-list join by the
-    (small) duplicate-pair set. Returns (id, keep_id) for every row —
-    keep_id == id for non-duplicates.
+    verification by candidate count, and the keep-list propagation by
+    the (small) duplicate-pair graph — each round is one equi-join +
+    min-aggregate over pair-involved ids only, checkpointed to keep the
+    plan flat; rounds needed = graph diameter (chains A≈B≈C resolve
+    C→A, not C→B). Returns (id, keep_id) for every row — keep_id == id
+    for non-duplicates.
     """
     sig = minhash_signature(df, id_col, text_col, num_perm=num_perm)
     cand = lsh_candidate_pairs(sig, id_col, num_perm=num_perm, bands=bands)
@@ -217,12 +220,54 @@ def near_dedup_keep_list(
         )
         .select("id_a", "id_b")
     )
-    # min-id propagation (1 round suffices for pair clusters; iterate for chains)
-    best = verified.groupBy(F.col("id_b").alias("id")).agg(F.min("id_a").alias("cand_keep"))
+    labels = _min_label_fixpoint(verified)
     ids = df.select(F.col(id_col).alias("id"))
-    return ids.join(best, "id", "left").select(
-        "id", F.coalesce(F.least("cand_keep", "id"), F.col("id")).alias("keep_id")
+    return ids.join(labels, "id", "left").select(
+        "id", F.coalesce("keep_id", F.col("id")).alias("keep_id")
     )
+
+
+def _min_label_fixpoint(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
+    """(id, keep_id) for every id appearing in ``pairs``: the minimum id
+    of its connected component, by iterated min-label propagation.
+
+    Converges in diameter(graph) rounds; duplicate families are small,
+    so the bound is a safety net, not a working limit (degenerate
+    million-node chains would want alternating large-star/small-star).
+    Each round localCheckpoints so the plan stays flat."""
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    edges = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
+    )
+    for _ in range(max_rounds):
+        nbr = (
+            edges.join(
+                labels.select(F.col("id").alias("dst"), F.col("label").alias("dlabel")),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("dlabel").alias("nbr_label"))
+            .select(F.col("src").alias("id"), "nbr_label")
+        )
+        stepped = (
+            labels.join(nbr, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+                (F.coalesce("nbr_label", "label") < F.col("label"))
+                .cast("long")
+                .alias("_chg"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = stepped.agg(F.sum("_chg")).first()[0]
+        labels = stepped.drop("_chg")
+        if not changed:
+            break
+    return labels.select("id", F.col("label").alias("keep_id"))
 
 
 def ngram_jaccard_pairs(

@@ -36,9 +36,13 @@ def word_count_col(text: Column) -> Column:
 
 
 def char_ngrams_col(text: Column, n: int = 3) -> Column:
-    """Distinct character n-grams, 1-based substring positions."""
+    """Distinct character n-grams, 1-based substring positions.
+
+    Built from the passed Column (works on any expression, not only a
+    column literally named ``text``)."""
+    upper = F.greatest(F.length(text) - (n - 1), F.lit(1))
     return F.array_distinct(
-        F.expr(f"transform(sequence(1, greatest(length(text) - {n - 1}, 1)), i -> substring(text, i, {n}))")
+        F.transform(F.sequence(F.lit(1), upper), lambda i: text.substr(i, F.lit(n)))
     )
 
 

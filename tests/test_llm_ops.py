@@ -119,3 +119,43 @@ def test_multimodal_stub_contract(spark, sf_dir):
     assert all(len(r.features) == 8 for r in decoded)
     with pytest.raises(Exception, match="NotImplementedError|media decode"):
         mm.decode_images(payload, fake=False).collect()
+
+
+def test_keep_list_transitive_chain(spark):
+    """A≈B≈C chains must resolve every member to the cluster root A,
+    even when A and C share no LSH bucket directly."""
+    words = [f"alpha{i} beta{i} gamma{i}" for i in range(14)]
+    base = " ".join(words)
+    mid = base.replace("alpha0", "delta0").replace("beta0", "epsilon0")
+    far = mid.replace("gamma13", "zeta13").replace("beta13", "eta13")
+    rows = [(0, base), (1, mid), (2, far), (3, "completely unrelated text about spark " * 12)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    keep = {
+        r.id: r.keep_id
+        for r in dd.near_dedup_keep_list(
+            df, "doc_id", "text", jaccard_threshold=0.5
+        ).collect()
+    }
+    assert keep == {0: 0, 1: 0, 2: 0, 3: 3}
+
+
+def test_min_label_fixpoint_long_chain(spark):
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)] + [(100, 101)], "id_a long, id_b long"
+    )
+    labels = {r.id: r.keep_id for r in dd._min_label_fixpoint(pairs).collect()}
+    assert all(labels[i] == 0 for i in range(10))
+    assert labels[100] == 100 and labels[101] == 100
+
+
+def test_char_ngrams_on_renamed_column(spark):
+    from pulsar_io_delta_spark.operators.text import char_ngrams_col
+
+    df = spark.createDataFrame([("abcd",)], "body string")
+    grams = df.select(char_ngrams_col(F.col("body"), 3).alias("g")).first().g
+    assert sorted(grams) == ["abc", "bcd"]
+    # and on a computed expression, not just a bare column
+    grams2 = (
+        df.select(char_ngrams_col(F.upper(F.col("body")), 3).alias("g")).first().g
+    )
+    assert sorted(grams2) == ["ABC", "BCD"]
