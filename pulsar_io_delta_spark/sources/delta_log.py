@@ -19,13 +19,21 @@ Semantics mirrored from the reference (intent, not bugs — SURVEY §2.4):
   (the intended semantics of the broken RemoveFile path, §2.4 #5),
   metadata → schema-change boundary (op='m').
 
-Checkpoint parquet files are supported (single-part): `checkpoint()`
-collapses the replay state into `N.checkpoint.parquet` +
-`_last_checkpoint`, and snapshot reads start from the newest checkpoint
-≤ the target version instead of replaying every JSON commit — the O(1)
-snapshot path a 10⁶-commit table needs. Multi-part checkpoints,
-column-mapping, and deletion vectors remain out of scope (fail loudly).
-Single-writer optimistic concurrency via O_EXCL commit-file creation.
+Checkpoint parquet files are supported in both layouts:
+`checkpoint(parts=n)` collapses the replay state into
+`N.checkpoint.parquet` (single-part) or the Delta multi-part layout
+`N.checkpoint.<i>.<n>.parquet`, plus `_last_checkpoint`; snapshot reads
+start from the newest COMPLETE checkpoint ≤ the target version instead
+of replaying every JSON commit — the O(1) snapshot path a 10⁶-commit
+table needs. Column-mapping and deletion vectors remain out of scope
+(fail loudly).
+
+All control-plane I/O goes through the ``FileSystem`` shim
+(``sources/fs.py``): local POSIX today, with the S3 commit protocol
+(conditional PUT / external mutex) documented there — matching the
+reference's storage-agnostic `DeltaLog.forTable`
+(`DeltaReader.java:301-303`). Optimistic single-writer concurrency via
+exclusive commit-file creation.
 
 Scale notes: the log is small (one JSON per commit); only the driver
 reads it. Data files are read by executors through the ordinary
@@ -37,7 +45,6 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
 import time
 import uuid
 from dataclasses import dataclass, field
@@ -47,19 +54,21 @@ from pyspark.sql import functions as F
 
 from pulsar_io_delta_spark.operators.cdc import OP_DELETE, OP_INSERT
 from pulsar_io_delta_spark.session import pin_session
+from pulsar_io_delta_spark.sources.fs import FileSystem, LocalFileSystem
 
 
 class DeltaProtocolError(Exception):
     """Raised on protocol features outside this reader's scope."""
 
 
-def _file_stats(path: str) -> dict:
+def _file_stats(source) -> dict:
     """Per-file column stats from the parquet footer (numRecords +
     min/maxValues for primitive columns) — the data-skipping index.
-    Footer-only: no data pages are read."""
+    Footer-only: no data pages are read. ``source`` is a path or a
+    binary file-like (FileSystem.open_read)."""
     import pyarrow.parquet as pq
 
-    md = pq.ParquetFile(path).metadata
+    md = pq.ParquetFile(source).metadata
     mins: dict = {}
     maxs: dict = {}
     for rg in range(md.num_row_groups):
@@ -118,15 +127,37 @@ class Snapshot:
     adds: dict[str, dict] = field(default_factory=dict)  # path → full add action
 
 
+def _parse_checkpoint_name(name: str) -> tuple[int, int, int] | None:
+    """(version, part, num_parts) for a checkpoint file name, else None.
+
+    Single-part: ``<v20>.checkpoint.parquet`` → (v, 1, 1).
+    Multi-part (Delta layout): ``<v20>.checkpoint.<i10>.<n10>.parquet``
+    → (v, i, n) with 1-based part index i."""
+    if not name.endswith(".parquet") or ".checkpoint." not in name:
+        return None
+    stem = name[: -len(".parquet")]
+    pieces = stem.split(".checkpoint")
+    if len(pieces) != 2 or not pieces[0].isdigit():
+        return None
+    version, rest = int(pieces[0]), pieces[1]
+    if rest == "":
+        return (version, 1, 1)
+    parts = rest.lstrip(".").split(".")
+    if len(parts) == 2 and all(p.isdigit() for p in parts):
+        return (version, int(parts[0]), int(parts[1]))
+    return None
+
+
 class DeltaTable:
-    def __init__(self, path: str):
+    def __init__(self, path: str, fs: FileSystem | None = None):
         self.path = path
         self.log_dir = os.path.join(path, "_delta_log")
+        self.fs = fs or LocalFileSystem()
 
     # ---------- log reading ----------
 
     def exists(self) -> bool:
-        return os.path.isdir(self.log_dir)
+        return self.fs.isdir(self.log_dir)
 
     def versions(self) -> list[int]:
         """All commit versions visible in the log: JSON commits plus any
@@ -134,32 +165,51 @@ class DeltaTable:
         if not self.exists():
             raise DeltaProtocolError(f"not a delta table: {self.path}")
         out = set()
-        for name in os.listdir(self.log_dir):
+        for name in self.fs.listdir(self.log_dir):
             if name.endswith(".json") and name[: -len(".json")].isdigit():
                 out.add(int(name[: -len(".json")]))
             elif ".checkpoint." in name:
-                stem = name[: -len(".checkpoint.parquet")] if name.endswith(".checkpoint.parquet") else ""
-                if not stem.isdigit():
-                    # multi-part (N.checkpoint.i.of.parquet) or foreign layout
+                parsed = _parse_checkpoint_name(name)
+                if parsed is None:
                     raise DeltaProtocolError(f"unsupported checkpoint layout: {name}")
-                out.add(int(stem))
+                out.add(parsed[0])
         return sorted(out)
 
     def json_versions(self) -> list[int]:
         return sorted(
             int(n[: -len(".json")])
-            for n in os.listdir(self.log_dir)
+            for n in self.fs.listdir(self.log_dir)
             if n.endswith(".json") and n[: -len(".json")].isdigit()
         )
 
     def checkpoint_versions(self) -> list[int]:
+        """Versions with a COMPLETE checkpoint (all parts present)."""
         if not self.exists():
             return []
-        return sorted(
-            int(n[: -len(".checkpoint.parquet")])
-            for n in os.listdir(self.log_dir)
-            if n.endswith(".checkpoint.parquet") and n[: -len(".checkpoint.parquet")].isdigit()
-        )
+        seen: dict[int, set[tuple[int, int]]] = {}
+        for n in self.fs.listdir(self.log_dir):
+            parsed = _parse_checkpoint_name(n)
+            if parsed is not None:
+                v, part, num = parsed
+                seen.setdefault(v, set()).add((part, num))
+        out = []
+        for v, parts in seen.items():
+            nums = {num for _p, num in parts}
+            if len(nums) == 1:
+                num = nums.pop()
+                if {p for p, _n in parts} == set(range(1, num + 1)):
+                    out.append(v)
+        return sorted(out)
+
+    def _checkpoint_files(self, version: int) -> list[str]:
+        """Absolute paths of the checkpoint part files for a version,
+        in part order."""
+        found: list[tuple[int, str]] = []
+        for n in self.fs.listdir(self.log_dir):
+            parsed = _parse_checkpoint_name(n)
+            if parsed is not None and parsed[0] == version:
+                found.append((parsed[1], os.path.join(self.log_dir, n)))
+        return [p for _i, p in sorted(found)]
 
     def latest_version(self) -> int:
         versions = self.versions()
@@ -169,17 +219,16 @@ class DeltaTable:
 
     def actions(self, version: int) -> list[dict]:
         fp = os.path.join(self.log_dir, f"{version:020d}.json")
-        with open(fp, encoding="utf-8") as f:
-            return [json.loads(line) for line in f if line.strip()]
+        return [json.loads(line) for line in self.fs.read_text(fp).splitlines() if line.strip()]
 
     def commit_timestamp_ms(self, version: int) -> int:
         fp = os.path.join(self.log_dir, f"{version:020d}.json")
-        if os.path.exists(fp):
+        if self.fs.exists(fp):
             for action in self.actions(version):
                 info = action.get("commitInfo")
                 if info and "timestamp" in info:
                     return int(info["timestamp"])
-            return int(os.path.getmtime(fp) * 1000)
+            return self.fs.mtime_ms(fp)
         if version in self.checkpoint_versions():
             return self._load_checkpoint(version)["timestamp"]
         raise DeltaProtocolError(f"version {version} not present in log")
@@ -251,11 +300,18 @@ class DeltaTable:
 
     # ---------- checkpoints (O(1) snapshot for long logs) ----------
 
-    def checkpoint(self, version: int | None = None) -> int:
+    def checkpoint(self, version: int | None = None, parts: int = 1) -> int:
         """Collapse replay state through ``version`` (default latest)
-        into a single-part parquet checkpoint + ``_last_checkpoint``.
-        Carries live adds, metadata, protocol, and the latest txn per
-        appId so idempotent sinks survive log expiry."""
+        into a parquet checkpoint + ``_last_checkpoint``. Carries live
+        adds, metadata, protocol, and the latest txn per appId so
+        idempotent sinks survive log expiry.
+
+        ``parts > 1`` writes the Delta multi-part layout
+        ``<v>.checkpoint.<i>.<n>.parquet`` (row-sliced round-robin) —
+        what any real large-file-count table has on disk; readers
+        reassemble all parts (reference parity: delta-standalone reads
+        these transparently through `DeltaLog.forTable`,
+        `DeltaReader.java:301-303`)."""
         import pyarrow as pa
         import pyarrow.parquet as pq
 
@@ -294,20 +350,37 @@ class DeltaTable:
             "txn_appId",
             "txn_version",
         ]
-        data = {c: [r.get(c) for r in rows] for c in cols}
-        data["commit_timestamp"] = [self.commit_timestamp_ms(v)] * len(rows)
-        pq.write_table(
-            pa.table(data), os.path.join(self.log_dir, f"{v:020d}.checkpoint.parquet")
+        ts = self.commit_timestamp_ms(v)
+        if parts <= 1:
+            slices = [rows]
+            names = [f"{v:020d}.checkpoint.parquet"]
+        else:
+            slices = [rows[i::parts] for i in range(parts)]
+            names = [
+                f"{v:020d}.checkpoint.{i + 1:010d}.{parts:010d}.parquet"
+                for i in range(parts)
+            ]
+        for chunk, name in zip(slices, names):
+            data = {c: [r.get(c) for r in chunk] for c in cols}
+            data["commit_timestamp"] = [ts] * len(chunk)
+            with self.fs.open_write(os.path.join(self.log_dir, name)) as f:
+                pq.write_table(pa.table(data), f)
+        self.fs.write_text(
+            os.path.join(self.log_dir, "_last_checkpoint"),
+            json.dumps({"version": v, "parts": parts}),
         )
-        with open(os.path.join(self.log_dir, "_last_checkpoint"), "w", encoding="utf-8") as f:
-            json.dump({"version": v, "parts": 1}, f)
         return v
 
     def _load_checkpoint(self, version: int) -> dict:
         import pyarrow.parquet as pq
 
-        fp = os.path.join(self.log_dir, f"{version:020d}.checkpoint.parquet")
-        rows = pq.read_table(fp).to_pylist()
+        files = self._checkpoint_files(version)
+        if not files:
+            raise DeltaProtocolError(f"no checkpoint at version {version}")
+        rows = []
+        for fp in files:
+            with self.fs.open_read(fp) as f:
+                rows.extend(pq.read_table(f).to_pylist())
         live: dict[str, dict] = {}
         schema_string = None
         partition_columns: list[str] = []
@@ -363,7 +436,7 @@ class DeltaTable:
         horizon = ckpts[-1]
         expired = [v for v in self.json_versions() if v <= horizon]
         for v in expired:
-            os.remove(os.path.join(self.log_dir, f"{v:020d}.json"))
+            self.fs.remove(os.path.join(self.log_dir, f"{v:020d}.json"))
         return expired
 
     # ---------- reading data ----------
@@ -529,18 +602,22 @@ class DeltaTable:
     # ---------- writing ----------
 
     def _commit(self, actions: list[dict], operation: str) -> int:
-        os.makedirs(self.log_dir, exist_ok=True)
+        self.fs.makedirs(self.log_dir)
         version = (self.versions()[-1] + 1) if self.versions() else 0
         payload = [
             {"commitInfo": {"timestamp": int(time.time() * 1000), "operation": operation}}
         ] + actions
         fp = os.path.join(self.log_dir, f"{version:020d}.json")
-        # O_EXCL: optimistic single-writer concurrency — a concurrent
-        # committer of the same version loses with FileExistsError.
-        with open(fp, "x", encoding="utf-8") as f:
-            for a in payload:
-                f.write(json.dumps(a) + "\n")
+        # Exclusive create: optimistic concurrency — a concurrent
+        # committer of the same version loses with FileExistsError
+        # (O_EXCL locally; conditional PUT / mutex on object stores —
+        # see sources/fs.py for the protocol note).
+        self.fs.create_exclusive(fp, "".join(json.dumps(a) + "\n" for a in payload))
         return version
+
+    def _stats_for(self, path: str) -> dict:
+        with self.fs.open_read(path) as f:
+            return _file_stats(f)
 
     def _stage_and_move(self, df: DataFrame, partition_by: list[str]) -> list[dict]:
         """Write df as parquet into the table dir; return add actions."""
@@ -550,36 +627,34 @@ class DeltaTable:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(staging)
         adds: list[dict] = []
-        for root, _dirs, files in os.walk(staging):
-            for name in files:
-                if not name.endswith(".parquet"):
-                    continue
-                src = os.path.join(root, name)
-                rel_dir = os.path.relpath(root, staging)
-                pvals: dict[str, str] = {}
-                if rel_dir != ".":
-                    for piece in rel_dir.split(os.sep):
-                        k, _, val = piece.partition("=")
-                        pvals[k] = val
-                final_rel = os.path.join(
-                    "" if rel_dir == "." else rel_dir, f"part-{uuid.uuid4().hex}.parquet"
-                )
-                dst = os.path.join(self.path, final_rel)
-                os.makedirs(os.path.dirname(dst), exist_ok=True)
-                shutil.move(src, dst)
-                adds.append(
-                    {
-                        "add": {
-                            "path": final_rel,
-                            "partitionValues": pvals,
-                            "size": os.path.getsize(dst),
-                            "modificationTime": int(os.path.getmtime(dst) * 1000),
-                            "dataChange": True,
-                            "stats": json.dumps(_file_stats(dst)),
-                        }
+        for src in self.fs.walk_files(staging):
+            name = os.path.basename(src)
+            if not name.endswith(".parquet"):
+                continue
+            rel_dir = os.path.relpath(os.path.dirname(src), staging)
+            pvals: dict[str, str] = {}
+            if rel_dir != ".":
+                for piece in rel_dir.split(os.sep):
+                    k, _, val = piece.partition("=")
+                    pvals[k] = val
+            final_rel = os.path.join(
+                "" if rel_dir == "." else rel_dir, f"part-{uuid.uuid4().hex}.parquet"
+            )
+            dst = os.path.join(self.path, final_rel)
+            self.fs.move(src, dst)
+            adds.append(
+                {
+                    "add": {
+                        "path": final_rel,
+                        "partitionValues": pvals,
+                        "size": self.fs.size(dst),
+                        "modificationTime": self.fs.mtime_ms(dst),
+                        "dataChange": True,
+                        "stats": json.dumps(self._stats_for(dst)),
                     }
-                )
-        shutil.rmtree(staging)
+                }
+            )
+        self.fs.rmtree(staging)
         return adds
 
     def _metadata_action(self, df: DataFrame, partition_by: list[str]) -> dict:
@@ -730,8 +805,8 @@ class DeltaTable:
         for rel, ts in removed_at.items():
             if ts <= horizon:
                 fp = os.path.join(self.path, rel)
-                if os.path.exists(fp):
-                    os.remove(fp)
+                if self.fs.exists(fp):
+                    self.fs.remove(fp)
                     deleted.append(rel)
         return deleted
 

@@ -1,0 +1,163 @@
+"""Storage abstraction for the Delta-log control plane.
+
+The reference is storage-agnostic: ``DeltaLog.forTable(conf, path)``
+(`DeltaReader.java:301-303`) works on any Hadoop filesystem, including
+S3A (its `core-site.xml` configures an S3 endpoint). This module gives
+our log layer the same property: every control-plane I/O in
+``DeltaTable`` — listing the log, reading/writing commits and
+checkpoints, publishing staged data files — goes through the
+``FileSystem`` interface below instead of raw POSIX calls.
+
+Only the *control plane* is abstracted. Data-plane reads are issued by
+Spark itself (``spark.read.parquet``), which is already storage-agnostic
+via Hadoop filesystems, and executor-side staged writes go to whatever
+store the table path names.
+
+Commit protocol by backend
+--------------------------
+
+The one operation whose semantics differ across stores is
+``create_exclusive`` — publish a commit file *iff* it does not exist
+(mutual exclusion between concurrent committers of the same version):
+
+- **Local / POSIX** (implemented here): ``open(path, "x")`` — O_EXCL is
+  atomic on a local filesystem and on NFSv3+.
+- **S3** (documented, not shipped in this sandbox): a conditional PUT
+  with ``If-None-Match: *`` — atomic compare-and-set on object creation
+  (supported by S3 since 2024, and by GCS/Azure for years). Before
+  conditional PUT, the ecosystem used an external mutex (the
+  DynamoDB-backed LogStore of delta-rs / S3DynamoDBLogStore): acquire
+  ``(table, version)`` in a strongly-consistent table, write the object,
+  release. Either strategy plugs in as an S3FileSystem implementing
+  ``create_exclusive``; everything else maps 1:1 to LIST / GET / PUT /
+  DELETE, and ``move`` becomes copy+delete (staged files are invisible
+  until the commit publishes their paths, so the non-atomic rename is
+  safe).
+
+Listing consistency: S3 LIST is strongly consistent (since 2020), so
+``listdir`` of ``_delta_log/`` is a correct version discovery — no
+read-after-write hazard.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from collections.abc import Iterator
+
+
+class FileSystem:
+    """Minimal filesystem surface the Delta log layer needs.
+
+    Paths are plain strings; implementations interpret them for their
+    backend. All methods raise their backend's native errors except
+    ``create_exclusive``, which must raise FileExistsError when the
+    target already exists (that error IS the concurrency-control
+    signal)."""
+
+    def isdir(self, path: str) -> bool:
+        raise NotImplementedError
+
+    def exists(self, path: str) -> bool:
+        raise NotImplementedError
+
+    def listdir(self, path: str) -> list[str]:
+        raise NotImplementedError
+
+    def makedirs(self, path: str) -> None:
+        raise NotImplementedError
+
+    def read_text(self, path: str) -> str:
+        raise NotImplementedError
+
+    def write_text(self, path: str, data: str) -> None:
+        """Overwrite-allowed put (e.g. ``_last_checkpoint``)."""
+        raise NotImplementedError
+
+    def create_exclusive(self, path: str, data: str) -> None:
+        """Publish ``data`` at ``path`` iff absent, atomically.
+        Raises FileExistsError if the path exists — the losing side of
+        optimistic concurrency."""
+        raise NotImplementedError
+
+    def open_read(self, path: str):
+        """Binary file-like for parquet reads (pyarrow-compatible)."""
+        raise NotImplementedError
+
+    def open_write(self, path: str):
+        """Binary file-like for parquet writes (pyarrow-compatible)."""
+        raise NotImplementedError
+
+    def move(self, src: str, dst: str) -> None:
+        raise NotImplementedError
+
+    def remove(self, path: str) -> None:
+        raise NotImplementedError
+
+    def rmtree(self, path: str) -> None:
+        raise NotImplementedError
+
+    def size(self, path: str) -> int:
+        raise NotImplementedError
+
+    def mtime_ms(self, path: str) -> int:
+        raise NotImplementedError
+
+    def walk_files(self, path: str) -> Iterator[str]:
+        """Yield every file path under ``path`` (recursive)."""
+        raise NotImplementedError
+
+
+class LocalFileSystem(FileSystem):
+    """POSIX implementation; O_EXCL provides the commit mutex."""
+
+    def isdir(self, path: str) -> bool:
+        return os.path.isdir(path)
+
+    def exists(self, path: str) -> bool:
+        return os.path.exists(path)
+
+    def listdir(self, path: str) -> list[str]:
+        return os.listdir(path)
+
+    def makedirs(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+
+    def read_text(self, path: str) -> str:
+        with open(path, encoding="utf-8") as f:
+            return f.read()
+
+    def write_text(self, path: str, data: str) -> None:
+        with open(path, "w", encoding="utf-8") as f:
+            f.write(data)
+
+    def create_exclusive(self, path: str, data: str) -> None:
+        with open(path, "x", encoding="utf-8") as f:
+            f.write(data)
+
+    def open_read(self, path: str):
+        return open(path, "rb")
+
+    def open_write(self, path: str):
+        return open(path, "wb")
+
+    def move(self, src: str, dst: str) -> None:
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        shutil.move(src, dst)
+
+    def remove(self, path: str) -> None:
+        os.remove(path)
+
+    def rmtree(self, path: str) -> None:
+        shutil.rmtree(path)
+
+    def size(self, path: str) -> int:
+        return os.path.getsize(path)
+
+    def mtime_ms(self, path: str) -> int:
+        return int(os.path.getmtime(path) * 1000)
+
+    def walk_files(self, path: str) -> Iterator[str]:
+        for root, _dirs, files in os.walk(path):
+            for name in files:
+                yield os.path.join(root, name)

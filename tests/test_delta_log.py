@@ -176,10 +176,16 @@ def test_vacuum_removes_only_dead_files(spark, table_path):
     assert t.read(spark).count() == 5  # live data intact
 
 
-def test_multipart_checkpoint_guard(spark, table_path):
+def test_foreign_checkpoint_layout_guard(spark, table_path):
     t = DeltaTable(table_path)
     t.write(events_df(spark, range(2)))
-    weird = os.path.join(table_path, "_delta_log", "00000000000000000000.checkpoint.0000000001.0000000002.parquet")
+    # multi-part names are understood; an unrecognized layout still fails loudly
+    ok = os.path.join(table_path, "_delta_log", "00000000000000000000.checkpoint.0000000001.0000000002.parquet")
+    with open(ok, "wb") as f:
+        f.write(b"")
+    assert 0 in t.versions()
+    os.remove(ok)
+    weird = os.path.join(table_path, "_delta_log", "00000000000000000000.checkpoint.v2.parquet")
     with open(weird, "wb") as f:
         f.write(b"")
     with pytest.raises(DeltaProtocolError):
@@ -256,3 +262,50 @@ def test_cdc_single_pass_many_commits(spark, tmp_path):
     }
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan parquet") <= 4  # flat: grouped, not per-commit
+
+
+def test_multipart_checkpoint_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "mp")
+    t = DeltaTable(path)
+    for i in range(3):
+        t.write(events_df(spark, range(i * 10, (i + 1) * 10)).coalesce(1))
+    rows_before = {tuple(r) for r in t.read(spark).collect()}
+    v = t.checkpoint(parts=2)
+    names = sorted(os.listdir(os.path.join(path, "_delta_log")))
+    assert f"{v:020d}.checkpoint.0000000001.0000000002.parquet" in names
+    assert f"{v:020d}.checkpoint.0000000002.0000000002.parquet" in names
+    assert t.checkpoint_versions() == [v]
+    t.expire_log()  # snapshot must now come exclusively from the 2 parts
+    assert {tuple(r) for r in t.read(spark).collect()} == rows_before
+    t.write(events_df(spark, range(30, 35)).coalesce(1))
+    assert t.read(spark).count() == 35
+
+
+def test_incomplete_multipart_checkpoint_ignored(spark, tmp_path):
+    path = str(tmp_path / "inc")
+    t = DeltaTable(path)
+    t.write(events_df(spark, range(10)).coalesce(1))
+    v = t.checkpoint(parts=2)
+    os.remove(
+        os.path.join(path, "_delta_log", f"{v:020d}.checkpoint.0000000002.0000000002.parquet")
+    )
+    # half a checkpoint is no checkpoint: snapshot falls back to JSON replay
+    assert t.checkpoint_versions() == []
+    assert t.read(spark).count() == 10
+
+
+def test_no_posix_calls_in_delta_table():
+    """Control-plane discipline: DeltaTable touches storage only through
+    the FileSystem shim (object-store portability)."""
+    import inspect
+    import re
+
+    from pulsar_io_delta_spark.sources import delta_log
+
+    src = inspect.getsource(delta_log.DeltaTable)
+    banned = re.findall(
+        r"os\.(?!path\.(?:join|relpath|dirname|basename|abspath)|sep)\w+"
+        r"|(?<![\w.])open\(|shutil\.\w+",
+        src,
+    )
+    assert banned == [], f"raw POSIX I/O in DeltaTable: {banned}"
