@@ -186,6 +186,9 @@ class _CdcStreamReader(DataSourceStreamReader):
         self.table_path = options["tablePath"]
         self.start = int(options.get("startingVersion", 0))
         self.max_versions = int(options.get("maxVersionsPerTrigger", 0)) or None
+        # Inclusive ceiling: the stream never admits commits beyond this
+        # version (schema-evolution epochs end here; -1 = unbounded).
+        self.stop_after = int(options.get("stopAfterVersion", -1))
         # Head of the unread range, as far as this planner instance knows.
         # latestOffset can be called before initialOffset on a fresh
         # stream, so None means "not seeded yet" and the cap falls back
@@ -205,6 +208,8 @@ class _CdcStreamReader(DataSourceStreamReader):
 
         base = self._next_unread if self._next_unread is not None else self.start
         latest_end = DeltaTable(self.table_path).latest_version() + 1
+        if self.stop_after >= 0:
+            latest_end = min(latest_end, self.stop_after + 1)
         if self.max_versions is not None:
             latest_end = min(latest_end, base + self.max_versions)
         latest_end = max(latest_end, base)  # never regress behind progress
@@ -321,7 +326,11 @@ class DeltaCdcDataSource(DataSource):
         from pulsar_io_delta_spark.sources.delta_log import DeltaTable
 
         t = DeltaTable(self.options["tablePath"])
-        snap = t.snapshot()
+        as_of = self.options.get("schemaAsOfVersion")
+        # Epoch-pinned schema: the schema-evolution restart loop reads
+        # each epoch with the schema in effect at that epoch's end, not
+        # whatever the table head currently says.
+        snap = t.snapshot(int(as_of)) if as_of is not None else t.snapshot()
         if snap.schema_string is None:
             raise ValueError("table has no metaData/schemaString")
         base = json.loads(snap.schema_string)

@@ -441,10 +441,20 @@ class DeltaTable:
 
     # ---------- reading data ----------
 
-    def _read_files(self, spark: SparkSession, rel_paths: list[str]) -> DataFrame:
+    def _read_files(
+        self, spark: SparkSession, rel_paths: list[str], schema_string: str | None = None
+    ) -> DataFrame:
         pin_session(spark)
         paths = [os.path.join(self.path, p) for p in rel_paths]
-        return spark.read.option("basePath", self.path).parquet(*paths)
+        reader = spark.read
+        if schema_string is not None:
+            from pyspark.sql.types import StructType
+
+            # Log schema governs (Delta semantics): files written before a
+            # schema evolution lack the new columns — explicit schema
+            # null-fills them instead of letting inference drop them.
+            reader = reader.schema(StructType.fromJson(json.loads(schema_string)))
+        return reader.option("basePath", self.path).parquet(*paths)
 
     def read(
         self,
@@ -469,7 +479,7 @@ class DeltaTable:
             from pyspark.sql.types import StructType
 
             return spark.createDataFrame([], StructType.fromJson(json.loads(snap.schema_string)))
-        df = self._read_files(spark, files)
+        df = self._read_files(spark, files, schema_string=snap.schema_string)
         ops = {
             "=": Column.__eq__,
             "<": Column.__lt__,
@@ -668,6 +678,31 @@ class DeltaTable:
             }
         }
 
+    @staticmethod
+    def _merge_schema_strings(old: str | None, new: str) -> str | None:
+        """Additive evolution: old fields in order + genuinely new fields
+        appended. Returns the merged schemaString, or None when nothing
+        changed. Type changes on an existing column are rejected — that
+        is a rewrite, not an evolution."""
+        if old is None:
+            return new
+        old_s, new_s = json.loads(old), json.loads(new)
+        old_by_name = {f["name"]: f for f in old_s["fields"]}
+        added = []
+        for f in new_s["fields"]:
+            prev = old_by_name.get(f["name"])
+            if prev is None:
+                added.append(f)
+            elif prev["type"] != f["type"]:
+                raise DeltaProtocolError(
+                    f"schema evolution cannot change column {f['name']!r} "
+                    f"from {prev['type']} to {f['type']}"
+                )
+        if not added:
+            return None
+        old_s["fields"] = old_s["fields"] + added
+        return json.dumps(old_s)
+
     def write(
         self,
         df: DataFrame,
@@ -688,6 +723,17 @@ class DeltaTable:
         if first:
             actions.append({"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}})
             actions.append(self._metadata_action(df, partition_by))
+        else:
+            # Additive schema evolution: appending a frame with new
+            # columns emits the op='m' boundary (merged schemaString);
+            # downstream CDC consumers restart into the new epoch
+            # (streaming/runner.py::run_cdc_with_schema_evolution).
+            prior = self.snapshot()
+            merged = self._merge_schema_strings(prior.schema_string, df.schema.json())
+            if merged is not None:
+                md = self._metadata_action(df, partition_by or prior.partition_columns)
+                md["metaData"]["schemaString"] = merged
+                actions.append(md)
         if mode == "overwrite" and not first:
             snap = self.snapshot()
             now_ms = int(time.time() * 1000)

@@ -79,6 +79,76 @@ def events_stream(spark: SparkSession, sf_dir: str, max_files_per_trigger: int |
     return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
 
 
+def run_cdc_with_schema_evolution(
+    spark: SparkSession,
+    table_path: str,
+    checkpoint_dir: str,
+    foreach_batch,
+    timeout_s: int = 300,
+    max_runs: int = 50,
+) -> list[tuple[int, list[str]]]:
+    """Drain the ``pulsar_delta_cdc`` stream to the table head,
+    restarting the streaming query at every op='m' schema boundary so
+    each micro-batch is planned with its epoch's schema.
+
+    This automates the restart the reference performs by swapping the
+    record schema live (`DeltaRecord.java:93-97`): Spark streams plan
+    with a fixed schema, so the idiomatic equivalent is epoch-bounded
+    runs over one checkpoint — the ``stopAfterVersion`` option fences
+    each run at the version before the next metaData commit, and
+    ``schemaAsOfVersion`` pins the run's schema to that epoch. Offsets
+    live in ``checkpoint_dir`` throughout, so delivery stays
+    exactly-once across the restarts.
+
+    Returns [(epoch_end_version, epoch_columns), ...] — one entry per
+    streaming run executed.
+    """
+    from pulsar_io_delta_spark.sources.datasource import register_delta_cdc
+    from pulsar_io_delta_spark.sources.delta_log import DeltaTable
+
+    register_delta_cdc(spark)
+    t = DeltaTable(table_path)
+    runs: list[tuple[int, list[str]]] = []
+    last_seen = -1
+    for _ in range(max_runs):
+        latest = t.latest_version()
+        run_start = last_seen + 1
+        boundaries = [v for v, _s in t.schema_changes(run_start) if v > run_start]
+        stop_after = min(boundaries) - 1 if boundaries else latest
+        seen: list[int] = []
+
+        def wrapped(df: DataFrame, batch_id: int, _seen: list[int] = seen) -> None:
+            top = df.agg(F.max("_commit_version").alias("v")).first()
+            if top is not None and top.v is not None:
+                _seen.append(int(top.v))
+            foreach_batch(df, batch_id)
+
+        stream = (
+            spark.readStream.format("pulsar_delta_cdc")
+            .option("tablePath", table_path)
+            .option("schemaAsOfVersion", stop_after)
+            .option("stopAfterVersion", stop_after)
+            .load()
+        )
+        runs.append((stop_after, stream.columns))
+        query = (
+            stream.writeStream.foreachBatch(wrapped)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            if not query.awaitTermination(timeout_s):
+                raise TimeoutError(f"epoch run to v{stop_after} did not finish in {timeout_s}s")
+        finally:
+            if query.isActive:
+                query.stop()
+        last_seen = max([last_seen, stop_after, *seen])
+        if stop_after >= t.latest_version():
+            break
+    return runs
+
+
 def run_to_memory(
     streaming_df: DataFrame,
     output_mode: str,

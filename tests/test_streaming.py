@@ -102,3 +102,64 @@ def test_streaming_dedup_exact_counts(spark, sf_dir):
     n = table(spark, sf_dir, "events").count()
     assert out.count() == n
     assert out.distinct().count() == n
+
+
+def test_cdc_schema_evolution_restart(spark, tmp_path):
+    """Appending a frame with a new column emits an op='m' boundary; the
+    restart loop drains epoch 1 with the old schema, restarts, and
+    drains epoch 2 with the evolved schema — exactly-once throughout."""
+    from pulsar_io_delta_spark.sources.delta_log import DeltaTable
+    from pulsar_io_delta_spark.streaming.runner import run_cdc_with_schema_evolution
+
+    path, ck = str(tmp_path / "evo"), str(tmp_path / "ck_evo")
+    t = DeltaTable(path)
+    t.write(spark.range(0, 5).select(F.col("id").alias("event_id")))
+    t.write(spark.range(5, 10).select(F.col("id").alias("event_id")))
+    # evolution: score column appears (additive merge → metaData action)
+    t.write(
+        spark.range(10, 15).select(
+            F.col("id").alias("event_id"), (F.col("id") * 2.0).alias("score")
+        )
+    )
+    assert [v for v, _s in t.schema_changes(0)] == [0, 2]
+
+    batches: list[tuple[list[str], list]] = []
+    runs = run_cdc_with_schema_evolution(
+        spark, path, ck, lambda df, _i: batches.append((df.columns, df.collect()))
+    )
+    assert len(runs) == 2
+    (stop1, cols1), (stop2, cols2) = runs
+    assert stop1 == 1 and "score" not in cols1
+    assert stop2 == 2 and "score" in cols2
+    delivered = [r for _cols, rows in batches for r in rows]
+    assert sorted(r.event_id for r in delivered) == list(range(15))
+    with_score = {r.event_id: r.score for r in delivered if "score" in r.__fields__}
+    assert {k: v for k, v in with_score.items() if v is not None} == {
+        i: i * 2.0 for i in range(10, 15)
+    }
+    # idempotent: rerunning against the same checkpoint delivers nothing new
+    more: list = []
+    run_cdc_with_schema_evolution(spark, path, ck, lambda df, _i: more.extend(df.collect()))
+    assert more == []
+
+
+def test_write_schema_evolution_read_back(spark, tmp_path):
+    from pulsar_io_delta_spark.sources.delta_log import DeltaTable
+    from pulsar_io_delta_spark.sources.delta_log import DeltaProtocolError
+    import pytest as _pytest
+
+    path = str(tmp_path / "evo2")
+    t = DeltaTable(path)
+    t.write(spark.range(0, 3).select(F.col("id").alias("event_id")))
+    t.write(
+        spark.range(3, 6).select(
+            F.col("id").alias("event_id"), F.lit("x").alias("tag")
+        )
+    )
+    back = t.read(spark)
+    assert set(back.columns) == {"event_id", "tag"}
+    rows = {r.event_id: r.tag for r in back.collect()}
+    assert rows == {0: None, 1: None, 2: None, 3: "x", 4: "x", 5: "x"}
+    # type change is a rewrite, not an evolution
+    with _pytest.raises(DeltaProtocolError):
+        t.write(spark.range(6, 7).select(F.col("id").cast("string").alias("event_id")))
