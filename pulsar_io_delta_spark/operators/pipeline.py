@@ -1,0 +1,116 @@
+"""Training-data pipeline operators beyond the reference's surface:
+deterministic sampling, PII redaction, repetition (quality) metrics,
+stratified domain capping, and the Pulsar wire-format boundary.
+
+All hot paths are built-in Spark SQL expressions (JVM-side, codegen'd);
+murmur3 routing is the one pandas UDF, shared with the CDC envelope.
+Every operator is a narrow transform or a single keyed aggregate — the
+shapes that scale linearly with input splits at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from pulsar_io_delta_spark.functions.murmur3 import murmur3_route_col
+
+# Knuth's multiplicative hash constant (2^32 / golden ratio): spreads
+# sequential ids uniformly over the 32-bit ring with plain integer
+# arithmetic, so the SAME expression runs on any SQL engine — the
+# cross-engine-verifiable default. For arbitrary (non-sequential,
+# 64-bit) keys prefer hash_sample_xx below.
+KNUTH32 = 2654435761
+M32 = 1 << 32
+
+
+def hash_sample_predicate(id_col: Column, fraction: float) -> Column:
+    """Deterministic, partitioning-independent sampling predicate:
+    keep iff multiplicative-hash bucket < fraction of the 32-bit ring.
+
+    Unlike ``df.sample()`` (seeded per-partition → resample on any
+    repartition), the decision is a pure function of the id: stable
+    across runs, cluster sizes, and engines. Caller guarantees
+    ``id * KNUTH32`` stays in int64 (ids < ~3.4e9; true for every
+    fixture id)."""
+    threshold = int(M32 * fraction)
+    return F.pmod(id_col.cast("long") * F.lit(KNUTH32), F.lit(M32)) < F.lit(threshold)
+
+
+def hash_sample_xx(id_col: Column, fraction: float) -> Column:
+    """Production variant for arbitrary keys: xxhash64 bucket. Not
+    SQL-oracle-expressible (engine-specific hash) — semantics otherwise
+    identical to hash_sample_predicate."""
+    threshold = int(M32 * fraction)
+    return F.pmod(F.xxhash64(id_col), F.lit(M32)) < F.lit(threshold)
+
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9][0-9()\- ]{6,}[0-9]"
+
+
+def redact_pii(text: Column) -> Column:
+    """Mask emails then phone-number-shaped spans (narrow, codegen'd).
+    The pattern set is deliberately small and deterministic — the
+    contract is 'same bytes on every engine', not NLP-grade recall."""
+    no_email = F.regexp_replace(text, EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(no_email, PHONE_RE, "<PHONE>")
+
+
+def word_bigram_metrics(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style repetition signals per document: total / distinct
+    word bigrams, duplicate-bigram fraction, top-bigram fraction.
+
+    Shape: one explode (xW rows) + one (id, bigram) count + one id
+    aggregate — two shuffles on the document id, linear at any scale.
+    Documents with fewer than two tokens are excluded (no bigrams).
+    """
+    toks = F.filter(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda x: x != "")
+    with_toks = df.select(F.col(id_col), toks.alias("t")).where(F.size("t") >= 2)
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size("t") - 1),
+        lambda i: F.concat_ws(" ", F.slice("t", i, 2)),
+    )
+    bg = with_toks.select(F.col(id_col), F.explode(bigrams).alias("bigram"))
+    per_bigram = bg.groupBy(id_col, "bigram").agg(F.count("*").alias("c"))
+    return per_bigram.groupBy(id_col).agg(
+        F.sum("c").cast("long").alias("total_bigrams"),
+        F.count("*").cast("long").alias("distinct_bigrams"),
+        F.round(F.lit(1.0) - F.count("*") * F.lit(1.0) / F.sum("c"), 4).alias("dup_frac"),
+        F.round(F.max("c") * F.lit(1.0) / F.sum("c"), 4).alias("top_frac"),
+    )
+
+
+def stratified_cap(
+    df: DataFrame, strata_col: str, order_col: str, cap: int
+) -> DataFrame:
+    """Domain mixing: keep at most ``cap`` rows per stratum, chosen by a
+    deterministic total order — the 'cap each source, keep the rest'
+    step of a data-mixing recipe. One shuffle on the stratum key; a
+    skewed stratum is bounded by ``cap`` at the reducer."""
+    w = Window.partitionBy(strata_col).orderBy(order_col)
+    return (
+        df.withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= cap)
+    )
+
+
+def to_pulsar_wire(
+    df: DataFrame, key_col: str, value: Column, num_partitions: int
+) -> DataFrame:
+    """The producer boundary frame: (key, value binary, partition_id).
+
+    The reference hands each record to a Pulsar producer keyed by the
+    canonical partition value with murmur3-seed-0 routing
+    (`DeltaLakeConnectorSource.java:97-100`, `DeltaReader.java:60-63`);
+    no broker/client exists in this environment, so this operator stops
+    at the exact wire-format frame a producer would consume — key bytes,
+    serialized value bytes, and the reference-parity partition id."""
+    return df.select(
+        F.col(key_col).cast("string").alias("key"),
+        value.cast("binary").alias("value"),
+        murmur3_route_col(F.col(key_col).cast("string"), num_partitions).alias(
+            "partition_id"
+        ),
+    )

@@ -17,3 +17,4 @@ from pulsar_io_delta_spark.queries import reference_surface  # noqa: F401
 from pulsar_io_delta_spark.queries import relational3  # noqa: F401
 from pulsar_io_delta_spark.queries import relational  # noqa: F401
 from pulsar_io_delta_spark.queries import relational2  # noqa: F401
+from pulsar_io_delta_spark.queries import pipeline_queries  # noqa: F401

@@ -1,0 +1,136 @@
+"""Training-data pipeline query surface: deterministic sampling, PII
+redaction, repetition quality metrics, domain capping, and the Pulsar
+wire-format boundary.
+
+Registered after the core inventory (these are additive round-2
+operators; the driver's correctness window rotates over rounds).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pulsar_io_delta_spark.operators import pipeline as pl
+from pulsar_io_delta_spark.registry import register
+from pulsar_io_delta_spark.tables import table
+
+SAMPLE_FRACTION = 0.1
+_THRESHOLD = int(pl.M32 * SAMPLE_FRACTION)
+
+
+@register(
+    "q_sample_hash",
+    oracle=f"""
+SELECT doc_id, source, n_chars
+FROM documents
+WHERE (doc_id * {pl.KNUTH32}) % {pl.M32} < {_THRESHOLD}
+""",
+)
+def q_sample_hash(spark, sf_dir):
+    """10% deterministic sample: the keep/drop decision is a pure
+    function of doc_id (stable across runs, partitionings, engines),
+    unlike seeded per-partition df.sample()."""
+    d = table(spark, sf_dir, "documents")
+    return d.where(pl.hash_sample_predicate(F.col("doc_id"), SAMPLE_FRACTION)).select(
+        "doc_id", "source", "n_chars"
+    )
+
+
+@register(
+    "q_text_redact",
+    oracle="""
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           concat('reach user', CAST(doc_id AS VARCHAR),
+                  '@example.com or +12 3456 7890 ', substring(text, 1, 40)),
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         '\\+?[0-9][0-9()\\- ]{6,}[0-9]', '<PHONE>', 'g') AS redacted
+FROM documents
+""",
+)
+def q_text_redact(spark, sf_dir):
+    """PII masking over a synthesized contact line (the corpus itself
+    has no emails/phones, so the query plants one per row and asserts
+    the masked output byte-for-byte)."""
+    d = table(spark, sf_dir, "documents")
+    synth = F.concat(
+        F.lit("reach user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +12 3456 7890 "),
+        F.substring("text", 1, 40),
+    )
+    return d.select("doc_id", pl.redact_pii(synth).alias("redacted"))
+
+
+@register(
+    "q_repetition_metrics",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+  FROM documents
+), bg AS (
+  SELECT doc_id, t[i] || ' ' || t[i + 1] AS bigram
+  FROM toks JOIN range(1, 8192) r(i) ON i <= len(t) - 1
+  WHERE len(t) >= 2
+), cnt AS (
+  SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY doc_id, bigram
+)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS total_bigrams,
+       CAST(count(*) AS BIGINT) AS distinct_bigrams,
+       round(1.0 - count(*) * 1.0 / sum(c), 4) AS dup_frac,
+       round(max(c) * 1.0 / sum(c), 4) AS top_frac
+FROM cnt GROUP BY doc_id
+""",
+)
+def q_repetition_metrics(spark, sf_dir):
+    """Gopher-style repetition quality signals: duplicate-bigram and
+    top-bigram fractions per document."""
+    return pl.word_bigram_metrics(table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "q_domain_cap",
+    oracle="""
+SELECT source, doc_id, rn FROM (
+  SELECT source, doc_id,
+         CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS rn
+  FROM documents
+) WHERE rn <= 50
+""",
+)
+def q_domain_cap(spark, sf_dir):
+    """Data-mixing cap: at most 50 docs per source, deterministic
+    total order inside each stratum."""
+    capped = pl.stratified_cap(
+        table(spark, sf_dir, "documents"), "source", "doc_id", 50
+    )
+    return capped.select("source", "doc_id", "rn")
+
+
+@register(
+    "q_pulsar_wire",
+    oracle="""
+SELECT source AS key,
+       concat('{"doc_id":', CAST(doc_id AS VARCHAR), ',"lang":"', lang, '"}') AS value
+FROM documents
+""",
+)
+def q_pulsar_wire(spark, sf_dir):
+    """Producer-boundary frame: key + manually-serialized JSON value
+    (byte-identical across engines; Spark's to_json field spacing is
+    engine-specific, so the wire value is built with concat). The
+    murmur3 partition_id the operator also emits is checked by
+    q_hash_route + unit vectors, not the SQL oracle."""
+    d = table(spark, sf_dir, "documents")
+    value = F.concat(
+        F.lit('{"doc_id":'),
+        F.col("doc_id").cast("string"),
+        F.lit(',"lang":"'),
+        F.col("lang"),
+        F.lit('"}'),
+    )
+    wire = pl.to_pulsar_wire(d, "source", value, num_partitions=16)
+    return wire.select("key", F.col("value").cast("string").alias("value"))
