@@ -61,6 +61,11 @@ class DeltaProtocolError(Exception):
     """Raised on protocol features outside this reader's scope."""
 
 
+class DeltaConcurrentCommit(Exception):
+    """A snapshot-dependent commit lost its optimistic-concurrency race;
+    the caller must recompute its action list against the new snapshot."""
+
+
 def _file_stats(source) -> dict:
     """Per-file column stats from the parquet footer (numRecords +
     min/maxValues for primitive columns) — the data-skipping index.
@@ -611,19 +616,52 @@ class DeltaTable:
 
     # ---------- writing ----------
 
-    def _commit(self, actions: list[dict], operation: str) -> int:
+    def _commit(
+        self,
+        actions: list[dict],
+        operation: str,
+        read_version: int | None = None,
+        max_retries: int = 10,
+    ) -> int:
+        """Publish one commit with optimistic concurrency.
+
+        Exclusive create is the mutex (O_EXCL locally; conditional PUT /
+        external mutex on object stores — sources/fs.py). Losing the
+        race is handled by operation class:
+
+        - blind appends (``read_version is None``) re-read the log and
+          retry at the next version — always safe, no conflict possible;
+        - snapshot-dependent commits (overwrite/delete/compact pass the
+          version their action list was computed against) raise
+          ``DeltaConcurrentCommit`` so the caller recomputes against the
+          new table state instead of publishing stale removes.
+        """
         self.fs.makedirs(self.log_dir)
-        version = (self.versions()[-1] + 1) if self.versions() else 0
         payload = [
             {"commitInfo": {"timestamp": int(time.time() * 1000), "operation": operation}}
         ] + actions
-        fp = os.path.join(self.log_dir, f"{version:020d}.json")
-        # Exclusive create: optimistic concurrency — a concurrent
-        # committer of the same version loses with FileExistsError
-        # (O_EXCL locally; conditional PUT / mutex on object stores —
-        # see sources/fs.py for the protocol note).
-        self.fs.create_exclusive(fp, "".join(json.dumps(a) + "\n" for a in payload))
-        return version
+        body = "".join(json.dumps(a) + "\n" for a in payload)
+        for _attempt in range(max_retries):
+            version = (self.versions()[-1] + 1) if self.versions() else 0
+            if read_version is not None and version != read_version + 1:
+                raise DeltaConcurrentCommit(
+                    f"table advanced to v{version - 1} after {operation} read "
+                    f"v{read_version}; recompute and retry"
+                )
+            fp = os.path.join(self.log_dir, f"{version:020d}.json")
+            try:
+                self.fs.create_exclusive(fp, body)
+                return version
+            except FileExistsError:
+                if read_version is not None:
+                    raise DeltaConcurrentCommit(
+                        f"lost commit race at v{version} for {operation}; "
+                        "recompute against the current snapshot"
+                    )
+                continue  # append: next loop re-reads and bumps the version
+        raise DeltaProtocolError(
+            f"commit contention: {operation} gave up after {max_retries} attempts"
+        )
 
     def _stats_for(self, path: str) -> dict:
         with self.fs.open_read(path) as f:
@@ -714,12 +752,18 @@ class DeltaTable:
         the commit idempotent (streaming sink exactly-once)."""
         partition_by = partition_by or []
         actions: list[dict] = []
+        first = not (self.exists() and self.versions())
+        read_version: int | None = None  # blind append unless state-dependent
+        state_dependent = False
         if txn is not None:
             app_id, txn_version = txn
             if self.last_txn_version(app_id) >= txn_version:
                 return -1  # already committed — idempotent no-op
             actions.append({"txn": {"appId": app_id, "version": txn_version, "lastUpdated": int(time.time() * 1000)}})
-        first = not (self.exists() and self.versions())
+            if not first:
+                # the idempotency check above is only valid for this
+                # version; a racing committer forces a re-check
+                read_version = self.versions()[-1]
         if first:
             actions.append({"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}})
             actions.append(self._metadata_action(df, partition_by))
@@ -734,8 +778,12 @@ class DeltaTable:
                 md = self._metadata_action(df, partition_by or prior.partition_columns)
                 md["metaData"]["schemaString"] = merged
                 actions.append(md)
+                read_version = prior.version  # don't clobber a racing schema change
+                state_dependent = True
         if mode == "overwrite" and not first:
             snap = self.snapshot()
+            read_version = snap.version  # removes computed against this state
+            state_dependent = True
             now_ms = int(time.time() * 1000)
             actions.extend(
                 {
@@ -751,7 +799,15 @@ class DeltaTable:
         elif mode not in ("append", "overwrite"):
             raise ValueError(f"unsupported mode: {mode}")
         actions.extend(self._stage_and_move(df, partition_by))
-        return self._commit(actions, operation=mode.upper())
+        while True:
+            try:
+                return self._commit(actions, operation=mode.upper(), read_version=read_version)
+            except DeltaConcurrentCommit:
+                if txn is not None and self.last_txn_version(txn[0]) >= txn[1]:
+                    return -1  # a racer delivered this exact batch
+                if state_dependent:
+                    raise  # stale removes/metadata: caller must recompute
+                read_version = self.versions()[-1]  # txn append: re-race
 
     def delete_where(self, spark: SparkSession, predicate: str) -> int:
         """Row-level delete: rewrite affected files, emit remove+add —
@@ -771,7 +827,7 @@ class DeltaTable:
         ]
         kept = self.read(spark).where(f"NOT ({predicate})")
         actions.extend(self._stage_and_move(kept, snap.partition_columns))
-        return self._commit(actions, operation="DELETE")
+        return self._commit(actions, operation="DELETE", read_version=snap.version)
 
     def commit_external_adds(
         self,
@@ -785,6 +841,7 @@ class DeltaTable:
         e.g. the pulsar_delta_cdc DataSourceStreamWriter's executors).
         ``adds`` are raw add-action dicts with table-relative paths."""
         actions: list[dict] = []
+        read_version: int | None = None
         if txn is not None:
             app_id, txn_version = txn
             if self.exists() and self.versions() and self.last_txn_version(app_id) >= txn_version:
@@ -792,6 +849,8 @@ class DeltaTable:
             actions.append(
                 {"txn": {"appId": app_id, "version": txn_version, "lastUpdated": int(time.time() * 1000)}}
             )
+            if self.exists() and self.versions():
+                read_version = self.versions()[-1]  # idempotency checked here
         if not (self.exists() and self.versions()):
             actions.append({"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}})
             actions.append(
@@ -806,7 +865,13 @@ class DeltaTable:
                 }
             )
         actions.extend({"add": a} for a in adds)
-        return self._commit(actions, operation)
+        while True:
+            try:
+                return self._commit(actions, operation, read_version=read_version)
+            except DeltaConcurrentCommit:
+                if txn is not None and self.last_txn_version(txn[0]) >= txn[1]:
+                    return -1  # a racer delivered this exact batch
+                read_version = self.versions()[-1]
 
     def compact(self, spark: SparkSession, target_files: int = 1) -> int:
         """OPTIMIZE-style bin-packing: rewrite the current snapshot's
@@ -832,7 +897,7 @@ class DeltaTable:
         for a in adds:
             a["add"]["dataChange"] = False
         actions.extend(adds)
-        return self._commit(actions, operation="OPTIMIZE")
+        return self._commit(actions, operation="OPTIMIZE", read_version=snap.version)
 
     def vacuum(self, retention_ms: int = 7 * 24 * 3600 * 1000) -> list[str]:
         """Physically delete data files no longer referenced by the

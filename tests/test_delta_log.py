@@ -309,3 +309,70 @@ def test_no_posix_calls_in_delta_table():
         src,
     )
     assert banned == [], f"raw POSIX I/O in DeltaTable: {banned}"
+
+
+def test_append_retries_past_commit_race(spark, table_path):
+    """A blind append losing the exclusive-create race lands at the next
+    version instead of failing."""
+    t = DeltaTable(table_path)
+    t.write(events_df(spark, range(3)))
+    # simulate a racer: pre-claim the version the next commit will want
+    racer = os.path.join(table_path, "_delta_log", f"{1:020d}.json")
+    with open(racer, "x", encoding="utf-8") as f:
+        f.write(json.dumps({"commitInfo": {"timestamp": 0, "operation": "WRITE"}}) + "\n")
+    v = t.write(events_df(spark, range(3, 6)))
+    assert v == 2
+    assert t.read(spark).count() == 6
+
+
+def test_overwrite_raises_on_lost_race(spark, table_path):
+    from pulsar_io_delta_spark.sources.delta_log import DeltaConcurrentCommit
+
+    t = DeltaTable(table_path)
+    t.write(events_df(spark, range(3)))
+
+    class RacingFS(type(t.fs)):
+        def __init__(self, table):
+            self._t = table
+            self._raced = False
+
+        def create_exclusive(self, path, data):
+            if not self._raced and path.endswith(".json"):
+                self._raced = True
+                super().create_exclusive(path, '{"commitInfo": {"timestamp": 0, "operation": "WRITE"}}\n')
+            super().create_exclusive(path, data)
+
+    t2 = DeltaTable(table_path, fs=RacingFS(t))
+    with pytest.raises(DeltaConcurrentCommit):
+        t2.write(events_df(spark, range(10, 13)), mode="overwrite")
+    # the loser published nothing: the racer's v1 commit stands alone
+    assert DeltaTable(table_path).latest_version() == 1
+
+
+def test_txn_append_no_double_delivery_under_race(spark, table_path):
+    """If a racer already committed the same (appId, version) batch, the
+    retry path returns -1 instead of appending a duplicate."""
+    from pulsar_io_delta_spark.sources.fs import LocalFileSystem
+
+    t = DeltaTable(table_path)
+    t.write(events_df(spark, range(3)))
+
+    class TxnRacerFS(LocalFileSystem):
+        def __init__(self, table_path_):
+            self._tp = table_path_
+            self._raced = False
+
+        def create_exclusive(self, path, data):
+            if not self._raced and path.endswith(".json"):
+                self._raced = True
+                # racer delivers the SAME txn batch first
+                DeltaTable(self._tp).write(
+                    events_df(_spark_holder[0], range(3, 6)), txn=("app", 7)
+                )
+            super().create_exclusive(path, data)
+
+    _spark_holder = [spark]
+    t2 = DeltaTable(table_path, fs=TxnRacerFS(table_path))
+    result = t2.write(events_df(spark, range(3, 6)), txn=("app", 7))
+    assert result == -1  # recognized the racer's delivery, no duplicate
+    assert DeltaTable(table_path).read(spark).count() == 6
