@@ -376,3 +376,33 @@ def test_txn_append_no_double_delivery_under_race(spark, table_path):
     result = t2.write(events_df(spark, range(3, 6)), txn=("app", 7))
     assert result == -1  # recognized the racer's delivery, no duplicate
     assert DeltaTable(table_path).read(spark).count() == 6
+
+
+def test_concurrent_appends_all_land(spark, tmp_path):
+    """8 threads × 3 appends race on one table: optimistic retry makes
+    every commit land exactly once (24 commits, 24 rows)."""
+    import threading
+
+    path = str(tmp_path / "conc")
+    DeltaTable(path).write(events_df(spark, range(1)).coalesce(1))
+    errors: list[Exception] = []
+
+    def appender(tid: int) -> None:
+        try:
+            for j in range(3):
+                base = 100 + tid * 10 + j
+                DeltaTable(path).write(
+                    events_df(spark, range(base, base + 1)).coalesce(1)
+                )
+        except Exception as e:  # pragma: no cover - failure reporting
+            errors.append(e)
+
+    threads = [threading.Thread(target=appender, args=(i,)) for i in range(8)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert errors == []
+    t = DeltaTable(path)
+    assert t.latest_version() == 24
+    assert t.read(spark).count() == 25

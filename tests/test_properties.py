@@ -60,3 +60,32 @@ def test_fingerprint_stable_and_bounded(text):
     fp = fingerprint_py(text)
     assert 0 <= fp < FP_MOD
     assert fp == fingerprint_py(text)
+
+
+@given(st.integers(min_value=0, max_value=3_000_000_000))
+def test_hash_sample_nested_fractions(k):
+    """sample(f1) ⊆ sample(f2) for f1 ≤ f2 — the bucket is fixed per id,
+    only the threshold moves (stable incremental sampling)."""
+    from pulsar_io_delta_spark.operators.pipeline import KNUTH32, M32
+
+    bucket = (k * KNUTH32) % M32
+    assert 0 <= bucket < M32
+    in_10 = bucket < int(M32 * 0.10)
+    in_25 = bucket < int(M32 * 0.25)
+    assert not in_10 or in_25
+
+
+@given(st.text(max_size=200))
+@settings(max_examples=60, deadline=None)
+def test_redact_idempotent(text):
+    """redact(redact(x)) == redact(x): placeholders contain no digits or
+    '@', so a second pass never rewrites."""
+    import re
+
+    from pulsar_io_delta_spark.operators.pipeline import EMAIL_RE, PHONE_RE
+
+    def redact(s: str) -> str:
+        return re.sub(PHONE_RE, "<PHONE>", re.sub(EMAIL_RE, "<EMAIL>", s))
+
+    once = redact(text)
+    assert redact(once) == once
