@@ -111,6 +111,34 @@ def q_domain_cap(spark, sf_dir):
 
 
 @register(
+    "q_merge_upsert",
+    oracle="""
+SELECT doc_id, source, n_chars FROM documents WHERE doc_id < 100
+UNION ALL
+SELECT doc_id, source, CAST(n_chars * 2 AS BIGINT) AS n_chars
+FROM documents WHERE doc_id BETWEEN 100 AND 249
+""",
+)
+def q_merge_upsert(spark, sf_dir):
+    """MERGE semantics end-to-end: docs <200 become a Delta table, a
+    source of (100..249, doubled n_chars) upserts into it — 100..199
+    update in place, 200..249 insert; <100 pass through untouched."""
+    import tempfile
+
+    from pulsar_io_delta_spark.sources.delta_log import DeltaTable
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    path = tempfile.mkdtemp(prefix="pids_merge_") + "/tbl"
+    t = DeltaTable(path)
+    t.write(d.where(F.col("doc_id") < 200))
+    src = d.where(F.col("doc_id").between(100, 249)).withColumn(
+        "n_chars", (F.col("n_chars") * 2).cast("long")
+    )
+    t.merge_upsert(spark, src, ["doc_id"])
+    return t.read(spark)
+
+
+@register(
     "q_pulsar_wire",
     oracle="""
 SELECT source AS key,

@@ -809,6 +809,85 @@ class DeltaTable:
                     raise  # stale removes/metadata: caller must recompute
                 read_version = self.versions()[-1]  # txn append: re-race
 
+    def merge_upsert(
+        self, spark: SparkSession, source: DataFrame, key_cols: list[str]
+    ) -> int:
+        """MERGE: update rows matching ``key_cols``, insert the rest —
+        the standard touched-file rewrite every Delta implementation
+        uses, in one commit.
+
+        Phases (each distributed; only the touched-file *list* reaches
+        the driver, as in every Delta merge):
+
+        1. find touched files — semi-join the table scan against the
+           distinct source keys on ``_metadata.file_path``;
+        2. rewrite survivors — rows of touched files whose key is NOT in
+           the source — plus all source rows (update ∪ insert);
+        3. commit remove(touched) + add(rewritten) at the snapshot's
+           version (``DeltaConcurrentCommit`` on a lost race).
+
+        Untouched files are never read twice nor rewritten. Source must
+        not contain duplicate keys (caller contract, as in Delta MERGE).
+        """
+        snap = self.snapshot()
+        table_cols = (
+            [f["name"] for f in json.loads(snap.schema_string)["fields"]]
+            if snap.schema_string
+            else source.columns
+        )
+        unknown = [c for c in source.columns if c not in table_cols]
+        if unknown:
+            raise DeltaProtocolError(
+                f"merge source has columns not in the table: {unknown}; "
+                "evolve the schema with write() first"
+            )
+        keys = source.select(*key_cols).distinct()
+        strip_scheme = F.regexp_replace(
+            F.col("_metadata.file_path"), "^[a-zA-Z0-9+.-]+:/+", "/"
+        )
+        if snap.files:
+            scan = self._read_files(spark, snap.files, schema_string=snap.schema_string)
+            touched_abs = [
+                r._fp
+                for r in scan.withColumn("_fp", strip_scheme)
+                .join(keys, key_cols, "left_semi")
+                .select("_fp")
+                .distinct()
+                .collect()
+            ]
+        else:
+            touched_abs = []
+        base = os.path.abspath(self.path)
+        touched = [os.path.relpath(p, base) for p in touched_abs]
+        aligned_source = source
+        for c in table_cols:
+            if c not in source.columns:
+                aligned_source = aligned_source.withColumn(c, F.lit(None))
+        aligned_source = aligned_source.select(*table_cols)
+        if touched:
+            survivors = (
+                self._read_files(spark, touched, schema_string=snap.schema_string)
+                .join(keys, key_cols, "left_anti")
+                .select(*table_cols)
+            )
+            rewritten = survivors.unionByName(aligned_source)
+        else:
+            rewritten = aligned_source
+        now_ms = int(time.time() * 1000)
+        actions: list[dict] = [
+            {
+                "remove": {
+                    "path": p,
+                    "deletionTimestamp": now_ms,
+                    "dataChange": True,
+                    "partitionValues": snap.partition_values.get(p, {}),
+                }
+            }
+            for p in touched
+        ]
+        actions.extend(self._stage_and_move(rewritten, snap.partition_columns))
+        return self._commit(actions, operation="MERGE", read_version=snap.version)
+
     def delete_where(self, spark: SparkSession, predicate: str) -> int:
         """Row-level delete: rewrite affected files, emit remove+add —
         produces the op='r' stream the reference intends for RemoveFile."""

@@ -406,3 +406,41 @@ def test_concurrent_appends_all_land(spark, tmp_path):
     t = DeltaTable(path)
     assert t.latest_version() == 24
     assert t.read(spark).count() == 25
+
+
+def test_merge_upsert_updates_and_inserts(spark, table_path):
+    t = DeltaTable(table_path)
+    # two files so one can stay untouched
+    t.write(events_df(spark, range(5)).coalesce(1))          # v0: ids 0-4
+    t.write(events_df(spark, range(5, 10)).coalesce(1))      # v1: ids 5-9
+    files_before = set(t.snapshot().files)
+    src = spark.createDataFrame(
+        [(7, "buy", 700.0), (9, "buy", 900.0), (42, "new", 4200.0)],
+        "event_id long, event_type string, value double",
+    )
+    v = t.merge_upsert(spark, src, ["event_id"])
+    assert v == 2
+    rows = {r.event_id: (r.event_type, r.value) for r in t.read(spark).collect()}
+    assert len(rows) == 11
+    assert rows[7] == ("buy", 700.0) and rows[9] == ("buy", 900.0)
+    assert rows[42] == ("new", 4200.0)
+    assert rows[3] == ("click", 3.0)  # untouched
+    # the ids 0-4 file contained no matched keys → never rewritten
+    assert len(files_before & set(t.snapshot().files)) == 1
+    # CDC: the merge commit removes 1 file's rows and adds the rewrite
+    mc = t.cdc(spark, start_version=2)
+    by_op = {r["op"]: r["cnt"] for r in mc.groupBy("op").agg(F.count("*").alias("cnt")).collect()}
+    assert by_op == {"r": 5, "c": 6}  # 5 old rows out, 3 survivors + 3 upserts in
+
+
+def test_merge_upsert_into_empty_and_unknown_column(spark, table_path):
+    t = DeltaTable(table_path)
+    t.write(events_df(spark, range(2)))
+    bad = spark.createDataFrame([(1, 9.9)], "event_id long, bonus double")
+    with pytest.raises(DeltaProtocolError, match="bonus"):
+        t.merge_upsert(spark, bad, ["event_id"])
+    # source missing a column → null-filled
+    partial = spark.createDataFrame([(0,), (5,)], "event_id long")
+    t.merge_upsert(spark, partial, ["event_id"])
+    rows = {r.event_id: r.event_type for r in t.read(spark).collect()}
+    assert rows == {0: None, 1: "click", 5: None}
