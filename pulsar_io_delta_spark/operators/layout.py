@@ -32,6 +32,57 @@ def write_clustered(
     return table.write(clustered, mode=mode)
 
 
+def zorder_value(c1, c2, min1, max1, min2, max2, bits: int = 16):
+    """Z-curve value interleaving the bits of two equi-width-bucketed
+    numeric columns — pure built-in expressions (codegen'd, narrow).
+
+    Equi-width bucketing (width_bucket over the global min/max, one
+    cheap agg) trades a little balance vs equi-depth for a fully
+    distributed computation — no global rank window."""
+    from pyspark.sql import functions as F
+
+    n = 1 << bits
+    b1 = (F.width_bucket(c1.cast("double"), F.lit(min1), F.lit(max1), F.lit(n)) - 1).cast("long")
+    b2 = (F.width_bucket(c2.cast("double"), F.lit(min2), F.lit(max2), F.lit(n)) - 1).cast("long")
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(b1, i).bitwiseAND(F.lit(1)), 2 * i)
+        ).bitwiseOR(F.shiftleft(F.shiftright(b2, i).bitwiseAND(F.lit(1)), 2 * i + 1))
+    return z
+
+
+def write_zordered(
+    table: DeltaTable,
+    df: DataFrame,
+    col1: str,
+    col2: str,
+    num_files: int = 16,
+    mode: str = "append",
+) -> int:
+    """Commit ``df`` Z-ordered on two columns: files cover compact 2-D
+    tiles of the (col1, col2) space, so BOTH columns' footer min/max are
+    tight and a box predicate (range on either or both) skips most
+    files — the multi-dimension generalization of write_clustered.
+    One agg (global min/max) + one range shuffle; scales like any
+    repartition-and-sort write."""
+    from pyspark.sql import functions as F
+
+    lo1, hi1, lo2, hi2 = df.agg(
+        F.min(col1), F.max(col1), F.min(col2), F.max(col2)
+    ).first()
+    z = zorder_value(
+        F.col(col1), F.col(col2), float(lo1), float(hi1) + 1e-9, float(lo2), float(hi2) + 1e-9
+    )
+    ordered = (
+        df.withColumn("_z", z)
+        .repartitionByRange(num_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+    )
+    return table.write(ordered, mode=mode)
+
+
 def skipping_ratio(table: DeltaTable, filters: list[tuple[str, str, object]]) -> float:
     """Fraction of files a filtered read would skip (1.0 = all skipped)."""
     snap = table.snapshot()

@@ -35,3 +35,30 @@ def test_clustered_timestamps(spark, sf_dir, tmp_path):
     cut = ev.agg(F.expr("percentile_approx(unix_timestamp(ts), 0.9)")).first()[0]
     ratio = skipping_ratio(t, [("ts_epoch", ">=", int(cut))])
     assert ratio >= 0.75
+
+
+def test_zorder_skips_on_both_dimensions(spark, tmp_path):
+    from pulsar_io_delta_spark.operators.layout import write_zordered
+
+    df = spark.range(40_000).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 200).cast("double").alias("user_id"),
+        (F.floor(F.col("id") / 200)).cast("double").alias("value"),
+    )
+    # random layout: every file spans the full range on both columns
+    rnd = DeltaTable(str(tmp_path / "rnd"))
+    rnd.write(df.repartition(16))
+    # z-ordered: files cover compact (user_id, value) tiles
+    zo = DeltaTable(str(tmp_path / "zo"))
+    write_zordered(zo, df, "user_id", "value", num_files=16)
+
+    box = [("user_id", ">=", 0.0), ("user_id", "<", 25.0),
+           ("value", ">=", 0.0), ("value", "<", 25.0)]
+    r_rnd = skipping_ratio(rnd, box)
+    r_zo = skipping_ratio(zo, box)
+    assert r_rnd == 0.0          # nothing prunable
+    assert r_zo >= 0.5           # most tiles outside the box are skipped
+    # correctness unaffected by layout
+    a = zo.read(spark, filters=box).count()
+    b = rnd.read(spark, filters=box).count()
+    assert a == b > 0
