@@ -43,6 +43,11 @@ HEADLINE = [
     "q_text_tokens",
     "q_text_quality",
     "q_sim_topk",
+    # training-data pipeline (round 2)
+    "q_sample_hash",
+    "q_repetition_metrics",
+    "q_domain_cap",
+    "q_pulsar_wire",
 ]
 
 

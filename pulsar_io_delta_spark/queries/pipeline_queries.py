@@ -110,6 +110,40 @@ def q_domain_cap(spark, sf_dir):
     return capped.select("source", "doc_id", "rn")
 
 
+@register("q_cdc_schema_evolution", oracle=None)  # streaming restart loop — not SQL
+def q_cdc_schema_evolution(spark, sf_dir):
+    """Epoch-bounded CDC streaming across an op='m' boundary: three
+    commits (the third adds a column), drained by the restart loop with
+    each epoch's schema; returns every delivered row. Deterministic
+    rows-only contract: 30 rows, ids 0..29, score non-null iff id>=20."""
+    import tempfile
+
+    from pulsar_io_delta_spark.sources.delta_log import DeltaTable
+    from pulsar_io_delta_spark.streaming.runner import run_cdc_with_schema_evolution
+
+    base = tempfile.mkdtemp(prefix="pids_evo_")
+    path, ck = base + "/tbl", base + "/ck"
+    t = DeltaTable(path)
+    t.write(spark.range(0, 10).select(F.col("id").alias("doc_id")))
+    t.write(spark.range(10, 20).select(F.col("id").alias("doc_id")))
+    t.write(
+        spark.range(20, 30).select(
+            F.col("id").alias("doc_id"), (F.col("id") * 1.5).alias("score")
+        )
+    )
+    rows: list[tuple] = []
+
+    def sink(df, _batch_id):
+        score = F.col("score") if "score" in df.columns else F.lit(None).cast("double")
+        for r in df.select("doc_id", score.alias("score"), "_commit_version").collect():
+            rows.append((r.doc_id, r.score, r._commit_version))
+
+    run_cdc_with_schema_evolution(spark, path, ck, sink)
+    return spark.createDataFrame(
+        rows, "doc_id long, score double, _commit_version long"
+    )
+
+
 @register(
     "q_merge_upsert",
     oracle="""
