@@ -96,6 +96,93 @@ def stratified_cap(
     )
 
 
+def quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_tokens: int = 30,
+    min_alpha: float = 0.81,
+    min_distinct: float = 0.40,
+) -> DataFrame:
+    """Composed FineWeb/Dolma-shape quality gate: per-document signals
+    plus the first failed rule ('ok' = document kept).
+
+    Rules, in precedence order:
+      too_short   n_tokens < min_tokens
+      low_alpha   alphabetic-char ratio < min_alpha
+      repetitive  distinct-token ratio < min_distinct  (cheap narrow
+                  proxy for Gopher repetition; the exact bigram metrics
+                  live in word_bigram_metrics)
+
+    Entirely narrow, codegen'd built-ins — no shuffle, no Python; at
+    100 TB this is a pure map stage fused into the scan."""
+    t = F.col(text_col)
+    toks = F.filter(F.split(F.lower(t), "[^a-z0-9]+"), lambda x: x != "")
+    nt = F.size(toks).cast("long")
+    ar = F.length(F.regexp_replace(t, "[^a-z]", "")) * F.lit(1.0) / F.greatest(
+        F.length(t), F.lit(1)
+    )
+    dr = F.size(F.array_distinct(toks)) * F.lit(1.0) / F.greatest(
+        F.size(toks), F.lit(1)
+    )
+    reason = (
+        F.when(nt < min_tokens, "too_short")
+        .when(ar < min_alpha, "low_alpha")
+        .when(dr < min_distinct, "repetitive")
+        .otherwise("ok")
+    )
+    return df.select(
+        "*",
+        nt.alias("n_tokens"),
+        F.round(ar, 4).alias("alpha_ratio"),
+        F.round(dr, 4).alias("distinct_ratio"),
+        reason.alias("fail_reason"),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    token_count: Column,
+    budget: int,
+    shards: int = 8,
+) -> DataFrame:
+    """Concatenate-and-chunk sequence packing (the LLM-pretraining
+    layout): documents are laid head-to-tail in a deterministic order
+    and cut into fixed ``budget``-token packs; a document that straddles
+    a cut emits one fragment row per pack it touches.
+
+    Output: (id, shard, pack_id, pack_offset, frag_tokens) — enough for
+    a writer to materialize each pack by concatenating fragments in
+    (pack_id, pack_offset) order.
+
+    Scale shape: the running-offset window is PARTITIONED BY a
+    deterministic shard key (id % shards), so no global single-reducer
+    sort exists; each shard packs independently and ``shards`` is sized
+    to cluster parallelism. Cross-engine determinism comes from the
+    id-based shard + order (no seeded RNG, no partition dependence)."""
+    base = df.select(
+        F.col(id_col),
+        F.pmod(F.col(id_col), F.lit(shards)).cast("long").alias("shard"),
+        token_count.cast("long").alias("n_tok"),
+    ).where(F.col("n_tok") > 0)
+    w = Window.partitionBy("shard").orderBy(id_col)
+    cum = base.withColumn("end_off", F.sum("n_tok").over(w)).withColumn(
+        "start_off", F.col("end_off") - F.col("n_tok")
+    )
+    first_p = F.floor(F.col("start_off") * F.lit(1.0) / budget).cast("long")
+    last_p = F.floor((F.col("end_off") - 1) * F.lit(1.0) / budget).cast("long")
+    spans = cum.withColumn("pack_id", F.explode(F.sequence(first_p, last_p)))
+    frag_start = F.greatest(F.col("start_off"), F.col("pack_id") * budget)
+    frag_end = F.least(F.col("end_off"), (F.col("pack_id") + 1) * budget)
+    return spans.select(
+        F.col(id_col),
+        "shard",
+        "pack_id",
+        (frag_start - F.col("pack_id") * budget).cast("long").alias("pack_offset"),
+        (frag_end - frag_start).cast("long").alias("frag_tokens"),
+    )
+
+
 def to_pulsar_wire(
     df: DataFrame, key_col: str, value: Column, num_partitions: int
 ) -> DataFrame:

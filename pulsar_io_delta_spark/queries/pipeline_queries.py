@@ -173,6 +173,88 @@ def q_merge_upsert(spark, sf_dir):
 
 
 @register(
+    "q_quality_filter",
+    oracle="""
+WITH s AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t,
+         length(regexp_replace(text, '[^a-z]', '', 'g')) * 1.0
+           / greatest(length(text), 1) AS ar
+  FROM documents
+), r AS (
+  SELECT doc_id, source,
+         CAST(len(t) AS BIGINT) AS n_tokens, ar,
+         len(list_distinct(t)) * 1.0 / greatest(len(t), 1) AS dr
+  FROM s
+)
+SELECT doc_id, source, n_tokens,
+       round(ar, 4) AS alpha_ratio,
+       round(dr, 4) AS distinct_ratio,
+       CASE WHEN n_tokens < 30 THEN 'too_short'
+            WHEN ar < 0.81 THEN 'low_alpha'
+            WHEN dr < 0.40 THEN 'repetitive'
+            ELSE 'ok' END AS fail_reason
+FROM r
+""",
+)
+def q_quality_filter(spark, sf_dir):
+    """Composed quality gate (the FineWeb/Dolma filter shape): length,
+    alphabetic-ratio, and repetition rules with a first-failed-rule
+    verdict per document; 'ok' rows are the kept corpus."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    return pl.quality_filter(d).drop("text")
+
+
+PACK_BUDGET = 256
+PACK_SHARDS = 8
+
+
+@register(
+    "q_pack_sequences",
+    oracle=f"""
+WITH s AS (
+  SELECT doc_id, doc_id % {PACK_SHARDS} AS shard,
+         CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                              x -> x <> '')) AS BIGINT) AS n_tok
+  FROM documents
+), c AS (
+  SELECT doc_id, shard, n_tok,
+         sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id) AS end_raw
+  FROM s WHERE n_tok > 0
+), b AS (
+  SELECT doc_id, shard,
+         CAST(end_raw AS BIGINT) AS end_off,
+         CAST(end_raw - n_tok AS BIGINT) AS start_off
+  FROM c
+), sp AS (
+  SELECT doc_id, shard, start_off, end_off,
+         CAST(floor(start_off * 1.0 / {PACK_BUDGET}) AS BIGINT) AS first_p,
+         CAST(floor((end_off - 1) * 1.0 / {PACK_BUDGET}) AS BIGINT) AS last_p
+  FROM b
+)
+SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+       first_p + j AS pack_id,
+       greatest(start_off, (first_p + j) * {PACK_BUDGET})
+         - (first_p + j) * {PACK_BUDGET} AS pack_offset,
+       least(end_off, (first_p + j + 1) * {PACK_BUDGET})
+         - greatest(start_off, (first_p + j) * {PACK_BUDGET}) AS frag_tokens
+FROM sp JOIN range(0, 64) r(j) ON j <= last_p - first_p
+""",
+)
+def q_pack_sequences(spark, sf_dir):
+    """LLM-pretraining sequence packing: shard-local concatenate-and-
+    chunk into 256-token packs; a straddling document emits one fragment
+    row per pack. Shard-partitioned window — no global sort."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda x: x != ""
+    )
+    return pl.pack_sequences(
+        d, "doc_id", F.size(toks), budget=PACK_BUDGET, shards=PACK_SHARDS
+    )
+
+
+@register(
     "q_pulsar_wire",
     oracle="""
 SELECT source AS key,

@@ -68,3 +68,52 @@ def test_pulsar_wire_partition_parity(spark):
     for r in rows:
         assert r.partition_id == partition_id_for(r.key, 16)
         assert isinstance(r.value, (bytes, bytearray))
+
+
+def test_pack_sequences_invariants(spark):
+    # 40 docs with varied token counts, including several > budget
+    # (straddle many packs) and one zero-token doc (excluded).
+    rows = [(i, (i * 37) % 300) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+    out = pl.pack_sequences(
+        df, "doc_id", F.col("n_tok"), budget=100, shards=4
+    ).cache()
+
+    # Fragments reassemble each doc exactly.
+    per_doc = {
+        r.doc_id: r.s
+        for r in out.groupBy("doc_id").agg(F.sum("frag_tokens").alias("s")).collect()
+    }
+    expected = {i: n for i, n in rows if n > 0}
+    assert per_doc == expected
+
+    # No pack holds more than budget tokens; offsets stay in range.
+    per_pack = out.groupBy("shard", "pack_id").agg(
+        F.sum("frag_tokens").alias("s"), F.max(F.col("pack_offset") + F.col("frag_tokens")).alias("hi")
+    )
+    bad = per_pack.where((F.col("s") > 100) | (F.col("hi") > 100)).count()
+    assert bad == 0
+
+    # Within a shard, packs are dense: every pack id 0..max exists.
+    for r in (
+        out.groupBy("shard")
+        .agg(F.countDistinct("pack_id").alias("n"), F.max("pack_id").alias("m"))
+        .collect()
+    ):
+        assert r.n == r.m + 1
+
+
+def test_quality_filter_rules(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "short text"),  # < 30 tokens
+            (2, " ".join(f"w{i}" for i in range(40))),  # distinct, alpha-poor? w0..w39 has digits
+            # long words keep alpha_ratio high; 5 distinct / 40 total
+            (3, " ".join("university researchers examined phenomena thoroughly".split() * 8)),
+            (4, " ".join(f"word{chr(97 + i % 26)}x{chr(97 + (i * 7) % 26)}" for i in range(50))),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.fail_reason for r in pl.quality_filter(df).collect()}
+    assert got[1] == "too_short"
+    assert got[3] == "repetitive"
