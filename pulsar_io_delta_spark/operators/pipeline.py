@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from pulsar_io_delta_spark.functions.murmur3 import murmur3_route_col
+from pulsar_io_delta_spark.operators.text import TOKEN_SPLIT_RE
 
 # Knuth's multiplicative hash constant (2^32 / golden ratio): spreads
 # sequential ids uniformly over the 32-bit ring with plain integer
@@ -93,6 +94,73 @@ def stratified_cap(
     return (
         df.withColumn("rn", F.row_number().over(w).cast("long"))
         .where(F.col("rn") <= cap)
+    )
+
+
+def split_assign(id_col: Column, fractions: dict[str, float]) -> Column:
+    """Deterministic train/val/test assignment: the multiplicative-hash
+    bucket of the id lands in cumulative fraction ranges. A pure
+    function of the id — membership survives reshuffles, engine swaps,
+    and incremental corpus growth (new ids never move old ones)."""
+    bucket = F.pmod(id_col.cast("long") * F.lit(KNUTH32), F.lit(M32))
+    expr = None
+    acc = 0.0
+    for name, frac in fractions.items():
+        acc += frac
+        cond = bucket < F.lit(int(M32 * acc))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return expr.otherwise(list(fractions)[-1])
+
+
+def decontaminate_overlap(
+    df: DataFrame,
+    bench_df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Eval-set decontamination: per-document fraction of distinct word
+    ``n``-grams that also occur in the benchmark corpus.
+
+    Scale shape: the benchmark's distinct gram set is aggregated to a
+    single array row and BROADCAST; each corpus document then computes
+    `array_intersect` locally — a narrow map over the 100 TB side, no
+    explode-shuffle of the corpus. (Eval benchmarks are ~10^5 grams;
+    if the set ever outgrows a broadcast, fall back to the exploded
+    gram equi-join.) Documents with fewer than ``n`` tokens are
+    excluded (no grams)."""
+
+    def grams(col: Column) -> Column:
+        t = F.filter(F.split(F.lower(col), TOKEN_SPLIT_RE), lambda x: x != "")
+        return F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+            )
+        )
+
+    tok_guard = F.size(
+        F.filter(F.split(F.lower(F.col(text_col)), TOKEN_SPLIT_RE), lambda x: x != "")
+    )
+    bench = (
+        bench_df.where(tok_guard >= n)
+        .select(F.explode(grams(F.col(text_col))).alias("gram"))
+        .agg(F.array_distinct(F.collect_list("gram")).alias("bench_grams"))
+    )
+    docs = df.where(tok_guard >= n).select(
+        F.col(id_col), grams(F.col(text_col)).alias("g")
+    )
+    joined = docs.crossJoin(F.broadcast(bench))
+    return joined.select(
+        F.col(id_col),
+        F.size("g").cast("long").alias("n_grams"),
+        F.size(F.array_intersect("g", "bench_grams")).cast("long").alias("n_hit"),
+        F.round(
+            F.size(F.array_intersect("g", "bench_grams"))
+            * F.lit(1.0)
+            / F.size("g"),
+            4,
+        ).alias("overlap_frac"),
     )
 
 

@@ -205,6 +205,69 @@ def q_quality_filter(spark, sf_dir):
     return pl.quality_filter(d).drop("text")
 
 
+_B90 = int(pl.M32 * 0.90)
+_B95 = int(pl.M32 * 0.95)
+
+
+@register(
+    "q_split_assign",
+    oracle=f"""
+SELECT doc_id,
+       CASE WHEN (doc_id * {pl.KNUTH32}) % {pl.M32} < {_B90} THEN 'train'
+            WHEN (doc_id * {pl.KNUTH32}) % {pl.M32} < {_B95} THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+""",
+)
+def q_split_assign(spark, sf_dir):
+    """Deterministic 90/5/5 train/val/test split: membership is a pure
+    function of doc_id — stable under reshuffles and corpus growth."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        pl.split_assign(
+            F.col("doc_id"), {"train": 0.90, "val": 0.05, "test": 0.05}
+        ).alias("split"),
+    )
+
+
+@register(
+    "q_decontaminate",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+  FROM documents
+), g AS (
+  SELECT doc_id, array_to_string(list_slice(t, i, i + 4), ' ') AS gram
+  FROM toks JOIN range(1, 8192) r(i) ON i <= len(t) - 4
+  WHERE len(t) >= 5
+), dg AS (
+  SELECT DISTINCT doc_id, gram FROM g
+), bench AS (
+  SELECT DISTINCT gram FROM dg WHERE doc_id < 20
+)
+SELECT d.doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       round(sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+             / count(*), 4) AS overlap_frac
+FROM dg d LEFT JOIN bench b USING (gram)
+GROUP BY d.doc_id
+""",
+)
+def q_decontaminate(spark, sf_dir):
+    """Eval-set decontamination: 5-gram overlap of every document
+    against a benchmark stand-in (docs 0..19). The benchmark gram set
+    is broadcast as one array row; the corpus side is a narrow
+    array_intersect map — no corpus shuffle. Benchmark docs self-match
+    at overlap 1.0; the clean remainder sits near 0."""
+    d = table(spark, sf_dir, "documents")
+    return pl.decontaminate_overlap(
+        d, d.where(F.col("doc_id") < 20), "doc_id", "text", n=5
+    )
+
+
 PACK_BUDGET = 256
 PACK_SHARDS = 8
 

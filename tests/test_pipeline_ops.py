@@ -117,3 +117,37 @@ def test_quality_filter_rules(spark):
     got = {r.doc_id: r.fail_reason for r in pl.quality_filter(df).collect()}
     assert got[1] == "too_short"
     assert got[3] == "repetitive"
+
+
+def test_split_assign_fractions_and_determinism(spark):
+    df = spark.createDataFrame([(i,) for i in range(5000)], "doc_id long")
+    out = df.select(
+        "doc_id",
+        pl.split_assign(F.col("doc_id"), {"train": 0.9, "val": 0.05, "test": 0.05}).alias("s"),
+    )
+    counts = {r.s: r.c for r in out.groupBy("s").agg(F.count("*").alias("c")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert abs(counts["train"] / 5000 - 0.9) < 0.03
+    # pure function of id: repartitioning does not move anyone
+    moved = (
+        out.withColumnRenamed("s", "s1")
+        .join(df.repartition(17).select("doc_id", pl.split_assign(
+            F.col("doc_id"), {"train": 0.9, "val": 0.05, "test": 0.05}).alias("s2")), "doc_id")
+        .where(F.col("s1") != F.col("s2"))
+        .count()
+    )
+    assert moved == 0
+
+
+def test_decontaminate_planted_overlap(spark):
+    bench_text = " ".join(f"tok{i}alpha tok{i}beta" for i in range(20))
+    clean_text = " ".join(f"other{i}gamma other{i}delta" for i in range(20))
+    half = " ".join(bench_text.split()[:20] + clean_text.split()[:20])
+    df = spark.createDataFrame(
+        [(1, bench_text), (2, clean_text), (3, half)], "doc_id long, text string"
+    )
+    bench = df.where(F.col("doc_id") == 1)
+    got = {r.doc_id: r for r in pl.decontaminate_overlap(df, bench, "doc_id").collect()}
+    assert got[1].overlap_frac == 1.0       # benchmark self-match
+    assert got[2].overlap_frac == 0.0       # disjoint vocab
+    assert 0.0 < got[3].overlap_frac < 1.0  # half-contaminated
