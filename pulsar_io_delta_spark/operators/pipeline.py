@@ -63,23 +63,35 @@ def word_bigram_metrics(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Gopher-style repetition signals per document: total / distinct
     word bigrams, duplicate-bigram fraction, top-bigram fraction.
 
-    Shape: one explode (xW rows) + one (id, bigram) count + one id
-    aggregate — two shuffles on the document id, linear at any scale.
-    Documents with fewer than two tokens are excluded (no bigrams).
-    """
+    Shape: entirely row-local — the bigram array, its distinct set, and
+    the max per-bigram count are higher-order-function expressions over
+    the document's own tokens, so the whole operator is a narrow map
+    fused into the scan (ZERO shuffles; the earlier explode + double
+    groupBy version shuffled xW rows twice). Per-row cost is
+    O(distinct x total) comparisons — bounded by document length, all
+    inside whole-stage codegen. Documents with fewer than two tokens
+    are excluded (no bigrams)."""
     toks = F.filter(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda x: x != "")
     with_toks = df.select(F.col(id_col), toks.alias("t")).where(F.size("t") >= 2)
     bigrams = F.transform(
         F.sequence(F.lit(1), F.size("t") - 1),
         lambda i: F.concat_ws(" ", F.slice("t", i, 2)),
     )
-    bg = with_toks.select(F.col(id_col), F.explode(bigrams).alias("bigram"))
-    per_bigram = bg.groupBy(id_col, "bigram").agg(F.count("*").alias("c"))
-    return per_bigram.groupBy(id_col).agg(
-        F.sum("c").cast("long").alias("total_bigrams"),
-        F.count("*").cast("long").alias("distinct_bigrams"),
-        F.round(F.lit(1.0) - F.count("*") * F.lit(1.0) / F.sum("c"), 4).alias("dup_frac"),
-        F.round(F.max("c") * F.lit(1.0) / F.sum("c"), 4).alias("top_frac"),
+    b = with_toks.select(F.col(id_col), bigrams.alias("bg"))
+    total = F.size("bg").cast("long")
+    distinct = F.size(F.array_distinct("bg")).cast("long")
+    max_c = F.array_max(
+        F.transform(
+            F.array_distinct("bg"),
+            lambda d: F.size(F.filter("bg", lambda x: x == d)),
+        )
+    )
+    return b.select(
+        F.col(id_col),
+        total.alias("total_bigrams"),
+        distinct.alias("distinct_bigrams"),
+        F.round(F.lit(1.0) - distinct * F.lit(1.0) / total, 4).alias("dup_frac"),
+        F.round(max_c * F.lit(1.0) / total, 4).alias("top_frac"),
     )
 
 
