@@ -18,3 +18,34 @@ from pulsar_io_delta_spark.queries import relational3  # noqa: F401
 from pulsar_io_delta_spark.queries import relational  # noqa: F401
 from pulsar_io_delta_spark.queries import relational2  # noqa: F401
 from pulsar_io_delta_spark.queries import pipeline_queries  # noqa: F401
+
+from pulsar_io_delta_spark.registry import promote
+
+# Round-2 window (first 50 registrations): slots 0-36 keep the blocks that
+# had no round-1 correctness row (streaming/LLM/SQL/extra + stateful); the
+# remaining 13 slots go to the queries touched or added this round.  The
+# rows-only q_cdc_schema_evolution is ordered last of the promoted names so
+# it is the one that lands just outside — its window row would be the weak
+# rows-only check anyway, and pytest covers it.
+promote(
+    [
+        # modified this round (null-safe encode, single-pass cdc(), asof edges)
+        "q_partition_encode",
+        "q_cdc_source",
+        "q_asof_join",
+        # new round-2 training-pipeline operators, oracle-backed
+        "q_sample_hash",
+        "q_text_redact",
+        "q_repetition_metrics",
+        "q_domain_cap",
+        "q_merge_upsert",
+        "q_quality_filter",
+        "q_split_assign",
+        "q_decontaminate",
+        "q_pack_sequences",
+        "q_pulsar_wire",
+        # rows-only; deliberately the first name past the 50-slot edge
+        "q_cdc_schema_evolution",
+    ],
+    after="q_stream_stateful_count",
+)

@@ -41,6 +41,22 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
     return deco
 
 
+def promote(names: list[str], after: str) -> None:
+    """Reorder the registry so ``names`` sit immediately after ``after``.
+
+    Registration order is the order the driver samples for its
+    correctness window, so each round the queries most in need of a
+    fresh hard row (new or modified this round) are promoted into the
+    window while long-green unmodified ones rotate behind it."""
+    moved = set(names)
+    order = [n for n in QUERIES if n not in moved]
+    idx = order.index(after) + 1
+    snapshot = dict(QUERIES)
+    QUERIES.clear()
+    for n in order[:idx] + list(names) + order[idx:]:
+        QUERIES[n] = snapshot[n]
+
+
 def all_queries() -> dict[str, QuerySpec]:
     # Import for side effect: populates QUERIES.
     import pulsar_io_delta_spark.queries  # noqa: F401
