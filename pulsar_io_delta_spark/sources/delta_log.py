@@ -132,6 +132,18 @@ class Snapshot:
     adds: dict[str, dict] = field(default_factory=dict)  # path → full add action
 
 
+def _posix_path_col(file_path_col: Column) -> Column:
+    """Decode ``_metadata.file_path`` (a Hadoop-style URI such as
+    ``file:/abs/path``, percent-encoded — spaces become ``%20``,
+    non-ASCII becomes UTF-8 escapes) into the raw POSIX path, so it can
+    be equi-joined against ``os.path``-built keys. A literal ``+`` is
+    legal in a URI *path* (form-encoding quirks don't apply), but
+    ``url_decode`` is form-decoding and would turn it into a space —
+    protect it first."""
+    stripped = F.regexp_replace(file_path_col, "^[a-zA-Z0-9+.-]+:/+", "/")
+    return F.url_decode(F.regexp_replace(stripped, r"\+", "%2B"))
+
+
 def _parse_checkpoint_name(name: str) -> tuple[int, int, int] | None:
     """(version, part, num_parts) for a checkpoint file name, else None.
 
@@ -522,28 +534,47 @@ class DeltaTable:
         files, 'r' for rows of removed (pre-vacuum) files, with
         partition_value string, event time, and commit version.
 
-        Single log pass: partition columns are tracked incrementally
-        from metaData actions (no per-commit snapshot replay), and files
-        are grouped into ONE scan per (op, partition-column epoch) — a
-        10^5-commit backfill plans a handful of scans, not 10^5 union
-        branches. Per-file commit version and event time are attached by
-        a broadcast join against a (file → version, ts) lookup keyed on
-        the scan's ``_metadata.file_path``."""
+        Single log pass: schema + partition columns are tracked
+        incrementally from metaData actions (no per-commit snapshot
+        replay), and files are grouped into ONE scan per
+        (op, schema epoch) — a 10^5-commit backfill plans a handful of
+        scans, not 10^5 union branches. Each scan is pinned to its
+        epoch's schemaString (mirroring ``read()``'s log-schema pin): a
+        metaData action that evolves the schema but keeps the partition
+        columns must NOT share a schema-less scan with old files, or
+        Spark would infer the schema from one file and silently drop
+        (or null-fill) the evolved column. Per-file commit version and
+        event time are attached by a broadcast join against a
+        (file → version, ts) lookup keyed on the scan's
+        ``_metadata.file_path``."""
         from pulsar_io_delta_spark.operators.cdc import partition_value_expr
 
-        # Epoch base: partition columns in effect entering start_version.
+        # Epoch base: schema + partition columns in effect entering
+        # start_version (commit changes[0][0]'s own metaData included —
+        # re-seeing it below is a no-op change).
         changes = self.changes(start_version)
-        pcols: tuple[str, ...] = tuple(
-            self.snapshot(changes[0][0]).partition_columns if changes else []
-        )
-        groups: dict[tuple[str, tuple[str, ...]], list[str]] = {}
+        base = self.snapshot(changes[0][0]) if changes else None
+        pcols: tuple[str, ...] = tuple(base.partition_columns) if base else ()
+        schema_str: str | None = base.schema_string if base else None
+        epoch = 0
+        epoch_meta: dict[int, tuple[tuple[str, ...], str | None]] = {0: (pcols, schema_str)}
+        groups: dict[tuple[str, int], list[str]] = {}
         lookup_rows: list[tuple[str, str, int, int]] = []  # uri, op, version, ts_ms
         for version, actions in changes:
             for action in actions:
                 if "metaData" in action:
                     new_pcols = action["metaData"].get("partitionColumns")
-                    if new_pcols is not None:
+                    new_schema = action["metaData"].get("schemaString")
+                    changed = False
+                    if new_pcols is not None and tuple(new_pcols) != pcols:
                         pcols = tuple(new_pcols)
+                        changed = True
+                    if new_schema is not None and new_schema != schema_str:
+                        schema_str = new_schema
+                        changed = True
+                    if changed:
+                        epoch += 1
+                        epoch_meta[epoch] = (pcols, schema_str)
             # dataChange=false actions are file reorganization (OPTIMIZE)
             # — invisible to change consumers
             adds = [a["add"] for a in actions if "add" in a and a["add"].get("dataChange", True)]
@@ -561,7 +592,7 @@ class DeltaTable:
                 # event time is per (commit, op): max file timestamp,
                 # matching the reference's commit-granular capture
                 ts_ms = max((int(g.get(ts_key) or 0) for g in group), default=0)
-                bucket = groups.setdefault((op, pcols), [])
+                bucket = groups.setdefault((op, epoch), [])
                 for g in group:
                     abs_path = os.path.abspath(os.path.join(self.path, g["path"]))
                     lookup_rows.append((abs_path, op, version, ts_ms))
@@ -573,22 +604,18 @@ class DeltaTable:
             lookup_rows, "_fp string, op string, _commit_version long, _ts_ms long"
         )
         frames: list[DataFrame] = []
-        for (op, epoch_pcols), rel_paths in groups.items():
-            df = self._read_files(spark, rel_paths)
+        for (op, epoch_id), rel_paths in groups.items():
+            epoch_pcols, epoch_schema = epoch_meta[epoch_id]
+            df = self._read_files(spark, rel_paths, schema_string=epoch_schema)
             pv = (
                 partition_value_expr({c: F.col(c) for c in epoch_pcols})
                 if epoch_pcols
                 else F.lit("")
             )
             frames.append(
-                # _metadata.file_path is a Hadoop URI (file:/abs/path);
-                # strip the scheme to match the posix lookup key
-                df.withColumn(
-                    "_fp",
-                    F.regexp_replace(
-                        F.col("_metadata.file_path"), "^[a-zA-Z0-9+.-]+:/+", "/"
-                    ),
-                )
+                # _metadata.file_path is a percent-encoded Hadoop URI
+                # (file:/abs/path); decode to the posix lookup key
+                df.withColumn("_fp", _posix_path_col(F.col("_metadata.file_path")))
                 .withColumn("op", F.lit(op))
                 .withColumn("partition_value", pv)
             )
