@@ -559,7 +559,12 @@ class DeltaTable:
         epoch = 0
         epoch_meta: dict[int, tuple[tuple[str, ...], str | None]] = {0: (pcols, schema_str)}
         groups: dict[tuple[str, int], list[str]] = {}
-        lookup_rows: list[tuple[str, str, int, int]] = []  # uri, op, version, ts_ms
+        # path, op, epoch, version, ts_ms — epoch is part of the join key:
+        # a file re-added after a schema/pcols change lives in TWO epoch
+        # buckets (scanned once per epoch, each pinned to its schema), and
+        # without epoch in the key each scan would join ALL of the file's
+        # commits, duplicating every CDC row
+        lookup_rows: list[tuple[str, str, int, int, int]] = []
         for version, actions in changes:
             for action in actions:
                 if "metaData" in action:
@@ -595,13 +600,13 @@ class DeltaTable:
                 bucket = groups.setdefault((op, epoch), [])
                 for g in group:
                     abs_path = os.path.abspath(os.path.join(self.path, g["path"]))
-                    lookup_rows.append((abs_path, op, version, ts_ms))
+                    lookup_rows.append((abs_path, op, epoch, version, ts_ms))
                     if g["path"] not in bucket:  # re-added file: scan once,
                         bucket.append(g["path"])  # lookup fans out per commit
         if not groups:
             raise DeltaProtocolError(f"no data-changing commits ≥ {start_version}")
         lookup = spark.createDataFrame(
-            lookup_rows, "_fp string, op string, _commit_version long, _ts_ms long"
+            lookup_rows, "_fp string, op string, _epoch int, _commit_version long, _ts_ms long"
         )
         frames: list[DataFrame] = []
         for (op, epoch_id), rel_paths in groups.items():
@@ -617,6 +622,7 @@ class DeltaTable:
                 # (file:/abs/path); decode to the posix lookup key
                 df.withColumn("_fp", _posix_path_col(F.col("_metadata.file_path")))
                 .withColumn("op", F.lit(op))
+                .withColumn("_epoch", F.lit(epoch_id))
                 .withColumn("partition_value", pv)
             )
         out = frames[0]
@@ -625,9 +631,9 @@ class DeltaTable:
             # by name, null-filling columns absent on either side
             out = out.unionByName(f, allowMissingColumns=True)
         return (
-            out.join(F.broadcast(lookup), ["_fp", "op"])
+            out.join(F.broadcast(lookup), ["_fp", "op", "_epoch"])
             .withColumn("ts", F.timestamp_millis(F.col("_ts_ms")))
-            .drop("_fp", "_ts_ms")
+            .drop("_fp", "_ts_ms", "_epoch")
         )
 
     def schema_changes(self, start_version: int = 0) -> list[tuple[int, str]]:
@@ -869,14 +875,14 @@ class DeltaTable:
                 "evolve the schema with write() first"
             )
         keys = source.select(*key_cols).distinct()
-        strip_scheme = F.regexp_replace(
-            F.col("_metadata.file_path"), "^[a-zA-Z0-9+.-]+:/+", "/"
-        )
         if snap.files:
             scan = self._read_files(spark, snap.files, schema_string=snap.schema_string)
+            # _metadata.file_path is a percent-encoded Hadoop URI; decode
+            # (not just strip the scheme) so relpath keys survive spaces,
+            # '%', '+', and non-ASCII in table/partition paths
             touched_abs = [
                 r._fp
-                for r in scan.withColumn("_fp", strip_scheme)
+                for r in scan.withColumn("_fp", _posix_path_col(F.col("_metadata.file_path")))
                 .join(keys, key_cols, "left_semi")
                 .select("_fp")
                 .distinct()
@@ -945,39 +951,66 @@ class DeltaTable:
     ) -> int:
         """Commit pre-staged data files (written by an external writer,
         e.g. the pulsar_delta_cdc DataSourceStreamWriter's executors).
-        ``adds`` are raw add-action dicts with table-relative paths."""
-        actions: list[dict] = []
-        read_version: int | None = None
-        if txn is not None:
-            app_id, txn_version = txn
-            if self.exists() and self.versions() and self.last_txn_version(app_id) >= txn_version:
-                return -1  # replayed batch: files stay orphaned outside the log
-            actions.append(
-                {"txn": {"appId": app_id, "version": txn_version, "lastUpdated": int(time.time() * 1000)}}
-            )
-            if self.exists() and self.versions():
-                read_version = self.versions()[-1]  # idempotency checked here
-        if not (self.exists() and self.versions()):
-            actions.append({"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}})
-            actions.append(
-                {
-                    "metaData": {
-                        "id": str(uuid.uuid4()),
-                        "format": {"provider": "parquet", "options": {}},
-                        "schemaString": schema_json,
-                        "partitionColumns": partition_by or [],
-                        "configuration": {},
-                    }
-                }
-            )
-        actions.extend({"add": a} for a in adds)
+        ``adds`` are raw add-action dicts with table-relative paths.
+
+        Like ``write()``, an evolved ``schema_json`` (new columns vs the
+        current snapshot) or changed ``partition_by`` emits a fresh
+        ``metaData`` action — without it, a schema evolution arriving
+        through the streaming sink (sources/datasource.py) would never
+        reach the log and schema-pinned readers would silently drop the
+        new column. Actions are rebuilt per OCC retry so a racing
+        metadata commit is re-merged, never clobbered."""
         while True:
+            actions: list[dict] = []
+            read_version: int | None = None
+            first = not (self.exists() and self.versions())
+            if txn is not None:
+                app_id, txn_version = txn
+                if not first and self.last_txn_version(app_id) >= txn_version:
+                    return -1  # replayed batch: files stay orphaned outside the log
+                actions.append(
+                    {"txn": {"appId": app_id, "version": txn_version, "lastUpdated": int(time.time() * 1000)}}
+                )
+                if not first:
+                    read_version = self.versions()[-1]  # idempotency checked here
+            if first:
+                actions.append({"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}})
+                actions.append(
+                    {
+                        "metaData": {
+                            "id": str(uuid.uuid4()),
+                            "format": {"provider": "parquet", "options": {}},
+                            "schemaString": schema_json,
+                            "partitionColumns": partition_by or [],
+                            "configuration": {},
+                        }
+                    }
+                )
+            else:
+                prior = self.snapshot()
+                merged = self._merge_schema_strings(prior.schema_string, schema_json)
+                new_pcols = list(partition_by or [])
+                if merged is not None or new_pcols != prior.partition_columns:
+                    actions.append(
+                        {
+                            "metaData": {
+                                "id": str(uuid.uuid4()),
+                                "format": {"provider": "parquet", "options": {}},
+                                "schemaString": merged if merged is not None else (prior.schema_string or schema_json),
+                                "partitionColumns": new_pcols,
+                                "configuration": {},
+                            }
+                        }
+                    )
+                    read_version = prior.version  # don't clobber a racing schema change
+            actions.extend({"add": a} for a in adds)
             try:
                 return self._commit(actions, operation, read_version=read_version)
             except DeltaConcurrentCommit:
                 if txn is not None and self.last_txn_version(txn[0]) >= txn[1]:
                     return -1  # a racer delivered this exact batch
-                read_version = self.versions()[-1]
+                # loop: rebuild actions (txn read_version, schema merge)
+                # against the post-race snapshot
 
     def compact(self, spark: SparkSession, target_files: int = 1) -> int:
         """OPTIMIZE-style bin-packing: rewrite the current snapshot's

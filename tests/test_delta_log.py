@@ -444,3 +444,112 @@ def test_merge_upsert_into_empty_and_unknown_column(spark, table_path):
     t.merge_upsert(spark, partial, ["event_id"])
     rows = {r.event_id: r.event_type for r in t.read(spark).collect()}
     assert rows == {0: None, 1: "click", 5: None}
+
+
+# ---------- round-4 regressions: schema evolution via external adds, ----------
+# ---------- epoch-correct CDC, percent-encoded paths ----------
+
+_S1 = (
+    '{"type":"struct","fields":[{"name":"event_id","type":"long",'
+    '"nullable":true,"metadata":{}}]}'
+)
+_S2 = (
+    '{"type":"struct","fields":[{"name":"event_id","type":"long",'
+    '"nullable":true,"metadata":{}},{"name":"tag","type":"string",'
+    '"nullable":true,"metadata":{}}]}'
+)
+
+
+def _ext_add(rel, mod_ms=1000):
+    return {"path": rel, "partitionValues": {}, "size": 1,
+            "modificationTime": mod_ms, "dataChange": True}
+
+
+def _write_pq(path, rel, ids, tag=None):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    cols = {"event_id": pa.array(list(ids), pa.int64())}
+    if tag is not None:
+        cols["tag"] = pa.array([tag] * len(list(ids)), pa.string())
+    pq.write_table(pa.table(cols), os.path.join(path, rel))
+
+
+def test_external_adds_schema_evolution_recorded(spark, tmp_path):
+    """A later commit_external_adds with an evolved schema_json must emit
+    a metaData action; without it, read()/cdc() (pinned to the LOG
+    schema) silently drop the new column (round-3 judge repro)."""
+    path = str(tmp_path / "ext")
+    os.makedirs(path)
+    t = DeltaTable(path)
+    _write_pq(path, "a.parquet", [1, 2])
+    t.commit_external_adds([_ext_add("a.parquet")], "WRITE", schema_json=_S1)
+    _write_pq(path, "b.parquet", [3], tag="x")
+    t.commit_external_adds([_ext_add("b.parquet", 2000)], "WRITE", schema_json=_S2)
+    # the evolution reached the log
+    snap = t.snapshot()
+    assert [f["name"] for f in json.loads(snap.schema_string)["fields"]] == ["event_id", "tag"]
+    changes = t.schema_changes(1)
+    assert [(v, json.loads(s)) for v, s in changes] == [(1, json.loads(_S2))]
+    rows = {r.event_id: r.tag for r in t.read(spark).collect()}
+    assert rows == {1: None, 2: None, 3: "x"}
+    cdc = {r.event_id: (r.tag, r._commit_version) for r in t.cdc(spark).collect()}
+    assert cdc == {1: (None, 0), 2: (None, 0), 3: ("x", 1)}
+    # re-committing the same schema is NOT a new metadata epoch
+    _write_pq(path, "c.parquet", [4], tag="y")
+    v = t.commit_external_adds([_ext_add("c.parquet", 3000)], "WRITE", schema_json=_S2)
+    assert not any("metaData" in a for a in t.actions(v))
+
+
+def test_cdc_across_schema_boundary_one_call(spark, table_path):
+    """One cdc() drain spanning an op='m' boundary: old-epoch rows
+    null-fill the evolved column, commit versions stay per-epoch."""
+    t = DeltaTable(table_path)
+    t.write(events_df(spark, range(3)))
+    t.write(events_df(spark, range(3, 5)).withColumn("tag", F.lit("new")))
+    rows = {r.event_id: (r.tag, r._commit_version) for r in t.cdc(spark, 0).collect()}
+    assert rows == {0: (None, 0), 1: (None, 0), 2: (None, 0),
+                    3: ("new", 1), 4: ("new", 1)}
+
+
+def test_cdc_readded_file_across_epochs(spark, tmp_path):
+    """A path re-added after a schema evolution lives in two epoch
+    buckets; the epoch-keyed lookup join must emit each commit's rows
+    exactly once (2 copies, not 4)."""
+    path = str(tmp_path / "re")
+    os.makedirs(path)
+    t = DeltaTable(path)
+    _write_pq(path, "a.parquet", [1, 2])
+    t.commit_external_adds([_ext_add("a.parquet")], "WRITE", schema_json=_S1)
+    _write_pq(path, "b.parquet", [3], tag="x")
+    t.commit_external_adds([_ext_add("b.parquet", 2000)], "WRITE", schema_json=_S2)
+    t.commit_external_adds([_ext_add("a.parquet", 3000)], "WRITE", schema_json=_S2)
+    rows = t.cdc(spark, 0).collect()
+    assert len(rows) == 2 + 1 + 2
+    by_commit = {}
+    for r in rows:
+        by_commit.setdefault(r._commit_version, []).append((r.event_id, r.tag))
+    assert sorted(by_commit[0]) == [(1, None), (2, None)]
+    assert sorted(by_commit[1]) == [(3, "x")]
+    assert sorted(by_commit[2]) == [(1, None), (2, None)]
+
+
+def test_special_char_table_path_cdc_and_merge(spark, tmp_path):
+    """Table + partition paths with spaces/%/+ survive the
+    _metadata.file_path percent-encoding round trip in cdc() AND
+    merge_upsert() (ADVICE round-3: merge stripped the scheme but never
+    url-decoded, so touched-file relpaths missed)."""
+    path = str(tmp_path / "sp ace %25 +plus" / "tbl")
+    t = DeltaTable(path)
+    df = spark.createDataFrame(
+        [(1, "europe west"), (2, "asia+east")], "id long, region string"
+    )
+    t.write(df, partition_by=["region"])
+    got = {(r.id, r.region) for r in t.cdc(spark).collect()}
+    assert got == {(1, "europe west"), (2, "asia+east")}
+    src = spark.createDataFrame(
+        [(1, "europe north"), (3, "no where")], "id long, region string"
+    )
+    t.merge_upsert(spark, src, ["id"])
+    final = {(r.id, r.region) for r in t.read(spark).collect()}
+    assert final == {(1, "europe north"), (2, "asia+east"), (3, "no where")}
