@@ -17,6 +17,7 @@ all heavy relational work, and is embarrassingly parallel.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -63,19 +64,82 @@ def partition_id_for(value: str, num_partitions: int) -> int:
     return (murmur3_32(value.encode("utf-8")) & 0x7FFFFFFF) % num_partitions
 
 
+def murmur3_32_batch(values: "pd.Series | list[str]") -> np.ndarray:
+    """Vectorized murmurhash3_x86_32 seed-0 over UTF-8 strings.
+
+    Column-at-a-time numpy kernel: rows are zero-padded into an
+    [n, ceil(max_len/4)] little-endian uint32 block matrix, then the
+    mix loop runs once per BLOCK COLUMN (vectorized across all rows,
+    masked to rows long enough to own that block) instead of once per
+    row — ~max_len/4 numpy passes regardless of row count. Byte-exact
+    with ``murmur3_32`` (asserted in test_murmur3.py)."""
+    if isinstance(values, pd.Series):
+        values = values.tolist()
+    n = len(values)
+    if n == 0:
+        return np.empty(0, dtype=np.uint32)
+    bufs = [v.encode("utf-8") for v in values]
+    lengths = np.fromiter((len(b) for b in bufs), dtype=np.int64, count=n)
+    max_len = int(lengths.max())
+    width = ((max_len + 3) // 4) * 4 if max_len else 4
+    flat = np.zeros(n * width, dtype=np.uint8)
+    # one fancy-indexed scatter for the whole batch (no per-row loop):
+    # byte g of the concatenation, belonging to row i at intra-row
+    # offset (g - start_i), lands at i*width + g - start_i
+    src = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+    if src.size:
+        starts = np.concatenate(([0], np.cumsum(lengths)[:-1]))
+        dst = np.repeat(np.arange(n, dtype=np.int64) * width - starts, lengths)
+        dst += np.arange(src.size, dtype=np.int64)
+        flat[dst] = src
+    blocks = flat.view("<u4").reshape(n, width // 4)
+    c1 = np.uint32(0xCC9E2D51)
+    c2 = np.uint32(0x1B873593)
+    h = np.zeros(n, dtype=np.uint32)
+    full_blocks = (lengths // 4).astype(np.int64)
+    with np.errstate(over="ignore"):
+        for j in range(blocks.shape[1]):
+            mask = full_blocks > j
+            if not mask.any():
+                break
+            k = blocks[mask, j] * c1
+            k = (k << np.uint32(15)) | (k >> np.uint32(17))
+            k *= c2
+            hm = h[mask] ^ k
+            hm = (hm << np.uint32(13)) | (hm >> np.uint32(19))
+            h[mask] = hm * np.uint32(5) + np.uint32(0xE6546B64)
+        # tail: the last partial block, masked per tail length
+        tail_len = lengths & 3
+        has_tail = tail_len > 0
+        if has_tail.any():
+            tail_block = blocks[np.arange(n), full_blocks.clip(max=blocks.shape[1] - 1)]
+            # zero-padded matrix means the tail block already holds the
+            # 1-3 tail bytes little-endian with zero fill — mask to width
+            keep = (np.uint64(1) << (np.uint64(8) * tail_len.astype(np.uint64))) - np.uint64(1)
+            k = (tail_block.astype(np.uint64) & keep).astype(np.uint32)
+            k *= c1
+            k = (k << np.uint32(15)) | (k >> np.uint32(17))
+            k *= c2
+            h = np.where(has_tail, h ^ k, h)
+        h ^= lengths.astype(np.uint32)
+        h ^= h >> np.uint32(16)
+        h *= np.uint32(0x85EBCA6B)
+        h ^= h >> np.uint32(13)
+        h *= np.uint32(0xC2B2AE35)
+        h ^= h >> np.uint32(16)
+    return h
+
+
 def murmur3_route_col(col: Column, num_partitions: int) -> Column:
-    """Column of routing slot ids (BIGINT), Arrow-batched."""
+    """Column of routing slot ids (BIGINT), Arrow-batched + numpy-
+    vectorized (no per-row Python in the sink-edge routing path)."""
 
     @pandas_udf("long")
     def _route(s: pd.Series) -> pd.Series:
-        # Partition-value cardinality is tiny relative to row count
-        # (it's a partition key): hash each distinct value once per
-        # Arrow batch, then broadcast-map — ~cardinality hashes instead
-        # of ~batch-size.
-        lut = {v: partition_id_for(v, num_partitions) for v in s.unique()}
-        return s.map(lut)
+        slots = (murmur3_32_batch(s) & np.uint32(0x7FFFFFFF)) % np.uint32(num_partitions)
+        return pd.Series(slots.astype(np.int64), index=s.index)
 
     return _route(col)
 
 
-__all__ = ["murmur3_32", "partition_id_for", "murmur3_route_col"]
+__all__ = ["murmur3_32", "murmur3_32_batch", "partition_id_for", "murmur3_route_col"]

@@ -30,3 +30,24 @@ def test_tail_lengths():
     for s in (b"a", b"ab", b"abc", b"abcd", b"abcde"):
         h = murmur3_32(s)
         assert 0 <= h <= 0xFFFFFFFF
+
+
+def test_batch_kernel_byte_parity():
+    """numpy batch kernel == scalar reference, all tail lengths +
+    unicode + empty + long strings, in one mixed batch."""
+    import random
+
+    import numpy as np
+
+    from pulsar_io_delta_spark.functions.murmur3 import murmur3_32_batch
+
+    rng = random.Random(7)
+    values = ["", "a", "ab", "abc", "abcd", "abcde", "héllo wörld", "日本語テキスト"]
+    alphabet = "abcdefghijklmnopqrstuvwxyz0123456789=_-é日"
+    values += ["".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 67)))
+               for _ in range(500)]
+    got = murmur3_32_batch(values)
+    expect = np.array([murmur3_32(v.encode("utf-8")) for v in values], dtype=np.uint32)
+    assert got.dtype == np.uint32
+    assert (got == expect).all()
+    assert (murmur3_32_batch([]) == np.empty(0)).all()
