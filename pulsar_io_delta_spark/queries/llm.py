@@ -4,9 +4,18 @@ cosine), similarity search (brute-force + LSH ANN), text analysis
 (tokens, stats, language-ID, quality, fingerprint), multimodal columns.
 
 Near-dup queries run over a *planted* corpus — documents unioned with a
-mutated copy (ids offset by 1,000,000, first 14 chars dropped) — so the
-sketch-based queries demonstrably recover known near-duplicates instead
-of returning whatever noise the synthetic corpus happens to contain.
+punctuation-variant copy (ids offset by 1,000,000, " ." appended) — and
+return per-planted-pair RECALL CONTRACTS. The mutation preserves the
+lowercased-alphanumeric token stream, so the MinHash and SimHash
+signatures of each plant are identical to its original BY CONSTRUCTION
+and expected recall is exactly 100%: the DuckDB oracle can assert every
+pair recovered, and any miss is a real bug in the sketch/banding/join
+machinery, not sampling noise. Partial-recall behavior on lossy
+mutations remains a sketch property, covered in tests/test_dedup*.
+(The synthetic corpus is heavily templated — ~80k genuine cross-
+original pairs at char-3-gram Jaccard ≥ 0.4 — so contracts are phrased
+to be invariant under that noise: pair recovery and same-keep-group,
+never global keep-list identity.)
 """
 
 from __future__ import annotations
@@ -24,12 +33,33 @@ PLANT_OFFSET = 1_000_000
 
 
 def _planted_corpus(docs: DataFrame) -> DataFrame:
-    """documents ∪ near-dup mutations (drop the first 14 chars)."""
+    """documents ∪ near-dup mutations (trailing ``" ."`` appended).
+
+    The mutation is sketch-invariant: tokens_col lowercases and splits
+    on non-alphanumerics, so the token stream — hence the MinHash
+    shingle set and SimHash token multiset — is unchanged, while the
+    raw text (and its char-3-grams, Jaccard ≥ g/(g+3)) differs. That
+    makes 100% recall a construction guarantee the oracle can assert."""
     mutated = docs.select(
         (F.col("doc_id") + PLANT_OFFSET).alias("doc_id"),
-        F.substring("text", 15, 1_000_000).alias("text"),
+        F.concat(F.col("text"), F.lit(" .")).alias("text"),
     )
     return docs.select("doc_id", "text").unionAll(mutated)
+
+
+def _pair_recall(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """(id_a, id_b, recovered) for every planted pair: left-join the
+    plant list against the candidate pairs so a MISS surfaces as
+    recovered=false (hash mismatch vs the all-true oracle), never as a
+    silently absent row."""
+    plants = docs.select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + PLANT_OFFSET).alias("id_b"),
+    )
+    hit = pairs.select("id_a", "id_b").withColumn("recovered", F.lit(True))
+    return plants.join(hit, ["id_a", "id_b"], "left").select(
+        "id_a", "id_b", F.coalesce("recovered", F.lit(False)).alias("recovered")
+    )
 
 
 @register(
@@ -46,48 +76,84 @@ def q_dedup_exact(spark, sf_dir):
     return dd.exact_dedup(d.unionAll(d))
 
 
-@register("q_dedup_minhash", oracle=None)  # sketch-based, not SQL-expressible
+@register(
+    "q_dedup_minhash",
+    oracle="SELECT doc_id AS id_a, doc_id + 1000000 AS id_b, TRUE AS recovered FROM documents",
+)
 def q_dedup_minhash(spark, sf_dir):
-    """MinHash(32 perms) + LSH(8 bands × 4): candidate near-dup pairs
-    over the planted corpus; recall target is the (d, d+1e6) plants."""
+    """MinHash(32 perms) + LSH(8 bands × 4) recall contract: every
+    planted (d, d+1e6) pair must surface as a candidate. The plant's
+    signature is identical by construction (token-preserving mutation),
+    so the all-true oracle is exact — a false row is a sketch bug."""
+    docs = table(spark, sf_dir, "documents")
+    corpus = _planted_corpus(docs)
+    sig = dd.minhash_signature(corpus, "doc_id", "text")
+    pairs = dd.lsh_candidate_pairs(sig, "doc_id")
+    return _pair_recall(docs, pairs)
+
+
+@register(
+    "q_dedup_near",
+    oracle="""
+SELECT doc_id, TRUE AS has_near_dup FROM documents
+UNION ALL SELECT doc_id + 1000000, TRUE FROM documents
+""",
+)
+def q_dedup_near(spark, sf_dir):
+    """Near-duplicate detection (SURVEY §2.3's declared name), as a
+    per-document contract: every corpus row has ≥1 candidate partner
+    (at minimum its plant), asserted exactly by the oracle."""
     corpus = _planted_corpus(table(spark, sf_dir, "documents"))
     sig = dd.minhash_signature(corpus, "doc_id", "text")
     pairs = dd.lsh_candidate_pairs(sig, "doc_id")
-    return pairs.select(
-        "id_a",
-        "id_b",
-        (F.col("id_b") - F.col("id_a") == PLANT_OFFSET).alias("is_planted"),
+    partnered = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .unionAll(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+        .withColumn("has_near_dup", F.lit(True))
+    )
+    return corpus.select("doc_id").join(partnered, "doc_id", "left").select(
+        "doc_id", F.coalesce("has_near_dup", F.lit(False)).alias("has_near_dup")
     )
 
 
-@register("q_dedup_near", oracle=None)  # SURVEY §2.3's declared name for near-dup
-def q_dedup_near(spark, sf_dir):
-    """Near-duplicate detection (MinHash+LSH), under the name declared
-    in SURVEY §2.3; q_dedup_minhash exposes the same pipeline with the
-    planted-recall flag."""
-    corpus = _planted_corpus(table(spark, sf_dir, "documents"))
-    sig = dd.minhash_signature(corpus, "doc_id", "text")
-    return dd.lsh_candidate_pairs(sig, "doc_id")
-
-
-@register("q_dedup_pipeline", oracle=None)  # sketch candidates → verified keep list
+@register(
+    "q_dedup_pipeline",
+    oracle="SELECT doc_id, TRUE AS same_group FROM documents",
+)
 def q_dedup_pipeline(spark, sf_dir):
-    """Composed near-dedup: MinHash+LSH candidates, Jaccard-verified on
-    candidates only, min-id keep list over the planted corpus. Planted
-    rows must map to their originals; originals keep themselves."""
-    corpus = _planted_corpus(table(spark, sf_dir, "documents"))
+    """Composed near-dedup (MinHash+LSH candidates → Jaccard-verified →
+    min-label keep list): contract is that each original and its plant
+    land in the SAME keep group — invariant under the templated
+    corpus's genuine cross-document near-dups merging components, yet
+    guaranteed for plants (their verified edge exists by construction)."""
+    docs = table(spark, sf_dir, "documents")
+    corpus = _planted_corpus(docs)
     keep = dd.near_dedup_keep_list(corpus, "doc_id", "text", jaccard_threshold=0.5)
-    return keep.select(
-        "id", "keep_id", (F.col("id") != F.col("keep_id")).alias("is_dup")
+    ko = keep.where(F.col("id") < PLANT_OFFSET).select(
+        F.col("id").alias("doc_id"), F.col("keep_id").alias("k_orig")
+    )
+    km = keep.where(F.col("id") >= PLANT_OFFSET).select(
+        (F.col("id") - PLANT_OFFSET).alias("doc_id"), F.col("keep_id").alias("k_mut")
+    )
+    return ko.join(km, "doc_id").select(
+        "doc_id", (F.col("k_orig") == F.col("k_mut")).alias("same_group")
     )
 
 
-@register("q_dedup_simhash", oracle=None)
+@register(
+    "q_dedup_simhash",
+    oracle="SELECT doc_id AS id_a, doc_id + 1000000 AS id_b, TRUE AS recovered FROM documents",
+)
 def q_dedup_simhash(spark, sf_dir):
-    """SimHash-64 near-dup pairs (hamming ≤ 3) via 4×16-bit banding."""
-    corpus = _planted_corpus(table(spark, sf_dir, "documents"))
+    """SimHash-64 (hamming ≤ 3 via 4×16-bit banding) recall contract:
+    plants have hamming 0 by construction (identical token multiset),
+    so every planted pair must be recovered."""
+    docs = table(spark, sf_dir, "documents")
+    corpus = _planted_corpus(docs)
     sig = dd.simhash_signature(corpus, "doc_id", "text")
-    return dd.simhash_near_pairs(sig, "doc_id", max_hamming=3)
+    pairs = dd.simhash_near_pairs(sig, "doc_id", max_hamming=3)
+    return _pair_recall(docs, pairs)
 
 
 @register(

@@ -13,8 +13,25 @@ from pulsar_io_delta_spark.tables import table
 
 
 def test_minhash_recall_on_planted(spark, sf_dir):
+    """Token-preserving plants have identical signatures — recall must
+    be exactly 100%, not approximately high."""
     corpus = _planted_corpus(table(spark, sf_dir, "documents"))
     n_docs = corpus.count() // 2
+    pairs = dd.lsh_candidate_pairs(dd.minhash_signature(corpus, "doc_id", "text"), "doc_id")
+    planted_found = pairs.where(F.col("id_b") - F.col("id_a") == PLANT_OFFSET).count()
+    assert planted_found == n_docs
+
+
+def test_minhash_recall_on_lossy_mutation(spark, sf_dir):
+    """Fuzzy-recall property on a genuinely lossy mutation (first 14
+    chars dropped): high but sub-100% recall is the sketch's nature."""
+    docs = table(spark, sf_dir, "documents")
+    mutated = docs.select(
+        (F.col("doc_id") + PLANT_OFFSET).alias("doc_id"),
+        F.substring("text", 15, 1_000_000).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionAll(mutated)
+    n_docs = docs.count()
     pairs = dd.lsh_candidate_pairs(dd.minhash_signature(corpus, "doc_id", "text"), "doc_id")
     planted_found = pairs.where(F.col("id_b") - F.col("id_a") == PLANT_OFFSET).count()
     recall = planted_found / n_docs
@@ -26,7 +43,9 @@ def test_simhash_close_on_neardups(spark, sf_dir):
     sig = dd.simhash_signature(corpus, "doc_id", "text")
     pairs = dd.simhash_near_pairs(sig, "doc_id", max_hamming=6)
     planted = pairs.where(F.col("id_b") - F.col("id_a") == PLANT_OFFSET)
-    assert planted.count() >= 25  # most 14-char mutations stay within hamming 6
+    # identical token multiset ⇒ hamming 0 ⇒ all 50 plants recovered
+    assert planted.count() == 50
+    assert planted.where(F.col("hamming") != 0).count() == 0
     assert pairs.where(F.col("hamming") > 6).count() == 0
 
 
@@ -35,9 +54,12 @@ def test_dedup_pipeline_recovers_plants(spark, sf_dir):
     keep = dd.near_dedup_keep_list(corpus, "doc_id", "text", jaccard_threshold=0.5)
     rows = keep.collect()
     assert len(rows) == corpus.count()  # every row classified
-    planted = [r for r in rows if r.id >= PLANT_OFFSET]
-    mapped = sum(1 for r in planted if r.keep_id == r.id - PLANT_OFFSET)
-    assert mapped / len(planted) >= 0.9, f"pipeline recall {mapped/len(planted)}"
+    labels = {r.id: r.keep_id for r in rows}
+    # contract: plant and original share a keep group (invariant under
+    # genuine cross-document near-dups merging components)
+    for rid, kid in labels.items():
+        if rid >= PLANT_OFFSET:
+            assert kid == labels[rid - PLANT_OFFSET], (rid, kid)
 
 
 def test_ngram_jaccard_bounds(spark, sf_dir):
