@@ -197,27 +197,9 @@ def near_dedup_keep_list(
     """
     sig = minhash_signature(df, id_col, text_col, num_perm=num_perm)
     cand = lsh_candidate_pairs(sig, id_col, num_perm=num_perm, bands=bands)
-    grams = df.select(
-        F.col(id_col).alias("gid"),
-        F.explode(char_ngrams_col(F.col(text_col), 3)).alias("g"),
-    )
-    counts = grams.groupBy("gid").agg(F.count("*").alias("gcnt"))
-    # verify only candidate pairs: join grams restricted by candidate ids
-    ga = grams.withColumnRenamed("gid", "id_a")
-    gb = grams.withColumnRenamed("gid", "id_b")
-    inter = (
-        cand.join(ga, "id_a")
-        .join(gb.withColumnRenamed("g", "g_b"), "id_b")
-        .where(F.col("g") == F.col("g_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("inter"))
-    )
     verified = (
-        inter.join(counts.select(F.col("gid").alias("id_a"), F.col("gcnt").alias("ca")), "id_a")
-        .join(counts.select(F.col("gid").alias("id_b"), F.col("gcnt").alias("cb")), "id_b")
-        .where(
-            F.col("inter") / (F.col("ca") + F.col("cb") - F.col("inter")) >= jaccard_threshold
-        )
+        jaccard_on_candidates(df, cand, id_col, text_col, n=3)
+        .where(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b")
     )
     labels = _min_label_fixpoint(verified)
@@ -268,6 +250,40 @@ def _min_label_fixpoint(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
         if not changed:
             break
     return labels.select("id", F.col("label").alias("keep_id"))
+
+
+def jaccard_on_candidates(
+    df: DataFrame, cand: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """(id_a, id_b, jaccard) — exact char-n-gram Jaccard computed ONLY
+    for the given candidate pairs, via gram equi-joins restricted by
+    candidate ids. This is the 100 TB verify stage: cost is proportional
+    to |candidates| × grams-per-doc, never all-pairs."""
+    grams = df.select(
+        F.col(id_col).alias("gid"),
+        F.explode(char_ngrams_col(F.col(text_col), n)).alias("g"),
+    )
+    counts = grams.groupBy("gid").agg(F.count("*").alias("gcnt"))
+    ga = grams.withColumnRenamed("gid", "id_a")
+    gb = grams.withColumnRenamed("gid", "id_b")
+    inter = (
+        cand.join(ga, "id_a")
+        .join(gb.withColumnRenamed("g", "g_b"), "id_b")
+        .where(F.col("g") == F.col("g_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(counts.select(F.col("gid").alias("id_a"), F.col("gcnt").alias("ca")), "id_a")
+        .join(counts.select(F.col("gid").alias("id_b"), F.col("gcnt").alias("cb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("inter") / (F.col("ca") + F.col("cb") - F.col("inter")), 4
+            ).alias("jaccard"),
+        )
+    )
 
 
 def ngram_jaccard_pairs(

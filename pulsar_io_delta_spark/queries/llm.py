@@ -159,48 +159,82 @@ def q_dedup_simhash(spark, sf_dir):
 @register(
     "q_ngram_jaccard",
     oracle="""
-WITH sub AS (SELECT doc_id, text FROM documents WHERE doc_id % 100 = 0),
-g AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 3) AS g
-      FROM sub JOIN range(1, 4096) t(i) ON i <= greatest(length(text) - 2, 1)),
-c AS (SELECT doc_id, count(*) AS cnt FROM g GROUP BY doc_id)
-SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       round(CAST(count(*) AS DOUBLE)
-             / (any_value(ca.cnt) + any_value(cb.cnt) - count(*)), 4) AS jaccard
-FROM g a
-JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id
-JOIN c ca ON ca.doc_id = a.doc_id
-JOIN c cb ON cb.doc_id = b.doc_id
-GROUP BY a.doc_id, b.doc_id
+WITH g AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 3) AS g
+      FROM documents JOIN range(1, 4096) t(i) ON i <= greatest(length(text) - 2, 1)),
+gm AS (SELECT DISTINCT doc_id, substr(text || ' .', CAST(i AS INT), 3) AS g
+      FROM documents JOIN range(1, 4096) t(i) ON i <= greatest(length(text || ' .') - 2, 1)),
+c AS (SELECT doc_id, count(*) AS cnt FROM g GROUP BY doc_id),
+cm AS (SELECT doc_id, count(*) AS cnt FROM gm GROUP BY doc_id),
+i AS (SELECT g.doc_id, count(*) AS inter FROM g
+      JOIN gm ON g.doc_id = gm.doc_id AND g.g = gm.g GROUP BY g.doc_id)
+SELECT i.doc_id AS id_a, i.doc_id + 1000000 AS id_b,
+       round(CAST(inter AS DOUBLE)
+             / (c.cnt + cm.cnt - inter), 4) AS jaccard
+FROM i JOIN c ON c.doc_id = i.doc_id JOIN cm ON cm.doc_id = i.doc_id
 """,
 )
 def q_ngram_jaccard(spark, sf_dir):
-    """Character-3-gram Jaccard between all pairs of a doc subset —
-    the verify stage that follows MinHash candidate generation at scale."""
-    sub = table(spark, sf_dir, "documents").where(F.col("doc_id") % 100 == 0)
-    return dd.ngram_jaccard_pairs(sub, "doc_id", "text", n=3)
+    """Char-3-gram Jaccard VERIFY-ON-CANDIDATES: exact Jaccard computed
+    only for MinHash-LSH candidate pairs (gram equi-joins restricted by
+    candidate ids — no all-pairs join in the plan), output restricted to
+    the planted pairs so the oracle recomputes each value directly from
+    (text, text || ' .')."""
+    docs = table(spark, sf_dir, "documents")
+    corpus = _planted_corpus(docs)
+    sig = dd.minhash_signature(corpus, "doc_id", "text")
+    cand = dd.lsh_candidate_pairs(sig, "doc_id")
+    jac = dd.jaccard_on_candidates(corpus, cand, "doc_id", "text", n=3)
+    plants = docs.select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + PLANT_OFFSET).alias("id_b"),
+    )
+    return plants.join(jac, ["id_a", "id_b"]).select("id_a", "id_b", "jaccard")
 
 
-@register(
-    "q_dedup_embcos",
-    oracle="""
+def _embcos_oracle() -> str:
+    """Oracle SQL for q_dedup_embcos, generated from the SAME
+    deterministic hyperplane constants the Spark plan uses, so both
+    sides bucket identically (the dot-product fold order is also
+    identical — zip_with/aggregate vs list_dot_product, bit-exact)."""
+    planes = sim.hyperplanes(64, 8)
+    bits = "\n   + ".join(
+        f"(CASE WHEN list_dot_product(v, [{', '.join(repr(x) for x in plane)}]::DOUBLE[]) > 0"
+        f" THEN {1 << i} ELSE 0 END)"
+        for i, plane in enumerate(planes)
+    )
+    return f"""
 WITH n AS (
   SELECT vec_id, embedding::DOUBLE[] AS v,
          list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS n2
-  FROM embeddings WHERE vec_id % 10 = 0)
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       round(list_dot_product(a.v, b.v) / sqrt(a.n2 * b.n2), 4) AS cos_r
-FROM n a JOIN n b ON a.vec_id < b.vec_id
-WHERE list_dot_product(a.v, b.v) / sqrt(a.n2 * b.n2) >= 0.25
-""",
-)
+  FROM embeddings),
+b AS (SELECT vec_id, v, n2, {bits} AS bucket FROM n)
+SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+       round(list_dot_product(a.v, b2.v) / sqrt(a.n2 * b2.n2), 4) AS cos_r
+FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+WHERE list_dot_product(a.v, b2.v) / sqrt(a.n2 * b2.n2) >= 0.25
+"""
+
+
+@register("q_dedup_embcos", oracle=_embcos_oracle())
 def q_dedup_embcos(spark, sf_dir):
-    """Embedding-cosine near-dup pairs (cos ≥ 0.25) over a subset.
-    Spark's zip_with/aggregate fold is bit-exact vs DuckDB's
-    list_dot_product (verified: 4950/4950 pairs identical)."""
-    e = sim.with_norm2(table(spark, sf_dir, "embeddings").where(F.col("vec_id") % 10 == 0))
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("av"), F.col("v_n2").alias("an2"))
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("bv"), F.col("v_n2").alias("bn2"))
-    j = a.join(b, F.col("id_a") < F.col("id_b"))
+    """Embedding-cosine near-dup pairs (cos ≥ 0.25) over the FULL table
+    via sign-LSH bucketing: the 8-plane bucket id is the equi-join key,
+    so candidate generation shuffles on bucket instead of planning an
+    O(n²) nested-loop; at 100 TB the bucket id doubles as the physical
+    bucketing key. The oracle mirrors the same plane constants."""
+    planes = sim.hyperplanes(64, 8)
+    e = sim.with_norm2(table(spark, sf_dir, "embeddings")).withColumn(
+        "bucket", sim.lsh_bucket_col("v", planes)
+    )
+    a = e.select(
+        F.col("vec_id").alias("id_a"), F.col("v").alias("av"),
+        F.col("v_n2").alias("an2"), "bucket",
+    )
+    b = e.select(
+        F.col("vec_id").alias("id_b"), F.col("v").alias("bv"),
+        F.col("v_n2").alias("bn2"), "bucket",
+    )
+    j = a.join(b, ["bucket"]).where(F.col("id_a") < F.col("id_b"))
     cos = F.expr(sim.DOT.format(a="av", b="bv")) / F.sqrt(F.col("an2") * F.col("bn2"))
     return j.where(cos >= 0.25).select("id_a", "id_b", F.round(cos, 4).alias("cos_r"))
 
