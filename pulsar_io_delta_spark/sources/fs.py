@@ -41,8 +41,12 @@ read-after-write hazard.
 
 from __future__ import annotations
 
+import io
 import os
+import posixpath
 import shutil
+import threading
+import time
 from collections.abc import Iterator
 
 
@@ -161,3 +165,148 @@ class LocalFileSystem(FileSystem):
         for root, _dirs, files in os.walk(path):
             for name in files:
                 yield os.path.join(root, name)
+
+
+class InMemoryFileSystem(FileSystem):
+    """Dict-backed object-store model: strongly consistent LIST, atomic
+    create-if-absent (the conditional-PUT CAS an S3-style backend
+    provides), flat key space with directory markers.
+
+    Two testing affordances:
+    - a single lock makes every operation linearizable, so thread races
+      hit the OCC protocol, not Python-level data corruption;
+    - ``on_create_exclusive`` (callable ``(path, data) -> None``) fires
+      INSIDE the lock before the existence check, letting tests inject
+      a deterministic racer at the exact conditional-create window.
+
+    Proves the commit protocol (``DeltaTable._commit`` retry loops)
+    against a second ``create_exclusive`` implementation, per the
+    storage-agnostic contract the reference inherits from Hadoop
+    (``DeltaReader.java:301-303``)."""
+
+    def __init__(self) -> None:
+        self._files: dict[str, bytes] = {}
+        self._mtimes: dict[str, float] = {}
+        self._dirs: set[str] = set()
+        self._lock = threading.RLock()
+        self.on_create_exclusive = None
+
+    @staticmethod
+    def _norm(path: str) -> str:
+        return posixpath.normpath(path)
+
+    def _add_dir_chain(self, path: str) -> None:
+        d = self._norm(path)
+        while d not in ("/", "", "."):
+            self._dirs.add(d)
+            d = posixpath.dirname(d)
+
+    def isdir(self, path: str) -> bool:
+        p = self._norm(path)
+        with self._lock:
+            return p in self._dirs
+
+    def exists(self, path: str) -> bool:
+        p = self._norm(path)
+        with self._lock:
+            return p in self._files or p in self._dirs
+
+    def listdir(self, path: str) -> list[str]:
+        p = self._norm(path)
+        with self._lock:
+            if p not in self._dirs:
+                raise FileNotFoundError(p)
+            out = set()
+            for k in list(self._files) + list(self._dirs):
+                if posixpath.dirname(k) == p:
+                    out.add(posixpath.basename(k))
+            return sorted(out)
+
+    def makedirs(self, path: str) -> None:
+        with self._lock:
+            self._add_dir_chain(path)
+
+    def read_text(self, path: str) -> str:
+        p = self._norm(path)
+        with self._lock:
+            if p not in self._files:
+                raise FileNotFoundError(p)
+            return self._files[p].decode("utf-8")
+
+    def _put(self, path: str, data: bytes) -> None:
+        p = self._norm(path)
+        self._files[p] = data
+        self._mtimes[p] = time.time()
+        self._add_dir_chain(posixpath.dirname(p))
+
+    def write_text(self, path: str, data: str) -> None:
+        with self._lock:
+            self._put(path, data.encode("utf-8"))
+
+    def create_exclusive(self, path: str, data: str) -> None:
+        p = self._norm(path)
+        with self._lock:
+            if self.on_create_exclusive is not None:
+                self.on_create_exclusive(path, data)
+            if p in self._files:
+                raise FileExistsError(p)
+            self._put(p, data.encode("utf-8"))
+
+    def open_read(self, path: str):
+        p = self._norm(path)
+        with self._lock:
+            if p not in self._files:
+                raise FileNotFoundError(p)
+            return io.BytesIO(self._files[p])
+
+    def open_write(self, path: str):
+        fs = self
+
+        class _Writer(io.BytesIO):
+            def close(self2) -> None:
+                with fs._lock:
+                    fs._put(path, self2.getvalue())
+                io.BytesIO.close(self2)
+
+        return _Writer()
+
+    def move(self, src: str, dst: str) -> None:
+        s, d = self._norm(src), self._norm(dst)
+        with self._lock:
+            if s not in self._files:
+                raise FileNotFoundError(s)
+            self._put(d, self._files.pop(s))
+            self._mtimes[d] = self._mtimes.pop(s, time.time())
+
+    def remove(self, path: str) -> None:
+        p = self._norm(path)
+        with self._lock:
+            if p not in self._files:
+                raise FileNotFoundError(p)
+            del self._files[p]
+            self._mtimes.pop(p, None)
+
+    def rmtree(self, path: str) -> None:
+        p = self._norm(path)
+        with self._lock:
+            for k in [k for k in self._files if k == p or k.startswith(p + "/")]:
+                del self._files[k]
+                self._mtimes.pop(k, None)
+            self._dirs = {d for d in self._dirs if not (d == p or d.startswith(p + "/"))}
+
+    def size(self, path: str) -> int:
+        p = self._norm(path)
+        with self._lock:
+            return len(self._files[p])
+
+    def mtime_ms(self, path: str) -> int:
+        p = self._norm(path)
+        with self._lock:
+            return int(self._mtimes[p] * 1000)
+
+    def walk_files(self, path: str) -> Iterator[str]:
+        p = self._norm(path)
+        with self._lock:
+            return iter(
+                sorted(k for k in self._files if k == p or k.startswith(p + "/"))
+            )

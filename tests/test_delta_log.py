@@ -553,3 +553,140 @@ def test_special_char_table_path_cdc_and_merge(spark, tmp_path):
     t.merge_upsert(spark, src, ["id"])
     final = {(r.id, r.region) for r in t.read(spark).collect()}
     assert final == {(1, "europe north"), (2, "asia+east"), (3, "no where")}
+
+
+# ---------- OCC commit protocol over both FileSystem backends ----------
+# The data plane (Spark parquet) stays on local disk; these scenarios
+# drive the pure-control-plane path (commit_external_adds / _commit /
+# snapshot) so the in-memory object-store model exercises the same
+# conditional-create CAS the local O_EXCL backend does.
+
+from pulsar_io_delta_spark.sources.fs import InMemoryFileSystem, LocalFileSystem
+
+
+class _HookedLocalFS(LocalFileSystem):
+    """LocalFileSystem with the same injectable create_exclusive hook
+    InMemoryFileSystem exposes, so race tests parameterize cleanly."""
+
+    def __init__(self):
+        self.on_create_exclusive = None
+
+    def create_exclusive(self, path, data):
+        if self.on_create_exclusive is not None:
+            self.on_create_exclusive(path, data)
+        super().create_exclusive(path, data)
+
+
+@pytest.fixture(params=["local", "mem"])
+def occ_fs(request, tmp_path):
+    if request.param == "local":
+        return _HookedLocalFS(), str(tmp_path / "occ")
+    return InMemoryFileSystem(), "/mem/occ"
+
+
+def test_fs_conformance(occ_fs):
+    fs, root = occ_fs
+    fs.makedirs(root + "/sub")
+    assert fs.isdir(root) and fs.isdir(root + "/sub")
+    fs.write_text(root + "/sub/a.txt", "alpha")
+    assert fs.read_text(root + "/sub/a.txt") == "alpha"
+    assert fs.exists(root + "/sub/a.txt") and not fs.exists(root + "/nope")
+    fs.create_exclusive(root + "/sub/b.txt", "beta")
+    with pytest.raises(FileExistsError):
+        fs.create_exclusive(root + "/sub/b.txt", "again")
+    assert sorted(fs.listdir(root + "/sub")) == ["a.txt", "b.txt"]
+    with fs.open_write(root + "/sub/c.bin") as f:
+        f.write(b"\x00\x01")
+    with fs.open_read(root + "/sub/c.bin") as f:
+        assert f.read() == b"\x00\x01"
+    assert fs.size(root + "/sub/c.bin") == 2
+    assert fs.mtime_ms(root + "/sub/c.bin") > 0
+    fs.move(root + "/sub/c.bin", root + "/c2.bin")
+    assert fs.exists(root + "/c2.bin") and not fs.exists(root + "/sub/c.bin")
+    walked = {p.replace(root + "/", "") for p in fs.walk_files(root)}
+    assert walked == {"sub/a.txt", "sub/b.txt", "c2.bin"}
+    fs.remove(root + "/c2.bin")
+    fs.rmtree(root + "/sub")
+    assert not fs.exists(root + "/sub/a.txt") and not fs.isdir(root + "/sub")
+
+
+def test_occ_concurrent_external_adds_all_land(occ_fs):
+    """8 threads × 3 external-adds commits race on one log: optimistic
+    retry lands every commit exactly once on BOTH backends."""
+    import threading
+
+    fs, root = occ_fs
+    DeltaTable(root, fs=fs).commit_external_adds(
+        [_ext_add("seed.parquet")], "WRITE", schema_json=_S1
+    )
+    errors: list[Exception] = []
+
+    def worker(tid: int) -> None:
+        try:
+            for j in range(3):
+                DeltaTable(root, fs=fs).commit_external_adds(
+                    [_ext_add(f"f-{tid}-{j}.parquet")], "WRITE", schema_json=_S1
+                )
+        except Exception as e:  # pragma: no cover - failure reporting
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(8)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert errors == []
+    t = DeltaTable(root, fs=fs)
+    assert t.latest_version() == 24
+    assert len(t.snapshot().files) == 25  # every add exactly once
+
+
+def test_occ_txn_idempotent_under_injected_race(occ_fs):
+    """A racer delivering the same (appId, version) batch inside the
+    conditional-create window makes the loser return -1, not duplicate."""
+    fs, root = occ_fs
+    t = DeltaTable(root, fs=fs)
+    t.commit_external_adds([_ext_add("seed.parquet")], "WRITE", schema_json=_S1)
+    fired = []
+
+    def racer(path, data):
+        if path.endswith(".json") and not fired:
+            fired.append(1)
+            DeltaTable(root, fs=fs).commit_external_adds(
+                [_ext_add("racer.parquet")], "WRITE", schema_json=_S1, txn=("app", 7)
+            )
+
+    fs.on_create_exclusive = racer
+    result = t.commit_external_adds(
+        [_ext_add("mine.parquet")], "WRITE", schema_json=_S1, txn=("app", 7)
+    )
+    fs.on_create_exclusive = None
+    assert result == -1
+    files = set(DeltaTable(root, fs=fs).snapshot().files)
+    assert files == {"seed.parquet", "racer.parquet"}  # no double delivery
+
+
+def test_occ_schema_evolution_rebuilds_actions_on_race(occ_fs):
+    """Losing the race with a pending schema evolution must re-merge
+    against the racer's commit, not clobber or drop the metaData."""
+    fs, root = occ_fs
+    t = DeltaTable(root, fs=fs)
+    t.commit_external_adds([_ext_add("a.parquet")], "WRITE", schema_json=_S1)
+    fired = []
+
+    def racer(path, data):
+        if path.endswith(".json") and not fired:
+            fired.append(1)
+            DeltaTable(root, fs=fs).commit_external_adds(
+                [_ext_add("r.parquet")], "WRITE", schema_json=_S1
+            )
+
+    fs.on_create_exclusive = racer
+    v = t.commit_external_adds([_ext_add("b.parquet")], "WRITE", schema_json=_S2)
+    fs.on_create_exclusive = None
+    assert v == 2
+    t2 = DeltaTable(root, fs=fs)
+    snap = t2.snapshot()
+    assert set(snap.files) == {"a.parquet", "r.parquet", "b.parquet"}
+    assert [f["name"] for f in json.loads(snap.schema_string)["fields"]] == ["event_id", "tag"]
+    assert any("metaData" in a for a in t2.actions(2))
