@@ -84,9 +84,19 @@ def minhash_signature(
 
 
 def lsh_candidate_pairs(
-    sig: DataFrame, id_col: str, num_perm: int = 32, bands: int = 8
+    sig: DataFrame, id_col: str, num_perm: int = 32, bands: int = 8, salt: int = 1
 ) -> DataFrame:
-    """Distinct candidate pairs (id_a < id_b) sharing ≥1 LSH band."""
+    """Distinct candidate pairs (id_a < id_b) sharing ≥1 LSH band.
+
+    ``salt > 1`` is the degenerate-bucket knob (PERF.md): a boilerplate
+    corpus can put thousands of near-identical docs into ONE (band,
+    band-hash) bucket, making a single reducer own the whole quadratic
+    blow-up. Salting widens the join key to (band, bh, salt): the probe
+    side gets a deterministic per-id salt (so each doc's rows land on
+    one of ``salt`` reducers), the build side is replicated once per
+    salt value. Each qualifying pair still matches exactly once — at
+    the probe row's salt — so the output is IDENTICAL to the unsalted
+    join while per-reducer probe-group size drops ~salt×."""
     rows_per_band = num_perm // bands
     band_cols = []
     for b in range(bands):
@@ -97,19 +107,37 @@ def lsh_candidate_pairs(
     buckets = sig.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")).select(
         F.col(id_col), F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
     )
-    a = buckets.alias("a")
-    b = buckets.alias("b")
+    if salt > 1:
+        a = salted_lsh_buckets(buckets, id_col, salt).alias("a")
+        b = buckets.select(
+            "*", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))).alias("_salt")
+        ).alias("b")
+        salt_eq = F.col("a._salt") == F.col("b._salt")
+    else:
+        a = buckets.alias("a")
+        b = buckets.alias("b")
+        salt_eq = F.lit(True)
     return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bh") == F.col("b.bh"))
+            & salt_eq
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .select(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
         )
         .distinct()
+    )
+
+
+def salted_lsh_buckets(buckets: DataFrame, id_col: str, salt: int) -> DataFrame:
+    """Probe-side bucket rows with a deterministic per-id salt in
+    [0, salt) — xxhash64-based so plans are reproducible and the
+    per-(band, bh, salt) group bound is assertable in tests."""
+    return buckets.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt)).cast("int")
     )
 
 

@@ -181,3 +181,50 @@ def test_char_ngrams_on_renamed_column(spark):
         df.select(char_ngrams_col(F.upper(F.col("body")), 3).alias("g")).first().g
     )
     assert sorted(grams2) == ["ABC", "BCD"]
+
+
+def test_lsh_salt_bounds_degenerate_buckets(spark):
+    """A boilerplate corpus (150 near-identical docs) collapses into one
+    (band, bh) bucket; the salt knob must (a) keep the candidate set
+    IDENTICAL and (b) bound the per-reducer probe-group size to
+    ~bucket/salt (PERF.md's promised degenerate-bucket mitigation)."""
+    boiler = "terms of service apply to all users of this website please read carefully"
+    rows = [(i, boiler) for i in range(150)] + [
+        (1000 + i, f"unique document number {i} about topic {i * 7}") for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = dd.minhash_signature(df, "doc_id", "text")
+
+    plain = {(r.id_a, r.id_b) for r in dd.lsh_candidate_pairs(sig, "doc_id").collect()}
+    salted = {
+        (r.id_a, r.id_b)
+        for r in dd.lsh_candidate_pairs(sig, "doc_id", salt=8).collect()
+    }
+    assert salted == plain  # salting never changes the result
+    assert len(plain) >= 150 * 149 // 2  # the degenerate bucket is real
+
+    # reducer-side bound: unsalted, one (band, bh) group owns all 150
+    # boilerplate rows; salted, the max probe group drops ~8x
+    rows_per_band, bands = 4, 8
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(*[f"m{b * rows_per_band + r}" for r in range(rows_per_band)]).alias("bh"),
+        )
+        for b in range(bands)
+    ]
+    buckets = sig.select(
+        F.col("doc_id"), F.explode(F.array(*band_cols)).alias("bb")
+    ).select(F.col("doc_id"), F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    unsalted_max = (
+        buckets.groupBy("band", "bh").count().agg(F.max("count")).first()[0]
+    )
+    assert unsalted_max == 150
+    salted_max = (
+        dd.salted_lsh_buckets(buckets, "doc_id", 8)
+        .groupBy("band", "bh", "_salt")
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    )
+    assert salted_max <= 2 * (150 // 8 + 1)  # ~19 expected; 2x slack for hash skew
