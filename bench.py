@@ -2,17 +2,25 @@
 
 Prints ONE JSON line:
     {"metric": "...", "value": <total sec>, "unit": "sec",
-     "queries": {name: sec, ...}, "sf": <float>}
+     "queries": {name: median sec, ...}, "sf": <float>,
+     "trials": N, "spread": {name: max-min sec, ...}}
 
 Each query is forced end-to-end with the noop sink (full computation,
 no driver materialization cost). A warmup query amortizes JVM/session
 startup out of the numbers.
-"""
+
+Methodology (round-4 fix): per-query time is the MEDIAN of
+``SPARK_GRAFT_TRIALS`` (default 5) runs after a first discarded run
+that absorbs one-time whole-stage-codegen compilation; ``spread``
+(max − min over the timed runs) is reported so a claimed effect can be
+judged against run-to-run variance — round-3's ±25–75% swings on
+unchanged code came from best-of-2 sampling."""
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -77,12 +85,19 @@ def main() -> None:
         "noop"
     ).save()
 
-    # Best-of-2: the first execution of a query pays one-time whole-stage
-    # codegen compilation (measured ~4 s for the 7-aggregate Q1 tree);
-    # steady-state is what a resident engine delivers.
+    # Median of N trials after one discarded compile run: the first
+    # execution pays one-time whole-stage-codegen compilation (~4 s for
+    # the 7-aggregate Q1 tree); steady-state is what a resident engine
+    # delivers, and the median over >=5 runs keeps run-to-run variance
+    # out of cross-round comparisons.
+    trials = int(os.environ.get("SPARK_GRAFT_TRIALS", "5"))
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name in HEADLINE:
-        timings[name] = round(min(run(name), run(name)), 3)
+        run(name)  # discarded: codegen compile + cache warm
+        samples = [run(name) for _ in range(trials)]
+        timings[name] = round(statistics.median(samples), 3)
+        spreads[name] = round(max(samples) - min(samples), 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -93,6 +108,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "trials": trials,
+                "spread": spreads,
             }
         )
     )

@@ -151,9 +151,12 @@ class DeltaCdcConnector:
         if "partition_value" not in df.columns:
             pv = partition_value_expr({c: F.col(c) for c in pcols}) if pcols else F.lit("")
             df = df.withColumn("partition_value", pv)
-        return df.withColumn(
-            "partition_id",
-            murmur3_route_col(F.col("partition_value"), self.config.topic_partition_num),
+        from pulsar_io_delta_spark.functions.murmur3 import with_route_lowcard
+
+        # partition_value cardinality ~ number of table partitions:
+        # hash distincts + broadcast join, no full-column Arrow round trip
+        return with_route_lowcard(
+            df, F.col("partition_value"), self.config.topic_partition_num
         )
 
     def bootstrap(self, spark: SparkSession) -> DataFrame:

@@ -142,4 +142,41 @@ def murmur3_route_col(col: Column, num_partitions: int) -> Column:
     return _route(col)
 
 
-__all__ = ["murmur3_32", "murmur3_32_batch", "partition_id_for", "murmur3_route_col"]
+def with_route_lowcard(
+    df, value: Column, num_partitions: int, out: str = "partition_id",
+    max_distinct: int = 10_000,
+):
+    """Attach routing slot ids for a LOW-CARDINALITY key (a partition
+    value — the reference's actual routing input, DeltaReader.java:60-63)
+    without moving the full column through Arrow: collect the distinct
+    keys at plan time (map-side-combined — only the key set reaches the
+    driver, like a broadcast dim), hash them with the numpy kernel, and
+    emit a LITERAL map lookup. The per-row path is one narrow JVM
+    projection — no Python round trip, no extra exchange. Falls back to
+    the vectorized UDF column when cardinality exceeds ``max_distinct``."""
+    from pyspark.sql import functions as _F
+
+    keyed = df.withColumn("_route_key", value)
+    keys = [
+        r._route_key
+        for r in keyed.select("_route_key").distinct().limit(max_distinct + 1).collect()
+    ]
+    if len(keys) > max_distinct or any(k is None for k in keys):
+        return keyed.drop("_route_key").withColumn(
+            out, murmur3_route_col(value, num_partitions)
+        )
+    slots = (murmur3_32_batch(keys) & np.uint32(0x7FFFFFFF)) % np.uint32(num_partitions)
+    pairs = [x for k, s in zip(keys, slots) for x in (_F.lit(k), _F.lit(int(s)))]
+    lut = _F.create_map(*pairs) if pairs else _F.create_map()
+    return keyed.withColumn(
+        out, _F.element_at(lut, _F.col("_route_key")).cast("long")
+    ).drop("_route_key")
+
+
+__all__ = [
+    "murmur3_32",
+    "murmur3_32_batch",
+    "partition_id_for",
+    "murmur3_route_col",
+    "with_route_lowcard",
+]

@@ -62,8 +62,10 @@ def cdc_envelope(
 
 
 def route(df: DataFrame, num_partitions: int, value_col: str = "partition_value") -> DataFrame:
-    """Add the reference-parity routing slot and co-locate rows by it."""
-    routed = df.withColumn(
-        "partition_id", murmur3_route_col(F.col(value_col), num_partitions)
-    )
+    """Add the reference-parity routing slot and co-locate rows by it.
+    Partition values are low-cardinality, so the slot comes from a
+    hash-the-distincts broadcast join (JVM-side per-row path)."""
+    from pulsar_io_delta_spark.functions.murmur3 import with_route_lowcard
+
+    routed = with_route_lowcard(df, F.col(value_col), num_partitions)
     return routed.repartition(num_partitions, "partition_id")

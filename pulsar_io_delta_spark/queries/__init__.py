@@ -23,10 +23,7 @@ from pulsar_io_delta_spark.registry import promote
 
 # Round-2 window (first 50 registrations): slots 0-36 keep the blocks that
 # had no round-1 correctness row (streaming/LLM/SQL/extra + stateful); the
-# remaining 13 slots go to the queries touched or added this round.  The
-# rows-only q_cdc_schema_evolution is ordered last of the promoted names so
-# it is the one that lands just outside — its window row would be the weak
-# rows-only check anyway, and pytest covers it.
+# remaining 13 slots go to the queries touched or added this round.
 promote(
     [
         # modified this round (null-safe encode, single-pass cdc(), asof edges)
@@ -44,8 +41,77 @@ promote(
         "q_decontaminate",
         "q_pack_sequences",
         "q_pulsar_wire",
-        # rows-only; deliberately the first name past the 50-slot edge
         "q_cdc_schema_evolution",
     ],
     after="q_stream_stateful_count",
+)
+
+# Round-4 window: q_stream_tumbling stays as the slot-0 canary; the other
+# 49 slots take (a) q_cdc_schema_evolution — zero driver rows in three
+# rounds, now with a constant-table oracle; (b) every query whose code
+# path changed this round (murmur3 kernel, delta-log epoch join, merge
+# path decode, the six rewritten dedup/verify contracts); (c) the
+# r1-stale block, two rounds without a driver re-check — the delta-log-
+# dependent reference surface first, then sources and the relational
+# core. Left outside (green in r1, untouched since, lowest risk):
+# intersect_all / except_all / agg_variance / join_cross / null_funcs /
+# regex_funcs / struct_funcs, plus the round-2/3-green blocks rotating
+# behind.
+promote(
+    [
+        "q_cdc_schema_evolution",
+        # touched in round 4
+        "q_hash_route",
+        "q_cdc_source",
+        "q_merge_upsert",
+        "q_pulsar_wire",
+        "q_dedup_minhash",
+        "q_dedup_near",
+        "q_dedup_pipeline",
+        "q_dedup_simhash",
+        "q_ngram_jaccard",
+        "q_dedup_embcos",
+        # r1-stale: delta-log-dependent reference surface
+        "q_snapshot_scan",
+        "q_cdc_envelope",
+        "q_time_travel_filter",
+        "q_type_widening",
+        # r1-stale: sources + window/time extras
+        "q_source_csv",
+        "q_source_jsonl",
+        "q_agg_percentiles",
+        "q_window_range_frame",
+        "q_window_firstlast",
+        "q_timeseries_gapfill",
+        "q_unpivot",
+        # r1-stale: relational core
+        "q_filter_project",
+        "q_join_inner",
+        "q_join_left",
+        "q_join_right",
+        "q_join_full",
+        "q_join_semi",
+        "q_join_anti",
+        "q_join_broadcast",
+        "q_join_range",
+        "q_agg_groupby",
+        "q_agg_distinct",
+        "q_agg_rollup",
+        "q_agg_cube",
+        "q_agg_approx",
+        "q_window_rank",
+        "q_window_running",
+        "q_window_lag",
+        "q_topk",
+        "q_union_all",
+        "q_union_distinct",
+        "q_intersect",
+        "q_except",
+        "q_string_funcs",
+        "q_date_funcs",
+        "q_math_funcs",
+        "q_json_funcs",
+        "q_array_funcs",
+    ],
+    after="q_stream_tumbling",
 )

@@ -110,12 +110,26 @@ def q_domain_cap(spark, sf_dir):
     return capped.select("source", "doc_id", "rn")
 
 
-@register("q_cdc_schema_evolution", oracle=None)  # streaming restart loop — not SQL
+@register(
+    "q_cdc_schema_evolution",
+    # The streaming restart loop itself is not SQL, but its delivered
+    # output IS a deterministic constant: ids 0..29 across commits
+    # 0/1/2, score = id*1.5 only in the evolved epoch. A constant-table
+    # oracle turns the end-to-end drain into a full value-hash contract
+    # instead of a weak rows-only count.
+    oracle="""
+SELECT CAST(i AS BIGINT) AS doc_id,
+       CASE WHEN i >= 20 THEN i * 1.5 END AS score,
+       CAST(i // 10 AS BIGINT) AS _commit_version
+FROM range(0, 30) t(i)
+""",
+)
 def q_cdc_schema_evolution(spark, sf_dir):
     """Epoch-bounded CDC streaming across an op='m' boundary: three
     commits (the third adds a column), drained by the restart loop with
     each epoch's schema; returns every delivered row. Deterministic
-    rows-only contract: 30 rows, ids 0..29, score non-null iff id>=20."""
+    contract: 30 rows, ids 0..29, score non-null iff id>=20,
+    _commit_version = id // 10."""
     import tempfile
 
     from pulsar_io_delta_spark.sources.delta_log import DeltaTable

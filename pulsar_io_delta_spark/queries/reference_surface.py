@@ -77,14 +77,19 @@ def q_partition_encode(spark, sf_dir):
 @register("q_hash_route", oracle=None)  # murmur3-seed0 not expressible in DuckDB SQL
 def q_hash_route(spark, sf_dir):
     """Murmur3-seed-0 routing parity (reference op #11,
-    `DeltaReader.java:60-63`): slot = hash(partition_value) & MAX_INT % 8."""
+    `DeltaReader.java:60-63`): slot = hash(partition_value) & MAX_INT % 8.
+    The slot is computed on the DISTINCT partition values (numpy batch
+    kernel over a handful of strings) and broadcast-joined back, so the
+    150k-row path is pure JVM — no full-column Python round trip."""
+    from pulsar_io_delta_spark.functions.murmur3 import with_route_lowcard
+
     e = table(spark, sf_dir, "events")
     pv = partition_value_expr({"event_type": F.col("event_type")})
-    return e.select(
-        "event_id",
-        pv.alias("partition_value"),
-        murmur3_route_col(pv, 8).alias("partition_id"),
-    )
+    return with_route_lowcard(
+        e.select("event_id", pv.alias("partition_value")),
+        F.col("partition_value"),
+        8,
+    ).select("event_id", "partition_value", "partition_id")
 
 
 @register(
