@@ -173,9 +173,63 @@ def with_route_lowcard(
     ).drop("_route_key")
 
 
+def murmur3_duckdb_ctes(source_cte: str, num_partitions: int) -> str:
+    """DuckDB CTE chain computing the murmur3-seed-0 routing slot for
+    the distinct ``pv`` values of ``source_cte`` (which must expose a
+    ``pv`` VARCHAR column of ASCII text — partition values are).
+
+    Byte-exact with ``murmur3_32``: 32-bit wrapping arithmetic via
+    UBIGINT ``% 2^32``, rotations as shift-pairs, the 4-byte-block body
+    as a ``list_reduce``, tail and finalizer mirrored from the scalar
+    kernel. Exists so the driver's DuckDB oracle can verify routing
+    parity (reference ``DeltaReader.java:60-63``) instead of settling
+    for a rows-only check. Returns CTEs ending in ``mm3_slot(pv,
+    partition_id)``."""
+    M = 1 << 32
+
+    def rotl(x: str, s: int) -> str:
+        return f"((({x}) * {1 << s} % {M}) + (({x}) // {1 << (32 - s)}))"
+
+    def idx(e: str) -> str:
+        return f"b[CAST({e} AS BIGINT)]"
+
+    k_raw = (
+        f"({idx('4*j+1')} + 256*{idx('4*j+2')}"
+        f" + 65536*{idx('4*j+3')} + 16777216*{idx('4*j+4')})"
+    )
+    k1 = f"({k_raw} * 3432918353 % {M})"
+    k3 = f"(({rotl(k1, 15)}) * 461845907 % {M})"
+    step = f"((({rotl(f'xor(h, {k3})', 13)}) * 5 + 3864292196) % {M})"
+    kt_raw = (
+        f"(CASE WHEN n%4>=1 THEN {idx('4*(n//4)+1')} ELSE 0 END"
+        f" + CASE WHEN n%4>=2 THEN 256*{idx('4*(n//4)+2')} ELSE 0 END"
+        f" + CASE WHEN n%4>=3 THEN 65536*{idx('4*(n//4)+3')} ELSE 0 END)"
+    )
+    kt1 = f"({kt_raw} * 3432918353 % {M})"
+    kt3 = f"(({rotl(kt1, 15)}) * 461845907 % {M})"
+    return f"""
+mm3_d AS (SELECT DISTINCT pv FROM {source_cte}),
+mm3_bs AS (SELECT pv,
+    [unicode(c)::UBIGINT FOR c IN list_filter(string_split_regex(pv, ''), x -> x <> '')] AS b
+  FROM mm3_d),
+mm3_body AS (SELECT pv, b, len(b)::UBIGINT AS n,
+    list_reduce(list_prepend(0::UBIGINT, range(0, len(b)//4)), (h, j) -> {step}) AS hbody
+  FROM mm3_bs),
+mm3_tail AS (SELECT pv, n,
+    CASE WHEN n % 4 = 0 THEN hbody ELSE xor(hbody, {kt3}) END AS ht
+  FROM mm3_body),
+mm3_f1 AS (SELECT pv, xor(ht, n) AS h FROM mm3_tail),
+mm3_f2 AS (SELECT pv, (xor(h, h // 65536) * 2246822507) % {M} AS h FROM mm3_f1),
+mm3_f3 AS (SELECT pv, (xor(h, h // 8192) * 3266489909) % {M} AS h FROM mm3_f2),
+mm3_slot AS (SELECT pv,
+    CAST((xor(h, h // 65536) & 2147483647) % {num_partitions} AS BIGINT) AS partition_id
+  FROM mm3_f3)"""
+
+
 __all__ = [
     "murmur3_32",
     "murmur3_32_batch",
+    "murmur3_duckdb_ctes",
     "partition_id_for",
     "murmur3_route_col",
     "with_route_lowcard",

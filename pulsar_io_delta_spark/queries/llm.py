@@ -191,17 +191,22 @@ def q_ngram_jaccard(spark, sf_dir):
     return plants.join(jac, ["id_a", "id_b"]).select("id_a", "id_b", "jaccard")
 
 
-def _embcos_oracle() -> str:
-    """Oracle SQL for q_dedup_embcos, generated from the SAME
-    deterministic hyperplane constants the Spark plan uses, so both
-    sides bucket identically (the dot-product fold order is also
-    identical — zip_with/aggregate vs list_dot_product, bit-exact)."""
+def _lsh_bits_sql() -> str:
+    """The sign-LSH bucket expression with the SAME deterministic
+    hyperplane constants the Spark plans use (sim.hyperplanes(64, 8)),
+    so both engines bucket identically (the dot-product fold order is
+    also identical — zip_with/aggregate vs list_dot_product, bit-exact).
+    Shared by the q_dedup_embcos and q_sim_ann_lsh oracles."""
     planes = sim.hyperplanes(64, 8)
-    bits = "\n   + ".join(
+    return "\n   + ".join(
         f"(CASE WHEN list_dot_product(v, [{', '.join(repr(x) for x in plane)}]::DOUBLE[]) > 0"
         f" THEN {1 << i} ELSE 0 END)"
         for i, plane in enumerate(planes)
     )
+
+
+def _embcos_oracle() -> str:
+    bits = _lsh_bits_sql()
     return f"""
 WITH n AS (
   SELECT vec_id, embedding::DOUBLE[] AS v,
@@ -275,11 +280,35 @@ def q_sim_ann_ivf(spark, sf_dir):
     return sim.ann_topk_ivf(emb, F.col("vec_id") < 10, k=5, n_clusters=8, nprobe=2)
 
 
-@register("q_sim_ann_lsh", oracle=None)  # bucket membership is sketch-defined
+def _ann_lsh_oracle() -> str:
+    """The LSH bucket is deterministic (shared plane constants), so the
+    'approximate' top-k is exactly reproducible in SQL: same buckets,
+    same bit-exact cosines, same (cos DESC, vec_id) ranking."""
+    bits = _lsh_bits_sql()
+    return f"""
+WITH n AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS n2
+  FROM embeddings),
+b AS (SELECT vec_id, v, n2, {bits} AS bucket FROM n),
+p AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+             list_dot_product(q.v, c.v) / sqrt(q.n2 * c.n2) AS cos
+      FROM b q JOIN b c ON q.vec_id < 10 AND q.bucket = c.bucket
+                        AND c.vec_id <> q.vec_id),
+r AS (SELECT qid, cid, cos,
+             CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid)
+                  AS BIGINT) AS rn
+      FROM p)
+SELECT qid, cid, round(cos, 4) AS cos_r, rn FROM r WHERE rn <= 5
+"""
+
+
+@register("q_sim_ann_lsh", oracle=_ann_lsh_oracle())
 def q_sim_ann_lsh(spark, sf_dir):
     """ANN variant: sign-LSH (8 hyperplanes) buckets candidates; at
     scale the bucket id is the join/bucketing key instead of a cross
-    product. Approximate by construction → rows-only check."""
+    product. The bucket function is deterministic, so the oracle
+    reproduces the exact approximate result."""
     emb = table(spark, sf_dir, "embeddings")
     return sim.ann_topk_lsh(emb, F.col("vec_id") < 10, k=5, n_planes=8, dim=64)
 
@@ -371,7 +400,22 @@ def q_text_quality(spark, sf_dir):
     return tx.quality_columns(d).drop("text")
 
 
-@register("q_text_fingerprint", oracle=None)  # iterative rolling hash — not in SQL
+@register(
+    "q_text_fingerprint",
+    # The rolling hash IS expressible in DuckDB: list_reduce with
+    # HUGEINT intermediates over the codepoint list (the corpus is
+    # ASCII, so codepoints == UTF-8 bytes — asserted against the
+    # Python kernel in test_text_ops).
+    oracle="""
+SELECT doc_id,
+       CAST(list_reduce(
+         list_prepend(0::HUGEINT,
+           [unicode(c)::HUGEINT FOR c IN
+              list_filter(string_split_regex(text, ''), x -> x <> '')]),
+         (h, b) -> (h * 1000003 + b) % 2305843009213693951) AS BIGINT) AS fp
+FROM documents
+""",
+)
 def q_text_fingerprint(spark, sf_dir):
     """Rolling polynomial fingerprint (base 1000003 mod 2^61-1) via an
     Arrow-batched pandas UDF; dedup-by-fingerprint equals exact dedup."""
@@ -403,7 +447,22 @@ def q_multimodal_project(spark, sf_dir):
     )
 
 
-@register("q_multimodal_decode", oracle=None)  # stub decoder (no codec libs)
+@register(
+    "q_multimodal_decode",
+    # The fake decoder is a pure function of the payload bytes
+    # (multimodal._fake_decode), so the oracle mirrors it: n = byte
+    # length, first feature = first byte / 255 (ASCII corpus ⇒
+    # ascii() == first byte).
+    oracle="""
+SELECT doc_id,
+       CAST(64 + (strlen(text) % 512) AS BIGINT) AS width,
+       CAST(64 + ((strlen(text) * 7) % 512) AS BIGINT) AS height,
+       CAST(1 + (strlen(text) % 4) AS BIGINT) AS n_frames,
+       round(round(ascii(substr(text, 1, 1)) / 255.0, 6), 4) AS f0,
+       'text/plain' AS mime
+FROM documents
+""",
+)
 def q_multimodal_decode(spark, sf_dir):
     """mapInPandas decode stage (deterministic fake decoder): exercises
     the real Arrow batch plumbing a production image pipeline uses."""

@@ -74,7 +74,21 @@ def q_partition_encode(spark, sf_dir):
     return e.select("event_id", pv.alias("partition_value"))
 
 
-@register("q_hash_route", oracle=None)  # murmur3-seed0 not expressible in DuckDB SQL
+def _hash_route_oracle() -> str:
+    """murmur3-seed-0 IS expressible in DuckDB (UBIGINT wrapping
+    arithmetic + list_reduce over 4-byte blocks) — full value-hash
+    parity for reference op #11 instead of a rows-only check."""
+    from pulsar_io_delta_spark.functions.murmur3 import murmur3_duckdb_ctes
+
+    return f"""
+WITH e AS (SELECT event_id, 'event_type=' || event_type AS pv FROM events),
+{murmur3_duckdb_ctes("e", 8)}
+SELECT e.event_id, e.pv AS partition_value, s.partition_id
+FROM e JOIN mm3_slot s USING (pv)
+"""
+
+
+@register("q_hash_route", oracle=_hash_route_oracle())
 def q_hash_route(spark, sf_dir):
     """Murmur3-seed-0 routing parity (reference op #11,
     `DeltaReader.java:60-63`): slot = hash(partition_value) & MAX_INT % 8.
