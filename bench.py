@@ -48,6 +48,7 @@ HEADLINE = [
     # LLM pipeline
     "q_dedup_exact",
     "q_dedup_minhash",
+    "q_dedup_embcos",
     "q_text_tokens",
     "q_text_quality",
     "q_sim_topk",

@@ -331,20 +331,26 @@ def q_pack_sequences(spark, sf_dir):
     )
 
 
-@register(
-    "q_pulsar_wire",
-    oracle="""
-SELECT source AS key,
-       concat('{"doc_id":', CAST(doc_id AS VARCHAR), ',"lang":"', lang, '"}') AS value
-FROM documents
-""",
-)
+def _pulsar_wire_oracle() -> str:
+    from pulsar_io_delta_spark.functions.murmur3 import murmur3_duckdb_ctes
+
+    return f"""
+WITH e AS (SELECT doc_id, lang, source AS pv FROM documents),
+{murmur3_duckdb_ctes("e", 16)}
+SELECT e.pv AS key,
+       concat('{{"doc_id":', CAST(doc_id AS VARCHAR), ',"lang":"', lang, '"}}') AS value,
+       s.partition_id
+FROM e JOIN mm3_slot s USING (pv)
+"""
+
+
+@register("q_pulsar_wire", oracle=_pulsar_wire_oracle())
 def q_pulsar_wire(spark, sf_dir):
     """Producer-boundary frame: key + manually-serialized JSON value
     (byte-identical across engines; Spark's to_json field spacing is
-    engine-specific, so the wire value is built with concat). The
-    murmur3 partition_id the operator also emits is checked by
-    q_hash_route + unit vectors, not the SQL oracle."""
+    engine-specific, so the wire value is built with concat) + the
+    murmur3-seed-0 partition_id, which the oracle now verifies directly
+    via the DuckDB murmur3 expression (round 4)."""
     d = table(spark, sf_dir, "documents")
     value = F.concat(
         F.lit('{"doc_id":'),
@@ -354,4 +360,6 @@ def q_pulsar_wire(spark, sf_dir):
         F.lit('"}'),
     )
     wire = pl.to_pulsar_wire(d, "source", value, num_partitions=16)
-    return wire.select("key", F.col("value").cast("string").alias("value"))
+    return wire.select(
+        "key", F.col("value").cast("string").alias("value"), "partition_id"
+    )

@@ -51,3 +51,27 @@ def test_batch_kernel_byte_parity():
     assert got.dtype == np.uint32
     assert (got == expect).all()
     assert (murmur3_32_batch([]) == np.empty(0)).all()
+
+
+def test_duckdb_sql_kernel_parity():
+    """The DuckDB oracle expression (murmur3_duckdb_ctes) must be
+    byte-exact with the scalar kernel across tail lengths and slots."""
+    import duckdb
+
+    from pulsar_io_delta_spark.functions.murmur3 import (
+        murmur3_duckdb_ctes,
+        partition_id_for,
+    )
+
+    values = ["", "a", "ab", "abc", "abcd", "abcde", "hello",
+              "event_type=click", "event_type=purchase", "source=web-01",
+              "The quick brown fox jumps over the lazy dog"]
+    inlist = ", ".join(f"'{v}'" for v in values)
+    sql = f"""
+WITH e AS (SELECT unnest([{inlist}]) AS pv),
+{murmur3_duckdb_ctes("e", 8)}
+SELECT pv, partition_id FROM mm3_slot
+"""
+    got = dict(duckdb.connect().execute(sql).fetchall())
+    for v in values:
+        assert got[v] == partition_id_for(v, 8), v
