@@ -69,6 +69,69 @@ def main() -> None:
             fn(df).write.mode("overwrite").format("noop").save()
             dt = time.time() - t0
             print(f"{name:10s} {label:4s} rows={rows:>9,d} wall={dt:6.2f}s ns/row={dt/rows*1e9:7.1f}")
+
+    # Round-4 scale shapes: MinHash+LSH candidate generation over a
+    # corpus blow-up (doc ids + texts perturbed so dup DENSITY stays
+    # constant — a pure duplicate would measure the degenerate-bucket
+    # path, not growth), and the sign-LSH bucketed cosine join over an
+    # embeddings blow-up (perturbed first dim keeps buckets spread).
+    from pulsar_io_delta_spark.operators import dedup as dd
+    from pulsar_io_delta_spark.operators import similarity as sim
+
+    docs = table(spark, sf, "documents").select("doc_id", "text")
+    kd = max(2, k // 2)
+
+    def blow_docs(df, n):
+        reps = F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias("_rep")
+        return (
+            df.select("*", reps)
+            .select(
+                (F.col("doc_id") + F.col("_rep") * 100_000_000).alias("doc_id"),
+                F.concat(F.lit("v"), F.col("_rep").cast("string"), F.lit(" "), F.col("text")).alias("text"),
+            )
+        )
+
+    def lsh_cands(df):
+        return dd.lsh_candidate_pairs(dd.minhash_signature(df, "doc_id", "text"), "doc_id")
+
+    emb = table(spark, sf, "embeddings")
+
+    def blow_emb(df, n):
+        reps = F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias("_rep")
+        return (
+            df.select("*", reps)
+            .select(
+                (F.col("vec_id") + F.col("_rep") * 100_000_000).alias("vec_id"),
+                F.expr(
+                    "transform(embedding, (x, i) -> CASE WHEN i = 0 "
+                    "THEN x + cast(_rep as float) * 0.37 ELSE x END)"
+                ).alias("embedding"),
+            )
+        )
+
+    def emb_bucket_join(df):
+        planes = sim.hyperplanes(64, 8)
+        e = sim.with_norm2(df).withColumn("bucket", sim.lsh_bucket_col("v", planes))
+        a = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("av"),
+                     F.col("v_n2").alias("an2"), "bucket")
+        b = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("bv"),
+                     F.col("v_n2").alias("bn2"), "bucket")
+        j = a.join(b, ["bucket"]).where(F.col("id_a") < F.col("id_b"))
+        cos = F.expr(sim.DOT.format(a="av", b="bv")) / F.sqrt(F.col("an2") * F.col("bn2"))
+        return j.where(cos >= 0.25).select("id_a", "id_b")
+
+    n_docs, n_emb = docs.count(), emb.count()
+    for name, fn, base, base_rows in (
+        ("lsh_cands", lsh_cands, docs, n_docs),
+        ("emb_bucket", emb_bucket_join, emb, n_emb),
+    ):
+        blow = blow_docs if name == "lsh_cands" else blow_emb
+        for label, df, rows in (("1x", base, base_rows), (f"{kd}x", blow(base, kd), base_rows * kd)):
+            fn(df).write.mode("overwrite").format("noop").save()  # warm
+            t0 = time.time()
+            fn(df).write.mode("overwrite").format("noop").save()
+            dt = time.time() - t0
+            print(f"{name:10s} {label:4s} rows={rows:>9,d} wall={dt:6.2f}s ns/row={dt/rows*1e9:7.1f}")
     spark.stop()
 
 
