@@ -126,3 +126,51 @@ FROM orders GROUP BY o_orderstatus
 """,
     ["orders"],
 )
+
+
+# TPC-H Q1 (pricing summary report) — the canonical scan+aggregate:
+# decimal sums keep the oracle hash exact and order-independent.
+shared_sql_query(
+    "q_sql_tpch_q1",
+    """
+SELECT l_returnflag, l_linestatus,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(24,6))) AS DOUBLE), 4) AS sum_qty,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(24,6))) AS DOUBLE), 4) AS sum_base_price,
+       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8)))
+                  AS DOUBLE), 4) AS sum_disc_price,
+       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                           AS DECIMAL(30,8))) AS DOUBLE), 4) AS sum_charge,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(24,6))) AS DOUBLE) / count(*), 4) AS avg_qty,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(24,6))) AS DOUBLE) / count(*), 4) AS avg_price,
+       round(CAST(sum(CAST(l_discount AS DECIMAL(24,6))) AS DOUBLE) / count(*), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+    ["lineitem"],
+)
+
+# TPC-H Q10 (returned-item reporting) — customer/nation star join over
+# a returnflag filter with a top-20 revenue ranking.
+shared_sql_query(
+    "q_sql_tpch_q10",
+    """
+SELECT c_custkey, c_name,
+       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6)))
+                  AS DOUBLE), 4) AS revenue,
+       n_name
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+    ["customer", "orders", "lineitem", "nation"],
+)
