@@ -690,3 +690,31 @@ def test_occ_schema_evolution_rebuilds_actions_on_race(occ_fs):
     assert set(snap.files) == {"a.parquet", "r.parquet", "b.parquet"}
     assert [f["name"] for f in json.loads(snap.schema_string)["fields"]] == ["event_id", "tag"]
     assert any("metaData" in a for a in t2.actions(2))
+
+
+def test_occ_checkpoint_and_expiry_roundtrip(occ_fs):
+    """Checkpoint parquet + log expiry through the FileSystem interface
+    (pyarrow over open_write/open_read BytesIO on the in-memory
+    backend): collapsed state must replay identically on both."""
+    fs, root = occ_fs
+    t = DeltaTable(root, fs=fs)
+    for v in range(4):
+        t.commit_external_adds(
+            [_ext_add(f"f-{v}.parquet", 1000 + v)], "WRITE", schema_json=_S1,
+            txn=("app", v),
+        )
+    cv = t.checkpoint()
+    assert cv == 3
+    before = set(t.snapshot().files)
+    expired = t.expire_log()
+    assert expired == [0, 1, 2, 3]
+    t2 = DeltaTable(root, fs=fs)
+    snap = t2.snapshot()
+    assert set(snap.files) == before == {f"f-{v}.parquet" for v in range(4)}
+    assert [f["name"] for f in json.loads(snap.schema_string)["fields"]] == ["event_id"]
+    # txn state survives expiry via the checkpoint
+    assert t2.last_txn_version("app") == 3
+    # new commits replay on top of the checkpoint
+    t2.commit_external_adds([_ext_add("f-9.parquet", 2000)], "WRITE", schema_json=_S1)
+    assert t2.latest_version() == 4
+    assert len(t2.snapshot().files) == 5
