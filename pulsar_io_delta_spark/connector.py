@@ -34,7 +34,6 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pulsar_io_delta_spark.functions.murmur3 import murmur3_route_col
 from pulsar_io_delta_spark.operators.cdc import OP_INSERT, partition_value_expr
 from pulsar_io_delta_spark.sources.delta_log import DeltaTable
 

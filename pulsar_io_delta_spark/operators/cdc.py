@@ -22,7 +22,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from pulsar_io_delta_spark.functions.murmur3 import murmur3_route_col
 
 OP_INSERT = "c"
 OP_DELETE = "r"

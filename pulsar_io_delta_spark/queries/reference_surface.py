@@ -10,7 +10,6 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from pulsar_io_delta_spark.operators.cdc import OP_INSERT, cdc_envelope, partition_value_expr
-from pulsar_io_delta_spark.functions.murmur3 import murmur3_route_col
 from pulsar_io_delta_spark.queries._util import epoch_s, sql_epoch
 from pulsar_io_delta_spark.registry import register
 from pulsar_io_delta_spark.tables import table
