@@ -1,0 +1,45 @@
+"""Physical-plan regression guards for the round-4 scale guarantees:
+the rewritten verify queries must plan equi-joins (never nested-loop /
+cartesian), and low-cardinality routing must keep the per-row path free
+of Python evaluation nodes."""
+
+import pytest
+
+import __spark_entry__ as entry_mod
+
+
+def _plan(spark, sf_dir, name):
+    df = entry_mod.queries()[name](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize("name", ["q_ngram_jaccard", "q_dedup_embcos"])
+def test_verify_queries_plan_no_allpairs(spark, sf_dir, name):
+    plan = _plan(spark, sf_dir, name)
+    assert "NestedLoop" not in plan, name
+    assert "CartesianProduct" not in plan, name
+
+
+def test_hash_route_per_row_path_is_jvm_only(spark, sf_dir):
+    """with_route_lowcard emits a literal-map projection: the executed
+    plan of the 150k-row path must not contain a Python eval node (the
+    numpy kernel runs only on the collected distinct keys)."""
+    plan = _plan(spark, sf_dir, "q_hash_route")
+    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_salted_lsh_same_plan_family(spark):
+    """Salted band join stays a hash equi-join (salt widens the key, it
+    must not degrade the join strategy)."""
+    import pyspark.sql.functions as F
+
+    from pulsar_io_delta_spark.operators import dedup as dd
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i} text body " * 5) for i in range(50)], "doc_id long, text string"
+    )
+    sig = dd.minhash_signature(df, "doc_id", "text")
+    pairs = dd.lsh_candidate_pairs(sig, "doc_id", salt=4)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
