@@ -89,3 +89,40 @@ def test_redact_idempotent(text):
 
     once = redact(text)
     assert redact(once) == once
+
+
+@given(st.lists(st.text(max_size=80), min_size=0, max_size=40))
+@settings(max_examples=200, deadline=None)
+def test_murmur3_batch_matches_scalar(values):
+    """The numpy column kernel is byte-exact with the scalar reference
+    for arbitrary unicode batches (all tail lengths, empty strings,
+    mixed lengths in one padded matrix)."""
+    import numpy as np
+
+    from pulsar_io_delta_spark.functions.murmur3 import murmur3_32_batch
+
+    got = murmur3_32_batch(values)
+    expect = np.array(
+        [murmur3_32(v.encode("utf-8")) for v in values], dtype=np.uint64
+    )
+    assert (got.astype(np.uint64) == expect).all()
+
+
+@given(st.text(max_size=64))
+@settings(max_examples=200, deadline=None)
+def test_duckdb_murmur3_matches_scalar_ascii(value):
+    """The DuckDB oracle murmur3 expression matches the scalar kernel
+    for any ASCII routing key (partition values are ASCII)."""
+    import duckdb
+
+    from pulsar_io_delta_spark.functions.murmur3 import murmur3_duckdb_ctes
+
+    if not value.isascii() or "'" in value:
+        return
+    sql = f"""
+WITH e AS (SELECT '{value}' AS pv),
+{murmur3_duckdb_ctes("e", 1024)}
+SELECT partition_id FROM mm3_slot
+"""
+    got = duckdb.connect().execute(sql).fetchone()[0]
+    assert got == partition_id_for(value, 1024)
