@@ -136,8 +136,16 @@ def murmur3_route_col(col: Column, num_partitions: int) -> Column:
 
     @pandas_udf("long")
     def _route(s: pd.Series) -> pd.Series:
-        slots = (murmur3_32_batch(s) & np.uint32(0x7FFFFFFF)) % np.uint32(num_partitions)
-        return pd.Series(slots.astype(np.int64), index=s.index)
+        # null keys route to null (callers encode null partition values
+        # as the literal 'null' upstream — see partition_value_expr)
+        out = pd.Series([pd.NA] * len(s), index=s.index, dtype="Int64")
+        mask = s.notna()
+        if mask.any():
+            slots = (
+                murmur3_32_batch(s[mask]) & np.uint32(0x7FFFFFFF)
+            ) % np.uint32(num_partitions)
+            out[mask] = slots.astype(np.int64)
+        return out
 
     return _route(col)
 

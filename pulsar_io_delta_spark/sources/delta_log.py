@@ -989,7 +989,12 @@ class DeltaTable:
             else:
                 prior = self.snapshot()
                 merged = self._merge_schema_strings(prior.schema_string, schema_json)
-                new_pcols = list(partition_by or [])
+                # partition_by=None means "keep the table's partitioning"
+                # — only an explicit list participates in change detection
+                # (resetting a partitioned table to [] must be deliberate)
+                new_pcols = (
+                    list(partition_by) if partition_by is not None else prior.partition_columns
+                )
                 if merged is not None or new_pcols != prior.partition_columns:
                     actions.append(
                         {

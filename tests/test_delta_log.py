@@ -718,3 +718,25 @@ def test_occ_checkpoint_and_expiry_roundtrip(occ_fs):
     t2.commit_external_adds([_ext_add("f-9.parquet", 2000)], "WRITE", schema_json=_S1)
     assert t2.latest_version() == 4
     assert len(t2.snapshot().files) == 5
+
+
+def test_external_adds_partition_by_none_keeps_partitioning(spark, tmp_path):
+    """partition_by=None on a later external-adds commit must keep the
+    table's partition columns, not silently reset them to []."""
+    path = str(tmp_path / "pext")
+    t = DeltaTable(path)
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "event_id long, part string")
+    t.write(df, partition_by=["part"])
+    schema = t.snapshot().schema_string
+    _write_pq(path, "extra.parquet", [3])
+    # note: unpartitioned file into a partitioned table is the caller's
+    # responsibility; here we only assert the metadata semantics
+    t.commit_external_adds([_ext_add("extra.parquet")], "WRITE", schema_json=schema)
+    assert t.snapshot().partition_columns == ["part"]
+    # explicit [] IS a deliberate reset and records a metaData action
+    v = t.commit_external_adds(
+        [_ext_add("extra2.parquet")], "WRITE", schema_json=schema, partition_by=[]
+    )
+    _write_pq(path, "extra2.parquet", [4])
+    assert t.snapshot().partition_columns == []
+    assert any("metaData" in a for a in t.actions(v))

@@ -75,3 +75,16 @@ SELECT pv, partition_id FROM mm3_slot
     got = dict(duckdb.connect().execute(sql).fetchall())
     for v in values:
         assert got[v] == partition_id_for(v, 8), v
+
+
+def test_route_col_null_safe(spark):
+    import pyspark.sql.functions as F
+
+    from pulsar_io_delta_spark.functions.murmur3 import murmur3_route_col
+
+    df = spark.createDataFrame([("a",), (None,), ("b",)], "k string")
+    rows = {r.k: r.slot for r in df.select(
+        "k", murmur3_route_col(F.col("k"), 8).alias("slot")).collect()}
+    assert rows[None] is None
+    assert rows["a"] == partition_id_for("a", 8)
+    assert rows["b"] == partition_id_for("b", 8)
