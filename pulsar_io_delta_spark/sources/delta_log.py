@@ -798,6 +798,12 @@ class DeltaTable:
                 # version; a racing committer forces a re-check
                 read_version = self.versions()[-1]
         if first:
+            # losing a concurrent CREATE race must surface as
+            # DeltaConcurrentCommit (caller recomputes against the
+            # racer's table), not blind-append a second metaData at v1
+            # clobbering the racer's schema
+            read_version = -1
+            state_dependent = True
             actions.append({"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}})
             actions.append(self._metadata_action(df, partition_by))
         else:
@@ -974,6 +980,10 @@ class DeltaTable:
                 if not first:
                     read_version = self.versions()[-1]  # idempotency checked here
             if first:
+                # expected-v0 guard: losing a concurrent CREATE race must
+                # re-enter the loop as a non-first commit (schema merge),
+                # never blind-append a second protocol/metaData at v1
+                read_version = -1
                 actions.append({"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}})
                 actions.append(
                     {

@@ -740,3 +740,33 @@ def test_external_adds_partition_by_none_keeps_partitioning(spark, tmp_path):
     _write_pq(path, "extra2.parquet", [4])
     assert t.snapshot().partition_columns == []
     assert any("metaData" in a for a in t.actions(v))
+
+
+def test_occ_concurrent_create_race_merges_not_clobbers(occ_fs):
+    """Two concurrent table creators: the loser must re-enter as a
+    non-first commit (schema merge against the racer's metaData), never
+    blind-append a second protocol/metaData clobbering the winner."""
+    fs, root = occ_fs
+    t = DeltaTable(root, fs=fs)
+    fired = []
+
+    def racer(path, data):
+        if path.endswith(".json") and not fired:
+            fired.append(1)
+            DeltaTable(root, fs=fs).commit_external_adds(
+                [_ext_add("winner.parquet")], "WRITE", schema_json=_S2
+            )
+
+    fs.on_create_exclusive = racer
+    v = t.commit_external_adds([_ext_add("loser.parquet")], "WRITE", schema_json=_S1)
+    fs.on_create_exclusive = None
+    assert v == 1
+    t2 = DeltaTable(root, fs=fs)
+    snap = t2.snapshot()
+    assert set(snap.files) == {"winner.parquet", "loser.parquet"}
+    # winner's evolved schema survives (S1's fields are a subset)
+    assert [f["name"] for f in json.loads(snap.schema_string)["fields"]] == ["event_id", "tag"]
+    # exactly one protocol + one metaData in the whole log
+    all_actions = [a for ver in t2.versions() for a in t2.actions(ver)]
+    assert sum(1 for a in all_actions if "protocol" in a) == 1
+    assert sum(1 for a in all_actions if "metaData" in a) == 1
