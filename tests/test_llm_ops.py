@@ -228,3 +228,73 @@ def test_lsh_salt_bounds_degenerate_buckets(spark):
         .first()[0]
     )
     assert salted_max <= 2 * (150 // 8 + 1)  # ~19 expected; 2x slack for hash skew
+
+
+def _ppm_bytes(arr):
+    import numpy as np
+    h, w, ch = arr.shape
+    magic = b"P6" if ch == 3 else b"P5"
+    return b"%s\n# test image\n%d %d\n255\n" % (magic, w, h) + np.ascontiguousarray(arr).tobytes()
+
+
+def _bmp_bytes(rgb):
+    """Minimal uncompressed 24-bit BMP (bottom-up, BGR, padded rows)."""
+    import numpy as np
+    h, w, _ = rgb.shape
+    stride = ((w * 3 + 3) // 4) * 4
+    rows = np.zeros((h, stride), np.uint8)
+    rows[:, : w * 3] = rgb[::-1, :, ::-1].reshape(h, w * 3)
+    pix = rows.tobytes()
+    header = (b"BM" + (54 + len(pix)).to_bytes(4, "little") + b"\0\0\0\0"
+              + (54).to_bytes(4, "little")
+              + (40).to_bytes(4, "little")
+              + w.to_bytes(4, "little") + h.to_bytes(4, "little")
+              + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+              + (0).to_bytes(4, "little") + len(pix).to_bytes(4, "little")
+              + (0).to_bytes(4, "little") * 4)
+    return header + pix
+
+
+def test_real_decode_ppm_and_bmp(spark):
+    """fake=False REALLY decodes uncompressed rasters: dimensions and
+    channel statistics match numpy ground truth for PPM, PGM, and BMP."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    rgb = rng.randint(0, 256, (5, 9, 3), np.uint8)
+    gray = rng.randint(0, 256, (4, 6, 1), np.uint8)
+    payloads = [(0, _ppm_bytes(rgb), "image/x-portable-pixmap"),
+                (1, _ppm_bytes(gray), "image/x-portable-graymap"),
+                (2, _bmp_bytes(rgb), "image/bmp")]
+    df = spark.createDataFrame(payloads, "doc_id long, payload binary, mime string")
+    out = {r.doc_id: r for r in mm.decode_images(df, fake=False).collect()}
+    assert (out[0].width, out[0].height, out[0].n_frames) == (9, 5, 1)
+    assert (out[1].width, out[1].height) == (6, 4)
+    assert (out[2].width, out[2].height) == (9, 5)
+    exp_mean_r = round(float(rgb[:, :, 0].mean() / 255.0), 6)
+    assert abs(out[0].features[0] - exp_mean_r) < 1e-9
+    # BMP round-trips to the same pixels as the PPM of the same array
+    assert out[2].features == out[0].features
+    # grayscale: all three channel means equal
+    assert out[1].features[0] == out[1].features[1] == out[1].features[2]
+
+
+def test_real_resize_ppm(spark):
+    import numpy as np
+
+    rgb = np.arange(2 * 2 * 3, dtype=np.uint8).reshape(2, 2, 3)
+    df = spark.createDataFrame(
+        [(0, _ppm_bytes(rgb), "image/x-portable-pixmap")],
+        "doc_id long, payload binary, mime string",
+    )
+    row = mm.resize_images(df, 4, 4, fake=False).first()
+    assert (row.width, row.height) == (4, 4)
+    back = mm.decode_images(
+        spark.createDataFrame([(0, bytes(row.payload), row.mime)],
+                              "doc_id long, payload binary, mime string"),
+        fake=False,
+    ).first()
+    assert (back.width, back.height) == (4, 4)
+    # nearest-neighbour 2x upscale preserves the channel means exactly
+    orig = mm.decode_images(df, fake=False).first()
+    assert back.features[:3] == orig.features[:3]
