@@ -232,6 +232,88 @@ def resize_images(df: DataFrame, width: int, height: int, fake: bool = True) -> 
     )
 
 
+DECODED_AUDIO_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("sample_rate", LongType()),
+        StructField("n_channels", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("duration_s", DoubleType()),
+        StructField("features", ArrayType(DoubleType())),  # rms, zcr, peak
+        StructField("mime", StringType()),
+    ]
+)
+
+
+def _parse_wav_pcm16(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """RIFF/WAVE PCM-16 → (sample_rate, n_channels, samples[frame, ch]).
+    Walks the chunk list (fmt / data may be preceded by LIST etc.)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, channels, bits, data = 12, None, None, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = int.from_bytes(body[0:2], "little")
+            channels = int.from_bytes(body[2:4], "little")
+            rate = int.from_bytes(body[4:8], "little")
+            bits = int.from_bytes(body[14:16], "little")
+            if fmt != 1 or bits != 16:
+                raise NotImplementedError(
+                    f"media decode: WAV fmt={fmt} bits={bits} needs a codec; "
+                    "only PCM-16 decodes natively"
+                )
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    samples = np.frombuffer(data, "<i2", count=len(data) // 2)
+    return rate, channels, samples.reshape(-1, channels)
+
+
+def decode_audio(df: DataFrame, fake: bool = False) -> DataFrame:
+    """mapInPandas audio decode: REAL for PCM-16 WAV (numpy chunk walk,
+    rms / zero-crossing-rate / peak features); compressed codecs raise.
+    ``fake=True`` gives the byte-derived deterministic stand-in."""
+
+    def decode(payload: bytes):
+        if fake:
+            n = len(payload)
+            return 16000, 1, max(n // 2, 1), round(n / 32000.0, 6), [
+                round((payload[0] if n else 0) / 255.0, 6), 0.0, 1.0]
+        rate, channels, frames = _parse_wav_pcm16(bytes(payload))
+        x = frames.astype(np.float64) / 32768.0
+        mono = x.mean(axis=1)
+        rms = float(np.sqrt((mono**2).mean())) if mono.size else 0.0
+        zcr = float((np.diff(np.signbit(mono)) != 0).mean()) if mono.size > 1 else 0.0
+        peak = float(np.abs(mono).max()) if mono.size else 0.0
+        return (
+            rate, channels, frames.shape[0],
+            round(frames.shape[0] / rate, 6),
+            [round(rms, 6), round(zcr, 6), round(peak, 6)],
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [decode(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "sample_rate": [d[0] for d in decoded],
+                    "n_channels": [d[1] for d in decoded],
+                    "n_samples": [d[2] for d in decoded],
+                    "duration_s": [d[3] for d in decoded],
+                    "features": [d[4] for d in decoded],
+                    "mime": pdf["mime"].values,
+                }
+            )
+
+    return df.mapInPandas(run, DECODED_AUDIO_SCHEMA)
+
+
 def sample_frames(df: DataFrame, every_n: int = 2, fake: bool = True) -> DataFrame:
     """Frame-sampling kernel (STUB): real path needs pyav; the fake
     treats every 64-byte window of the payload as a 'frame' and emits

@@ -298,3 +298,42 @@ def test_real_resize_ppm(spark):
     # nearest-neighbour 2x upscale preserves the channel means exactly
     orig = mm.decode_images(df, fake=False).first()
     assert back.features[:3] == orig.features[:3]
+
+
+def test_real_decode_wav_pcm16(spark):
+    """decode_audio(fake=False) really parses PCM-16 WAV: stdlib `wave`
+    writes the fixture, our numpy chunk-walker reads it back."""
+    import io
+    import wave
+
+    import numpy as np
+
+    rate = 8000
+    t = np.arange(rate)  # 1 second
+    sine = (np.sin(2 * np.pi * 440 * t / rate) * 0.5 * 32767).astype("<i2")
+    stereo = np.stack([sine, np.zeros_like(sine)], axis=1)
+    payloads = []
+    for i, (arr, nch) in enumerate([(sine.reshape(-1, 1), 1), (stereo, 2)]):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as wf:
+            wf.setnchannels(nch)
+            wf.setsampwidth(2)
+            wf.setframerate(rate)
+            wf.writeframes(arr.astype("<i2").tobytes())
+        payloads.append((i, buf.getvalue(), "audio/wav"))
+    df = spark.createDataFrame(payloads, "doc_id long, payload binary, mime string")
+    out = {r.doc_id: r for r in mm.decode_audio(df, fake=False).collect()}
+    mono = out[0]
+    assert (mono.sample_rate, mono.n_channels, mono.n_samples) == (rate, 1, rate)
+    assert mono.duration_s == 1.0
+    # 0.5-amplitude sine: rms = 0.5/sqrt(2) ~ 0.3536, zcr ~ 2*440/8000 = 0.11
+    assert abs(mono.features[0] - 0.35355) < 0.01
+    assert abs(mono.features[1] - 0.11) < 0.01
+    assert 0.49 < mono.features[2] <= 0.5
+    # stereo: mean of (sine, silence) halves the rms
+    assert abs(out[1].features[0] - 0.35355 / 2) < 0.01
+    # non-WAV payload → loud NotImplementedError/ValueError, not garbage
+    bad = spark.createDataFrame([(9, b"\xff\xd8\xff\xe0jpeg...", "image/jpeg")],
+                                "doc_id long, payload binary, mime string")
+    with pytest.raises(Exception, match="RIFF|media decode"):
+        mm.decode_audio(bad, fake=False).collect()
