@@ -448,6 +448,43 @@ def q_multimodal_project(spark, sf_dir):
 
 
 @register(
+    "q_multimodal_real_decode",
+    # Each doc's first 36 bytes become a real 6×6 binary PGM payload;
+    # decode_images(fake=False) parses it with the numpy netpbm decoder
+    # and the oracle recomputes the pixel mean from codepoints (ASCII
+    # corpus ⇒ codepoints == bytes).
+    oracle="""
+SELECT doc_id,
+       CAST(6 AS BIGINT) AS width, CAST(6 AS BIGINT) AS height,
+       CAST(list_sum([unicode(c) FOR c IN
+                list_filter(string_split_regex(substr(text, 1, 36), ''), x -> x <> '')])
+            AS BIGINT) AS pixel_sum
+FROM documents
+""",
+)
+def q_multimodal_real_decode(spark, sf_dir):
+    """REAL image decode in the registered surface: text bytes are
+    wrapped in a PGM header (a genuine uncompressed raster), decoded by
+    the numpy netpbm parser inside mapInPandas, and the exact pixel sum
+    is recovered from the measured channel mean (6-decimal mean × 36×255
+    has error ≪ 0.5, so the nearest integer is exact) and value-checked
+    against SQL ground truth — no float-rounding ties."""
+    d = table(spark, sf_dir, "documents")
+    payload = F.encode(
+        F.concat(F.lit("P5\n6 6\n255\n"), F.substring("text", 1, 36)), "UTF-8"
+    )
+    framed = d.select(
+        "doc_id", payload.alias("payload"), F.lit("image/x-portable-graymap").alias("mime")
+    )
+    decoded = mm.decode_images(framed, fake=False)
+    return decoded.select(
+        "doc_id", "width", "height",
+        F.round(F.element_at("features", 1) * (255 * 36), 0)
+        .cast("long").alias("pixel_sum"),
+    )
+
+
+@register(
     "q_multimodal_decode",
     # The fake decoder is a pure function of the payload bytes
     # (multimodal._fake_decode), so the oracle mirrors it: n = byte
