@@ -117,12 +117,12 @@ def test_duckdb_murmur3_matches_scalar_ascii(value):
 
     from pulsar_io_delta_spark.functions.murmur3 import murmur3_duckdb_ctes
 
-    if not value.isascii() or "'" in value:
+    if not value.isascii():
         return
     sql = f"""
-WITH e AS (SELECT '{value}' AS pv),
+WITH e AS (SELECT ?::VARCHAR AS pv),
 {murmur3_duckdb_ctes("e", 1024)}
 SELECT partition_id FROM mm3_slot
 """
-    got = duckdb.connect().execute(sql).fetchone()[0]
+    got = duckdb.connect().execute(sql, [value]).fetchone()[0]
     assert got == partition_id_for(value, 1024)
