@@ -314,18 +314,62 @@ def decode_audio(df: DataFrame, fake: bool = False) -> DataFrame:
     return df.mapInPandas(run, DECODED_AUDIO_SCHEMA)
 
 
+def _iter_riff_chunks(payload: bytes, start: int, end: int):
+    """Yield (fourcc, body_start, size) over a RIFF chunk span."""
+    pos = start
+    while pos + 8 <= end:
+        cid = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        yield cid, pos + 8, size
+        pos += 8 + size + (size & 1)  # word alignment
+
+
+def _parse_avi_frames(payload: bytes) -> tuple[int, int, list[bytes]]:
+    """Uncompressed AVI (RIFF 'AVI ' with '00db' DIB frames) →
+    (width, height, frames as raw bottom-up BGR buffers). Real frame
+    demux with no codec library; compressed streams ('00dc') raise."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    width = height = None
+    frames: list[bytes] = []
+
+    def walk(start: int, end: int) -> None:
+        nonlocal width, height
+        for cid, body, size in _iter_riff_chunks(payload, start, end):
+            if cid == b"LIST":
+                walk(body + 4, body + size)  # skip the list-type fourcc
+            elif cid == b"avih":
+                width = int.from_bytes(payload[body + 32 : body + 36], "little")
+                height = int.from_bytes(payload[body + 36 : body + 40], "little")
+            elif cid == b"00db":
+                frames.append(payload[body : body + size])
+            elif cid == b"00dc":
+                raise NotImplementedError(
+                    "media decode: compressed AVI stream ('00dc') requires pyav"
+                )
+
+    walk(12, len(payload))
+    if width is None or not frames:
+        raise ValueError("AVI missing avih header or frames")
+    return width, height, frames
+
+
 def sample_frames(df: DataFrame, every_n: int = 2, fake: bool = True) -> DataFrame:
-    """Frame-sampling kernel (STUB): real path needs pyav; the fake
-    treats every 64-byte window of the payload as a 'frame' and emits
-    every Nth — one row per sampled frame (fan-out transform)."""
+    """Frame-sampling fan-out (one row per sampled frame).
+
+    REAL path (``fake=False``): demux uncompressed AVI ('00db' DIB
+    frames) via the RIFF chunk walker — no codec library needed;
+    compressed streams raise. The fake treats every 64-byte window of
+    the payload as a 'frame' for plumbing tests."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError("frame sampling requires pyav")
             rows = {"doc_id": [], "frame_idx": [], "frame": []}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                frames = [payload[i : i + 64] for i in range(0, len(payload), 64)]
+                if fake:
+                    frames = [bytes(payload[i : i + 64]) for i in range(0, len(payload), 64)]
+                else:
+                    _w, _h, frames = _parse_avi_frames(bytes(payload))
                 for idx in range(0, len(frames), every_n):
                     rows["doc_id"].append(doc_id)
                     rows["frame_idx"].append(idx)

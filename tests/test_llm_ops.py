@@ -337,3 +337,51 @@ def test_real_decode_wav_pcm16(spark):
                                 "doc_id long, payload binary, mime string")
     with pytest.raises(Exception, match="RIFF|media decode"):
         mm.decode_audio(bad, fake=False).collect()
+
+
+def _avi_bytes(frames_rgb):
+    """Minimal uncompressed AVI: RIFF('AVI ') → LIST(hdrl){avih} →
+    LIST(movi){00db...}. Only the fields our demuxer reads are filled."""
+    import numpy as np
+
+    def chunk(cid, body):
+        pad = b"\0" if len(body) % 2 else b""
+        return cid + len(body).to_bytes(4, "little") + body + pad
+
+    h, w, _ = frames_rgb[0].shape
+    avih = bytearray(56)
+    avih[32:36] = w.to_bytes(4, "little")
+    avih[36:40] = h.to_bytes(4, "little")
+    hdrl = chunk(b"LIST", b"hdrl" + chunk(b"avih", bytes(avih)))
+    movi_body = b"movi" + b"".join(
+        chunk(b"00db", np.ascontiguousarray(f[::-1, :, ::-1]).tobytes())
+        for f in frames_rgb
+    )
+    movi = chunk(b"LIST", movi_body)
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def test_real_avi_frame_sampling(spark):
+    """fake=False demuxes real uncompressed AVI frames: every_n
+    sampling yields the exact pixel buffers that were muxed in."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    frames = [rng.randint(0, 256, (4, 6, 3), np.uint8) for _ in range(5)]
+    df = spark.createDataFrame(
+        [(0, _avi_bytes(frames), "video/x-msvideo")],
+        "doc_id long, payload binary, mime string",
+    )
+    out = {r.frame_idx: bytes(r.frame) for r in
+           mm.sample_frames(df, every_n=2, fake=False).collect()}
+    assert sorted(out) == [0, 2, 4]
+    for idx in (0, 2, 4):
+        expect = np.ascontiguousarray(frames[idx][::-1, :, ::-1]).tobytes()
+        assert out[idx] == expect
+    # compressed stream fourcc fails loudly
+    bad = _avi_bytes(frames).replace(b"00db", b"00dc")
+    bdf = spark.createDataFrame([(1, bad, "video/x-msvideo")],
+                                "doc_id long, payload binary, mime string")
+    with pytest.raises(Exception, match="00dc|pyav"):
+        mm.sample_frames(bdf, every_n=1, fake=False).collect()
