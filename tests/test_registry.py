@@ -17,3 +17,23 @@ def test_entry_runs(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert "sum_qty" in df.columns
+
+
+def test_round4_window_composition():
+    """The driver samples the first 50 registrations: the round-4
+    rotation must keep the never-checked and this-round-modified names
+    inside that window (guards against accidental re-ordering)."""
+    window = list(entry_mod.queries())[:50]
+    must_be_in = {
+        "q_cdc_schema_evolution",
+        "q_hash_route", "q_cdc_source", "q_merge_upsert", "q_pulsar_wire",
+        "q_dedup_minhash", "q_dedup_near", "q_dedup_pipeline",
+        "q_dedup_simhash", "q_ngram_jaccard", "q_dedup_embcos",
+        "q_snapshot_scan", "q_cdc_envelope",
+    }
+    assert must_be_in <= set(window), sorted(must_be_in - set(window))
+
+
+def test_rows_only_set_is_exactly_the_justified_two():
+    qs, osql = entry_mod.queries(), entry_mod.oracle_sql()
+    assert set(qs) - set(osql) == {"q_agg_approx", "q_sim_ann_ivf"}
