@@ -29,6 +29,20 @@ def test_hash_route_per_row_path_is_jvm_only(spark, sf_dir):
     assert "BatchEvalPython" not in plan
 
 
+def test_minhash_signature_zero_shuffle(spark):
+    """The signature stage is a pure narrow map (array_min over
+    higher-order transforms) — it must plan NO Exchange: at 100 TB the
+    shingle volume never hits the shuffle fabric."""
+    from pulsar_io_delta_spark.operators import dedup as dd
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i} text body " * 5) for i in range(50)], "doc_id long, text string"
+    )
+    sig = dd.minhash_signature(df, "doc_id", "text")
+    plan = sig._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
 def test_salted_lsh_same_plan_family(spark):
     """Salted band join stays a hash equi-join (salt widens the key, it
     must not degrade the join strategy)."""
