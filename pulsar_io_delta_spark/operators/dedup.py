@@ -55,22 +55,24 @@ def _perm_coeffs(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
 def minhash_signature(
     df: DataFrame, id_col: str, text_col: str, num_perm: int = 32, shingle_k: int = 3
 ) -> DataFrame:
-    """(id, m0..m{num_perm-1}) MinHash signature per document —
-    ZERO-SHUFFLE: a pure narrow map.
+    """(id, m0..m{num_perm-1}) MinHash signature per document.
 
     Universal hashing h_i(x) = (a_i * x + b_i) mod 2^31-1 over the
-    xxhash64 of each shingle, with the per-permutation min taken
-    row-locally via ``array_min(transform(...))`` higher-order
-    expressions instead of explode + groupBy. The signature stage of
-    the dedup pipeline therefore plans NO exchange at all (the round-2
-    version shuffled shingle×row volume into a 32-aggregate groupBy) —
-    at 100 TB the only remaining dedup shuffles are the band join and
-    the verify join, which carry far fewer bytes than raw shingles.
+    xxhash64 of each shingle; the min per permutation is a plain
+    aggregate. The explode + groupBy shape is deliberate: partial
+    (map-side) combine means the exchange carries only docs × num_perm
+    longs — O(docs), NOT shingle volume — and the whole stage runs in
+    whole-stage codegen. The measured alternative (row-local
+    ``array_min(transform(...))`` per permutation, zero exchanges) is
+    ~1.4× slower on the signature and >2× slower through
+    lsh_candidate_pairs, because 32 interpreted higher-order traversals
+    lose to codegen'd explode + hash-aggregate; the tiny exchange is
+    the cheaper currency. Plan-guarded: test_plan_shapes asserts the
+    partial_min combine sits before the exchange.
     """
     # Materialize the token array once per row before building shingles —
-    # referencing tokens_col() several times inside the higher-order
-    # exprs makes codegen re-split the text per reference (~3× the
-    # regex work).
+    # referencing tokens_col() three times inside the higher-order exprs
+    # makes codegen re-split the text per reference (~3× the regex work).
     toks = df.select(
         F.col(id_col),
         F.filter(tokens_col(F.col(text_col)), lambda x: x != "").alias("toks"),
@@ -81,22 +83,13 @@ def minhash_signature(
             lambda i: F.concat_ws(" ", F.slice("toks", i, shingle_k)),
         )
     )
-    staged = toks.select(
-        F.col(id_col),
-        F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE31))).alias("_hx"),
-    )
-    # NB: the permutation lambda must be built through a factory —
-    # pyspark counts the lambda's positional parameters to bind the
-    # higher-order function, so default-arg capture (lambda v, a=a, b=b)
-    # reads as a 3-arg lambda and fails analysis.
-    def _perm(a: int, b: int):
-        return lambda v: F.pmod(v * F.lit(a) + F.lit(b), F.lit(MERSENNE31))
-
-    mins = [
-        F.array_min(F.transform(F.col("_hx"), _perm(a, b))).alias(f"m{i}")
+    sh = toks.select(F.col(id_col), F.explode(shingles).alias("shingle"))
+    x = F.pmod(F.xxhash64("shingle"), F.lit(MERSENNE31))
+    aggs = [
+        F.min(F.pmod(x * F.lit(a) + F.lit(b), F.lit(MERSENNE31))).alias(f"m{i}")
         for i, (a, b) in enumerate(_perm_coeffs(num_perm))
     ]
-    return staged.select(F.col(id_col), *mins)
+    return sh.groupBy(id_col).agg(*aggs)
 
 
 def lsh_candidate_pairs(

@@ -29,10 +29,10 @@ def test_hash_route_per_row_path_is_jvm_only(spark, sf_dir):
     assert "BatchEvalPython" not in plan
 
 
-def test_minhash_signature_zero_shuffle(spark):
-    """The signature stage is a pure narrow map (array_min over
-    higher-order transforms) — it must plan NO Exchange: at 100 TB the
-    shingle volume never hits the shuffle fabric."""
+def test_minhash_signature_mapside_combine(spark):
+    """The signature groupBy must partially aggregate BEFORE the
+    exchange: at 100 TB the shuffle then carries docs × num_perm longs,
+    never raw shingle volume."""
     from pulsar_io_delta_spark.operators import dedup as dd
 
     df = spark.createDataFrame(
@@ -40,7 +40,7 @@ def test_minhash_signature_zero_shuffle(spark):
     )
     sig = dd.minhash_signature(df, "doc_id", "text")
     plan = sig._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan
+    assert "partial_min" in plan, plan
 
 
 def test_salted_lsh_same_plan_family(spark):
