@@ -97,15 +97,25 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) sharing ≥1 LSH band.
 
-    ``salt > 1`` is the degenerate-bucket knob (PERF.md): a boilerplate
-    corpus can put thousands of near-identical docs into ONE (band,
-    band-hash) bucket, making a single reducer own the whole quadratic
-    blow-up. Salting widens the join key to (band, bh, salt): the probe
-    side gets a deterministic per-id salt (so each doc's rows land on
-    one of ``salt`` reducers), the build side is replicated once per
-    salt value. Each qualifying pair still matches exactly once — at
-    the probe row's salt — so the output is IDENTICAL to the unsalted
-    join while per-reducer probe-group size drops ~salt×."""
+    Default path (``salt == 1``): groupBy (band, bh) → sorted id set →
+    in-bucket pair expansion via nested higher-order transforms. ONE
+    exchange, and the signature subplan is evaluated exactly once — a
+    self-join evaluates its upstream twice (broadcast build + probe;
+    exchange reuse only rescues the sort-merge case), which at 100 TB
+    doubles the dominant tokenize/shingle/hash cost. Verified to emit
+    the identical pair set as the join formulation.
+
+    ``salt > 1`` is the degenerate-bucket knob (PERF.md) and keeps the
+    join formulation, because splitting a hot bucket across reducers
+    needs the probe side sharded: a boilerplate corpus can put
+    thousands of near-identical docs into ONE (band, band-hash) bucket,
+    making a single reducer own the whole quadratic blow-up. Salting
+    widens the join key to (band, bh, salt): the probe side gets a
+    deterministic per-id salt (so each doc's rows land on one of
+    ``salt`` reducers), the build side is replicated once per salt
+    value. Each qualifying pair still matches exactly once — at the
+    probe row's salt — so the output is IDENTICAL to the unsalted path
+    while per-reducer probe-group size drops ~salt×."""
     rows_per_band = num_perm // bands
     band_cols = []
     for b in range(bands):
@@ -121,22 +131,36 @@ def lsh_candidate_pairs(
         b = buckets.select(
             "*", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))).alias("_salt")
         ).alias("b")
-        salt_eq = F.col("a._salt") == F.col("b._salt")
-    else:
-        a = buckets.alias("a")
-        b = buckets.alias("b")
-        salt_eq = F.lit(True)
+        return (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bh") == F.col("b.bh"))
+                & (F.col("a._salt") == F.col("b._salt"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+            )
+            .distinct()
+        )
+    grouped = (
+        buckets.groupBy("band", "bh")
+        .agg(F.sort_array(F.collect_set(id_col)).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice("ids", i + F.lit(2), F.size("ids")),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & salt_eq
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
+        grouped.select(F.explode(pair_structs).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
 

@@ -43,6 +43,21 @@ def test_minhash_signature_mapside_combine(spark):
     assert "partial_min" in plan, plan
 
 
+def test_unsalted_lsh_plans_no_join(spark):
+    """The default candidate generator is groupBy + in-bucket pair
+    expansion: no join operator anywhere, so the signature subplan is
+    evaluated exactly once (a self-join would evaluate it twice)."""
+    from pulsar_io_delta_spark.operators import dedup as dd
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i} text body " * 5) for i in range(50)], "doc_id long, text string"
+    )
+    sig = dd.minhash_signature(df, "doc_id", "text")
+    pairs = dd.lsh_candidate_pairs(sig, "doc_id")
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+
+
 def test_salted_lsh_same_plan_family(spark):
     """Salted band join stays a hash equi-join (salt widens the key, it
     must not degrade the join strategy)."""
