@@ -106,9 +106,11 @@ def q_dedup_near(spark, sf_dir):
     corpus = _planted_corpus(table(spark, sf_dir, "documents"))
     sig = dd.minhash_signature(corpus, "doc_id", "text")
     pairs = dd.lsh_candidate_pairs(sig, "doc_id")
+    # Explode both endpoints from ONE reference to `pairs` — a unionAll
+    # of two selects would evaluate the corpus→signature→pairs subplan
+    # twice.
     partnered = (
-        pairs.select(F.col("id_a").alias("doc_id"))
-        .unionAll(pairs.select(F.col("id_b").alias("doc_id")))
+        pairs.select(F.explode(F.array("id_a", "id_b")).alias("doc_id"))
         .distinct()
         .withColumn("has_near_dup", F.lit(True))
     )
