@@ -152,6 +152,80 @@ ORDER BY l_returnflag, l_linestatus
     ["lineitem"],
 )
 
+# TPC-H Q6 (forecasting revenue change) — the canonical fully-pushed
+# scan: every predicate reaches the parquet reader, one global sum.
+shared_sql_query(
+    "q_sql_tpch_q6",
+    """
+SELECT round(CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(24,6)))
+                  AS DOUBLE), 4) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.04 AND 0.08
+  AND l_quantity < 24
+""",
+    ["lineitem"],
+)
+
+# TPC-H Q14 (promotion effect), adapted to the fixture schema — a
+# fact⋈dim join feeding a conditional-aggregate ratio.
+shared_sql_query(
+    "q_sql_tpch_q14",
+    """
+SELECT round(
+         100.00 * CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+                       THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))
+                       ELSE CAST(0 AS DECIMAL(24,6)) END) AS DOUBLE)
+         / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))) AS DOUBLE),
+         4) AS promo_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+  AND l_shipdate < TIMESTAMP '1996-10-01'
+""",
+    ["lineitem", "part"],
+)
+
+# TPC-H Q18 (large-volume customers) — IN over a grouped-HAVING
+# subquery on the same fact table, then a 3-way re-join.
+shared_sql_query(
+    "q_sql_tpch_q18",
+    """
+SELECT c_name, c_custkey, o_orderkey,
+       CAST(o_orderdate AS DATE) AS odate, o_totalprice,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_qty
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                     GROUP BY l_orderkey HAVING sum(l_quantity) > 280)
+GROUP BY c_name, c_custkey, o_orderkey, CAST(o_orderdate AS DATE), o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+""",
+    ["customer", "orders", "lineitem"],
+)
+
+# TPC-H Q19 (discounted revenue), adapted to the fixture schema (brand
+# / size / quantity stand in for the container terms) — preserves the
+# disjunction-of-conjunctions predicate the optimizer must push through
+# a join.
+shared_sql_query(
+    "q_sql_tpch_q19",
+    """
+SELECT round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6)))
+                  AS DOUBLE), 4) AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+       AND l_quantity >= 1 AND l_quantity <= 21)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 20
+       AND l_quantity >= 10 AND l_quantity <= 30)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 25
+       AND l_quantity >= 20 AND l_quantity <= 40)
+""",
+    ["lineitem", "part"],
+)
+
 # TPC-H Q10 (returned-item reporting) — customer/nation star join over
 # a returnflag filter with a top-20 revenue ranking.
 shared_sql_query(
