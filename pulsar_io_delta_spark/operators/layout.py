@@ -83,6 +83,40 @@ def write_zordered(
     return table.write(ordered, mode=mode)
 
 
+def write_bucketed(
+    df: DataFrame,
+    name: str,
+    path: str,
+    bucket_col: str,
+    num_buckets: int = 8,
+) -> None:
+    """Persist ``df`` hash-bucketed (and sorted) on ``bucket_col`` as a
+    catalog parquet table at ``path``.
+
+    This is the co-located-join layout for fact⋈fact joins at 100 TB
+    (PERF.md): two tables bucketed the SAME way on the join key scan
+    with a matching hash output-partitioning, so the join plans a
+    sort-merge with ZERO exchanges — the shuffle was paid once at write
+    time and is amortized over every subsequent join. The writer is an
+    ordinary repartition-and-sort write; file count = num_buckets ×
+    write tasks is the knob to tune against small files.
+    """
+    (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .option("path", path)
+        .bucketBy(num_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .saveAsTable(name)
+    )
+
+
+def bucketed_join(spark, left_name: str, right_name: str, on: str) -> DataFrame:
+    """Equi-join two same-bucketed catalog tables on the bucket key —
+    plans exchange-free when the bucket specs match."""
+    return spark.table(left_name).join(spark.table(right_name), on)
+
+
 def skipping_ratio(table: DeltaTable, filters: list[tuple[str, str, object]]) -> float:
     """Fraction of files a filtered read would skip (1.0 = all skipped)."""
     snap = table.snapshot()

@@ -62,3 +62,31 @@ def test_zorder_skips_on_both_dimensions(spark, tmp_path):
     a = zo.read(spark, filters=box).count()
     b = rnd.read(spark, filters=box).count()
     assert a == b > 0
+
+
+def test_bucketed_join_plans_no_exchange(spark, sf_dir, tmp_path):
+    """Two tables bucketed identically on the join key sort-merge-join
+    with ZERO exchanges: the shuffle is paid once at write time — the
+    co-located fact-fact join layout for 100 TB (PERF.md)."""
+    from pulsar_io_delta_spark.operators.layout import bucketed_join, write_bucketed
+
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    od = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    write_bucketed(li, "bkt_lineitem", str(tmp_path / "bl"), "l_orderkey", 8)
+    write_bucketed(od, "bkt_orders", str(tmp_path / "bo"), "l_orderkey", 8)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed_join(spark, "bkt_lineitem", "bkt_orders", "l_orderkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+        # correctness: same count as the plain shuffled join
+        expected = li.join(od, "l_orderkey").count()
+        assert joined.count() == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
+        spark.sql("DROP TABLE IF EXISTS bkt_orders")

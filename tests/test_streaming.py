@@ -163,3 +163,29 @@ def test_write_schema_evolution_read_back(spark, tmp_path):
     # type change is a rewrite, not an evolution
     with _pytest.raises(DeltaProtocolError):
         t.write(spark.range(6, 7).select(F.col("id").cast("string").alias("event_id")))
+
+
+def test_stateful_agg_on_rocksdb_state_store(spark, sf_dir):
+    """The 100 TB state backend: the same windowed aggregation runs
+    (and matches batch) with the RocksDB state store provider, the
+    knob that moves streaming state off the executor heap at scale."""
+    provider = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, provider)
+    try:
+        s = events_stream(spark, sf_dir)
+        windowed = s.groupBy(
+            F.window("ts", "1 day").alias("w"), F.col("event_type")
+        ).count()
+        out = run_to_memory(windowed, output_mode="complete")
+        batch = (
+            table(spark, sf_dir, "events")
+            .groupBy(F.window("ts", "1 day").alias("w"), F.col("event_type"))
+            .count()
+        )
+        assert {(r.w.start, r.event_type, r["count"]) for r in out.collect()} == {
+            (r.w.start, r.event_type, r["count"]) for r in batch.collect()
+        }
+    finally:
+        spark.conf.set(key, prev)
