@@ -42,6 +42,9 @@ HEADLINE = [
     "q_join_range",
     "q_window_rank",
     "q_topk",
+    # SQL front door (round 4: TPC-H suite completed)
+    "q_sql_tpch_q1",
+    "q_sql_tpch_q18",
     # streaming
     "q_stream_tumbling",
     "q_stream_watermark_dedup",

@@ -53,10 +53,13 @@ promote(
 # path decode, the six rewritten dedup/verify contracts); (c) the
 # r1-stale block, two rounds without a driver re-check — the delta-log-
 # dependent reference surface first, then sources and the relational
-# core. Left outside (green in r1, untouched since, lowest risk):
-# intersect_all / except_all / agg_variance / join_cross / null_funcs /
-# regex_funcs / struct_funcs, plus the round-2/3-green blocks rotating
-# behind.
+# core joins/aggs; (d) the 14 TPC-H queries added this round (new ⇒
+# zero driver history ⇒ highest re-check value). Left outside (green in
+# r1, untouched since, lowest risk): the scalar-function and set-op
+# singles (union/intersect/except, string/date/math/json/array funcs,
+# topk, window rank/running/lag), plus intersect_all / except_all /
+# agg_variance / join_cross / null_funcs / regex_funcs / struct_funcs
+# and the round-2/3-green blocks rotating behind.
 promote(
     [
         "q_cdc_schema_evolution",
@@ -98,20 +101,21 @@ promote(
         "q_agg_distinct",
         "q_agg_rollup",
         "q_agg_cube",
-        "q_agg_approx",
-        "q_window_rank",
-        "q_window_running",
-        "q_window_lag",
-        "q_topk",
-        "q_union_all",
-        "q_union_distinct",
-        "q_intersect",
-        "q_except",
-        "q_string_funcs",
-        "q_date_funcs",
-        "q_math_funcs",
-        "q_json_funcs",
-        "q_array_funcs",
+        # new this round: the TPC-H completion (no driver history yet)
+        "q_sql_tpch_q2",
+        "q_sql_tpch_q4",
+        "q_sql_tpch_q7",
+        "q_sql_tpch_q8",
+        "q_sql_tpch_q9",
+        "q_sql_tpch_q11",
+        "q_sql_tpch_q12",
+        "q_sql_tpch_q13",
+        "q_sql_tpch_q15",
+        "q_sql_tpch_q16",
+        "q_sql_tpch_q17",
+        "q_sql_tpch_q20",
+        "q_sql_tpch_q21",
+        "q_sql_tpch_q22",
     ],
     after="q_stream_tumbling",
 )
