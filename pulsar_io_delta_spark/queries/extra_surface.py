@@ -261,3 +261,79 @@ def q_stream_stateful_count(spark, sf_dir):
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return run_to_memory(counted, output_mode="update")
+
+
+@register(
+    "q_udaf_weighted_mean",
+    oracle="""
+SELECT l_returnflag,
+       round(sum(l_quantity * l_linenumber) / sum(l_linenumber), 4)
+         AS wmean_qty,
+       count(*) AS cnt
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def q_udaf_weighted_mean(spark, sf_dir):
+    """Custom UDAF via a grouped-agg pandas UDF — the third leg of the
+    UDF/UDAF/UDTF surface (SURVEY §2.2). Weighted mean of quantity by
+    line number: both inputs are integral, so the float sums are exact
+    and order-independent, keeping the oracle hash engine-portable.
+    At scale this is one Arrow batch per group partition — no per-row
+    Python — though built-in sum()/count() composition stays the
+    preferred shape when the algebra allows it."""
+
+    @F.pandas_udf("double")
+    def wmean(q: pd.Series, w: pd.Series) -> float:
+        return float((q * w).sum() / w.sum())
+
+    # grouped-agg pandas UDFs can't mix with JVM aggregates in one
+    # agg(), so the row count is a second pandas aggregate
+    @F.pandas_udf("long")
+    def pcount(q: pd.Series) -> int:
+        return len(q)
+
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(wmean("l_quantity", "l_linenumber"), 4).alias("wmean_qty"),
+            pcount("l_quantity").alias("cnt"),
+        )
+    )
+
+
+@register(
+    "q_map_funcs",
+    oracle="""
+SELECT event_id,
+       'k,type' AS keys_csv,
+       event_type AS type_val,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+       upper(event_type) AS type_upper,
+       CAST(3 AS BIGINT) AS n_after_concat,
+       CAST(1 AS BIGINT) AS has_type
+FROM events
+""",
+)
+def q_map_funcs(spark, sf_dir):
+    """MapType function surface: create_map, map_keys, element_at,
+    transform_values (higher-order over map entries), map_concat,
+    map_contains_key — all JVM-side codegen'd expressions; the DuckDB
+    oracle computes the same projection from the flat columns."""
+    e = table(spark, sf_dir, "events")
+    m = F.create_map(
+        F.lit("type"), F.col("event_type"),
+        F.lit("k"), F.get_json_object("props", "$.k"),
+    )
+    m2 = F.transform_values(m, lambda _, v: F.upper(v))
+    mc = F.map_concat(m, F.create_map(F.lit("extra"), F.col("event_id").cast("string")))
+    return e.select(
+        "event_id",
+        F.array_join(F.sort_array(F.map_keys(m)), ",").alias("keys_csv"),
+        F.element_at(m, "type").alias("type_val"),
+        F.element_at(m, "k").cast("long").alias("k_val"),
+        F.element_at(m2, "type").alias("type_upper"),
+        F.size(mc).cast("long").alias("n_after_concat"),
+        F.map_contains_key(m, "type").cast("long").alias("has_type"),
+    )
