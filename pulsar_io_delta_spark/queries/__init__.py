@@ -119,3 +119,13 @@ promote(
     ],
     after="q_stream_tumbling",
 )
+
+# Late round-4 additions (UDAF, map functions, salted skew join) have
+# zero driver history → swap them into the window in place of the three
+# plain outer-join singles (r1-green, unmodified since, lowest
+# regression risk), which rotate to the back of the registration order.
+promote(
+    ["q_udaf_weighted_mean", "q_map_funcs", "q_join_skew_salted"],
+    after="q_join_inner",
+)
+promote(["q_join_left", "q_join_right", "q_join_full"], after="q_struct_funcs")

@@ -10,7 +10,7 @@ import tempfile
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from pulsar_io_delta_spark.queries._util import r4
+from pulsar_io_delta_spark.queries._util import dsum, r4
 from pulsar_io_delta_spark.registry import register
 from pulsar_io_delta_spark.tables import table
 
@@ -260,4 +260,40 @@ def q_unpivot(spark, sf_dir):
     )
     return l.unpivot(
         ["l_orderkey", "l_linenumber"], ["qty", "price", "disc"], "measure", "val"
+    )
+
+
+@register(
+    "q_join_skew_salted",
+    oracle="""
+SELECT n_name,
+       count(*) AS cnt,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 4)
+         AS sum_qty
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+""",
+)
+def q_join_skew_salted(spark, sf_dir):
+    """Skew-robust salted join under the oracle gate: the fact side gets
+    a random salt in [0, 8), the build side is replicated 8x, so a hot
+    key spreads over 8 reducers instead of stalling one. The oracle is
+    the PLAIN join — salting must be invisible in the result. At 100 TB
+    this is the manual knob for degenerate keys (one key = 30% of rows)
+    where AQE skew splitting can't help because a single key can't be
+    range-split; see operators/joins.py::salted_join.
+    Reference parity: partition routing under hot Delta partitions
+    (DeltaLakeConnectorSource.java round-robin assignment)."""
+    from pulsar_io_delta_spark.operators.joins import salted_join
+
+    l = table(spark, sf_dir, "lineitem").select("l_suppkey", "l_quantity")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    joined = salted_join(l, s, key="l_suppkey", other_key="s_suppkey", salt=8)
+    joined = joined.join(F.broadcast(n), joined.s_nationkey == n.n_nationkey)
+    return joined.groupBy("n_name").agg(
+        F.count("*").alias("cnt"),
+        r4(dsum("l_quantity", "18,4")).alias("sum_qty"),
     )
