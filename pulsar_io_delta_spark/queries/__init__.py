@@ -129,3 +129,72 @@ promote(
     after="q_join_inner",
 )
 promote(["q_join_left", "q_join_right", "q_join_full"], after="q_struct_funcs")
+
+# Round-5 window (slots 1-49 after the q_stream_tumbling canary):
+# (a) the 15 other queries broken by the round-4 events-ts fixture drift,
+#     now fixed via schema-dispatch (tables.normalize_events_ts) — each
+#     needs a fresh hard driver row proving the fix; (b) the 8 queries
+#     with ZERO driver-row history ever (TPC-H q1/q6/q10/q14/q18/q19
+#     added mid-r4 after the rotation, q_multimodal_real_decode,
+#     q_sim_ann_lsh); (c) 26 slots of the stalest r1/r2-green block
+#     (window/set-op/scalar-function singles + outer joins + the two
+#     r2-green TPC-H queries), unchecked by the driver for 3+ rounds.
+# Rotating out: the r4-green reference-surface/dedup/TPC-H blocks —
+# freshly hard-verified, unmodified this round, lowest re-check value.
+promote(
+    [
+        # (a) events-ts fix — streaming first (the silent-wrong cluster)
+        "q_stream_sliding",
+        "q_stream_session",
+        "q_stream_stream_join",
+        "q_stream_watermark_dedup",
+        "q_cdc_envelope",
+        "q_partition_encode",
+        "q_hash_route",
+        "q_time_travel_filter",
+        "q_cdc_source",
+        "q_json_funcs",
+        "q_map_funcs",
+        "q_source_csv",
+        "q_source_jsonl",
+        "q_timeseries_gapfill",
+        "q_asof_join",
+        # (b) zero driver history
+        "q_sql_tpch_q1",
+        "q_sql_tpch_q6",
+        "q_sql_tpch_q10",
+        "q_sql_tpch_q14",
+        "q_sql_tpch_q18",
+        "q_sql_tpch_q19",
+        "q_multimodal_real_decode",
+        "q_sim_ann_lsh",
+        # (c) stalest greens
+        "q_window_rank",
+        "q_window_running",
+        "q_window_lag",
+        "q_topk",
+        "q_union_all",
+        "q_union_distinct",
+        "q_intersect",
+        "q_except",
+        "q_intersect_all",
+        "q_except_all",
+        "q_string_funcs",
+        "q_date_funcs",
+        "q_math_funcs",
+        "q_array_funcs",
+        "q_null_funcs",
+        "q_regex_funcs",
+        "q_struct_funcs",
+        "q_agg_variance",
+        "q_join_cross",
+        "q_join_left",
+        "q_join_right",
+        "q_join_full",
+        "q_sql_tpch_q3",
+        "q_sql_tpch_q5",
+        "q_sql_grouping_sets",
+        "q_sql_subqueries",
+    ],
+    after="q_stream_tumbling",
+)

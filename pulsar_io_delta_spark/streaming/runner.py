@@ -28,27 +28,9 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import (
-    DoubleType,
-    LongType,
-    StringType,
-    StructField,
-    StructType,
-)
 
 from pulsar_io_delta_spark.session import pin_session
-
-# events.parquet physical schema under nanosAsLong: ts is a nanosecond long.
-EVENTS_RAW_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+from pulsar_io_delta_spark.tables import normalize_events_ts
 
 
 def stream_dir_for(sf_dir: str, name: str) -> str:
@@ -70,13 +52,34 @@ def stream_dir_for(sf_dir: str, name: str) -> str:
 
 
 def events_stream(spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None) -> DataFrame:
-    """Streaming view of the events fixture with `ts` as a proper timestamp."""
+    """Streaming view of the events fixture with `ts` as a proper timestamp.
+
+    Spark file streams require an explicit schema, and round 4 showed
+    that hard-coding one silently corrupts data when the driver
+    regenerates the fixture with a different physical encoding (a
+    forced ``ts: long`` read µs values, ``div 1000`` landed every
+    window in January 1970 — wrong answers with no error). So: read
+    the parquet footer once (batch, metadata-only) to get the *actual*
+    schema, stream with that, and reuse the batch loader's type
+    dispatch (:func:`normalize_events_ts`). A one-row probe asserts the
+    normalized timestamps are in a plausible range so any future
+    fixture drift fails loudly instead of silently.
+    """
     pin_session(spark)
-    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    d = stream_dir_for(sf_dir, "events")
+    batch = spark.read.parquet(d)  # footer-only: schema inference, no scan
+    reader = spark.readStream.schema(batch.schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    raw = reader.parquet(stream_dir_for(sf_dir, "events"))
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    raw = reader.parquet(d)
+    out = normalize_events_ts(raw)
+    probe = normalize_events_ts(batch).select(F.year("ts").alias("y")).first()
+    if probe is not None and not (2000 <= probe.y <= 2100):
+        raise ValueError(
+            f"events.ts normalization produced year {probe.y}; the fixture's "
+            "physical ts encoding has drifted — update tables.ts_to_timestamp"
+        )
+    return out
 
 
 def run_cdc_with_schema_evolution(

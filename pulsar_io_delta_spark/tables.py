@@ -1,18 +1,32 @@
 """Loaders for the driver-generated parquet fixtures (TESTDATA.md).
 
 All queries read through :func:`table` so timestamp semantics are
-uniform: ``events.ts`` is physically TIMESTAMP(NANOS) parquet, which
-Spark 4 cannot read natively — we read it as a nanosecond long
-(``spark.sql.legacy.parquet.nanosAsLong``) and convert with integer
-division to a microsecond timestamp (``timestamp_micros(ts div 1000)``;
-double division would lose precision at 1.7e18 ns). DuckDB's own read of
-the same file truncates ns→µs identically, so oracles agree.
+uniform. The driver has regenerated ``events.parquet`` with different
+physical encodings across rounds (TIMESTAMP(NANOS) in rounds 1-3,
+``timestamp[us]`` from round 4's regeneration), so the loader
+dispatches on the *observed* Spark type of ``ts`` instead of assuming
+one encoding:
+
+- ``LongType``  — the file is TIMESTAMP(NANOS) read under
+  ``spark.sql.legacy.parquet.nanosAsLong`` (session.py keeps the flag
+  on so a NANOS file loads as a long instead of failing); convert with
+  integer division ``timestamp_micros(ts div 1000)`` (double division
+  would lose precision at 1.7e18 ns). DuckDB truncates ns→µs
+  identically, so oracles agree.
+- ``TimestampNTZType`` — plain ``timestamp[us]`` without timezone
+  metadata; the session is pinned UTC, so ``cast("timestamp")`` is a
+  pure relabel (no instant shift).
+- ``TimestampType`` — already what every query expects; passthrough.
+
+Any other type fails loudly: silent mis-conversion here produced
+wrong-answer streams in round 4 (VERDICT.md "What's wrong" #2).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import DataType, LongType, TimestampNTZType, TimestampType
 
 from pulsar_io_delta_spark.session import pin_session
 
@@ -30,11 +44,39 @@ TABLE_NAMES = (
 )
 
 
+def ts_to_timestamp(dtype: DataType, name: str = "ts") -> Column:
+    """Normalize an ``events.ts``-style column of observed type *dtype*
+    to TIMESTAMP (UTC session). See module docstring for the encodings.
+
+    Takes the column *name* (not a Column) because the ns-long path
+    needs SQL integer division (``div``): ``(col / 1000).cast("long")``
+    routes through double, which cannot represent 1.7e18 exactly.
+    """
+    if isinstance(dtype, LongType):
+        return F.expr(f"timestamp_micros({name} div 1000)")
+    if isinstance(dtype, TimestampNTZType):
+        return F.col(name).cast(TimestampType())
+    if isinstance(dtype, TimestampType):
+        return F.col(name)
+    raise TypeError(
+        f"events.ts has unsupported physical type {dtype}; expected a "
+        "nanosecond long (nanosAsLong), timestamp_ntz, or timestamp"
+    )
+
+
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Schema-dispatch ``ts`` to a proper TIMESTAMP column."""
+    dtype = df.schema["ts"].dataType
+    if isinstance(dtype, TimestampType):
+        return df
+    return df.withColumn("ts", ts_to_timestamp(dtype, "ts"))
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     pin_session(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        df = normalize_events_ts(df)
     return df
 
 

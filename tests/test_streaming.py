@@ -5,12 +5,30 @@ import os
 
 import pyspark.sql.functions as F
 
-from pulsar_io_delta_spark.streaming.runner import (
-    EVENTS_RAW_SCHEMA,
-    events_stream,
-    run_to_memory,
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
 )
+
+from pulsar_io_delta_spark.streaming.runner import events_stream, run_to_memory
 from pulsar_io_delta_spark.tables import table
+
+# Schema of the ns-long batches _write_batches encodes below. This is a
+# *test-local* layout (the test writes its own files); the production
+# events_stream derives its schema from the fixture footer instead.
+NS_LONG_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
 
 
 def _write_batches(spark, sf_dir, out_dir):
@@ -55,7 +73,7 @@ def test_watermark_drops_late_batch(spark, sf_dir, tmp_path):
 
     def run_pass():
         stream = (
-            spark.readStream.schema(EVENTS_RAW_SCHEMA)
+            spark.readStream.schema(NS_LONG_SCHEMA)
             .parquet(src)
             .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
         )
