@@ -18,6 +18,7 @@ from pulsar_io_delta_spark.queries import relational3  # noqa: F401
 from pulsar_io_delta_spark.queries import relational  # noqa: F401
 from pulsar_io_delta_spark.queries import relational2  # noqa: F401
 from pulsar_io_delta_spark.queries import pipeline_queries  # noqa: F401
+from pulsar_io_delta_spark.queries import pipeline2  # noqa: F401
 
 from pulsar_io_delta_spark.registry import promote
 
@@ -136,9 +137,14 @@ promote(["q_join_left", "q_join_right", "q_join_full"], after="q_struct_funcs")
 #     needs a fresh hard driver row proving the fix; (b) the 8 queries
 #     with ZERO driver-row history ever (TPC-H q1/q6/q10/q14/q18/q19
 #     added mid-r4 after the rotation, q_multimodal_real_decode,
-#     q_sim_ann_lsh); (c) 26 slots of the stalest r1/r2-green block
-#     (window/set-op/scalar-function singles + outer joins + the two
-#     r2-green TPC-H queries), unchecked by the driver for 3+ rounds.
+#     q_sim_ann_lsh); (b') the five operators added this round
+#     (sessionize/funnel/entropy/centroid/quantize — new ⇒ zero driver
+#     history ⇒ highest re-check value); (c) 21 slots of the stalest
+#     r1/r2-green block (window/set-op/scalar-function singles + the
+#     r2-green TPC-H/SQL queries), unchecked by the driver for 3+
+#     rounds. The plain join singles (cross/left/right/full,
+#     agg_variance) rotate behind: r1-green, unmodified, judge-gate
+#     green on current fixtures — lowest re-check value.
 # Rotating out: the r4-green reference-surface/dedup/TPC-H blocks —
 # freshly hard-verified, unmodified this round, lowest re-check value.
 promote(
@@ -168,6 +174,12 @@ promote(
         "q_sql_tpch_q19",
         "q_multimodal_real_decode",
         "q_sim_ann_lsh",
+        # (b') new this round (sessionize/funnel/entropy/embedding ops)
+        "q_sessionize",
+        "q_funnel",
+        "q_text_entropy",
+        "q_emb_centroid",
+        "q_emb_quantize",
         # (c) stalest greens
         "q_window_rank",
         "q_window_running",
@@ -186,11 +198,6 @@ promote(
         "q_null_funcs",
         "q_regex_funcs",
         "q_struct_funcs",
-        "q_agg_variance",
-        "q_join_cross",
-        "q_join_left",
-        "q_join_right",
-        "q_join_full",
         "q_sql_tpch_q3",
         "q_sql_tpch_q5",
         "q_sql_grouping_sets",

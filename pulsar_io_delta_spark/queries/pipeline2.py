@@ -1,0 +1,200 @@
+"""Round-5 pipeline surface: batch sessionization, funnel analysis,
+char-entropy quality scoring, and embedding centroid/quantization ops.
+
+These extend the beyond-reference training-data surface (SURVEY §2.2):
+the reference connector (frankxieke/pulsar-io-delta,
+`DeltaLakeConnectorSource.java`) only moves rows; a corpus pipeline
+also needs historical-log sessionization, quality scoring, and
+embedding-column maintenance. All determinism rules follow
+FIXTURES.md §5 (decimal sums, epoch-second timestamps, BIGINT casts).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pulsar_io_delta_spark.operators import text as tx
+from pulsar_io_delta_spark.operators.sessionize import funnel_counts, session_stats
+from pulsar_io_delta_spark.registry import register
+from pulsar_io_delta_spark.tables import table
+
+
+@register(
+    "q_sessionize",
+    oracle="""
+WITH b AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+         THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts,
+    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM b
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(session_seq AS BIGINT) AS session_seq,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(floor(epoch(min(ts))) AS BIGINT) AS start_s,
+       CAST(floor(epoch(max(ts))) AS BIGINT) AS end_s
+FROM s GROUP BY user_id, session_seq
+""",
+)
+def q_sessionize(spark, sf_dir):
+    """Batch gap-sessionization (30 min) of the event log: per-session
+    event count and start/end. ONE shuffle on user_id shared by the
+    lag window, the running sum, and the final agg
+    (operators/sessionize.py)."""
+    e = table(spark, sf_dir, "events")
+    return session_stats(e, gap_seconds=1800).select(
+        F.col("user_id").cast("long").alias("user_id"),
+        "session_seq",
+        "n_events",
+        "start_s",
+        "end_s",
+    )
+
+
+@register(
+    "q_funnel",
+    oracle="""
+WITH v AS (SELECT user_id, min(ts) AS t0 FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, min(e.ts) AS t1 FROM events e
+      JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t0 GROUP BY e.user_id),
+p AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+      JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t1 GROUP BY e.user_id)
+SELECT 'view' AS stage, CAST((SELECT count(*) FROM v) AS BIGINT) AS n_users
+UNION ALL
+SELECT 'click', CAST((SELECT count(*) FROM c) AS BIGINT)
+UNION ALL
+SELECT 'purchase', CAST((SELECT count(*) FROM p) AS BIGINT)
+""",
+)
+def q_funnel(spark, sf_dir):
+    """Ordered funnel view → click → purchase: users reaching each
+    stage strictly after their previous-stage entry. One shuffle
+    (conditional mins over the same user window), no self-joins —
+    the oracle's three-join formulation would scan events 3× at
+    100 TB; the window form scans once."""
+    e = table(spark, sf_dir, "events")
+    return funnel_counts(e, ["view", "click", "purchase"])
+
+
+@register(
+    "q_text_entropy",
+    oracle="""
+WITH c AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, ''), x -> x <> '') AS chars
+  FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  round(-CAST(coalesce(list_aggregate(
+      list_transform(list_distinct(chars),
+        c -> CAST((CAST(len(list_filter(chars, x -> x = c)) AS DOUBLE)
+                     / greatest(len(chars), 1))
+                  * ln(CAST(len(list_filter(chars, x -> x = c)) AS DOUBLE)
+                     / greatest(len(chars), 1))
+             AS DECIMAL(24,12))),
+      'sum'), 0) AS DOUBLE), 4) AS entropy
+FROM c
+""",
+)
+def q_text_entropy(spark, sf_dir):
+    """Char-level Shannon entropy per document — perplexity proxy for
+    quality filtering. Zero-shuffle narrow map (operators/text.py
+    char_entropy_col); p·ln p terms summed as DECIMAL so char-set
+    iteration order can't perturb the float result."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        tx.char_entropy_col(F.col("text")).alias("entropy"),
+    )
+
+
+@register(
+    "q_emb_centroid",
+    oracle="""
+WITH x AS (
+  SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
+         unnest(embedding) AS val
+  FROM embeddings
+)
+SELECT CAST(label AS BIGINT) AS label, CAST(pos AS BIGINT) AS pos,
+       CAST(count(*) AS BIGINT) AS n,
+       round(CAST(sum(CAST(val AS DECIMAL(38,12))) AS DOUBLE) / count(*), 4)
+         AS centroid
+FROM x GROUP BY label, pos
+""",
+)
+def q_emb_centroid(spark, sf_dir):
+    """Per-label embedding centroids via posexplode + (label, pos)
+    hash-agg — the distributed-safe shape: map-side partial sums bound
+    the exchange at labels × dim rows regardless of corpus size (the
+    row-local alternative, collecting vectors per label, would
+    materialize whole groups). Element sums as DECIMAL for
+    order-independence (binary floats can never tie at a decimal digit,
+    so the cast rounds identically on both engines)."""
+    e = table(spark, sf_dir, "embeddings")
+    x = e.select("label", F.posexplode("embedding").alias("pos", "val"))
+    return x.groupBy("label", "pos").agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(
+            F.sum(F.col("val").cast("decimal(38,12)")).cast("double") / F.count("*"), 4
+        ).alias("centroid"),
+    ).select(
+        F.col("label").cast("long").alias("label"),
+        F.col("pos").cast("long").alias("pos"),
+        "n",
+        "centroid",
+    )
+
+
+@register(
+    "q_emb_quantize",
+    oracle="""
+WITH q AS (
+  SELECT vec_id,
+    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS amax,
+    list_transform(embedding,
+      x -> CAST(round(CAST(x AS DOUBLE) * 127.0 /
+             greatest(list_max(list_transform(embedding,
+                                              y -> abs(CAST(y AS DOUBLE)))),
+                      1e-30)) AS BIGINT)) AS qv
+  FROM embeddings
+)
+SELECT CAST(vec_id AS BIGINT) AS vec_id, round(amax, 4) AS amax,
+       CAST(list_aggregate(qv, 'sum') AS BIGINT) AS q_sum,
+       CAST(list_aggregate(qv, 'min') AS BIGINT) AS q_min,
+       CAST(list_aggregate(qv, 'max') AS BIGINT) AS q_max
+FROM q
+""",
+)
+def q_emb_quantize(spark, sf_dir):
+    """Symmetric int8 quantization of the embedding column (absmax
+    scaling, the llm.int8-style layout): row-local higher-order
+    functions, zero shuffle — at 100 TB this is a pure map over the
+    vector column. Output is the per-vector scale plus quantized-value
+    sum/min/max (scalar contract so the oracle hash is
+    representation-independent)."""
+    e = table(spark, sf_dir, "embeddings")
+    amax = F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double"))))
+    qv = F.transform(
+        "embedding",
+        lambda x: F.round(
+            x.cast("double") * F.lit(127.0) / F.greatest(amax, F.lit(1e-30))
+        ).cast("long"),
+    )
+    return e.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.round(amax, 4).alias("amax"),
+        F.aggregate(qv, F.lit(0).cast("long"), lambda a, x: a + x).alias("q_sum"),
+        F.array_min(qv).alias("q_min"),
+        F.array_max(qv).alias("q_max"),
+    )

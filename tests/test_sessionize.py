@@ -1,0 +1,100 @@
+"""Semantics + plan-shape guards for the round-5 batch session/funnel
+operators (operators/sessionize.py) and the embedding column ops."""
+
+import datetime
+
+import pyspark.sql.functions as F
+
+from pulsar_io_delta_spark.operators.sessionize import (
+    funnel_counts,
+    session_stats,
+    sessionize,
+)
+
+
+def _events(spark, rows):
+    base = datetime.datetime(2024, 1, 1)
+    return spark.createDataFrame(
+        [
+            (i, base + datetime.timedelta(seconds=sec), uid, typ)
+            for i, (uid, sec, typ) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+
+
+def test_sessionize_splits_on_gap(spark):
+    # user 1: events at t=0s, 10s, then 2000s later → two sessions
+    df = _events(spark, [(1, 0, "a"), (1, 10, "a"), (1, 2010, "a"), (2, 5, "a")])
+    got = {
+        (r.user_id, r.event_id): r.session_seq
+        for r in sessionize(df, gap_seconds=1800).collect()
+    }
+    assert got == {(1, 0): 1, (1, 1): 1, (1, 2): 2, (2, 3): 1}
+
+
+def test_session_stats_bounds(spark):
+    df = _events(spark, [(1, 0, "a"), (1, 10, "a"), (1, 2010, "a")])
+    rows = {r.session_seq: r for r in session_stats(df).collect()}
+    assert rows[1].n_events == 2 and rows[2].n_events == 1
+    assert rows[1].end_s - rows[1].start_s == 10
+    assert rows[2].start_s - rows[1].start_s == 2010
+
+
+def test_sessionize_single_exchange(spark):
+    """Lag window, running sum, and per-session agg must share ONE
+    exchange on the user key — the 100 TB contract."""
+    df = _events(spark, [(1, 0, "a"), (1, 10, "a")])
+    plan = session_stats(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_funnel_strict_ordering(spark):
+    # user 1 completes the funnel in order; user 2 clicks BEFORE viewing
+    # (click must not count); user 3 only views.
+    df = _events(
+        spark,
+        [
+            (1, 0, "view"), (1, 10, "click"), (1, 20, "purchase"),
+            (2, 0, "click"), (2, 10, "view"),
+            (3, 0, "view"),
+        ],
+    )
+    got = {r.stage: r.n_users for r in funnel_counts(df, ["view", "click", "purchase"]).collect()}
+    assert got == {"view": 3, "click": 1, "purchase": 1}
+
+
+def test_funnel_same_timestamp_not_counted(spark):
+    # strictly-after semantics: click at the same instant as the view
+    df = _events(spark, [(1, 0, "view"), (1, 0, "click")])
+    got = {r.stage: r.n_users for r in funnel_counts(df, ["view", "click"]).collect()}
+    assert got == {"view": 1, "click": 0}
+
+
+def test_funnel_no_self_join(spark):
+    """The funnel is conditional window-mins over ONE scan: the plan
+    must contain no join operator (the naive formulation scans events
+    once per stage and joins)."""
+    df = _events(spark, [(1, 0, "view"), (1, 10, "click")])
+    plan = (
+        funnel_counts(df, ["view", "click"])._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in plan, plan
+
+
+def test_entropy_known_values(spark):
+    from pulsar_io_delta_spark.operators.text import char_entropy_col
+
+    df = spark.createDataFrame([("aaaa",), ("abab",), ("abcd",)], ["t"])
+    got = [r.e for r in df.select(char_entropy_col(F.col("t")).alias("e")).collect()]
+    assert got == [0.0, 0.6931, 1.3863]  # 0, ln2, ln4
+
+
+def test_quantize_range_and_sign(spark, sf_dir):
+    from pulsar_io_delta_spark.queries.pipeline2 import q_emb_quantize
+
+    rows = q_emb_quantize(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert -127 <= r.q_min <= r.q_max <= 127
+        assert r.amax >= 0
