@@ -19,17 +19,27 @@ def test_entry_runs(spark):
     assert "sum_qty" in df.columns
 
 
-def test_round4_window_composition():
-    """The driver samples the first 50 registrations: the round-4
-    rotation must keep the never-checked and this-round-modified names
+def test_round5_window_composition():
+    """The driver samples the first 50 registrations: the round-5
+    rotation must keep (a) the events-ts-fix cluster, (b) the
+    zero-driver-history queries, and (c) this round's new operators
     inside that window (guards against accidental re-ordering)."""
     window = list(entry_mod.queries())[:50]
     must_be_in = {
-        "q_cdc_schema_evolution",
-        "q_hash_route", "q_cdc_source", "q_merge_upsert", "q_pulsar_wire",
-        "q_dedup_minhash", "q_dedup_near", "q_dedup_pipeline",
-        "q_dedup_simhash", "q_ngram_jaccard", "q_dedup_embcos",
-        "q_snapshot_scan", "q_cdc_envelope",
+        # canary + events-ts fix cluster
+        "q_stream_tumbling", "q_stream_sliding", "q_stream_session",
+        "q_stream_stream_join", "q_stream_watermark_dedup",
+        "q_cdc_envelope", "q_partition_encode", "q_hash_route",
+        "q_time_travel_filter", "q_cdc_source", "q_json_funcs",
+        "q_map_funcs", "q_source_csv", "q_source_jsonl",
+        "q_timeseries_gapfill", "q_asof_join",
+        # zero driver-row history before round 5
+        "q_sql_tpch_q1", "q_sql_tpch_q6", "q_sql_tpch_q10",
+        "q_sql_tpch_q14", "q_sql_tpch_q18", "q_sql_tpch_q19",
+        "q_multimodal_real_decode", "q_sim_ann_lsh",
+        # new round-5 operators
+        "q_sessionize", "q_funnel", "q_text_entropy",
+        "q_emb_centroid", "q_emb_quantize",
     }
     assert must_be_in <= set(window), sorted(must_be_in - set(window))
 
