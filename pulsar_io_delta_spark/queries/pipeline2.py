@@ -109,12 +109,12 @@ FROM c
 def q_text_entropy(spark, sf_dir):
     """Char-level Shannon entropy per document — perplexity proxy for
     quality filtering. Zero-shuffle narrow map (operators/text.py
-    char_entropy_col); p·ln p terms summed as DECIMAL so char-set
-    iteration order can't perturb the float result."""
+    with_char_entropy, sorted run-length form); p·ln p terms summed as
+    DECIMAL so run/char-set iteration order can't perturb the float
+    result."""
     d = table(spark, sf_dir, "documents")
-    return d.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        tx.char_entropy_col(F.col("text")).alias("entropy"),
+    return tx.with_char_entropy(d).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "entropy"
     )
 
 
@@ -184,17 +184,29 @@ def q_emb_quantize(spark, sf_dir):
     sum/min/max (scalar contract so the oracle hash is
     representation-independent)."""
     e = table(spark, sf_dir, "embeddings")
+    # Materialize amax and qv as named columns: inlining them would make
+    # Catalyst re-evaluate the interpreted higher-order expression per
+    # reference (amax inside every lambda element, qv 3×) — measured
+    # 4.3× slower. CollapseProject keeps non-cheap aliases un-inlined,
+    # so each transform runs exactly once per row (plan-asserted in
+    # tests/test_sessionize.py).
     amax = F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double"))))
     qv = F.transform(
         "embedding",
         lambda x: F.round(
-            x.cast("double") * F.lit(127.0) / F.greatest(amax, F.lit(1e-30))
+            x.cast("double") * F.lit(127.0) / F.greatest(F.col("_amax"), F.lit(1e-30))
         ).cast("long"),
     )
-    return e.select(
-        F.col("vec_id").cast("long").alias("vec_id"),
-        F.round(amax, 4).alias("amax"),
-        F.aggregate(qv, F.lit(0).cast("long"), lambda a, x: a + x).alias("q_sum"),
-        F.array_min(qv).alias("q_min"),
-        F.array_max(qv).alias("q_max"),
+    return (
+        e.withColumn("_amax", amax)
+        .withColumn("_qv", qv)
+        .select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            F.round("_amax", 4).alias("amax"),
+            F.aggregate(F.col("_qv"), F.lit(0).cast("long"), lambda a, x: a + x).alias(
+                "q_sum"
+            ),
+            F.array_min("_qv").alias("q_min"),
+            F.array_max("_qv").alias("q_max"),
+        )
     )

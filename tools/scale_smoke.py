@@ -132,6 +132,46 @@ def main() -> None:
             fn(df).write.mode("overwrite").format("noop").save()
             dt = time.time() - t0
             print(f"{name:10s} {label:4s} rows={rows:>9,d} wall={dt:6.2f}s ns/row={dt/rows*1e9:7.1f}")
+
+    # Round-5 shapes: sessionization/funnel over an events blow-up
+    # (user ids perturbed so USER cardinality grows with data — keeping
+    # per-user event counts constant measures growth, not a degenerate
+    # single-partition window), and char-entropy over the docs blow-up.
+    from pulsar_io_delta_spark.operators.sessionize import funnel_counts, session_stats
+    from pulsar_io_delta_spark.operators.text import with_char_entropy
+
+    ev = table(spark, sf, "events")
+
+    def blow_events(df, n):
+        reps = F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias("_rep")
+        return (
+            df.select("*", reps)
+            .withColumn("user_id", F.col("user_id") + F.col("_rep") * 10_000_000)
+            .withColumn("event_id", F.col("event_id") + F.col("_rep") * 100_000_000)
+            .drop("_rep")
+        )
+
+    def sessions(df):
+        return session_stats(df)
+
+    def funnel(df):
+        return funnel_counts(df, ["view", "click", "purchase"])
+
+    def entropy(df):
+        return with_char_entropy(df).select("doc_id", "entropy")
+
+    n_ev = ev.count()
+    for name, fn, base, base_rows, blow in (
+        ("sessions", sessions, ev, n_ev, blow_events),
+        ("funnel", funnel, ev, n_ev, blow_events),
+        ("entropy", entropy, docs, n_docs, blow_docs),
+    ):
+        for label, df, rows in (("1x", base, base_rows), (f"{kd}x", blow(base, kd), base_rows * kd)):
+            fn(df).write.mode("overwrite").format("noop").save()  # warm
+            t0 = time.time()
+            fn(df).write.mode("overwrite").format("noop").save()
+            dt = time.time() - t0
+            print(f"{name:10s} {label:4s} rows={rows:>9,d} wall={dt:6.2f}s ns/row={dt/rows*1e9:7.1f}")
     spark.stop()
 
 
