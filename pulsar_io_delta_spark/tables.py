@@ -59,24 +59,45 @@ def ts_to_timestamp(dtype: DataType, name: str = "ts") -> Column:
     if isinstance(dtype, TimestampType):
         return F.col(name)
     raise TypeError(
-        f"events.ts has unsupported physical type {dtype}; expected a "
-        "nanosecond long (nanosAsLong), timestamp_ntz, or timestamp"
+        f"column {name!r} has unsupported physical type {dtype}; expected "
+        "a nanosecond long (nanosAsLong), timestamp_ntz, or timestamp"
     )
+
+
+# Event-time columns per fixture table: every one is normalized to
+# TIMESTAMP by observed physical type, so a future driver regeneration
+# that flips the encoding (as events.ts did in round 4: ns → µs) cannot
+# break or silently corrupt queries on ANY table. DuckDB oracles read
+# the same files and land on the same µs instants (ns truncates
+# identically), so both sides stay in lockstep whatever the encoding.
+TS_COLUMNS: dict[str, tuple[str, ...]] = {
+    "events": ("ts",),
+    "lineitem": ("l_shipdate",),
+    "orders": ("o_orderdate",),
+}
+
+
+def normalize_ts_columns(df: DataFrame, cols: tuple[str, ...]) -> DataFrame:
+    for c in cols:
+        if c not in df.columns:
+            continue
+        dtype = df.schema[c].dataType
+        if not isinstance(dtype, TimestampType):
+            df = df.withColumn(c, ts_to_timestamp(dtype, c))
+    return df
 
 
 def normalize_events_ts(df: DataFrame) -> DataFrame:
     """Schema-dispatch ``ts`` to a proper TIMESTAMP column."""
-    dtype = df.schema["ts"].dataType
-    if isinstance(dtype, TimestampType):
-        return df
-    return df.withColumn("ts", ts_to_timestamp(dtype, "ts"))
+    return normalize_ts_columns(df, ("ts",))
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     pin_session(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events":
-        df = normalize_events_ts(df)
+    cols = TS_COLUMNS.get(name)
+    if cols:
+        df = normalize_ts_columns(df, cols)
     return df
 
 

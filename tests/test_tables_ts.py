@@ -61,13 +61,20 @@ def test_unsupported_encoding_fails_loudly(spark, tmp_path):
 
 
 def test_fixture_loader_yields_plausible_years(spark, sf_dir):
-    """Whatever the driver wrote, table() must produce in-range instants."""
+    """Whatever the driver wrote, table() must produce TIMESTAMP columns
+    with in-range instants for EVERY declared event-time column — the
+    loud early warning if a future fixture regeneration flips an
+    encoding the normalizer doesn't know."""
     import pyspark.sql.functions as F
 
-    e = table(spark, sf_dir, "events")
-    assert isinstance(e.schema["ts"].dataType, TimestampType)
-    lo, hi = e.agg(F.min(F.year("ts")), F.max(F.year("ts"))).first()
-    assert 2000 <= lo <= hi <= 2100, (lo, hi)
+    from pulsar_io_delta_spark.tables import TS_COLUMNS
+
+    for tname, cols in TS_COLUMNS.items():
+        df = table(spark, sf_dir, tname)
+        for c in cols:
+            assert isinstance(df.schema[c].dataType, TimestampType), (tname, c)
+            lo, hi = df.agg(F.min(F.year(c)), F.max(F.year(c))).first()
+            assert 1990 <= lo <= hi <= 2100, (tname, c, lo, hi)
 
 
 def test_events_stream_matches_batch_instants(spark, sf_dir):
