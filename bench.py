@@ -60,10 +60,12 @@ HEADLINE = [
     "q_repetition_metrics",
     "q_domain_cap",
     "q_pulsar_wire",
-    # round-5 pipeline ops (sessionize/funnel/embedding column)
+    # round-5 pipeline ops (sessionize/funnel/embedding column/chunk/tfidf)
     "q_sessionize",
     "q_funnel",
     "q_emb_quantize",
+    "q_chunk_docs",
+    "q_tfidf_topterms",
 ]
 
 

@@ -174,12 +174,15 @@ promote(
         "q_sql_tpch_q19",
         "q_multimodal_real_decode",
         "q_sim_ann_lsh",
-        # (b') new this round (sessionize/funnel/entropy/embedding ops)
+        # (b') new this round (sessionize/funnel/entropy/embedding ops,
+        # chunking, TF-IDF)
         "q_sessionize",
         "q_funnel",
         "q_text_entropy",
         "q_emb_centroid",
         "q_emb_quantize",
+        "q_chunk_docs",
+        "q_tfidf_topterms",
         # (c) stalest greens
         "q_window_rank",
         "q_window_running",
@@ -191,8 +194,6 @@ promote(
         "q_except",
         "q_intersect_all",
         "q_except_all",
-        "q_string_funcs",
-        "q_date_funcs",
         "q_math_funcs",
         "q_array_funcs",
         "q_null_funcs",

@@ -210,3 +210,116 @@ def q_emb_quantize(spark, sf_dir):
             F.array_max("_qv").alias("q_max"),
         )
     )
+
+
+@register(
+    "q_chunk_docs",
+    oracle="""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+), c AS (
+  SELECT doc_id, unnest(generate_series(1, greatest(len(toks), 1), 40)) AS start,
+         toks
+  FROM t
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(start AS BIGINT) AS start,
+       CAST(len(list_slice(toks, start, least(start + 49, len(toks))))
+            AS BIGINT) AS n_tok,
+       array_to_string(list_slice(toks, start, least(start + 49, len(toks))),
+                       ' ') AS chunk
+FROM c
+""",
+)
+def q_chunk_docs(spark, sf_dir):
+    """Sliding-window document chunking (50-token windows, stride 40 —
+    the context-window prep step of a training pipeline). Row-local:
+    tokenize once (materialized column), explode the stride sequence,
+    slice per chunk — no shuffle at all; chunk count scales with token
+    count, so output size is data-proportional, never quadratic."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), "[^a-z0-9]+"), lambda x: x != "")
+    d = d.withColumn("_toks", toks).withColumn("_n", F.size("_toks"))
+    d = d.select(
+        "doc_id",
+        "_toks",
+        "_n",
+        F.explode(F.sequence(F.lit(1), F.greatest("_n", F.lit(1)), F.lit(40))).alias(
+            "start"
+        ),
+    )
+    chunk = F.slice(
+        "_toks", F.col("start"), F.least(F.lit(50), F.col("_n") - F.col("start") + 1)
+    )
+    d = d.withColumn("_chunk", chunk)
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("start").cast("long").alias("start"),
+        F.size("_chunk").cast("long").alias("n_tok"),
+        F.array_join("_chunk", " ").alias("chunk"),
+    )
+
+
+@register(
+    "q_tfidf_topterms",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(
+           string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS token
+  FROM documents
+), tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token
+), df AS (
+  SELECT token, count(*) AS df FROM (SELECT DISTINCT doc_id, token FROM tf)
+  GROUP BY token
+), n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token,
+         round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 4) AS score,
+         row_number() OVER (PARTITION BY tf.doc_id
+                            ORDER BY tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df)
+                                     DESC, tf.token) AS rk
+  FROM tf JOIN df USING (token) CROSS JOIN n
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, token, score, CAST(rk AS BIGINT) AS rk
+FROM scored WHERE rk <= 3
+""",
+)
+def q_tfidf_topterms(spark, sf_dir):
+    """Top-3 TF-IDF terms per document. Shape: explode → (doc,token)
+    count [shuffle 1, the only corpus-sized one] → document frequency
+    as a COUNT WINDOW over the token partition [shuffle 2, on the
+    already-deduplicated (doc,token) rows — no join, so the tf subplan
+    is evaluated exactly once; a join formulation made Spark compute
+    the corpus aggregation twice, plan-asserted in test_sessionize] →
+    per-doc top-k window [shuffle 3, same small row set]. The df window
+    has no ORDER BY, so token partitions are a single streaming pass —
+    no sort, skewed stopword partitions stay cheap. Ties broken by
+    token so the rank is total-ordered."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    n_docs = d.count()
+    tok = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower("text"), "[^a-z0-9]+"), lambda x: x != "")
+        ).alias("token"),
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    scored = tf.withColumn("df", F.count("*").over(Window.partitionBy("token")))
+    score_raw = F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))
+    w = Window.partitionBy("doc_id").orderBy(score_raw.desc(), "token")
+    return (
+        scored.withColumn("score", F.round(score_raw, 4))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "token",
+            "score",
+            F.col("rk").cast("long").alias("rk"),
+        )
+    )

@@ -105,6 +105,29 @@ def test_quantize_range_and_sign(spark, sf_dir):
         assert r.amax >= 0
 
 
+def test_chunk_docs_zero_shuffle(spark, sf_dir):
+    """Chunking is tokenize + stride-explode + slice: pure narrow map,
+    no exchange anywhere."""
+    from pulsar_io_delta_spark.queries.pipeline2 import q_chunk_docs
+
+    plan = q_chunk_docs(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_tfidf_single_corpus_aggregation(spark, sf_dir):
+    """Document frequency comes from a count window over the token
+    partition, not a join back onto tf: the corpus-sized (doc,token)
+    aggregation must appear exactly once (partial+final), and the plan
+    must be join-free — the join form recomputed the whole tf subplan."""
+    from pulsar_io_delta_spark.queries.pipeline2 import q_tfidf_topterms
+
+    plan = (
+        q_tfidf_topterms(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("HashAggregate") == 2, plan
+    assert "Join" not in plan, plan
+
+
 def test_quantize_transforms_evaluated_once(spark, sf_dir):
     """amax/qv must stay materialized named columns: re-inlining the
     interpreted higher-order expressions (amax per lambda element, qv
