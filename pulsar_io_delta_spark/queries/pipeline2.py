@@ -1,5 +1,6 @@
 """Round-5 pipeline surface: batch sessionization, funnel analysis,
-char-entropy quality scoring, and embedding centroid/quantization ops.
+char-entropy quality scoring, embedding centroid/quantization ops,
+sliding-window document chunking, and TF-IDF top terms.
 
 These extend the beyond-reference training-data surface (SURVEY §2.2):
 the reference connector (frankxieke/pulsar-io-delta,
