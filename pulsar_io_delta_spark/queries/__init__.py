@@ -183,6 +183,7 @@ promote(
         "q_emb_quantize",
         "q_chunk_docs",
         "q_tfidf_topterms",
+        "q_retention_cohort",
         # (c) stalest greens
         "q_window_rank",
         "q_window_running",
@@ -194,7 +195,6 @@ promote(
         "q_except",
         "q_intersect_all",
         "q_except_all",
-        "q_math_funcs",
         "q_array_funcs",
         "q_null_funcs",
         "q_regex_funcs",

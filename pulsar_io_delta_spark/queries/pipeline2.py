@@ -324,3 +324,53 @@ def q_tfidf_topterms(spark, sf_dir):
             F.col("rk").cast("long").alias("rk"),
         )
     )
+
+
+@register(
+    "q_retention_cohort",
+    oracle="""
+WITH f AS (
+  SELECT user_id, ts,
+         min(date_trunc('week', ts)) OVER (PARTITION BY user_id) AS cohort_w
+  FROM events
+)
+SELECT CAST(floor(epoch(cohort_w)) AS BIGINT) AS cohort_w,
+       CAST(date_diff('week', cohort_w, date_trunc('week', ts)) AS BIGINT)
+         AS week_offset,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM f
+GROUP BY cohort_w, date_diff('week', cohort_w, date_trunc('week', ts))
+""",
+)
+def q_retention_cohort(spark, sf_dir):
+    """Cohort retention matrix: users grouped by first-seen week, counted
+    distinct per week offset. One exchange on user_id (the cohort
+    window), then a (cohort, offset) distinct-agg whose exchange is
+    bounded by cohorts × weeks × users-per-cell partials — the classic
+    retention shape with no self-join (the naive form joins events to a
+    first-seen table, re-shuffling the 100 TB side a second time).
+
+    Week arithmetic is integer-exact on both engines: date_trunc('week')
+    is ISO-Monday in Spark and DuckDB, and the offset is a whole-week
+    difference of truncated timestamps.
+    """
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    f = e.withColumn(
+        "cohort_w",
+        F.min(F.date_trunc("week", "ts")).over(Window.partitionBy("user_id")),
+    )
+    week_offset = (
+        (F.unix_timestamp(F.date_trunc("week", "ts")) - F.unix_timestamp("cohort_w"))
+        / (7 * 86400)
+    ).cast("long")
+    return (
+        f.select(
+            F.unix_timestamp("cohort_w").cast("long").alias("cohort_w"),
+            week_offset.alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_w", "week_offset")
+        .agg(F.countDistinct("user_id").cast("long").alias("n_users"))
+    )
