@@ -139,3 +139,53 @@ def test_quantize_transforms_evaluated_once(spark, sf_dir):
         q_emb_quantize(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("transform(") == 2, plan
+
+
+def test_sessionize_matches_python_reference_on_random_stream(spark):
+    """Seeded random event stream (duplicate timestamps, singleton and
+    bot-heavy users) vs a brute-force Python sessionizer — exact match
+    of every (user, session) aggregate."""
+    import random
+
+    rng = random.Random(42)
+    base = datetime.datetime(2024, 3, 1)
+    rows = []
+    eid = 0
+    for uid in range(25):
+        t = 0
+        for _ in range(rng.choice([1, 2, 5, 40])):
+            t += rng.choice([1, 30, 1799, 1800, 1801, 7200])
+            rows.append((eid, base + datetime.timedelta(seconds=t), uid, "e"))
+            eid += 1
+    # duplicate-timestamp pairs exercise the event_id tiebreak
+    rows.append((eid, base + datetime.timedelta(seconds=10), 99, "e"))
+    rows.append((eid + 1, base + datetime.timedelta(seconds=10), 99, "e"))
+
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    got = {
+        (r.user_id, r.session_seq): (r.n_events, r.start_s, r.end_s)
+        for r in session_stats(df, gap_seconds=1800).collect()
+    }
+
+    # Python reference: sort by (user, ts, event_id), split on gap > 1800s
+    want = {}
+    by_user = {}
+    for e, ts, u, _t in sorted(rows, key=lambda r: (r[2], r[1], r[0])):
+        by_user.setdefault(u, []).append(ts)
+    for u, tss in by_user.items():
+        seq, prev = 0, None
+        for ts in tss:
+            if prev is None or (ts - prev).total_seconds() > 1800:
+                seq += 1
+                want[(u, seq)] = [0, ts, ts]
+            want[(u, seq)][0] += 1
+            want[(u, seq)][2] = ts
+            prev = ts
+    want = {
+        k: (n, int(a.replace(tzinfo=datetime.timezone.utc).timestamp()),
+            int(b.replace(tzinfo=datetime.timezone.utc).timestamp()))
+        for k, (n, a, b) in want.items()
+    }
+    assert got == want
