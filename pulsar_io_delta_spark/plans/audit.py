@@ -23,6 +23,11 @@ EXPECTATIONS: dict[str, list[str]] = {
     "q_sim_topk": ["BroadcastNestedLoopJoin"],  # broadcast query side
     "q_snapshot_scan": ["ReadSchema: struct<l_orderkey"],  # column pruning
     "q_time_travel_filter": ["PushedFilters"],
+    # round-5 ops: column pruning must reach the parquet scan (2 of 5 /
+    # 2 of 6 columns; the 100 TB text/event scans read nothing else)
+    "q_chunk_docs": ["ReadSchema: struct<doc_id:bigint,text:string>"],
+    "q_tfidf_topterms": ["ReadSchema: struct<doc_id:bigint,text:string>"],
+    "q_retention_cohort": ["ReadSchema: struct<ts"],
 }
 
 
