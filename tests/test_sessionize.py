@@ -189,3 +189,27 @@ def test_sessionize_matches_python_reference_on_random_stream(spark):
         for k, (n, a, b) in want.items()
     }
     assert got == want
+
+
+def test_chunk_boundaries_exact(spark):
+    """90 tokens, window 50, stride 40 → chunks at 1/41/81 with sizes
+    50/50/10 and exact overlap content."""
+    from pulsar_io_delta_spark.queries import pipeline2
+
+    toks = [f"t{i}" for i in range(1, 91)]
+    df = spark.createDataFrame([(7, " ".join(toks))], ["doc_id", "text"])
+
+    # drive the registered query over an in-memory frame by patching the
+    # loader name pipeline2 resolved at import time
+    orig = pipeline2.table
+    try:
+        pipeline2.table = lambda _s, _d, name: df
+        out = {r.start: r for r in pipeline2.q_chunk_docs(spark, "ignored").collect()}
+    finally:
+        pipeline2.table = orig
+
+    assert sorted(out) == [1, 41, 81]
+    assert [out[s].n_tok for s in (1, 41, 81)] == [50, 50, 10]
+    assert out[1].chunk.split(" ") == toks[0:50]
+    assert out[41].chunk.split(" ") == toks[40:90]
+    assert out[81].chunk.split(" ") == toks[80:90]
