@@ -89,11 +89,14 @@ def main() -> None:
     # queries otherwise pay ~1-2 s one-time worker startup in their timing).
     from pyspark.sql.functions import col, pandas_udf
 
-    run("q_filter_project")
-    identity = pandas_udf("long")(lambda s: s)
-    spark.range(1000).select(identity(col("id"))).write.mode("overwrite").format(
-        "noop"
-    ).save()
+    try:
+        run("q_filter_project")
+        identity = pandas_udf("long")(lambda s: s)
+        spark.range(1000).select(identity(col("id"))).write.mode("overwrite").format(
+            "noop"
+        ).save()
+    except Exception as exc:  # noqa: BLE001 — warm-up failure is not fatal
+        print(f"# warmup failed: {type(exc).__name__}: {exc}", file=sys.stderr)
 
     # Median of N trials after one discarded compile run: the first
     # execution pays one-time whole-stage-codegen compilation (~4 s for
@@ -103,26 +106,33 @@ def main() -> None:
     trials = int(os.environ.get("SPARK_GRAFT_TRIALS", "5"))
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
-        run(name)  # discarded: codegen compile + cache warm
-        samples = [run(name) for _ in range(trials)]
-        timings[name] = round(statistics.median(samples), 3)
-        spreads[name] = round(max(samples) - min(samples), 3)
+        # Round-4 lesson: one failing query must cost ONE entry, not the
+        # whole bench (the events-ts fixture drift crashed the warm-up
+        # and left the round with no numbers at all).
+        try:
+            run(name)  # discarded: codegen compile + cache warm
+            samples = [run(name) for _ in range(trials)]
+            timings[name] = round(statistics.median(samples), 3)
+            spreads[name] = round(max(samples) - min(samples), 3)
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline query wall time (noop sink, local)",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "trials": trials,
-                "spread": spreads,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline query wall time (noop sink, local)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "trials": trials,
+        "spread": spreads,
+    }
+    if errors:
+        payload["errors"] = errors
+        payload["value"] = None  # partial totals are not comparable
+    print(json.dumps(payload))
     spark.stop()
 
 
