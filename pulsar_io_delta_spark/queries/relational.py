@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from pulsar_io_delta_spark.queries._util import dsum, r4, sql_dsum
+from pulsar_io_delta_spark.queries._util import dsum, dsum_over, r4, sql_dsum
 from pulsar_io_delta_spark.registry import register
 from pulsar_io_delta_spark.tables import table
 
@@ -220,8 +220,8 @@ def q_agg_groupby(spark, sf_dir):
     return l.groupBy("l_returnflag", "l_linestatus").agg(
         r4(dsum("l_quantity", "18,4")).alias("sum_qty"),
         r4(dsum("l_extendedprice", "18,2")).alias("sum_base_price"),
-        r4(F.sum(disc_price.cast("decimal(24,6)")).cast("double")).alias("sum_disc_price"),
-        r4(F.sum(charge.cast("decimal(24,6)")).cast("double")).alias("sum_charge"),
+        r4(dsum(disc_price, "24,6")).alias("sum_disc_price"),
+        r4(dsum(charge, "24,6")).alias("sum_charge"),
         r4(dsum("l_quantity", "18,4") / F.count("*")).alias("avg_qty"),
         r4(dsum("l_extendedprice", "18,2") / F.count("*")).alias("avg_price"),
         r4(dsum("l_discount", "12,6") / F.count("*")).alias("avg_disc"),
@@ -341,9 +341,7 @@ def q_window_running(spark, sf_dir):
         "o_custkey",
         "o_orderkey",
         F.col("o_orderdate").cast("date").alias("od"),
-        r4(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double")).alias(
-            "run_total"
-        ),
+        r4(dsum_over("o_totalprice", "18,2", w)).alias("run_total"),
     )
 
 

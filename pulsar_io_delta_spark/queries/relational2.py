@@ -7,7 +7,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from pulsar_io_delta_spark.queries._util import r4
+from pulsar_io_delta_spark.queries._util import dsum, r4
 from pulsar_io_delta_spark.registry import register
 from pulsar_io_delta_spark.tables import table
 
@@ -59,8 +59,8 @@ def q_agg_variance(spark, sf_dir):
     engine-identical — the deterministic alternative to var_samp's
     order-dependent streaming accumulation."""
     l = table(spark, sf_dir, "lineitem")
-    s1 = F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double")
-    s2 = F.sum((F.col("l_quantity") * F.col("l_quantity")).cast("decimal(24,8)")).cast("double")
+    s1 = dsum("l_quantity", "18,4")
+    s2 = dsum(F.col("l_quantity") * F.col("l_quantity"), "24,8")
     n = F.count("*")
     return l.groupBy("l_returnflag").agg(
         n.alias("n"), r4((s2 - s1 * s1 / n) / (n - 1)).alias("var_qty")

@@ -10,7 +10,7 @@ import tempfile
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from pulsar_io_delta_spark.queries._util import dsum, r4
+from pulsar_io_delta_spark.queries._util import dsum, dsum_over, r4
 from pulsar_io_delta_spark.registry import register
 from pulsar_io_delta_spark.tables import table
 
@@ -112,9 +112,7 @@ def q_window_range_frame(spark, sf_dir):
         "o_custkey",
         "o_orderkey",
         "ep",
-        r4(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double")).alias(
-            "sum_30d"
-        ),
+        r4(dsum_over("o_totalprice", "18,2", w)).alias("sum_30d"),
     )
 
 
@@ -227,7 +225,7 @@ def q_timeseries_gapfill(spark, sf_dir):
         e.groupBy(F.col("ts").cast("date").alias("day"), "event_type")
         .agg(
             F.count("*").alias("c"),
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("s"),
+            dsum("value", "18,2").alias("s"),
         )
     )
     grid = days.crossJoin(F.broadcast(types))
