@@ -63,14 +63,16 @@ def word_bigram_metrics(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Gopher-style repetition signals per document: total / distinct
     word bigrams, duplicate-bigram fraction, top-bigram fraction.
 
-    Shape: entirely row-local — the bigram array, its distinct set, and
-    the max per-bigram count are higher-order-function expressions over
-    the document's own tokens, so the whole operator is a narrow map
-    fused into the scan (ZERO shuffles; the earlier explode + double
-    groupBy version shuffled xW rows twice). Per-row cost is
-    O(distinct x total) comparisons — bounded by document length, all
-    inside whole-stage codegen. Documents with fewer than two tokens
-    are excluded (no bigrams)."""
+    Shape: entirely row-local — a narrow map fused into the scan (ZERO
+    shuffles; the earlier explode + double groupBy version shuffled xW
+    rows twice). The distinct/max-multiplicity stats come from sorted
+    run-length counts (operators/text.py with_run_length_counts),
+    O(len·log len) per row — the earlier O(distinct×total)
+    array_distinct + per-bigram filter form also re-inlined its
+    subexpressions per lambda reference. Documents with fewer than two
+    tokens are excluded (no bigrams)."""
+    from pulsar_io_delta_spark.operators.text import with_run_length_counts
+
     toks = F.filter(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda x: x != "")
     with_toks = df.select(F.col(id_col), toks.alias("t")).where(F.size("t") >= 2)
     bigrams = F.transform(
@@ -78,14 +80,11 @@ def word_bigram_metrics(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         lambda i: F.concat_ws(" ", F.slice("t", i, 2)),
     )
     b = with_toks.select(F.col(id_col), bigrams.alias("bg"))
+    b, counts_col = with_run_length_counts(b, F.col("bg"), prefix="_bm")
+    counts = F.col(counts_col)
     total = F.size("bg").cast("long")
-    distinct = F.size(F.array_distinct("bg")).cast("long")
-    max_c = F.array_max(
-        F.transform(
-            F.array_distinct("bg"),
-            lambda d: F.size(F.filter("bg", lambda x: x == d)),
-        )
-    )
+    distinct = F.size(counts).cast("long")
+    max_c = F.array_max(counts)
     return b.select(
         F.col(id_col),
         total.alias("total_bigrams"),

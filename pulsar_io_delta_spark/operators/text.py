@@ -94,6 +94,49 @@ def fingerprint_col(text: Column) -> Column:
     return _fp(text)
 
 
+def with_run_length_counts(
+    df: DataFrame, array_col, prefix: str = "_rl"
+) -> tuple[DataFrame, str]:
+    """Materialize per-row run-length counts of an array expression.
+
+    Sorts the array, finds run boundaries, and adds ``{prefix}_counts``:
+    one entry per distinct element holding its multiplicity —
+    O(len·log len) per row, entirely row-local. This replaces the naive
+    ``array_distinct`` + per-element ``filter`` count, which is
+    O(distinct×len) AND gets its subexpressions re-inlined per lambda
+    reference by CollapseProject (measured 10× slower on the entropy
+    op). Intermediates are named columns precisely so they are
+    evaluated once; they're dropped before returning.
+
+    Returns (df, counts_col_name). Empty arrays yield empty counts.
+    """
+    sorted_col, starts_col, counts_col = (
+        f"{prefix}_sorted",
+        f"{prefix}_starts",
+        f"{prefix}_counts",
+    )
+    df = df.withColumn(sorted_col, F.array_sort(array_col))
+    c = F.col(sorted_col)
+    n = F.size(c)
+    # 1-based positions where a new run of equal values begins.
+    # sequence() descends when start > stop, so boundary cases guard.
+    interior = F.when(
+        n >= 2,
+        F.filter(
+            F.sequence(F.lit(2), n),
+            lambda i: F.element_at(c, i) != F.element_at(c, i - 1),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    starts = F.when(n > 0, F.concat(F.array(F.lit(1)), interior)).otherwise(
+        F.array().cast("array<int>")
+    )
+    df = df.withColumn(starts_col, starts)
+    s = F.col(starts_col)
+    ends = F.concat(F.slice(s, 2, F.greatest(F.size(s) - 1, F.lit(0))), F.array(n + 1))
+    df = df.withColumn(counts_col, F.zip_with(s, ends, lambda a, b: b - a))
+    return df.drop(sorted_col, starts_col), counts_col
+
+
 def with_char_entropy(df: DataFrame, text_col: str = "text", out: str = "entropy") -> DataFrame:
     """Character-level Shannon entropy (nats, 4 dp) as a new column.
 
@@ -115,29 +158,14 @@ def with_char_entropy(df: DataFrame, text_col: str = "text", out: str = "entropy
     cast to DECIMAL(24,12) so the SUM is exact and order-independent —
     run order and DuckDB's char-set iteration order can differ freely.
     """
-    chars = F.array_sort(F.filter(F.split(F.col(text_col), ""), lambda x: x != ""))
-    df = df.withColumn("_ce_chars", chars)
-    c = F.col("_ce_chars")
-    n = F.size(c)
-    # 1-based positions where a new run of equal chars begins. sequence()
-    # descends when start > stop, so both boundary cases are guarded.
-    interior = F.when(
-        n >= 2,
-        F.filter(
-            F.sequence(F.lit(2), n),
-            lambda i: F.element_at(c, i) != F.element_at(c, i - 1),
-        ),
-    ).otherwise(F.array().cast("array<int>"))
-    starts = F.when(n > 0, F.concat(F.array(F.lit(1)), interior)).otherwise(
-        F.array().cast("array<int>")
-    )
-    df = df.withColumn("_ce_starts", starts)
-    s = F.col("_ce_starts")
-    ends = F.concat(F.slice(s, 2, F.greatest(F.size(s) - 1, F.lit(0))), F.array(n + 1))
-    df = df.withColumn("_ce_counts", F.zip_with(s, ends, lambda a, b: b - a))
-    nd = F.greatest(n, F.lit(1)).cast("double")
+    chars = F.filter(F.split(F.col(text_col), ""), lambda x: x != "")
+    df, counts_col = with_run_length_counts(df, chars, prefix="_ce")
+    counts = F.col(counts_col)
+    n = F.aggregate(counts, F.lit(0), lambda a, k: a + k)
+    df = df.withColumn("_ce_n", n)
+    nd = F.greatest(F.col("_ce_n"), F.lit(1)).cast("double")
     terms = F.transform(
-        F.col("_ce_counts"),
+        counts,
         lambda k: ((k.cast("double") / nd) * F.log(k.cast("double") / nd)).cast(
             "decimal(24,12)"
         ),
@@ -147,5 +175,7 @@ def with_char_entropy(df: DataFrame, text_col: str = "text", out: str = "entropy
         F.lit(0).cast("decimal(24,12)"),
         lambda acc, x: (acc + x).cast("decimal(24,12)"),
     )
-    ent = F.when(n > 0, F.round(-total.cast("double"), 4)).otherwise(F.lit(0.0))
-    return df.withColumn(out, ent).drop("_ce_chars", "_ce_starts", "_ce_counts")
+    ent = F.when(F.col("_ce_n") > 0, F.round(-total.cast("double"), 4)).otherwise(
+        F.lit(0.0)
+    )
+    return df.withColumn(out, ent).drop(counts_col, "_ce_n")
