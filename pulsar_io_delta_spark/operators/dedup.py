@@ -84,9 +84,17 @@ def minhash_signature(
         )
     )
     sh = toks.select(F.col(id_col), F.explode(shingles).alias("shingle"))
-    x = F.pmod(F.xxhash64("shingle"), F.lit(MERSENNE31))
+    # Materialize the base hash once per shingle row; embedding it in all
+    # num_perm aggregate children leans on codegen subexpression
+    # elimination, which is not guaranteed across aggregates (~10%
+    # measured on the named-column form, values identical).
+    sh = sh.select(
+        F.col(id_col), F.pmod(F.xxhash64("shingle"), F.lit(MERSENNE31)).alias("hx")
+    )
     aggs = [
-        F.min(F.pmod(x * F.lit(a) + F.lit(b), F.lit(MERSENNE31))).alias(f"m{i}")
+        F.min(F.pmod(F.col("hx") * F.lit(a) + F.lit(b), F.lit(MERSENNE31))).alias(
+            f"m{i}"
+        )
         for i, (a, b) in enumerate(_perm_coeffs(num_perm))
     ]
     return sh.groupBy(id_col).agg(*aggs)
