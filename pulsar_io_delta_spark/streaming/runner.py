@@ -63,7 +63,10 @@ def events_stream(spark: SparkSession, sf_dir: str, max_files_per_trigger: int |
     schema, stream with that, and reuse the batch loader's type
     dispatch (:func:`normalize_events_ts`). A one-row probe asserts the
     normalized timestamps are in a plausible range so any future
-    fixture drift fails loudly instead of silently.
+    fixture drift fails loudly instead of silently; the probe result is
+    cached per directory+schema (several declared streaming queries
+    call events_stream twice — stream-stream join, union dedup — and a
+    redundant probe job costs ~0.1 s each).
     """
     pin_session(spark)
     d = stream_dir_for(sf_dir, "events")
@@ -73,13 +76,22 @@ def events_stream(spark: SparkSession, sf_dir: str, max_files_per_trigger: int |
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     raw = reader.parquet(d)
     out = normalize_events_ts(raw)
-    probe = normalize_events_ts(batch).select(F.year("ts").alias("y")).first()
-    if probe is not None and not (2000 <= probe.y <= 2100):
-        raise ValueError(
-            f"events.ts normalization produced year {probe.y}; the fixture's "
-            "physical ts encoding has drifted — update tables.ts_to_timestamp"
-        )
+    key = (d, batch.schema["ts"].dataType.simpleString())
+    if key not in _PROBED_OK:
+        probe = normalize_events_ts(batch).select(F.year("ts").alias("y")).first()
+        if probe is not None and not (2000 <= probe.y <= 2100):
+            raise ValueError(
+                f"events.ts normalization produced year {probe.y}; the fixture's "
+                "physical ts encoding has drifted — update tables.ts_to_timestamp"
+            )
+        _PROBED_OK.add(key)
     return out
+
+
+# (dir, ts physical type) pairs whose probe passed in this process. Keyed
+# on the observed type so a regenerated fixture with a NEW encoding is
+# re-probed even within one process.
+_PROBED_OK: set[tuple[str, str]] = set()
 
 
 def run_cdc_with_schema_evolution(
