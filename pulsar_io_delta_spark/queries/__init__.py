@@ -184,6 +184,7 @@ promote(
         "q_chunk_docs",
         "q_tfidf_topterms",
         "q_retention_cohort",
+        "q_sql_sessionize",
         # (c) stalest greens
         "q_window_rank",
         "q_window_running",
@@ -195,7 +196,6 @@ promote(
         "q_except",
         "q_intersect_all",
         "q_except_all",
-        "q_array_funcs",
         "q_null_funcs",
         "q_regex_funcs",
         "q_struct_funcs",

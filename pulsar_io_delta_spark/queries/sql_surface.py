@@ -565,3 +565,36 @@ LIMIT 20
 """,
     ["customer", "orders", "lineitem", "nation"],
 )
+
+
+# Round 5: gap sessionization through the shared dialect — ONE text
+# proving ANSI window machinery (named WINDOW clause, lag, running sum,
+# timestamp-minus-timestamp interval comparison) agrees across engines.
+# The DataFrame form (q_sessionize) is the production path; this pins
+# the SQL front door for the same semantics. Outputs use CAST(.. AS
+# DATE) because epoch extraction has no shared spelling.
+shared_sql_query(
+    "q_sql_sessionize",
+    """
+SELECT user_id,
+       CAST(session_seq AS BIGINT) AS session_seq,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(min(ts) AS DATE) AS start_day,
+       CAST(max(ts) AS DATE) AS end_day
+FROM (
+  SELECT user_id, ts,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM (
+    SELECT user_id, ts, event_id,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w > INTERVAL '30' MINUTE
+                THEN 1 ELSE 0 END AS brk
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+  ) b
+) s
+GROUP BY user_id, session_seq
+""",
+    ["events"],
+)
