@@ -185,6 +185,7 @@ promote(
         "q_tfidf_topterms",
         "q_retention_cohort",
         "q_sql_sessionize",
+        "q_sql_funnel",
         # (c) stalest greens
         "q_window_rank",
         "q_window_running",
@@ -196,7 +197,6 @@ promote(
         "q_except",
         "q_intersect_all",
         "q_except_all",
-        "q_null_funcs",
         "q_regex_funcs",
         "q_struct_funcs",
         "q_sql_tpch_q3",

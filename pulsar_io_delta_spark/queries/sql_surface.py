@@ -598,3 +598,40 @@ GROUP BY user_id, session_seq
 """,
     ["events"],
 )
+
+
+# Ordered funnel in the shared dialect: conditional window-mins chained
+# through nested subqueries (stage k's entry time references stage k-1's
+# column), shared via a multi-referenced CTE — the same single-scan,
+# join-free shape the DataFrame operator (operators/sessionize.py
+# funnel_counts) plans.
+shared_sql_query(
+    "q_sql_funnel",
+    """
+WITH u AS (
+  SELECT user_id, t0, t1, t2 FROM (
+    SELECT user_id, t0, t1,
+           min(CASE WHEN event_type = 'purchase' AND ts > t1 THEN ts END)
+             OVER (PARTITION BY user_id) AS t2
+    FROM (
+      SELECT user_id, event_type, ts, t0,
+             min(CASE WHEN event_type = 'click' AND ts > t0 THEN ts END)
+               OVER (PARTITION BY user_id) AS t1
+      FROM (
+        SELECT user_id, event_type, ts,
+               min(CASE WHEN event_type = 'view' THEN ts END)
+                 OVER (PARTITION BY user_id) AS t0
+        FROM events
+      ) s0
+    ) s1
+  ) s2
+  GROUP BY user_id, t0, t1, t2
+)
+SELECT 'view' AS stage, CAST(count(t0) AS BIGINT) AS n_users FROM u
+UNION ALL
+SELECT 'click', CAST(count(t1) AS BIGINT) FROM u
+UNION ALL
+SELECT 'purchase', CAST(count(t2) AS BIGINT) FROM u
+""",
+    ["events"],
+)

@@ -41,7 +41,7 @@ def test_round5_window_composition():
         "q_sessionize", "q_funnel", "q_text_entropy",
         "q_emb_centroid", "q_emb_quantize",
         "q_chunk_docs", "q_tfidf_topterms", "q_retention_cohort",
-        "q_sql_sessionize",
+        "q_sql_sessionize", "q_sql_funnel",
     }
     assert must_be_in <= set(window), sorted(must_be_in - set(window))
 
