@@ -66,6 +66,7 @@ HEADLINE = [
     "q_emb_quantize",
     "q_chunk_docs",
     "q_tfidf_topterms",
+    "q_retention_cohort",
 ]
 
 
