@@ -81,6 +81,10 @@ def main() -> None:
     specs = all_queries()
 
     def run(name: str) -> float:
+        # q_tfidf_topterms persist()s its tf subplan (the aggregate-once
+        # scale contract); without this, trials 2..N would hit the warm
+        # cache and the median would measure a partial pipeline.
+        spark.catalog.clearCache()
         t0 = time.time()
         df = specs[name].fn(spark, sf_dir)
         df.write.mode("overwrite").format("noop").save()

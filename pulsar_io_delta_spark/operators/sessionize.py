@@ -101,16 +101,20 @@ def funnel_counts(
     per_user = out.groupBy(user_col).agg(
         *[F.max(f"_t{i}").alias(f"_t{i}") for i in range(len(stages))]
     )
-    aggs = [
-        F.count(f"_t{i}").cast("long").alias(f"n_{stage}")
-        for i, stage in enumerate(stages)
-    ]
+    aggs = [F.count(f"_t{i}").cast("long").alias(f"_n{i}") for i in range(len(stages))]
     wide = per_user.agg(*aggs)
-    names = [f"n_{s}" for s in stages]
-    stack = ", ".join(f"'{s}', {n}" for s, n in zip(stages, names))
-    return wide.select(
-        F.expr(f"stack({len(stages)}, {stack}) as (stage, n_users)")
-    ).select(
-        F.col("stage"),
-        F.col("n_users").cast("long").alias("n_users"),
+    # Wide → long via explode(array(struct(...))): stage labels travel as
+    # lit() values and counts by positional column name, so arbitrary
+    # stage strings (quotes, dots, SQL metachars) can't corrupt a
+    # generated expression — the earlier stack() SQL string interpolated
+    # the labels into F.expr.
+    pairs = F.array(
+        *[
+            F.struct(F.lit(stage).alias("stage"), F.col(f"_n{i}").alias("n_users"))
+            for i, stage in enumerate(stages)
+        ]
+    )
+    return wide.select(F.explode(pairs).alias("p")).select(
+        F.col("p.stage").alias("stage"),
+        F.col("p.n_users").cast("long").alias("n_users"),
     )

@@ -132,7 +132,13 @@ def with_run_length_counts(
     )
     df = df.withColumn(starts_col, starts)
     s = F.col(starts_col)
-    ends = F.concat(F.slice(s, 2, F.greatest(F.size(s) - 1, F.lit(0))), F.array(n + 1))
+    # Same n > 0 guard as starts: unguarded, an empty input yields
+    # ends = [1] and zip_with pads starts with null → counts = [null]
+    # instead of the documented [].
+    ends = F.when(
+        n > 0,
+        F.concat(F.slice(s, 2, F.greatest(F.size(s) - 1, F.lit(0))), F.array(n + 1)),
+    ).otherwise(F.array().cast("array<int>"))
     df = df.withColumn(counts_col, F.zip_with(s, ends, lambda a, b: b - a))
     return df.drop(sorted_col, starts_col), counts_col
 

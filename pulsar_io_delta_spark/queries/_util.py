@@ -18,43 +18,55 @@ from pyspark.sql import functions as F
 
 def dsum(col: str | Column, prec: str) -> Column:
     """Exact order-independent sum: equal to ``sum(cast(x as
-    decimal(p,s)))`` cast back to double, computed on the scaled-long
-    fast path — ``sum(round(x·10^s) as long) / 10^s``.
+    decimal(p,s)))`` cast back to double, computed on a scaled-long
+    fast path — quantize each row decimal-exactly, sum as primitive
+    longs, divide once.
 
-    Equivalence: both paths round x to the nearest 10^-s (HALF_UP away
-    from zero in Spark's round AND its double→decimal cast; binary
-    doubles cannot land exactly on a .5 tie at a decimal scale unless
-    the double itself is k+0.5, where both round identically), then sum
-    exactly in integer arithmetic. The DuckDB oracle keeps the literal
-    decimal SQL (sql_dsum) — the full gate verifies the hash parity.
+    Per-row quantization is ``cast(x as decimal(p,s)) * 10^s → long``:
+    the decimal CAST is the oracle's own rounding (shortest-decimal-
+    repr HALF_UP — NOT ``round(x·10^s)``, which rounds the binary
+    product and disagrees on values like 0.145 where 0.145·100 =
+    14.499999999999998), and decimal(p,s)·10^s is always integral, so
+    the long cast is exact. The aggregation buffer stays a primitive
+    long — the part decimal aggregation makes expensive (per-row
+    Decimal allocation in the sum buffer). The DuckDB oracle keeps the
+    literal decimal SQL (sql_dsum); the full gate verifies hash parity.
 
-    Why: decimal aggregation allocates a Decimal per row inside codegen;
-    the long path is primitive-only — measured 2.3× on the TPC-H Q1
-    shape (PERF.md round-5). Bounds: partial sums stay exact while
-    10^s·max|x|·partition_rows < 2^63 (s ≤ 6 and ~5M-row partitions
-    under default maxPartitionBytes leave ≥ 3 orders of headroom), and
-    the final double conversion is single-rounded while the scaled
-    total < 2^53 — the same rounding the decimal→double cast performs.
+    Bounds, enforced here: the fast path applies only at scale ≤ 6, so
+    10^s·max|x|·partition_rows stays ≪ 2^63 for decimal(18,s) inputs
+    and ~5M-row partitions, and the final double conversion is
+    single-rounded while the scaled total < 2^53 — the same rounding
+    the decimal→double cast performs. scale > 6 falls back to the
+    literal decimal aggregate (exact, identical to the oracle, no long
+    headroom to reason about). Values overflowing decimal(p,s) become
+    null (non-ANSI cast) — the same domain where the oracle's decimal
+    sum errors, i.e. out of contract — never a wrapped long.
     """
+    return _quantized_sum(col, prec)
+
+
+def _quantized_sum(col: str | Column, prec: str, window=None) -> Column:
     c = F.col(col) if isinstance(col, str) else col
-    factor = _scale_factor(prec)
-    return F.sum(F.round(c * F.lit(factor)).cast("long")).cast("double") / F.lit(factor)
-
-
-def _scale_factor(prec: str) -> float:
     scale = int(prec.split(",")[1]) if "," in prec else 0
-    return float(10**scale)
+    if scale > 6:
+        # Past the fast path's headroom bound: sum the decimals
+        # themselves — exact and order-independent, just not primitive.
+        s = F.sum(c.cast(f"decimal({prec})"))
+        if window is not None:
+            s = s.over(window)
+        return s.cast("double")
+    factor = 10**scale
+    q = (c.cast(f"decimal({prec})") * F.lit(factor)).cast("long")
+    s = F.sum(q)
+    if window is not None:
+        s = s.over(window)
+    return s.cast("double") / F.lit(float(factor))
 
 
 def dsum_over(col: str | Column, prec: str, window) -> Column:
-    """:func:`dsum` over a window frame — same scaled-long fast path and
-    the same decimal-SQL oracle equivalence, applied per frame."""
-    c = F.col(col) if isinstance(col, str) else col
-    factor = _scale_factor(prec)
-    return (
-        F.sum(F.round(c * F.lit(factor)).cast("long")).over(window).cast("double")
-        / F.lit(factor)
-    )
+    """:func:`dsum` over a window frame — same decimal-exact quantized
+    long sum and the same decimal-SQL oracle equivalence, per frame."""
+    return _quantized_sum(col, prec, window=window)
 
 
 def r4(c: Column) -> Column:

@@ -274,12 +274,35 @@ def q_sim_topk(spark, sf_dir):
     return sim.brute_force_topk(q, base, k=5)
 
 
-@register("q_sim_ann_ivf", oracle=None)  # cell membership is model-defined
+@register(
+    "q_sim_ann_ivf",
+    oracle="SELECT vec_id AS qid, TRUE AS plant_recovered FROM embeddings WHERE vec_id < 10",
+)
 def q_sim_ann_ivf(spark, sf_dir):
-    """IVF ANN: k-means cells (iterative DataFrame k-means) + nprobe=2
-    probing — the bucketed-layout scale path for similarity search."""
+    """IVF ANN (iterative DataFrame k-means cells + nprobe=2 probing)
+    under a planted-recall contract: each query vector gets an EXACT
+    copy planted at vec_id + 1e6. The copy lands in the same k-means
+    cell (identical vector → identical argmin, same strict-< tiebreak
+    as the probe ranking) and scores cos = 1.0 (bit-exact dot product),
+    so it MUST appear in the query's top-k whenever nprobe ≥ 1 — 100%
+    recovery is a construction guarantee, not sampling luck, and the
+    all-true oracle is exact. A false row is a real bug in the
+    cell-assignment/probe/join machinery. Centroid float internals stay
+    out of the contract (engine-specific); semantic top-k is covered in
+    tests/test_llm_ops.py."""
     emb = table(spark, sf_dir, "embeddings")
-    return sim.ann_topk_ivf(emb, F.col("vec_id") < 10, k=5, n_clusters=8, nprobe=2)
+    plants = emb.select(
+        (F.col("vec_id") + PLANT_OFFSET).alias("vec_id"), "embedding"
+    ).where(F.col("vec_id") - PLANT_OFFSET < 10)
+    corpus = emb.select("vec_id", "embedding").unionAll(plants)
+    topk = sim.ann_topk_ivf(corpus, F.col("vec_id") < 10, k=5, n_clusters=8, nprobe=2)
+    expected = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), (F.col("vec_id") + PLANT_OFFSET).alias("cid")
+    )
+    hit = topk.select("qid", "cid").withColumn("plant_recovered", F.lit(True))
+    return expected.join(hit, ["qid", "cid"], "left").select(
+        "qid", F.coalesce("plant_recovered", F.lit(False)).alias("plant_recovered")
+    )
 
 
 def _ann_lsh_oracle() -> str:

@@ -290,33 +290,55 @@ FROM scored WHERE rk <= 3
 )
 def q_tfidf_topterms(spark, sf_dir):
     """Top-3 TF-IDF terms per document. Shape: explode → (doc,token)
-    count [shuffle 1, the only corpus-sized one] → document frequency
-    as a COUNT WINDOW over the token partition [shuffle 2, on the
-    already-deduplicated (doc,token) rows — no join, so the tf subplan
-    is evaluated exactly once; a join formulation made Spark compute
-    the corpus aggregation twice, plan-asserted in test_sessionize] →
-    per-doc top-k window [shuffle 3, same small row set]. The df window
-    has no ORDER BY, so token partitions are a single streaming pass —
-    no sort, skewed stopword partitions stay cheap. Ties broken by
-    token so the rank is total-ordered."""
+    count [the only corpus-sized shuffle] → document frequency as
+    ``tf.groupBy(token).count()`` joined back broadcast — df gets
+    map-side partial aggregation, so its exchange is vocab-sized even
+    for stopwords. The earlier count-WINDOW-over-token form hashed
+    every (doc,token) row of a token into ONE partition: windows do no
+    partial aggregation, so "the" ≈ a single reducer scanning
+    O(corpus-docs) rows at 100 TB. Both branches read ONE persisted tf
+    (ReuseExchange alone cannot dedupe them: column pruning rewrites
+    the df branch's partial aggregate into a distinct form, so the two
+    exchanges stop being identical subplans and the corpus would be
+    exploded twice — persist() pins the aggregate-once property,
+    plan-asserted in test_sessionize). n_docs folds into the plan as a
+    broadcast scalar agg (zero-column count scan), not an eager driver
+    action. Ties broken by token so the rank is total-ordered."""
+    return tfidf_topterms(table(spark, sf_dir, "documents"))
+
+
+def tfidf_topterms(d, k: int = 3):
+    """Top-k TF-IDF terms per doc over a documents frame (doc_id, text).
+
+    See :func:`q_tfidf_topterms` for the plan-shape rationale; shared
+    with tools/scale_smoke.py's stopword-heavy blow-up run."""
     from pyspark.sql import Window
 
-    d = table(spark, sf_dir, "documents")
-    n_docs = d.count()
     tok = d.select(
         "doc_id",
         F.explode(
             F.filter(F.split(F.lower("text"), "[^a-z0-9]+"), lambda x: x != "")
         ).alias("token"),
     )
-    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
-    scored = tf.withColumn("df", F.count("*").over(Window.partitionBy("token")))
-    score_raw = F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))
+    # MEMORY_AND_DISK: corpus-sized but post-dedup, spills instead of
+    # OOMing; CacheManager canonicalization dedupes repeated builds of
+    # the same plan, so bench loops don't stack cache entries.
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf")).persist()
+    # vocab-sized after the map-side combine; broadcast while a vocab
+    # fits an executor (~10M terms × 16 B) — beyond that drop the hint
+    # and AQE plans a shuffle join on the already-aggregated side.
+    df_tbl = tf.groupBy("token").agg(F.count("*").cast("long").alias("df"))
+    n_tbl = d.agg(F.count("*").cast("double").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_tbl), "token")
+        .crossJoin(F.broadcast(n_tbl))
+    )
+    score_raw = F.col("tf") * F.log(F.col("n_docs") / F.col("df"))
     w = Window.partitionBy("doc_id").orderBy(score_raw.desc(), "token")
     return (
         scored.withColumn("score", F.round(score_raw, 4))
         .withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= 3)
+        .where(F.col("rk") <= k)
         .select(
             F.col("doc_id").cast("long").alias("doc_id"),
             "token",

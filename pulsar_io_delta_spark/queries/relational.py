@@ -282,14 +282,38 @@ def q_agg_cube(spark, sf_dir):
     )
 
 
-@register("q_agg_approx", oracle=None)  # HLL sketch — engine-specific, rows-only
+@register(
+    "q_agg_approx",
+    oracle="""
+SELECT o_orderpriority, CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_cust,
+       count(*) AS cnt, TRUE AS within_bound
+FROM orders GROUP BY o_orderpriority
+""",
+)
 def q_agg_approx(spark, sf_dir):
     """approx_count_distinct = HyperLogLog++, the 100 TB-scale path for
-    distinct counts (mergeable sketch, no distinct shuffle)."""
+    distinct counts (mergeable sketch, no distinct shuffle) — under an
+    error-bound contract the oracle can assert exactly: the sketch's
+    HLL-hash is deterministic, and |approx − exact|/exact ≤ 0.25
+    (5× the default 5% rsd) holds with overwhelming margin for any
+    fixture regeneration, so the all-true column is a hard row, not a
+    rows-only waiver. The raw approx value itself stays out of the
+    hash (engine-specific sketch)."""
     o = table(spark, sf_dir, "orders")
-    return o.groupBy("o_orderpriority").agg(
+    g = o.groupBy("o_orderpriority").agg(
         F.approx_count_distinct("o_custkey").alias("approx_cust"),
+        F.countDistinct("o_custkey").cast("long").alias("exact_cust"),
         F.count("*").alias("cnt"),
+    )
+    return g.select(
+        "o_orderpriority",
+        "exact_cust",
+        "cnt",
+        (
+            F.abs(F.col("approx_cust") - F.col("exact_cust"))
+            / F.col("exact_cust")
+            <= F.lit(0.25)
+        ).alias("within_bound"),
     )
 
 

@@ -115,17 +115,27 @@ def test_chunk_docs_zero_shuffle(spark, sf_dir):
 
 
 def test_tfidf_single_corpus_aggregation(spark, sf_dir):
-    """Document frequency comes from a count window over the token
-    partition, not a join back onto tf: the corpus-sized (doc,token)
-    aggregation must appear exactly once (partial+final), and the plan
-    must be join-free — the join form recomputed the whole tf subplan."""
+    """100 TB contract for q_tfidf_topterms (round-6 rewrite):
+
+    (a) NO count-window over the token partition — windows do no
+        map-side partial aggregation, so a stopword's (doc,token) rows
+        all land on ONE reducer at corpus scale;
+    (b) document frequency = groupBy(token) on the persisted tf,
+        joined back BROADCAST — the df exchange is vocab-sized;
+    (c) the corpus-sized (doc,token) aggregation materializes exactly
+        once: both the tf branch and the df branch read the SAME
+        InMemoryRelation (two InMemoryTableScans);
+    (d) n_docs is folded into the plan as a zero-column count scan,
+        not an eager driver-side d.count()."""
     from pulsar_io_delta_spark.queries.pipeline2 import q_tfidf_topterms
 
     plan = (
         q_tfidf_topterms(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     )
-    assert plan.count("HashAggregate") == 2, plan
-    assert "Join" not in plan, plan
+    assert "windowspecdefinition(token" not in plan, plan
+    assert plan.count("InMemoryTableScan") == 2, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "ReadSchema: struct<>" in plan, plan
 
 
 def test_quantize_transforms_evaluated_once(spark, sf_dir):
@@ -213,3 +223,54 @@ def test_chunk_boundaries_exact(spark):
     assert out[1].chunk.split(" ") == toks[0:50]
     assert out[41].chunk.split(" ") == toks[40:90]
     assert out[81].chunk.split(" ") == toks[80:90]
+
+
+def test_funnel_stage_names_with_metachars(spark):
+    """Stage labels are data, not SQL: quotes/dots/parens in a stage
+    name must survive to the output untouched (the pre-r6 stack()
+    string interpolation broke the expr parse)."""
+    df = _events(spark, [(1, 0, "o'view"), (1, 10, "cl.ick, (x)")])
+    got = {
+        r.stage: r.n_users
+        for r in funnel_counts(df, ["o'view", "cl.ick, (x)"]).collect()
+    }
+    assert got == {"o'view": 1, "cl.ick, (x)": 1}
+
+
+def test_run_length_counts_empty_array(spark):
+    """Empty input → empty counts (not [null]): the ends expression is
+    guarded the same way as starts."""
+    from pulsar_io_delta_spark.operators.text import with_run_length_counts
+
+    df = spark.createDataFrame([(0, []), (1, ["a", "a", "b"])], "i long, arr array<string>")
+    out, col = with_run_length_counts(df, F.col("arr"))
+    rows = {r.i: r[col] for r in out.collect()}
+    assert rows[0] == []
+    assert sorted(rows[1]) == [1, 2]
+
+
+def test_dsum_decimal_exact_rounding(spark):
+    """dsum must round per-row exactly like the oracle's decimal cast:
+    0.145 → 0.15 (shortest-repr HALF_UP), not round(0.145·100)=14.
+    ADVICE round-5: sum([0.145, 0.135, 1.005, 2.675]) at (18,2) is
+    3.98 on the decimal path; the old binary-product path gave 3.96."""
+    from pulsar_io_delta_spark.queries._util import dsum
+
+    df = spark.createDataFrame(
+        [(0.145,), (0.135,), (1.005,), (2.675,)], "x double"
+    )
+    got = df.agg(dsum("x", "18,2").alias("s")).first().s
+    assert got == 3.98, got
+
+
+def test_dsum_scale_above_bound_uses_decimal_path(spark):
+    """scale > 6 voids the scaled-long overflow headroom bound — dsum
+    must fall back to the exact decimal aggregate (never a wrapped
+    long). The plan shows a decimal sum, and the value is exact."""
+    from pulsar_io_delta_spark.queries._util import dsum
+
+    df = spark.createDataFrame([(0.12345678,), (0.87654322,)], "x double")
+    agg = df.agg(dsum("x", "24,8").alias("s"))
+    plan = agg._jdf.queryExecution().optimizedPlan().toString()
+    assert "decimal(24,8)" in plan, plan  # decimal aggregate, not scaled-long
+    assert agg.first().s == 1.0

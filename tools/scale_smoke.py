@@ -172,6 +172,32 @@ def main() -> None:
             fn(df).write.mode("overwrite").format("noop").save()
             dt = time.time() - t0
             print(f"{name:10s} {label:4s} rows={rows:>9,d} wall={dt:6.2f}s ns/row={dt/rows*1e9:7.1f}")
+
+    # Round-6 shape: TF-IDF over a STOPWORD-HEAVY docs blow-up — every
+    # doc shares an injected stopword prefix, so one token's (doc,token)
+    # rows ≈ the whole corpus. The r6 groupBy(token) document-frequency
+    # rewrite partial-aggregates that skew map-side; the rejected
+    # count-window form funneled it into a single reducer. clearCache
+    # between warm and timed runs so the timed number includes the
+    # persist()ed tf materialization, not a cache hit.
+    from pulsar_io_delta_spark.queries.pipeline2 import tfidf_topterms
+
+    def blow_docs_stop(df, n):
+        return blow_docs(df, n).withColumn(
+            "text", F.concat(F.lit("the of and to in a is it that for "), F.col("text"))
+        )
+
+    for label, df, rows in (
+        ("1x", blow_docs_stop(docs, 1), n_docs),
+        (f"{kd}x", blow_docs_stop(docs, kd), n_docs * kd),
+    ):
+        tfidf_topterms(df).write.mode("overwrite").format("noop").save()  # warm
+        spark.catalog.clearCache()
+        t0 = time.time()
+        tfidf_topterms(df).write.mode("overwrite").format("noop").save()
+        dt = time.time() - t0
+        spark.catalog.clearCache()
+        print(f"{'tfidf_stop':10s} {label:4s} rows={rows:>9,d} wall={dt:6.2f}s ns/row={dt/rows*1e9:7.1f}")
     spark.stop()
 
 
