@@ -147,8 +147,7 @@ promote(["q_join_left", "q_join_right", "q_join_full"], after="q_struct_funcs")
 #     green on current fixtures — lowest re-check value.
 # Rotating out: the r4-green reference-surface/dedup/TPC-H blocks —
 # freshly hard-verified, unmodified this round, lowest re-check value.
-promote(
-    [
+_R5_WINDOW = [
         # (a) events-ts fix — streaming first (the silent-wrong cluster)
         "q_stream_sliding",
         "q_stream_session",
@@ -203,6 +202,79 @@ promote(
         "q_sql_tpch_q5",
         "q_sql_grouping_sets",
         "q_sql_subqueries",
+]
+promote(_R5_WINDOW, after="q_stream_tumbling")
+
+# Round-6 window (slots 1-49 after the q_stream_tumbling canary, which
+# itself re-proves the rewritten dsum kernel):
+# (a) the two oracle-since-r4 queries with ZERO post-oracle driver rows
+#     (r5 verdict item #2 — the last evidence holes);
+# (b) every query whose code or contract changed this round: the
+#     TF-IDF document-frequency rewrite, the new IVF-recall /
+#     HLL-error-bound contracts, the new late-data streaming query,
+#     the funnel explode rewrite, the run-length empty-array guard
+#     (entropy), and all 12 dsum/dsum_over users (per-row quantization
+#     changed from round() to the decimal cast; q_agg_variance also
+#     exercises the new scale>6 decimal fallback);
+# (c) the r4-green blocks now two rounds stale: dedup/merge/wire,
+#     snapshot/type-widening, cdc-schema-evolution, the 14 TPC-H
+#     queries verified r4, and the stalest relational singles.
+# Rotating behind: the r5-green block (freshly hard-verified,
+# unmodified) and the remaining r1/r2 singles.
+promote(
+    [
+        # (a) evidence holes
+        "q_multimodal_decode",
+        "q_text_fingerprint",
+        # (b) changed this round
+        "q_tfidf_topterms",
+        "q_sim_ann_ivf",
+        "q_agg_approx",
+        "q_stream_late_data",
+        "q_funnel",
+        "q_text_entropy",
+        "q_agg_groupby",
+        "q_agg_distinct",
+        "q_agg_rollup",
+        "q_agg_cube",
+        "q_agg_variance",
+        "q_join_broadcast",
+        "q_window_running",
+        "q_window_range_frame",
+        "q_timeseries_gapfill",
+        "q_join_skew_salted",
+        "q_stream_sliding",
+        # (c) two-rounds-stale r4 greens
+        "q_dedup_minhash",
+        "q_dedup_near",
+        "q_dedup_pipeline",
+        "q_dedup_simhash",
+        "q_ngram_jaccard",
+        "q_dedup_embcos",
+        "q_merge_upsert",
+        "q_pulsar_wire",
+        "q_snapshot_scan",
+        "q_type_widening",
+        "q_cdc_schema_evolution",
+        "q_sql_tpch_q2",
+        "q_sql_tpch_q4",
+        "q_sql_tpch_q7",
+        "q_sql_tpch_q8",
+        "q_sql_tpch_q9",
+        "q_sql_tpch_q11",
+        "q_sql_tpch_q12",
+        "q_sql_tpch_q13",
+        "q_sql_tpch_q15",
+        "q_sql_tpch_q16",
+        "q_sql_tpch_q17",
+        "q_sql_tpch_q20",
+        "q_sql_tpch_q21",
+        "q_sql_tpch_q22",
+        "q_agg_percentiles",
+        "q_window_firstlast",
+        "q_unpivot",
+        "q_join_inner",
+        "q_join_semi",
     ],
     after="q_stream_tumbling",
 )

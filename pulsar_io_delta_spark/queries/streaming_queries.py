@@ -19,7 +19,11 @@ from pyspark.sql import functions as F
 
 from pulsar_io_delta_spark.queries._util import dsum, epoch_s, r4, sql_dsum, sql_epoch
 from pulsar_io_delta_spark.registry import register
-from pulsar_io_delta_spark.streaming.runner import events_stream, run_to_memory
+from pulsar_io_delta_spark.streaming.runner import (
+    events_stream,
+    late_split_stream_dir,
+    run_to_memory,
+)
 
 
 @register(
@@ -170,3 +174,60 @@ def q_stream_watermark_dedup(spark, sf_dir):
         .select("event_id", "user_id", "event_type", epoch_s("ts").alias("ts_epoch"), "value")
     )
     return run_to_memory(deduped, output_mode="append")
+
+
+@register(
+    "q_stream_late_data",
+    oracle="""
+WITH mx AS (SELECT max(ts) AS m FROM events),
+e AS (SELECT ts, time_bucket(INTERVAL '10 minutes', ts) AS w FROM events),
+f0 AS (SELECT w FROM e, mx WHERE ts > m - INTERVAL 10 MINUTE),
+f1 AS (SELECT w FROM e, mx
+       WHERE ts <= m - INTERVAL 10 MINUTE AND ts > m - INTERVAL 20 MINUTE),
+f2 AS (SELECT w FROM e, mx
+       WHERE ts <= m - INTERVAL 20 MINUTE
+         AND w + INTERVAL 10 MINUTE
+             > date_trunc('milliseconds', m) - INTERVAL 30 MINUTE),
+b0 AS (SELECT w, count(*) AS cnt FROM f0 GROUP BY w),
+b1 AS (SELECT u.w, count(*) AS cnt
+       FROM (SELECT w FROM f0 UNION ALL SELECT w FROM f1) u
+       WHERE u.w IN (SELECT w FROM f1) GROUP BY u.w),
+b2 AS (SELECT u.w, count(*) AS cnt
+       FROM (SELECT w FROM f0 UNION ALL SELECT w FROM f1
+             UNION ALL SELECT w FROM f2) u
+       WHERE u.w IN (SELECT w FROM f2) GROUP BY u.w)
+SELECT CAST(floor(epoch(w)) AS BIGINT) AS window_start, CAST(cnt AS BIGINT) AS cnt
+FROM (SELECT * FROM b0 UNION ALL SELECT * FROM b1 UNION ALL SELECT * FROM b2)
+""",
+)
+def q_stream_late_data(spark, sf_dir):
+    """Watermark late-data semantics through REAL out-of-order
+    micro-batches: the event log is split into (fresh sliver, near-
+    fresh filler, everything-else-arriving-late) files consumed one
+    batch each (maxFilesPerTrigger=1). Batch 0 pins the watermark at
+    ``max(ts) − 30min``; the bulk of the log then arrives in batch 2
+    as late data, where windows ending at or below the watermark MUST
+    be dropped (measured end-inclusive on the state input) and fresher
+    windows survive. Update-mode memory sink: the output is the exact
+    multiset of per-batch window updates, so the oracle replays batch
+    arithmetic cumulatively — batch 0's counts, batch 1's f0+f1
+    counts on windows f1 touched, batch 2's surviving cumulative
+    counts. The watermark term is ms-floored exactly like Spark's
+    EventTimeStats. Reference parity: the ordering/late-data contract
+    of SURVEY §4.2 (DeltaCheckpoint.java:66-82 resume filter), which
+    the reference enforces by refusing out-of-order checkpoints; the
+    Spark-native equivalent is watermark-bounded state."""
+    d = late_split_stream_dir(spark, sf_dir)
+    batch = spark.read.parquet(d)
+    s = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    agg = (
+        s.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    out = run_to_memory(agg, output_mode="update")
+    return out.select(epoch_s(F.col("w.start")).alias("window_start"), "cnt")

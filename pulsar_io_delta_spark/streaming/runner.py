@@ -94,6 +94,72 @@ def events_stream(spark: SparkSession, sf_dir: str, max_files_per_trigger: int |
 _PROBED_OK: set[tuple[str, str]] = set()
 
 
+def late_split_stream_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Three-file OUT-OF-ORDER split of the events fixture, for driving
+    watermark late-data semantics through real micro-batches
+    (maxFilesPerTrigger=1 → one batch per file, oldest mtime first):
+
+    - f0: the freshest 10-minute sliver (``ts > max - 10min``) — its max
+      IS the global max, so after batch 0 the watermark is
+      ``max - delay`` for every later batch.
+    - f1: the next slice (``max-20 < ts <= max-10``) — a filler batch
+      whose windows all end above any candidate watermark, so the
+      contract is invariant to Spark's one-batch watermark-propagation
+      lag (observed on 4.x: the filter in batch N uses the watermark
+      derived from batches ≤ N-2; f1 is accepted under either reading).
+    - f2: everything else, i.e. the bulk of the log arriving LATE. With
+      a 30-min watermark its windows ending at or below ``max - 30min``
+      must be dropped and the fresher remainder must survive — the
+      reference's ordering/late-data contract (SURVEY §4.2).
+
+    The split is rebuilt whenever the fixture file changes (dir keyed by
+    mtime+size — the round-4 drift lesson), and the max(ts) aggregation
+    here is stream-PREP materialization, not query-plan work."""
+    import hashlib
+    import shutil
+
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:10]
+    d = os.path.join(tempfile.gettempdir(), f"pids_late_events_{key}")
+    marker = os.path.join(d, "_SPLIT_DONE")
+    if os.path.exists(marker):
+        return d
+    from pulsar_io_delta_spark.tables import table
+
+    e = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    )
+    mx = e.agg(F.max("ts").alias("m")).first().m
+    import datetime
+
+    m10 = mx - datetime.timedelta(minutes=10)
+    m20 = mx - datetime.timedelta(minutes=20)
+    slices = [
+        e.where(F.col("ts") > m10),
+        e.where((F.col("ts") <= m10) & (F.col("ts") > m20)),
+        e.where(F.col("ts") <= m20),
+    ]
+    os.makedirs(d, exist_ok=True)
+    import glob as _glob
+
+    for i, sl in enumerate(slices):
+        tmp = os.path.join(d, f"_w{i}")
+        sl.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(d, f"f{i}.parquet")
+        shutil.copy(part, dst)
+        # oldest-first pickup order = f0, f1, f2 (FileStreamSource sorts
+        # by mtime; constants keep the order stable across rebuilds)
+        os.utime(dst, (1_000_000_000 + i * 100, 1_000_000_000 + i * 100))
+        shutil.rmtree(tmp)
+    with open(marker, "w") as fh:
+        fh.write("ok")
+    return d
+
+
 def run_cdc_with_schema_evolution(
     spark: SparkSession,
     table_path: str,

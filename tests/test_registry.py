@@ -19,33 +19,43 @@ def test_entry_runs(spark):
     assert "sum_qty" in df.columns
 
 
-def test_round5_window_composition():
-    """The driver samples the first 50 registrations: the round-5
-    rotation must keep (a) the events-ts-fix cluster, (b) the
-    zero-driver-history queries, and (c) this round's new operators
-    inside that window (guards against accidental re-ordering)."""
+def test_round6_window_composition():
+    """The driver samples the first 50 registrations: the round-6
+    rotation must hold (a) the two r4-oracled queries that never got a
+    post-oracle driver row, (b) every query whose code or contract
+    changed this round (TF-IDF rewrite, new contracts, late-data
+    query, funnel/entropy/dsum rewrites), and (c) the stalest r4-green
+    blocks (guards against accidental re-ordering)."""
     window = list(entry_mod.queries())[:50]
     must_be_in = {
-        # canary + events-ts fix cluster
-        "q_stream_tumbling", "q_stream_sliding", "q_stream_session",
-        "q_stream_stream_join", "q_stream_watermark_dedup",
-        "q_cdc_envelope", "q_partition_encode", "q_hash_route",
-        "q_time_travel_filter", "q_cdc_source", "q_json_funcs",
-        "q_map_funcs", "q_source_csv", "q_source_jsonl",
-        "q_timeseries_gapfill", "q_asof_join",
-        # zero driver-row history before round 5
-        "q_sql_tpch_q1", "q_sql_tpch_q6", "q_sql_tpch_q10",
-        "q_sql_tpch_q14", "q_sql_tpch_q18", "q_sql_tpch_q19",
-        "q_multimodal_real_decode", "q_sim_ann_lsh",
-        # new round-5 operators
-        "q_sessionize", "q_funnel", "q_text_entropy",
-        "q_emb_centroid", "q_emb_quantize",
-        "q_chunk_docs", "q_tfidf_topterms", "q_retention_cohort",
-        "q_sql_sessionize", "q_sql_funnel",
+        # canary (also a dsum user)
+        "q_stream_tumbling",
+        # (a) evidence holes closed this round
+        "q_multimodal_decode", "q_text_fingerprint",
+        # (b) changed this round
+        "q_tfidf_topterms", "q_sim_ann_ivf", "q_agg_approx",
+        "q_stream_late_data", "q_funnel", "q_text_entropy",
+        "q_agg_groupby", "q_agg_distinct", "q_agg_rollup", "q_agg_cube",
+        "q_agg_variance", "q_join_broadcast", "q_window_running",
+        "q_window_range_frame", "q_timeseries_gapfill",
+        "q_join_skew_salted", "q_stream_sliding",
+        # (c) two-rounds-stale r4 greens
+        "q_dedup_minhash", "q_dedup_near", "q_dedup_pipeline",
+        "q_dedup_simhash", "q_ngram_jaccard", "q_dedup_embcos",
+        "q_merge_upsert", "q_pulsar_wire", "q_snapshot_scan",
+        "q_type_widening", "q_cdc_schema_evolution",
+        "q_sql_tpch_q2", "q_sql_tpch_q4", "q_sql_tpch_q7",
+        "q_sql_tpch_q8", "q_sql_tpch_q9", "q_sql_tpch_q11",
+        "q_sql_tpch_q12", "q_sql_tpch_q13", "q_sql_tpch_q15",
+        "q_sql_tpch_q16", "q_sql_tpch_q17", "q_sql_tpch_q20",
+        "q_sql_tpch_q21", "q_sql_tpch_q22",
     }
     assert must_be_in <= set(window), sorted(must_be_in - set(window))
 
 
-def test_rows_only_set_is_exactly_the_justified_two():
+def test_no_rows_only_queries_remain():
+    """Round 6 closed the last two rows-only waivers (IVF recall and
+    HLL error-bound contracts): every registered query now carries a
+    DuckDB oracle."""
     qs, osql = entry_mod.queries(), entry_mod.oracle_sql()
-    assert set(qs) - set(osql) == {"q_agg_approx", "q_sim_ann_ivf"}
+    assert set(qs) - set(osql) == set()

@@ -207,3 +207,55 @@ def test_stateful_agg_on_rocksdb_state_store(spark, sf_dir):
         }
     finally:
         spark.conf.set(key, prev)
+
+
+def test_late_data_window_end_inclusive_drop(spark, tmp_path):
+    """Pins the watermark late-drop semantics q_stream_late_data's
+    oracle encodes (measured on Spark 4.x):
+
+    - the late filter is WINDOW-END-based, end <= watermark dropped
+      (a row whose ts is below the watermark but whose window ends
+      above it survives);
+    - the filter lags watermark propagation by one batch (batch N uses
+      the watermark from batches <= N-2), hence the query's 3-file
+      split with a filler batch."""
+    import datetime
+    import glob as _glob
+    import os
+    import shutil
+
+    base = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    mk = lambda rows: spark.createDataFrame(rows, "event_id long, ts timestamp")
+    batches = [
+        mk([(1, base + datetime.timedelta(minutes=60))]),  # wm -> 12:30
+        mk([(9, base + datetime.timedelta(minutes=58))]),  # filler
+        mk([
+            # win [12:20,12:30) end == wm -> dropped (end-inclusive)
+            (2, base + datetime.timedelta(minutes=29, seconds=59)),
+            # win [12:30,12:40) end > wm, ts barely above wm -> kept
+            (3, base + datetime.timedelta(minutes=30, seconds=1)),
+            # win [12:10,12:20) end < wm -> dropped
+            (5, base + datetime.timedelta(minutes=19)),
+        ]),
+    ]
+    sdir = str(tmp_path / "stream")
+    os.makedirs(sdir)
+    for i, b in enumerate(batches):
+        tmp = str(tmp_path / f"w{i}")
+        b.coalesce(1).write.parquet(tmp)
+        dst = os.path.join(sdir, f"f{i}.parquet")
+        shutil.copy(_glob.glob(tmp + "/part-*.parquet")[0], dst)
+        os.utime(dst, (1_000_000_000 + i * 100,) * 2)
+
+    schema = spark.read.parquet(sdir).schema
+    s = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(sdir)
+    agg = (
+        s.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    out = run_to_memory(agg, output_mode="update")
+    got = sorted((r.w.start.minute, r.cnt) for r in out.collect())
+    # batch 0: 13:00 window; batch 1: 12:50 window; batch 2: only the
+    # 12:30 window survives (events 2 and 5 dropped by the watermark)
+    assert got == [(0, 1), (30, 1), (50, 1)], got
