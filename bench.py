@@ -48,6 +48,8 @@ HEADLINE = [
     # streaming
     "q_stream_tumbling",
     "q_stream_watermark_dedup",
+    # round 6: watermark late-drop through out-of-order micro-batches
+    "q_stream_late_data",
     # LLM pipeline
     "q_dedup_exact",
     "q_dedup_minhash",

@@ -770,3 +770,31 @@ def test_occ_concurrent_create_race_merges_not_clobbers(occ_fs):
     all_actions = [a for ver in t2.versions() for a in t2.actions(ver)]
     assert sum(1 for a in all_actions if "protocol" in a) == 1
     assert sum(1 for a in all_actions if "metaData" in a) == 1
+
+
+def test_handwritten_log_unsupported_protocol_fails_loudly(spark, tmp_path):
+    """Protocol gating (reference parity: the reference consumes only
+    add/remove/metaData/commitInfo — DeltaReader.java:196-247 — and
+    anything newer must fail LOUDLY, never silently mis-read): a log
+    demanding minReaderVersion 3 (e.g. deletion vectors) raises
+    DeltaProtocolError at snapshot resolution."""
+    root = str(tmp_path / "hand_v3")
+    os.makedirs(os.path.join(root, "_delta_log"))
+    df = events_df(spark, range(3))
+    df.coalesce(1).write.parquet(os.path.join(root, "data"))
+    part = next(
+        f for f in os.listdir(os.path.join(root, "data")) if f.endswith(".parquet")
+    )
+    actions = [
+        {"commitInfo": {"timestamp": 1700000000000, "operation": "WRITE"}},
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors"]}},
+        {"metaData": {"id": "x", "schemaString": df.schema.json(), "partitionColumns": []}},
+        {"add": {"path": f"data/{part}", "partitionValues": {}, "size": 1,
+                 "modificationTime": 1700000000000, "dataChange": True}},
+    ]
+    with open(os.path.join(root, "_delta_log", f"{0:020d}.json"), "w") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+    with pytest.raises(DeltaProtocolError, match="protocol"):
+        DeltaTable(root).read(spark).count()

@@ -1,0 +1,109 @@
+"""Fixture drift tripwires (round-6, VERDICT r5 items #5/#7).
+
+The driver REGENERATES /root/testdata between code freeze and scoring;
+round 4 lost 16 queries to a silent ts-encoding flip. These tests make
+any such drift fail loudly and NAME the table/column:
+
+- per-table post-load schema contract: ``tables.table`` must hand every
+  query the exact schema the 132 registered queries were written
+  against (event-time columns normalized to TIMESTAMP whatever the
+  physical encoding). A deliberate driver change (e.g. a widened key)
+  should be adopted by updating EXPECTED here — consciously, not by
+  silent coercion downstream.
+- value-shape probes for the contracts a schema can't express:
+  events.props is a JSON object string (q_json_funcs parses it),
+  embeddings.embedding is 64-dimensional (the LSH hyperplanes and the
+  IVF centroids are built for dim=64).
+- bench-headline build guard: every HEADLINE query must at least
+  construct its DataFrame against the fixture (analysis pass), so a
+  loader-level AnalysisException fails pytest instead of surfacing as
+  a bench error entry with no numbers (the round-4 failure mode).
+"""
+
+import pytest
+
+from pulsar_io_delta_spark.tables import TABLE_NAMES, table
+
+EXPECTED = {
+    "region": "struct<r_regionkey:int,r_name:string>",
+    "nation": "struct<n_nationkey:int,n_name:string,n_regionkey:int>",
+    "customer": (
+        "struct<c_custkey:bigint,c_name:string,c_nationkey:int,"
+        "c_acctbal:double,c_mktsegment:string>"
+    ),
+    "supplier": "struct<s_suppkey:bigint,s_name:string,s_nationkey:int,s_acctbal:double>",
+    "part": (
+        "struct<p_partkey:bigint,p_name:string,p_brand:string,p_type:string,"
+        "p_size:int,p_retailprice:double>"
+    ),
+    "orders": (
+        "struct<o_orderkey:bigint,o_custkey:bigint,o_orderstatus:string,"
+        "o_totalprice:double,o_orderdate:timestamp,o_orderpriority:string>"
+    ),
+    "lineitem": (
+        "struct<l_orderkey:bigint,l_partkey:bigint,l_suppkey:bigint,"
+        "l_linenumber:int,l_quantity:double,l_extendedprice:double,"
+        "l_discount:double,l_tax:double,l_returnflag:string,"
+        "l_linestatus:string,l_shipdate:timestamp>"
+    ),
+    "events": (
+        "struct<event_id:bigint,ts:timestamp,user_id:bigint,"
+        "event_type:string,value:double,props:string>"
+    ),
+    "documents": "struct<doc_id:bigint,text:string,lang:string,source:string,n_chars:bigint>",
+    "embeddings": "struct<vec_id:bigint,embedding:array<float>,label:int>",
+}
+
+
+@pytest.mark.parametrize("name", list(TABLE_NAMES))
+def test_fixture_schema_contract(spark, sf_dir, name):
+    got = table(spark, sf_dir, name).schema.simpleString()
+    assert got == EXPECTED[name], (
+        f"fixture table {name!r} drifted: post-load schema\n  {got}\n"
+        f"!= contract\n  {EXPECTED[name]}\n"
+        "If the driver changed the fixture deliberately, update EXPECTED "
+        "and audit the queries touching the changed columns."
+    )
+
+
+def test_events_props_is_json_object(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    e = table(spark, sf_dir, "events")
+    row = e.where(F.col("props").isNotNull()).select(
+        F.get_json_object("props", "$").alias("obj"), "props"
+    ).first()
+    assert row is not None and row.obj is not None, (
+        f"events.props no longer parses as JSON: {row and row.props!r}"
+    )
+
+
+def test_embeddings_are_64_dimensional(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    e = table(spark, sf_dir, "embeddings")
+    dims = e.select(F.size("embedding").alias("d")).distinct().collect()
+    assert [r.d for r in dims] == [64], (
+        f"embedding dim drifted: {[r.d for r in dims]} != [64] — the LSH "
+        "hyperplanes (sim.hyperplanes(64, 8)) and IVF centroids assume 64"
+    )
+
+
+def test_bench_headline_queries_build(spark, sf_dir):
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import bench
+    from pulsar_io_delta_spark.registry import all_queries
+
+    specs = all_queries()
+    missing = [n for n in bench.HEADLINE if n not in specs]
+    assert not missing, f"HEADLINE names not registered: {missing}"
+    broken = {}
+    for name in bench.HEADLINE:
+        try:
+            df = specs[name].fn(spark, sf_dir)
+            _ = df.schema  # forces the analysis pass
+        except Exception as exc:  # noqa: BLE001 — collecting per-query
+            broken[name] = f"{type(exc).__name__}: {exc}"[:200]
+    assert not broken, f"headline queries fail to build: {broken}"
