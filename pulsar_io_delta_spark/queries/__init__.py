@@ -273,8 +273,9 @@ promote(
         "q_agg_percentiles",
         "q_window_firstlast",
         "q_unpivot",
-        "q_join_inner",
-        "q_join_semi",
+        # new round-6 queries (zero driver history -> highest value)
+        "q_join_bucketed",
+        "q_agg_approx_quantiles",
     ],
     after="q_stream_tumbling",
 )

@@ -295,3 +295,108 @@ def q_join_skew_salted(spark, sf_dir):
         F.count("*").alias("cnt"),
         r4(dsum("l_quantity", "18,4")).alias("sum_qty"),
     )
+
+
+def _bucketed_table(spark, sf_dir: str, src: str, key: str, cols: list[str], n: int = 8) -> str:
+    """Materialize a fixture table as a BUCKETED saved table (hash on
+    the join key, sorted within buckets) and return its catalog name.
+
+    This is the 100 TB co-location layout: two tables bucketed on the
+    same key with the same bucket count join with ZERO exchange — the
+    shuffle happened once at write time and is amortized over every
+    subsequent join (the classic warehouse trick Spark shares with
+    Hive). The in-memory catalog forgets tables between sessions, so
+    the write is once-per-(session, fixture); data lives under an
+    explicit /tmp path, never the driver's CWD warehouse."""
+    import hashlib
+    import os
+    import tempfile
+
+    fkey = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    name = f"pids_bkt_{src}_{fkey}"
+    if not spark.catalog.tableExists(name):
+        path = os.path.join(tempfile.gettempdir(), f"pids_bkt_{fkey}", src)
+        (
+            table(spark, sf_dir, src)
+            .select(*cols)
+            .write.mode("overwrite")
+            .option("path", path)
+            .bucketBy(n, key)
+            .sortBy(key)
+            .saveAsTable(name)
+        )
+    return name
+
+
+@register(
+    "q_join_bucketed",
+    oracle="""
+SELECT o_orderpriority, count(*) AS cnt,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 4)
+         AS sum_qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+""",
+)
+def q_join_bucketed(spark, sf_dir):
+    """Co-located big-big join via bucketed physical layout: lineitem
+    and orders are both bucketed (8, orderkey) + in-bucket sorted, so
+    the sort-merge join reads bucket i against bucket i with NO
+    Exchange in the plan (plan-asserted in tests/test_joins.py with
+    broadcast disabled) — at 100 TB this converts the nightly fact-to-
+    fact shuffle into a write-once layout cost. The oracle is the plain
+    join: layout must be invisible in the result."""
+    lt = _bucketed_table(
+        spark, sf_dir, "lineitem", "l_orderkey", ["l_orderkey", "l_quantity"]
+    )
+    ot = _bucketed_table(
+        spark, sf_dir, "orders", "o_orderkey", ["o_orderkey", "o_orderpriority"]
+    )
+    j = spark.table(lt).join(
+        spark.table(ot), F.col("l_orderkey") == F.col("o_orderkey")
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count("*").alias("cnt"),
+        r4(dsum("l_quantity", "18,4")).alias("sum_qty"),
+    )
+
+
+@register(
+    "q_agg_approx_quantiles",
+    oracle="""
+SELECT o_orderpriority,
+       round(quantile_disc(o_totalprice, 0.5), 4) AS exact_p50,
+       round(quantile_disc(o_totalprice, 0.95), 4) AS exact_p95,
+       TRUE AS p50_in_bounds, TRUE AS p95_in_bounds
+FROM orders GROUP BY o_orderpriority
+""",
+)
+def q_agg_approx_quantiles(spark, sf_dir):
+    """approx_percentile (Greenwald-Khanna sketch) — the mergeable
+    single-pass quantile path for 100 TB — under an error-bound
+    contract the oracle asserts exactly: with accuracy 10000 the rank
+    error is ≤ N/10000, generously bounded here by the exact discrete
+    quantiles at p ± 0.02. The sketch is deterministic, the bounds are
+    a guarantee, so all-true rows are a hard contract (same pattern as
+    q_agg_approx); the raw sketch values stay out of the hash."""
+    o = table(spark, sf_dir, "orders")
+    disc = o.groupBy("o_orderpriority").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)").alias("d50"),
+        F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY o_totalprice)").alias("d95"),
+        F.expr("percentile_disc(0.48) WITHIN GROUP (ORDER BY o_totalprice)").alias("lo50"),
+        F.expr("percentile_disc(0.52) WITHIN GROUP (ORDER BY o_totalprice)").alias("hi50"),
+        F.expr("percentile_disc(0.93) WITHIN GROUP (ORDER BY o_totalprice)").alias("lo95"),
+        F.expr("percentile_disc(0.97) WITHIN GROUP (ORDER BY o_totalprice)").alias("hi95"),
+        F.percentile_approx("o_totalprice", [0.5, 0.95], 10000).alias("ap"),
+    )
+    return disc.select(
+        "o_orderpriority",
+        F.round("d50", 4).alias("exact_p50"),
+        F.round("d95", 4).alias("exact_p95"),
+        ((F.col("ap")[0] >= F.col("lo50")) & (F.col("ap")[0] <= F.col("hi50"))).alias(
+            "p50_in_bounds"
+        ),
+        ((F.col("ap")[1] >= F.col("lo95")) & (F.col("ap")[1] <= F.col("hi95"))).alias(
+            "p95_in_bounds"
+        ),
+    )

@@ -150,3 +150,25 @@ def test_asof_carries_whole_row_not_stitched_columns(spark):
     # the match is the ts=20 row as a whole: v stays NULL, never
     # backfilled from the ts=10 row
     assert row.label == "new" and row.v is None
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    """The co-location contract: both sides bucketed (8, orderkey) +
+    in-bucket sorted, so the sort-merge join plans with ZERO Exchange
+    (broadcast disabled to force the join strategy a 100 TB fact-fact
+    join would use). The write-time shuffle is the amortized cost."""
+    from pulsar_io_delta_spark.queries.relational3 import q_join_bucketed
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = q_join_bucketed(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" in plan, plan
+    # the ONLY exchange allowed is the final single-partition/agg one;
+    # the join itself must read buckets directly
+    join_part = plan.split("SortMergeJoin", 1)[1]
+    assert "Exchange" not in join_part, plan
+    assert "SelectedBucketsCount: 8 out of 8" in plan, plan

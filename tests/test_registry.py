@@ -49,6 +49,8 @@ def test_round6_window_composition():
         "q_sql_tpch_q12", "q_sql_tpch_q13", "q_sql_tpch_q15",
         "q_sql_tpch_q16", "q_sql_tpch_q17", "q_sql_tpch_q20",
         "q_sql_tpch_q21", "q_sql_tpch_q22",
+        # new round-6 queries
+        "q_join_bucketed", "q_agg_approx_quantiles",
     }
     assert must_be_in <= set(window), sorted(must_be_in - set(window))
 
