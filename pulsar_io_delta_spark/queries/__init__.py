@@ -272,10 +272,10 @@ promote(
         "q_sql_tpch_q22",
         "q_agg_percentiles",
         "q_window_firstlast",
-        "q_unpivot",
         # new round-6 queries (zero driver history -> highest value)
         "q_join_bucketed",
         "q_agg_approx_quantiles",
+        "q_stream_join_outer",
     ],
     after="q_stream_tumbling",
 )

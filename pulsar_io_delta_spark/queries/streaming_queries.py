@@ -231,3 +231,79 @@ def q_stream_late_data(spark, sf_dir):
     )
     out = run_to_memory(agg, output_mode="update")
     return out.select(epoch_s(F.col("w.start")).alias("window_start"), "cnt")
+
+
+@register(
+    "q_stream_join_outer",
+    oracle=f"""
+WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS p_ts
+           FROM events WHERE event_type = 'purchase'),
+c AS (SELECT event_id AS click_id, user_id, ts AS c_ts
+      FROM events WHERE event_type = 'click'),
+wm AS (SELECT least(date_trunc('milliseconds', (SELECT max(p_ts) FROM p)),
+                    date_trunc('milliseconds', (SELECT max(c_ts) FROM c)))
+              - INTERVAL 1 HOUR AS w),
+matched AS (
+  SELECT p.purchase_id, c.click_id, p.user_id, p.p_ts, c.c_ts
+  FROM p JOIN c ON p.user_id = c.user_id
+   AND c.c_ts BETWEEN p.p_ts - INTERVAL 30 MINUTE
+                  AND p.p_ts + INTERVAL 30 MINUTE),
+unmatched AS (
+  SELECT p.purchase_id, CAST(NULL AS BIGINT) AS click_id, p.user_id,
+         p.p_ts, CAST(NULL AS TIMESTAMP) AS c_ts
+  FROM p, wm
+  WHERE p.purchase_id NOT IN (SELECT purchase_id FROM matched)
+    AND p.p_ts + INTERVAL 30 MINUTE < wm.w)
+SELECT purchase_id, click_id, user_id,
+       {sql_epoch("p_ts")} AS purchase_ts,
+       CASE WHEN c_ts IS NULL THEN NULL
+            ELSE {sql_epoch("c_ts")} END AS click_ts
+FROM (SELECT * FROM matched UNION ALL SELECT * FROM unmatched)
+""",
+)
+def q_stream_join_outer(spark, sf_dir):
+    """LEFT OUTER stream-stream join — the state-EVICTION semantics the
+    inner version never exercises: a purchase with no click in ±30 min
+    emits its null row only once the global watermark (the MIN of both
+    sides' watermarks, measured) passes strictly beyond its match
+    window; fresher unmatched purchases stay in state and, under
+    AvailableNow, never emit — exactly the bounded-state behavior that
+    keeps a 100 TB outer join from leaking null rows for in-flight
+    matches. The oracle replays all three cohorts: matched pairs,
+    evicted-unmatched (upper bound strictly below the ms-floored
+    min-side watermark), and the held tail (absent)."""
+    purchases = (
+        events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    clicks = (
+        events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("c_ts") <= F.col("p_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "leftOuter",
+    )
+    out = run_to_memory(joined, output_mode="append")
+    return out.select(
+        "purchase_id",
+        "click_id",
+        "user_id",
+        epoch_s("p_ts").alias("purchase_ts"),
+        epoch_s("c_ts").alias("click_ts"),
+    )

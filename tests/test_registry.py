@@ -50,7 +50,7 @@ def test_round6_window_composition():
         "q_sql_tpch_q16", "q_sql_tpch_q17", "q_sql_tpch_q20",
         "q_sql_tpch_q21", "q_sql_tpch_q22",
         # new round-6 queries
-        "q_join_bucketed", "q_agg_approx_quantiles",
+        "q_join_bucketed", "q_agg_approx_quantiles", "q_stream_join_outer",
     }
     assert must_be_in <= set(window), sorted(must_be_in - set(window))
 
