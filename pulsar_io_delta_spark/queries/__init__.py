@@ -271,8 +271,8 @@ promote(
         "q_sql_tpch_q21",
         "q_sql_tpch_q22",
         "q_agg_percentiles",
-        "q_window_firstlast",
         # new round-6 queries (zero driver history -> highest value)
+        "q_time_rollup_multires",
         "q_join_bucketed",
         "q_agg_approx_quantiles",
         "q_stream_join_outer",

@@ -396,3 +396,58 @@ def q_retention_cohort(spark, sf_dir):
         .groupBy("cohort_w", "week_offset")
         .agg(F.countDistinct("user_id").cast("long").alias("n_users"))
     )
+
+
+@register(
+    "q_time_rollup_multires",
+    oracle="""
+WITH h AS (
+  SELECT time_bucket(INTERVAL '1 hour', ts) AS b, event_type,
+         count(*) AS cnt, sum(CAST(value AS DECIMAL(18,2))) AS sv
+  FROM events GROUP BY 1, 2),
+d AS (
+  SELECT time_bucket(INTERVAL '1 day', b) AS b, event_type,
+         sum(cnt) AS cnt, sum(sv) AS sv
+  FROM h GROUP BY 1, 2)
+SELECT 'hour' AS res, CAST(floor(epoch(b)) AS BIGINT) AS bucket_start,
+       event_type, CAST(cnt AS BIGINT) AS cnt,
+       round(CAST(sv AS DOUBLE), 4) AS sum_value
+FROM h
+UNION ALL
+SELECT 'day', CAST(floor(epoch(b)) AS BIGINT), event_type,
+       CAST(cnt AS BIGINT), round(CAST(sv AS DOUBLE), 4)
+FROM d
+""",
+)
+def q_time_rollup_multires(spark, sf_dir):
+    """Hypertable-style multi-resolution rollup (continuous-aggregate
+    cascade): hourly (bucket, type) aggregates, then DAILY aggregates
+    computed FROM the hourly partials — at 100 TB the day level reads
+    hours × types rows, never the raw corpus, and the union's two
+    branches share one corpus aggregation via AQE stage reuse (the
+    hourly subplans are identical — no pruning asymmetry here, unlike
+    TF-IDF's df branch — so the FINAL adaptive plan carries a
+    ReusedExchange; plan-asserted post-execution in test_sessionize).
+    Hour sums stay exact decimals until the output projection, so the
+    day level is a sum of exact partials, not of rounded doubles —
+    resolution cascades can't accumulate float error."""
+    e = table(spark, sf_dir, "events")
+    h = e.groupBy(F.date_trunc("hour", "ts").alias("b"), "event_type").agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("sv"),
+    )
+    d = h.groupBy(F.date_trunc("day", "b").alias("b"), "event_type").agg(
+        F.sum("cnt").alias("cnt"),
+        F.sum("sv").alias("sv"),
+    )
+
+    def fmt(df, res):
+        return df.select(
+            F.lit(res).alias("res"),
+            F.unix_timestamp("b").cast("long").alias("bucket_start"),
+            "event_type",
+            F.col("cnt").cast("long").alias("cnt"),
+            F.round(F.col("sv").cast("double"), 4).alias("sum_value"),
+        )
+
+    return fmt(h, "hour").unionAll(fmt(d, "day"))

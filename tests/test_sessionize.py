@@ -274,3 +274,17 @@ def test_dsum_scale_above_bound_uses_decimal_path(spark):
     plan = agg._jdf.queryExecution().optimizedPlan().toString()
     assert "decimal(24,8)" in plan, plan  # decimal aggregate, not scaled-long
     assert agg.first().s == 1.0
+
+
+def test_time_rollup_reuses_hourly_stage(spark, sf_dir):
+    """The continuous-aggregate cascade contract: after execution, the
+    final adaptive plan must show the day level consuming the hourly
+    aggregation through a ReusedExchange — ONE corpus aggregation
+    feeding both resolutions."""
+    from pulsar_io_delta_spark.queries.pipeline2 import q_time_rollup_multires
+
+    df = q_time_rollup_multires(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan, plan[:500]
+    assert "ReusedExchange" in plan, plan
