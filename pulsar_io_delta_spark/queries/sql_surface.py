@@ -635,3 +635,38 @@ SELECT 'purchase', CAST(count(t2) AS BIGINT) FROM u
 """,
     ["events"],
 )
+
+
+# Round 6: recursive CTE through the shared dialect (Spark 4 gained
+# WITH RECURSIVE; DuckDB has it natively) — a data-driven month spine
+# over the orders range, LEFT-joined to monthly counts so empty months
+# survive with 0. One text, both engines; the recursion is bounded by
+# the ~80-month fixture range, well under Spark's
+# cteRecursionLevelLimit (100) — a wider fixture fails loudly there,
+# never silently truncates. Scale note: the spine is O(months) rows on
+# the driver-free path (each iteration is a one-row plan); the corpus
+# touch is ONE grouped scan of orders.
+shared_sql_query(
+    "q_sql_recursive_series",
+    """
+WITH RECURSIVE bounds AS (
+  SELECT CAST(date_trunc('month', min(o_orderdate)) AS TIMESTAMP) AS lo,
+         CAST(max(o_orderdate) AS TIMESTAMP) AS hi
+  FROM orders
+),
+months(m) AS (
+  SELECT lo FROM bounds
+  UNION ALL
+  SELECT m + INTERVAL '1' MONTH FROM months, bounds
+  WHERE m + INTERVAL '1' MONTH <= hi
+),
+cnt AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS m, count(*) AS n
+  FROM orders GROUP BY 1
+)
+SELECT CAST(months.m AS DATE) AS month_start,
+       CAST(coalesce(cnt.n, 0) AS BIGINT) AS n_orders
+FROM months LEFT JOIN cnt ON cnt.m = months.m
+""",
+    ["orders"],
+)
