@@ -109,21 +109,25 @@ def kmeans_centroids(
 
 
 def _nearest_centroid_col(vec: str, centroids: list[list[float]]) -> Column:
-    """argmin over squared distance to each centroid (pure JVM exprs)."""
-    best_d, best_i = None, None
+    """argmin over squared distance to each centroid (pure JVM exprs).
+
+    Shape matters: a ``when(d_i < best)`` chain embeds the running best
+    TWICE per step (condition + otherwise), so the expression tree
+    doubles per centroid — with 8 centroids × 64-dim distance lambdas
+    that was a 2^8-node interpreted tree per row. ``array_min`` over
+    ``struct(d, i)`` is linear-size and keeps identical tie semantics
+    (lexicographic struct order = min distance, then lowest index —
+    the same earliest-index-wins the strict-< chain had, and the same
+    ordering the nprobe ranking uses via array_sort)."""
+    ds = []
     for i, cent in enumerate(centroids):
         arr = f"array({','.join(f'cast({x} as double)' for x in cent)})"
         d = F.expr(
             f"aggregate(zip_with({vec}, {arr}, (x, y) -> (x - y) * (x - y)), "
             "cast(0 as double), (acc, x) -> acc + x)"
         )
-        if best_d is None:
-            best_d, best_i = d, F.lit(i)
-        else:
-            cond = d < best_d
-            best_i = F.when(cond, F.lit(i)).otherwise(best_i)
-            best_d = F.when(cond, d).otherwise(best_d)
-    return best_i.cast("int")
+        ds.append(F.struct(d.alias("d"), F.lit(i).alias("cell")))
+    return F.array_min(F.array(*ds))["cell"].cast("int")
 
 
 def ann_topk_ivf(
@@ -138,8 +142,14 @@ def ann_topk_ivf(
     query probes only its ``nprobe`` nearest cells. At scale, the cell
     id becomes the table's bucketing key (classic IVF layout): candidate
     generation is an equi-join on cell, touching nprobe/n_clusters of
-    the data."""
-    base = with_norm2(emb)
+    the data.
+
+    The normed corpus is persisted for the k-means build: every
+    iteration (assignment + per-dim update) and the final cell
+    assignment re-read it, so without the cache the float projection +
+    norm re-runs 2·iters+2 times. Materialize-once is the standard
+    index-build step; the cache is corpus-sized but spill-backed."""
+    base = with_norm2(emb).persist()
     centroids = kmeans_centroids(base, k=n_clusters, iters=iters)
     cell = _nearest_centroid_col("v", centroids)
     data = base.withColumn("cell", cell)
