@@ -142,14 +142,11 @@ def ann_topk_ivf(
     query probes only its ``nprobe`` nearest cells. At scale, the cell
     id becomes the table's bucketing key (classic IVF layout): candidate
     generation is an equi-join on cell, touching nprobe/n_clusters of
-    the data.
-
-    The normed corpus is persisted for the k-means build: every
-    iteration (assignment + per-dim update) and the final cell
-    assignment re-read it, so without the cache the float projection +
-    norm re-runs 2·iters+2 times. Materialize-once is the standard
-    index-build step; the cache is corpus-sized but spill-backed."""
-    base = with_norm2(emb).persist()
+    the data. (A persist() of the normed corpus across the k-means
+    iterations was measured and rejected — recomputing the narrow
+    projection was never the cost; the argmin expression shape was,
+    see _nearest_centroid_col.)"""
+    base = with_norm2(emb)
     centroids = kmeans_centroids(base, k=n_clusters, iters=iters)
     cell = _nearest_centroid_col("v", centroids)
     data = base.withColumn("cell", cell)
