@@ -109,3 +109,72 @@ def test_reference_lifecycle_end_to_end(spark, sf_dir, tmp_path):
     ]
     assert {r["event_id"] for r in new} == {10_000_001, 10_000_002}
     assert {r["_commit_version"] for r in new} == {2}
+
+
+def test_incremental_view_maintenance_over_cdc(spark, tmp_path):
+    """IVM: a per-user count summary (itself a Delta table) maintained
+    incrementally by the CDC stream via additive merge_upsert. Two
+    source commits drained in separate runs over ONE checkpoint (a
+    restart in between): the summary must equal the batch groupBy of
+    the full source — the continuous-aggregate workflow a warehouse
+    runs on top of the connector, with exactly-once arithmetic (a
+    replayed batch would double-count, a skipped one would undercount).
+    At 100 TB the delta each batch is batch-sized, the merge rewrite
+    touches only summary files with changed users."""
+    import pyspark.sql.functions as F
+
+    from pulsar_io_delta_spark.sources.datasource import register_delta_cdc
+    from pulsar_io_delta_spark.sources.delta_log import DeltaTable
+
+    register_delta_cdc(spark)
+    src = DeltaTable(str(tmp_path / "src"))
+    summ = DeltaTable(str(tmp_path / "summary"))
+    ckpt = str(tmp_path / "ckpt")
+
+    def events(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("event_id"), (F.col("id") % 5).alias("user_id")
+        )
+
+    def maintain(batch_df, _batch_id):
+        delta = (
+            batch_df.where(F.col("op") == "c")
+            .groupBy("user_id")
+            .agg(F.count("*").alias("cnt"))
+        )
+        if summ.exists():
+            cur = summ.read(spark).select("user_id", F.col("cnt").alias("_cur"))
+            merged = (
+                delta.join(cur, "user_id", "left")
+                .select(
+                    "user_id",
+                    (F.col("cnt") + F.coalesce("_cur", F.lit(0))).alias("cnt"),
+                )
+            )
+            summ.merge_upsert(spark, merged, ["user_id"])
+        else:
+            summ.write(delta)
+
+    def drain():
+        q = (
+            spark.readStream.format("pulsar_delta_cdc")
+            .option("tablePath", src.path)
+            .load()
+            .writeStream.foreachBatch(maintain)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300)
+
+    src.write(events(0, 103))
+    drain()
+    src.write(events(103, 150))
+    drain()  # restart over the same checkpoint: only the new commit
+
+    got = {(r.user_id, r.cnt) for r in summ.read(spark).collect()}
+    want = {
+        (r.user_id, r.cnt)
+        for r in events(0, 150).groupBy("user_id").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert got == want, (sorted(got), sorted(want))
