@@ -69,6 +69,10 @@ HEADLINE = [
     "q_chunk_docs",
     "q_tfidf_topterms",
     "q_retention_cohort",
+    # round-6 ops (co-located join, continuous aggregate, GK quantiles)
+    "q_join_bucketed",
+    "q_time_rollup_multires",
+    "q_agg_approx_quantiles",
 ]
 
 
