@@ -126,3 +126,50 @@ SELECT partition_id FROM mm3_slot
 """
     got = duckdb.connect().execute(sql, [value]).fetchone()[0]
     assert got == partition_id_for(value, 1024)
+
+
+def test_run_length_counts_match_counter_property(spark):
+    """Run-length kernel vs collections.Counter on a batch of random
+    arrays (incl. empty, singleton, all-equal, unicode): the counts
+    multiset must equal the element-frequency multiset, and the sum of
+    counts the array length. One Spark job for the whole batch."""
+    import random
+    from collections import Counter
+
+    import pyspark.sql.functions as F
+
+    from pulsar_io_delta_spark.operators.text import with_run_length_counts
+
+    rng = random.Random(13)
+    alphabet = ["a", "b", "ab", "", "ü", "z" * 5]
+    cases = [[], ["x"], ["y"] * 7]
+    for _ in range(60):
+        cases.append([rng.choice(alphabet) for _ in range(rng.randrange(0, 12))])
+    df = spark.createDataFrame(
+        [(i, arr) for i, arr in enumerate(cases)], "i long, arr array<string>"
+    )
+    out, col = with_run_length_counts(df, F.col("arr"))
+    got = {r.i: sorted(r[col]) for r in out.collect()}
+    for i, arr in enumerate(cases):
+        assert got[i] == sorted(Counter(arr).values()), (i, arr, got[i])
+        assert sum(got[i]) == len(arr)
+
+
+def test_late_split_dir_rebuilds_on_fixture_change(spark, tmp_path):
+    """late_split_stream_dir keys its cache on the fixture file's
+    mtime+size: regenerating events.parquet (the driver does this every
+    round) must produce a NEW split dir, never stale batches."""
+    import os
+    import shutil
+
+    from pulsar_io_delta_spark.streaming.runner import late_split_stream_dir
+
+    fixture_dir = str(tmp_path / "sf")
+    os.makedirs(fixture_dir)
+    shutil.copy("/root/testdata/sf0.001/events.parquet", fixture_dir + "/events.parquet")
+    d1 = late_split_stream_dir(spark, fixture_dir)
+    assert os.path.exists(os.path.join(d1, "_SPLIT_DONE"))
+    assert late_split_stream_dir(spark, fixture_dir) == d1  # cached
+    os.utime(fixture_dir + "/events.parquet", (1_700_000_000, 1_700_000_000))
+    d2 = late_split_stream_dir(spark, fixture_dir)
+    assert d2 != d1, "split dir must rebuild when the fixture changes"
