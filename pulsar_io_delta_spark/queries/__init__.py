@@ -270,8 +270,8 @@ promote(
         "q_sql_tpch_q20",
         "q_sql_tpch_q21",
         "q_sql_tpch_q22",
-        "q_agg_percentiles",
         # new round-6 queries (zero driver history -> highest value)
+        "q_stratified_sample",
         "q_time_rollup_multires",
         "q_join_bucketed",
         "q_agg_approx_quantiles",

@@ -451,3 +451,39 @@ def q_time_rollup_multires(spark, sf_dir):
         )
 
     return fmt(h, "hour").unionAll(fmt(d, "day"))
+
+
+@register(
+    "q_stratified_sample",
+    oracle="""
+SELECT doc_id, lang, rk FROM (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+         CAST(row_number() OVER (PARTITION BY lang
+                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
+  FROM documents)
+WHERE rk <= 50
+""",
+)
+def q_stratified_sample(spark, sf_dir):
+    """Stratified exact-k sampling: 50 documents per language, chosen
+    by a deterministic hash order (md5 of the id — identical hex on
+    both engines, so the oracle reproduces the exact sample). The
+    training-data quota step "take k per stratum": one shuffle on the
+    stratum key, per-partition streaming top-k via WindowGroupLimit
+    (rank <= k prunes before the full sort materializes — Spark plans
+    a partial group-limit map-side, so the exchange carries at most
+    k rows per stratum per input partition, not the corpus)."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "lang",
+            F.row_number().over(w).cast("long").alias("rk"),
+        )
+        .where(F.col("rk") <= 50)
+    )

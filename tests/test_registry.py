@@ -51,7 +51,7 @@ def test_round6_window_composition():
         "q_sql_tpch_q21", "q_sql_tpch_q22",
         # new round-6 queries
         "q_join_bucketed", "q_agg_approx_quantiles", "q_stream_join_outer",
-        "q_time_rollup_multires",
+        "q_time_rollup_multires", "q_stratified_sample",
     }
     assert must_be_in <= set(window), sorted(must_be_in - set(window))
 
