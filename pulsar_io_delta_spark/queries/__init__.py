@@ -271,6 +271,9 @@ promote(
         "q_sql_tpch_q21",
         "q_sql_tpch_q22",
         # new round-6 queries (zero driver history -> highest value)
+        "q_dedup_cc",
+        "q_source_orc",
+        "q_scd2_dim",
         "q_stratified_sample",
         "q_time_rollup_multires",
         "q_join_bucketed",

@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from pulsar_io_delta_spark.operators import dedup as dd
+from pulsar_io_delta_spark.operators.graph import connected_components
 from pulsar_io_delta_spark.operators import multimodal as mm
 from pulsar_io_delta_spark.operators import similarity as sim
 from pulsar_io_delta_spark.operators import text as tx
@@ -74,6 +75,85 @@ def q_dedup_exact(spark, sf_dir):
     the operator provably removes rows."""
     d = table(spark, sf_dir, "documents")
     return dd.exact_dedup(d.unionAll(d))
+
+
+def _cc_edges(d: DataFrame, corpus: DataFrame) -> DataFrame:
+    """Deterministic candidate-pair edges for the CC clustering query:
+    exact-dup stars (content-hash group → min member; digest-keyed
+    shuffle join, never broadcastable at scale) ∪ crawl-segment chains
+    (doc→doc-1 within 25-blocks, semi-joined against the id set so a
+    fixture with gaps can't emit dangling edges)."""
+    hashed = corpus.select("doc_id", F.md5(F.encode("text", "UTF-8")).alias("h"))
+    grp = hashed.groupBy("h").agg(F.min("doc_id").alias("m"))
+    star = (
+        hashed.join(grp, "h")
+        .where(F.col("doc_id") != F.col("m"))
+        .select(F.col("doc_id").alias("src"), F.col("m").alias("dst"))
+    )
+    ids = d.select("doc_id")
+    chain = (
+        ids.where(F.col("doc_id") % 25 != 0)
+        .select(F.col("doc_id").alias("src"), (F.col("doc_id") - 1).alias("dst"))
+        .join(ids.select(F.col("doc_id").alias("dst")), "dst", "semi")
+    )
+    return star.unionAll(chain)
+
+
+@register(
+    "q_dedup_cc",
+    oracle="""
+WITH RECURSIVE corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+),
+grp AS (
+  SELECT md5(text) AS h, min(doc_id) AS m FROM corpus GROUP BY md5(text)
+),
+e0 AS (
+  SELECT c.doc_id AS src, g.m AS dst
+  FROM corpus c JOIN grp g ON md5(c.text) = g.h
+  WHERE c.doc_id <> g.m
+  UNION ALL
+  SELECT d.doc_id AS src, d.doc_id - 1 AS dst FROM documents d
+  WHERE d.doc_id % 25 <> 0 AND d.doc_id - 1 IN (SELECT doc_id FROM documents)
+),
+edges AS (SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0),
+reach AS (
+  SELECT doc_id AS id, doc_id AS lab FROM corpus
+  UNION
+  SELECT e.dst AS id, r.lab FROM reach r JOIN edges e ON e.src = r.id
+)
+SELECT id AS doc_id, min(lab) AS component, (min(lab) = id) AS keep
+FROM reach GROUP BY id
+""",
+)
+def q_dedup_cc(spark, sf_dir):
+    """Dedup clustering: candidate-pair edges → connected components →
+    canonical survivor (min doc_id) per cluster.
+
+    The edge set is deterministic so the oracle can replay it exactly:
+    (a) exact-duplicate stars over documents ∪ verbatim +1e6 plants —
+    each content-hash group links to its min member, the pair-finder
+    shape `dd.exact_dedup`/LSH banding emit; (b) "same crawl segment"
+    chains (doc→doc-1 within 25-blocks), which force MULTI-HOP merging:
+    a plant is reachable from its original's whole block only
+    transitively. The oracle computes the same fixpoint with a
+    recursive CTE; the Spark side is the real O(log diameter)
+    pointer-jumping operator (`operators/graph.py`), exercised on
+    arbitrary random graphs in tests/test_graph.py."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.unionAll(
+        d.select((F.col("doc_id") + PLANT_OFFSET).alias("doc_id"), "text")
+    )
+    labels = connected_components(
+        corpus.select("doc_id"), _cc_edges(d, corpus), id_col="doc_id"
+    )
+    return labels.select(
+        F.col("id").alias("doc_id"),
+        "component",
+        (F.col("component") == F.col("id")).alias("keep"),
+    )
 
 
 @register(

@@ -487,3 +487,58 @@ def q_stratified_sample(spark, sf_dir):
         )
         .where(F.col("rk") <= 50)
     )
+
+
+@register(
+    "q_scd2_dim",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, ts, event_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_state
+  FROM events
+), changes AS (
+  SELECT user_id, ts, event_id, event_type FROM seq
+  WHERE prev_state IS NULL OR prev_state <> event_type
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(row_number() OVER w AS BIGINT) AS version,
+       event_type AS state,
+       ts AS valid_from,
+       lead(ts) OVER w AS valid_to,
+       (lead(ts) OVER w IS NULL) AS is_current
+FROM changes
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+)
+def q_scd2_dim(spark, sf_dir):
+    """Slowly-changing-dimension (Type 2) build from an event log: per
+    user, collapse consecutive repeats of the tracked attribute
+    (event_type stands in for the dimension state), then emit
+    versioned rows with [valid_from, valid_to) ranges and an
+    is_current flag — the standard warehouse shape a CDC stream (the
+    reference's whole output surface) is folded into downstream.
+
+    Plan shape: all three passes (change detection lag, versioning
+    row_number, range-closing lead) run over windows partitioned on
+    user_id with compatible sort keys, so Catalyst plans ONE exchange
+    + ONE sort on user_id and pipelines the window operators — at
+    100 TB the job is a single user-keyed shuffle, same as
+    q_sessionize."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        e.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("prev_state", F.lag("event_type").over(w))
+        .where(F.col("prev_state").isNull() | (F.col("prev_state") != F.col("event_type")))
+    )
+    return changes.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.row_number().over(w).cast("long").alias("version"),
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    )

@@ -28,6 +28,8 @@ def _roundtrip_dir(spark, sf_dir: str, fmt: str):
         writer = e.coalesce(4).write.mode("overwrite")
         if fmt == "csv":
             writer.option("header", True).csv(out)
+        elif fmt == "orc":
+            writer.orc(out)
         else:
             writer.json(out)
     return out
@@ -58,6 +60,20 @@ def q_source_jsonl(spark, sf_dir):
     df = spark.read.schema(
         "event_id long, user_id long, event_type string, value double"
     ).json(path)
+    return df.select("event_id", "user_id", "event_type", r4(F.col("value")).alias("value_r"))
+
+
+@register("q_source_orc", oracle=FMT_ORACLE)
+def q_source_orc(spark, sf_dir):
+    """ORC source (columnar, predicate-pushdown-capable like parquet).
+
+    The schema is still passed explicitly: ORC footers carry types, but
+    pinning the read schema keeps the contract identical across the
+    three ingestion formats and guards against writer-side type drift."""
+    path = _roundtrip_dir(spark, sf_dir, "orc")
+    df = spark.read.schema(
+        "event_id long, user_id long, event_type string, value double"
+    ).orc(path)
     return df.select("event_id", "user_id", "event_type", r4(F.col("value")).alias("value_r"))
 
 

@@ -1,0 +1,81 @@
+"""connected_components vs a brute-force Python union-find on random
+graphs, plus edge cases (isolated nodes, chains, non-convergence guard).
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from pulsar_io_delta_spark.operators.graph import connected_components
+
+
+def _union_find(n_nodes, edges):
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical label = min node id of the component
+    comp = {}
+    for v in range(n_nodes):
+        r = find(v)
+        comp.setdefault(r, []).append(v)
+    return {v: min(members) for r, members in comp.items() for v in members}
+
+
+def _run(spark, n_nodes, edges):
+    nodes = spark.createDataFrame([(i,) for i in range(n_nodes)], "id long")
+    if edges:
+        e = spark.createDataFrame(edges, "src long, dst long")
+    else:
+        e = spark.createDataFrame([], "src long, dst long")
+    out = connected_components(nodes, e)
+    return {r["id"]: r["component"] for r in out.collect()}
+
+
+def test_random_graphs_match_union_find(spark):
+    rng = random.Random(20260814)
+    for trial in range(3):
+        n = rng.randrange(40, 160)
+        m = rng.randrange(0, 2 * n)
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(m)
+        ]  # self-loops allowed: must be harmless
+        assert _run(spark, n, edges) == _union_find(n, edges)
+
+
+def test_isolated_nodes_are_singletons(spark):
+    got = _run(spark, 5, [(0, 1)])
+    assert got == {0: 0, 1: 0, 2: 2, 3: 3, 4: 4}
+
+
+def test_long_chain_converges_logarithmically(spark):
+    # A 64-node chain has diameter 63; pointer jumping must converge
+    # well inside 50 rounds (≈ log2(63) + slack), and the labels must
+    # all collapse to 0.
+    n = 64
+    got = _run(spark, n, [(i, i - 1) for i in range(1, n)])
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_nonconvergence_raises(spark):
+    nodes = spark.createDataFrame([(i,) for i in range(8)], "id long")
+    e = spark.createDataFrame([(i, i - 1) for i in range(1, 8)], "src long, dst long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(nodes, e, max_iter=1)
+
+
+def test_duplicate_and_reversed_edges_collapse(spark):
+    edges = [(0, 1), (1, 0), (0, 1), (2, 1)]
+    got = _run(spark, 4, edges)
+    assert got == {0: 0, 1: 0, 2: 0, 3: 3}

@@ -72,3 +72,34 @@ def test_salted_lsh_same_plan_family(spark):
     pairs = dd.lsh_candidate_pairs(sig, "doc_id", salt=4)
     plan = pairs._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_scd2_single_user_exchange(spark, sf_dir):
+    """SCD2's three window passes (lag change-detect, row_number
+    versioning, lead range-close) share the user_id partitioning and
+    sort, so the whole build must plan ONE exchange and ONE sort — at
+    100 TB the job is a single user-keyed shuffle."""
+    plan = _plan(spark, sf_dir, "q_scd2_dim")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("+- Sort ") == 1, plan
+
+
+def test_dedup_cc_edge_plan_no_cartesian(spark, sf_dir):
+    """Edge construction for the CC clustering query: equi-joins only
+    (digest-keyed star join + id semi-join), never an all-pairs shape.
+    Checked on the pre-checkpoint edge plan — the CC iterations
+    themselves truncate lineage, so this is where the join shapes
+    live."""
+    from pyspark.sql import functions as F
+
+    from pulsar_io_delta_spark.queries.llm import PLANT_OFFSET, _cc_edges
+    from pulsar_io_delta_spark.tables import table
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.unionAll(
+        d.select((F.col("doc_id") + PLANT_OFFSET).alias("doc_id"), "text")
+    )
+    plan = _cc_edges(d, corpus)._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_min" in plan  # group-min combines map-side
