@@ -244,6 +244,19 @@ promote(
         "q_timeseries_gapfill",
         "q_join_skew_salted",
         "q_stream_sliding",
+        # new round-6 queries (zero driver history -> highest value;
+        # placed ahead of the stale-green block so all ten stay inside
+        # the 50-slot window — the last five TPC-H r4-greens rotate out)
+        "q_dedup_cc",
+        "q_source_orc",
+        "q_scd2_dim",
+        "q_stream_enrich",
+        "q_fuzzy_pairs",
+        "q_stratified_sample",
+        "q_time_rollup_multires",
+        "q_join_bucketed",
+        "q_agg_approx_quantiles",
+        "q_stream_join_outer",
         # (c) two-rounds-stale r4 greens
         "q_dedup_minhash",
         "q_dedup_near",
@@ -270,15 +283,6 @@ promote(
         "q_sql_tpch_q20",
         "q_sql_tpch_q21",
         "q_sql_tpch_q22",
-        # new round-6 queries (zero driver history -> highest value)
-        "q_dedup_cc",
-        "q_source_orc",
-        "q_scd2_dim",
-        "q_stratified_sample",
-        "q_time_rollup_multires",
-        "q_join_bucketed",
-        "q_agg_approx_quantiles",
-        "q_stream_join_outer",
     ],
     after="q_stream_tumbling",
 )

@@ -618,3 +618,49 @@ def q_multimodal_decode(spark, sf_dir):
         F.round(F.element_at("features", 1), 4).alias("f0"),
         "mime",
     )
+
+
+@register(
+    "q_fuzzy_pairs",
+    oracle="""
+WITH b AS (
+  SELECT doc_id,
+         array_to_string((string_split(text, ' '))[1:3], ' ') AS blk,
+         substr(text, 1, 40) AS probe
+  FROM documents
+)
+SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+       CAST(levenshtein(a.probe, c.probe) AS BIGINT) AS dist
+FROM b a JOIN b c
+  ON a.blk = c.blk AND a.doc_id < c.doc_id
+WHERE levenshtein(a.probe, c.probe) <= 10
+""",
+)
+def q_fuzzy_pairs(spark, sf_dir):
+    """Blocked fuzzy matching (entity resolution): pair candidates by
+    a cheap blocking key (first 3 tokens), score only in-block pairs
+    with edit distance over a 40-char probe, keep dist ≤ 10.
+
+    This is the scalable ER shape — the O(n²) metric never runs
+    globally, only inside blocks (max block size 4 on this corpus;
+    block-size skew is the knob to watch at 100 TB, same salting
+    remedy as LSH buckets). The self-join is a hash equi-join on the
+    block key; levenshtein evaluates JVM-side (codegen), no Python.
+    Emitted pairs feed the same clustering stage as q_dedup_cc."""
+    d = table(spark, sf_dir, "documents")
+    b = d.select(
+        "doc_id",
+        F.concat_ws(" ", F.slice(F.split("text", " "), 1, 3)).alias("blk"),
+        F.substring("text", 1, 40).alias("probe"),
+    )
+    a = b.alias("a")
+    c = b.alias("c")
+    return (
+        a.join(c, (F.col("a.blk") == F.col("c.blk")) & (F.col("a.doc_id") < F.col("c.doc_id")))
+        .where(F.levenshtein(F.col("a.probe"), F.col("c.probe")) <= 10)
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("c.doc_id").alias("id_b"),
+            F.levenshtein(F.col("a.probe"), F.col("c.probe")).cast("long").alias("dist"),
+        )
+    )

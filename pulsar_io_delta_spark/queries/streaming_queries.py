@@ -307,3 +307,37 @@ def q_stream_join_outer(spark, sf_dir):
         epoch_s("p_ts").alias("purchase_ts"),
         epoch_s("c_ts").alias("click_ts"),
     )
+
+
+@register(
+    "q_stream_enrich",
+    oracle="""
+SELECT e.event_id, e.user_id, n.n_name AS region_name,
+       round(e.value, 4) AS value_r
+FROM events e JOIN nation n ON n.n_nationkey = e.user_id % 25
+""",
+)
+def q_stream_enrich(spark, sf_dir):
+    """Stream-static enrichment: the canonical streaming dimension
+    join. The static side (nation, 25 rows) is broadcast and re-read
+    per micro-batch by the engine; the join is stateless (no
+    watermark, no state store), so throughput is map-side — at 100 TB
+    the stream never shuffles, only the dim table ships to executors.
+    Inner stream-static joins support append mode natively."""
+    from pulsar_io_delta_spark.tables import table
+
+    s = events_stream(spark, sf_dir)
+    dim = F.broadcast(
+        table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    )
+    enriched = (
+        s.withColumn("nk", (F.col("user_id") % 25))
+        .join(dim, F.col("nk") == F.col("n_nationkey"))
+        .select(
+            "event_id",
+            "user_id",
+            F.col("n_name").alias("region_name"),
+            r4(F.col("value")).alias("value_r"),
+        )
+    )
+    return run_to_memory(enriched, output_mode="append")
