@@ -252,6 +252,8 @@ promote(
         "q_scd2_dim",
         "q_stream_enrich",
         "q_fuzzy_pairs",
+        "q_bm25_topdocs",
+        "q_ewma",
         "q_stratified_sample",
         "q_time_rollup_multires",
         "q_join_bucketed",

@@ -542,3 +542,165 @@ def q_scd2_dim(spark, sf_dir):
         F.lead("ts").over(w).alias("valid_to"),
         F.lead("ts").over(w).isNull().alias("is_current"),
     )
+
+
+@register(
+    "q_bm25_topdocs",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(
+           string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS token
+  FROM documents
+), tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token
+), dl AS (
+  SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl FROM tf GROUP BY doc_id
+), stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl
+), qdf AS (
+  SELECT token, CAST(count(*) AS DOUBLE) AS df FROM tf
+  WHERE token IN ('spark', 'merge', 'window') GROUP BY token
+), scored AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (s.n_docs - qdf.df + 0.5) / (qdf.df + 0.5))
+             * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)))
+           AS score
+  FROM tf JOIN qdf USING (token)
+  JOIN dl USING (doc_id) CROSS JOIN stats s
+  GROUP BY tf.doc_id
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, round(score, 4) AS score,
+       CAST(row_number() OVER (ORDER BY round(score, 4) DESC, doc_id)
+            AS BIGINT) AS rk
+FROM scored
+ORDER BY rk LIMIT 10
+""",
+)
+def q_bm25_topdocs(spark, sf_dir):
+    """BM25 retrieval (k1=1.2, b=0.75): top-10 documents for a fixed
+    3-term query. Beyond TF-IDF this adds the two Okapi ingredients —
+    term-frequency saturation and document-length normalization
+    (dl/avgdl) — the standard lexical scorer for training-data
+    curation (query-targeted subcorpus selection).
+
+    Plan shape: ONE corpus-sized shuffle builds (doc,token) counts,
+    persisted and reused for per-doc length and for scoring; the
+    query-term df table is 3 rows (broadcast), corpus stats fold in as
+    a broadcast scalar agg. Scoring touches only rows whose token is a
+    query term — the semi-filter runs before any join. Ranking uses
+    the ROUNDED score (ties then doc_id) so the order is identical
+    across engines regardless of float summation order."""
+    from pyspark.sql import Window
+
+    K1, B = 1.2, 0.75
+    terms = ["spark", "merge", "window"]
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower("text"), "[^a-z0-9]+"), lambda x: x != "")
+        ).alias("token"),
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf")).persist()
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("double").alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    qdf = (
+        tf.where(F.col("token").isin(terms))
+        .groupBy("token")
+        .agg(F.count("*").cast("double").alias("df"))
+    )
+    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    sat = (F.col("tf") * (K1 + 1)) / (
+        F.col("tf") + K1 * ((1 - B) + B * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        tf.where(F.col("token").isin(terms))
+        .join(F.broadcast(qdf), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(idf * sat).alias("score"))
+    )
+    w = Window.orderBy(F.round("score", 4).desc(), "doc_id")
+    return (
+        scored.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.round("score", 4).alias("score"),
+            F.row_number().over(w).cast("long").alias("rk"),
+        )
+        .where(F.col("rk") <= 10)
+        .orderBy("rk")
+    )
+
+
+@register(
+    "q_ewma",
+    oracle="""
+WITH l AS (
+  SELECT event_id, user_id,
+         list(CAST(CAST(value AS DECIMAL(18,2)) AS DECIMAL(30,22)))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS lst
+  FROM events
+)
+SELECT event_id, user_id,
+       CAST(round(list_reduce(lst,
+              (acc, x) -> CAST(0.3 * x + 0.7 * acc AS DECIMAL(30,22))), 4)
+            AS DOUBLE) AS ewma10
+FROM l
+""",
+)
+def q_ewma(spark, sf_dir):
+    """Exponentially weighted moving average over the trailing 10
+    events per user — the time-series smoother whose recurrence
+    (ewma_t = \u03b1x_t + (1-\u03b1)ewma_{t-1}) has no closed-form SQL
+    aggregate. Expressed as a HIGHER-ORDER FOLD over a bounded window
+    frame list: collect the 10-row frame, left-fold with the first
+    element as the seed — the exact shape DuckDB's list_reduce uses.
+
+    Determinism: the fold runs in EXACT decimal arithmetic, not
+    doubles. A double fold is NOT engine-portable — measured at sf0.1,
+    three rows straddled the 4-dp rounding boundary because the C++
+    engine contracts a*x+b*acc differently (FMA) than the JVM's
+    strict IEEE sequence. Instead: quantize to the fixture's 2-dp
+    scale (both engines recover exactly k/100 — binary-vs-shortest-
+    repr cast differences vanish at 2 dp), then fold in
+    decimal(30,22). Each step adds one decimal digit (\u03b1=0.3), so 10
+    steps need \u226412 of the 22 fractional digits — no rounding ever
+    occurs, and exact arithmetic agrees everywhere. JVM-side
+    throughout (codegen'd higher-order function, no UDF); state per
+    row is bounded at 10 decimals, one user-key window shuffle."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-9, 0)
+    )
+    q = F.col("value").cast("decimal(18,2)").cast("decimal(30,22)")
+    frames = e.select(
+        "event_id", "user_id", F.collect_list(q).over(w).alias("lst")
+    )
+    rest = F.slice(
+        F.col("lst"), 2, F.greatest(F.size("lst") - 1, F.lit(0))
+    )
+    a, b = F.lit("0.3").cast("decimal(2,1)"), F.lit("0.7").cast("decimal(2,1)")
+    fold = F.aggregate(
+        rest,
+        F.element_at(F.col("lst"), 1),
+        lambda acc, x: (a * x + b * acc).cast("decimal(30,22)"),
+    )
+    return frames.select(
+        "event_id",
+        "user_id",
+        # Round in DECIMAL space via round(), not a decimal CAST: the
+        # exact fold often lands ON the 4-dp half boundary (2-dp
+        # inputs x {0.3,0.7} weights), where double-round diverges
+        # between engines, and DuckDB's decimal-narrowing CAST
+        # truncates; round() on decimals is half-away-from-zero in
+        # both engines.
+        F.round(fold, 4).cast("double").alias("ewma10"),
+    )

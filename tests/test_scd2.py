@@ -1,0 +1,76 @@
+"""q_scd2_dim's window composition vs a brute-force Python SCD2
+builder on a random event log (bursty users, repeated states, ts
+ties broken by event_id)."""
+
+from __future__ import annotations
+
+import datetime
+import random
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _scd2_df(events_df):
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        events_df.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("prev_state", F.lag("event_type").over(w))
+        .where(
+            F.col("prev_state").isNull()
+            | (F.col("prev_state") != F.col("event_type"))
+        )
+    )
+    return changes.select(
+        "user_id",
+        F.row_number().over(w).alias("version"),
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    )
+
+
+def _scd2_brute(rows):
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r[0], []).append(r)
+    out = []
+    for uid, evs in by_user.items():
+        evs.sort(key=lambda r: (r[1], r[2]))  # (ts, event_id)
+        changes = [e for i, e in enumerate(evs) if i == 0 or evs[i - 1][3] != e[3]]
+        for i, e in enumerate(changes):
+            nxt = changes[i + 1][1] if i + 1 < len(changes) else None
+            out.append((uid, i + 1, e[3], e[1], nxt, nxt is None))
+    return sorted(out)
+
+
+def test_scd2_matches_bruteforce(spark):
+    rng = random.Random(20260814)
+    base = datetime.datetime(2024, 3, 1)
+    states = ["bronze", "silver", "gold"]
+    rows = []
+    eid = 0
+    for uid in range(30):
+        t = 0
+        for _ in range(rng.randrange(0, 40)):
+            # ts ties on purpose: ~20% of steps repeat the same second
+            if rng.random() > 0.2:
+                t += rng.randrange(1, 5000)
+            rows.append(
+                (
+                    uid,
+                    base + datetime.timedelta(seconds=t),
+                    eid,
+                    rng.choice(states),
+                )
+            )
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    got = sorted(
+        (r.user_id, r.version, r.state, r.valid_from, r.valid_to, r.is_current)
+        for r in _scd2_df(df).collect()
+    )
+    assert got == _scd2_brute(rows)
