@@ -39,19 +39,23 @@ def test_round6_window_composition():
         "q_agg_variance", "q_join_broadcast", "q_window_running",
         "q_window_range_frame", "q_timeseries_gapfill",
         "q_join_skew_salted", "q_stream_sliding",
-        # (c) two-rounds-stale r4 greens
+        # (c) two-rounds-stale r4 greens. The seven late-round-6 query
+        # additions displaced the seven LAST TPC-H singles
+        # (q13/q15/q16/q17/q20/q21/q22 — r4-green, judge-gate green on
+        # current fixtures, lowest re-check value); zero-driver-history
+        # queries always outrank stale greens for window slots.
         "q_dedup_minhash", "q_dedup_near", "q_dedup_pipeline",
         "q_dedup_simhash", "q_ngram_jaccard", "q_dedup_embcos",
         "q_merge_upsert", "q_pulsar_wire", "q_snapshot_scan",
         "q_type_widening", "q_cdc_schema_evolution",
         "q_sql_tpch_q2", "q_sql_tpch_q4", "q_sql_tpch_q7",
         "q_sql_tpch_q8", "q_sql_tpch_q9", "q_sql_tpch_q11",
-        "q_sql_tpch_q12", "q_sql_tpch_q13", "q_sql_tpch_q15",
-        "q_sql_tpch_q16", "q_sql_tpch_q17", "q_sql_tpch_q20",
-        "q_sql_tpch_q21", "q_sql_tpch_q22",
-        # new round-6 queries
+        "q_sql_tpch_q12",
+        # new round-6 queries (all with zero driver history)
         "q_join_bucketed", "q_agg_approx_quantiles", "q_stream_join_outer",
         "q_time_rollup_multires", "q_stratified_sample",
+        "q_dedup_cc", "q_source_orc", "q_scd2_dim", "q_stream_enrich",
+        "q_fuzzy_pairs", "q_bm25_topdocs", "q_ewma",
     }
     assert must_be_in <= set(window), sorted(must_be_in - set(window))
 
