@@ -73,6 +73,15 @@ HEADLINE = [
     "q_join_bucketed",
     "q_time_rollup_multires",
     "q_agg_approx_quantiles",
+    # late-round-6 ops: dedup clustering (iterative parquet-barrier
+    # supersteps — the 100 TB fault-tolerant shape, so its wall time IS
+    # multiple materialized rounds), ER fuzzy matching, BM25, decimal
+    # EWMA fold, SCD2 history
+    "q_dedup_cc",
+    "q_fuzzy_pairs",
+    "q_bm25_topdocs",
+    "q_ewma",
+    "q_scd2_dim",
 ]
 
 
