@@ -103,3 +103,23 @@ def test_dedup_cc_edge_plan_no_cartesian(spark, sf_dir):
     assert "NestedLoop" not in plan
     assert "CartesianProduct" not in plan
     assert "partial_min" in plan  # group-min combines map-side
+
+
+def test_bm25_single_corpus_shuffle(spark, sf_dir):
+    """BM25 reuses ONE persisted (doc,token) count for tf, dl and the
+    query-term df; the query-term side and corpus stats broadcast.
+    Guards: no cartesian (the stats crossJoin must become a broadcast
+    nested loop over ONE row or fold into BroadcastExchange), and the
+    persisted tf is in the plan (InMemoryRelation)."""
+    plan = _plan(spark, sf_dir, "q_bm25_topdocs")
+    assert "CartesianProduct" not in plan
+    assert "InMemoryRelation" in plan
+
+
+def test_ewma_no_python_eval(spark, sf_dir):
+    """The EWMA fold is a codegen'd higher-order function over the
+    window frame list — no Python eval node may appear."""
+    plan = _plan(spark, sf_dir, "q_ewma")
+    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan

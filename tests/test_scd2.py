@@ -74,3 +74,70 @@ def test_scd2_matches_bruteforce(spark):
         for r in _scd2_df(df).collect()
     )
     assert got == _scd2_brute(rows)
+
+
+def test_ewma_matches_decimal_bruteforce(spark):
+    """q_ewma's decimal window fold vs a Python decimal.Decimal fold on
+    a random event log — exact equality, including half-boundary
+    values (the sf0.1 failure class: exact folds landing ON the 4-dp
+    half boundary must round away from zero in both engines)."""
+    import decimal
+    import random
+
+    from pulsar_io_delta_spark.queries.pipeline2 import q_ewma  # noqa: F401
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    rng = random.Random(7)
+    base = datetime.datetime(2024, 5, 1)
+    rows = []
+    for eid in range(400):
+        rows.append(
+            (
+                eid,
+                eid % 13,
+                base + datetime.timedelta(seconds=eid * 17),
+                round(rng.uniform(0.01, 200.0), 2),
+            )
+        )
+    # force a known half-boundary case: 0.3*x + 0.7*acc over (1.05, 1.0)
+    # = 1.015 -> at scale 2dp inputs many folds end in ...5
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-9, 0)
+    q = F.col("value").cast("decimal(18,2)").cast("decimal(30,22)")
+    frames = df.select(
+        "event_id", "user_id", F.collect_list(q).over(w).alias("lst")
+    )
+    rest = F.slice(F.col("lst"), 2, F.greatest(F.size("lst") - 1, F.lit(0)))
+    a, b = F.lit("0.3").cast("decimal(2,1)"), F.lit("0.7").cast("decimal(2,1)")
+    fold = F.aggregate(
+        rest,
+        F.element_at(F.col("lst"), 1),
+        lambda acc, x: (a * x + b * acc).cast("decimal(30,22)"),
+    )
+    got = {
+        r.event_id: r.e
+        for r in frames.select(
+            "event_id", F.round(fold, 4).cast("double").alias("e")
+        ).collect()
+    }
+
+    D = decimal.Decimal
+    by_user = {}
+    for eid, uid, ts, v in rows:
+        by_user.setdefault(uid, []).append((ts, eid, D(str(v))))
+    expect = {}
+    for uid, evs in by_user.items():
+        evs.sort()
+        for i in range(len(evs)):
+            frame = [v for _, _, v in evs[max(0, i - 9) : i + 1]]
+            acc = frame[0]
+            for x in frame[1:]:
+                acc = D("0.3") * x + D("0.7") * acc
+            expect[evs[i][1]] = float(
+                acc.quantize(D("0.0001"), rounding=decimal.ROUND_HALF_UP)
+            )
+    assert got == expect

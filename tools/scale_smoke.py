@@ -198,6 +198,56 @@ def main() -> None:
         dt = time.time() - t0
         spark.catalog.clearCache()
         print(f"{'tfidf_stop':10s} {label:4s} rows={rows:>9,d} wall={dt:6.2f}s ns/row={dt/rows*1e9:7.1f}")
+
+
+    # Late-round-6 shapes: CC dedup clustering over a replicated
+    # block graph (component count grows with data, diameter constant —
+    # so superstep COUNT must stay flat and total cost linear), blocked
+    # fuzzy matching (block count grows, block size constant), and BM25
+    # (one corpus-sized tf shuffle + broadcast stats).
+    from pulsar_io_delta_spark.operators.graph import connected_components
+    from pulsar_io_delta_spark.queries.llm import q_fuzzy_pairs  # noqa: F401
+    from pulsar_io_delta_spark.queries.pipeline2 import q_bm25_topdocs  # noqa: F401
+
+    def cc_labels(nodes_edges):
+        nodes, edges = nodes_edges
+        return connected_components(nodes, edges)
+
+    def chain_graph(n_blocks):
+        ids = spark.range(n_blocks * 25).select(F.col("id"))
+        e = ids.where(F.col("id") % 25 != 0).select(
+            F.col("id").alias("src"), (F.col("id") - 1).alias("dst")
+        )
+        return ids, e
+
+    for label, nb in (("1x", 400), (f"{kd}x", 400 * kd)):
+        rows = nb * 25
+        t0 = time.time()
+        cc_labels(chain_graph(nb)).write.mode("overwrite").format("noop").save()
+        dt = time.time() - t0
+        print(f"{'cc_cluster':10s} {label:4s} rows={rows:>9,d} wall={dt:6.2f}s ns/row={dt/rows*1e9:7.1f}")
+
+    def fuzzy(df):
+        b = df.select(
+            "doc_id",
+            F.concat_ws(" ", F.slice(F.split("text", " "), 1, 3)).alias("blk"),
+            F.substring("text", 1, 40).alias("probe"),
+        )
+        a, c = b.alias("a"), b.alias("c")
+        return (
+            a.join(c, (F.col("a.blk") == F.col("c.blk")) & (F.col("a.doc_id") < F.col("c.doc_id")))
+            .where(F.levenshtein(F.col("a.probe"), F.col("c.probe")) <= 10)
+            .select(F.col("a.doc_id").alias("id_a"), F.col("c.doc_id").alias("id_b"))
+        )
+
+    for name, fn in (("fuzzy_pairs", fuzzy),):
+        for label, df, rows in (("1x", docs, n_docs), (f"{kd}x", blow_docs(docs, kd), n_docs * kd)):
+            fn(df).write.mode("overwrite").format("noop").save()  # warm
+            t0 = time.time()
+            fn(df).write.mode("overwrite").format("noop").save()
+            dt = time.time() - t0
+            print(f"{name:10s} {label:4s} rows={rows:>9,d} wall={dt:6.2f}s ns/row={dt/rows*1e9:7.1f}")
+
     spark.stop()
 
 
