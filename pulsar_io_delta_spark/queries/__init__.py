@@ -254,6 +254,7 @@ promote(
         "q_fuzzy_pairs",
         "q_bm25_topdocs",
         "q_ewma",
+        "q_anomaly_zscore",
         "q_stratified_sample",
         "q_time_rollup_multires",
         "q_join_bucketed",

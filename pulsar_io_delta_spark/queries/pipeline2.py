@@ -704,3 +704,62 @@ def q_ewma(spark, sf_dir):
         # both engines.
         F.round(fold, 4).cast("double").alias("ewma10"),
     )
+
+
+@register(
+    "q_anomaly_zscore",
+    oracle="""
+WITH q AS (
+  SELECT event_id, user_id, ts,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS xq
+  FROM events
+), s AS (
+  SELECT event_id, user_id, xq,
+         CAST(count(*) OVER w AS BIGINT) AS n,
+         CAST(sum(xq) OVER w AS BIGINT) AS sx,
+         CAST(sum(xq * xq) OVER w AS BIGINT) AS sxx
+  FROM q
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id,
+       ((xq * n - sx) * (xq * n - sx) > 4 * (n * sxx - sx * sx))
+         AS is_outlier
+FROM s
+""",
+)
+def q_anomaly_zscore(spark, sf_dir):
+    """Rolling z-score outlier flag over the trailing 20 events per
+    user: |x − μ| > 2σ, evaluated WITHOUT a single float operation.
+    Quantize to the fixture's 2-dp scale (exact 16-digit-safe longs),
+    keep windowed count/sum/sum-of-squares as longs, and compare
+    (x·n − S)² > 4·(n·SS − S²) — the σ² denominator cancels, so the
+    flag is pure integer arithmetic and bit-identical on any engine
+    (the EWMA fold showed why float window math is not). Magnitudes:
+    |x·n| ≤ 2e6 scaled units, both sides ≤ 4e12 ≪ 2⁶³. One user-key
+    exchange; all three window aggregates share the frame."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    xq = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-19, 0)
+    )
+    s = e.select(
+        "event_id",
+        "user_id",
+        xq.alias("xq"),
+        F.count("*").over(w).alias("n"),
+        F.sum(xq).over(w).alias("sx"),
+        F.sum(xq * xq).over(w).alias("sxx"),
+    )
+    dev = F.col("xq") * F.col("n") - F.col("sx")
+    return s.select(
+        "event_id",
+        "user_id",
+        (dev * dev > 4 * (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))).alias(
+            "is_outlier"
+        ),
+    )
