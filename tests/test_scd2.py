@@ -141,3 +141,61 @@ def test_ewma_matches_decimal_bruteforce(spark):
                 acc.quantize(D("0.0001"), rounding=decimal.ROUND_HALF_UP)
             )
     assert got == expect
+
+
+def test_zscore_flag_matches_bruteforce(spark):
+    """Integer z-score flag vs Python fractions-based exact comparison
+    on random 2-dp values (ties on the 2-sigma boundary included)."""
+    import random
+    from fractions import Fraction
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    rng = random.Random(99)
+    base = datetime.datetime(2024, 6, 1)
+    rows = []
+    for eid in range(500):
+        rows.append(
+            (
+                eid,
+                eid % 11,
+                base + datetime.timedelta(seconds=eid * 31),
+                round(rng.uniform(0.0, 50.0), 2),
+            )
+        )
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    xq = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-19, 0)
+    s = df.select(
+        "event_id",
+        xq.alias("xq"),
+        F.count("*").over(w).alias("n"),
+        F.sum(xq).over(w).alias("sx"),
+        F.sum(xq * xq).over(w).alias("sxx"),
+    )
+    dev = F.col("xq") * F.col("n") - F.col("sx")
+    got = {
+        r.event_id: r.o
+        for r in s.select(
+            "event_id",
+            (dev * dev > 4 * (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))).alias("o"),
+        ).collect()
+    }
+
+    by_user = {}
+    for eid, uid, ts, v in rows:
+        by_user.setdefault(uid, []).append((ts, eid, round(v * 100)))
+    expect = {}
+    for uid, evs in by_user.items():
+        evs.sort()
+        for i in range(len(evs)):
+            frame = [x for _, _, x in evs[max(0, i - 19) : i + 1]]
+            n = len(frame)
+            mu = Fraction(sum(frame), n)
+            var = Fraction(sum(x * x for x in frame), n) - mu * mu
+            x = frame[-1]
+            expect[evs[i][1]] = (Fraction(x) - mu) ** 2 > 4 * var
+    assert got == expect
