@@ -82,6 +82,7 @@ HEADLINE = [
     "q_bm25_topdocs",
     "q_ewma",
     "q_scd2_dim",
+    "q_anomaly_zscore",
 ]
 
 
