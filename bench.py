@@ -83,6 +83,7 @@ HEADLINE = [
     "q_ewma",
     "q_scd2_dim",
     "q_anomaly_zscore",
+    "q_hampel_filter",
 ]
 
 

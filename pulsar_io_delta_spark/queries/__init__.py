@@ -255,6 +255,7 @@ promote(
         "q_bm25_topdocs",
         "q_ewma",
         "q_anomaly_zscore",
+        "q_hampel_filter",
         "q_stratified_sample",
         "q_time_rollup_multires",
         "q_join_bucketed",

@@ -763,3 +763,85 @@ def q_anomaly_zscore(spark, sf_dir):
             "is_outlier"
         ),
     )
+
+
+@register(
+    "q_hampel_filter",
+    oracle="""
+WITH q AS (
+  SELECT event_id, user_id, ts,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS xq
+  FROM events
+), f AS (
+  SELECT event_id, user_id, xq,
+         list(xq) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN 14 PRECEDING AND CURRENT ROW) AS lst
+  FROM q
+), m AS (
+  SELECT event_id, user_id, xq, lst, len(lst) AS n,
+         list_sort(lst)[CAST((len(lst)+1)//2 AS INT)]
+           + list_sort(lst)[CAST(len(lst)//2 AS INT) + 1] AS med2
+  FROM f
+), d AS (
+  SELECT event_id, user_id, xq, med2, n,
+         list_sort(list_transform(lst, x -> abs(2*x - med2))) AS devs
+  FROM m
+)
+SELECT event_id, user_id,
+       (2 * abs(2*xq - med2)
+          > 3 * (devs[CAST((n+1)//2 AS INT)] + devs[CAST(n//2 AS INT) + 1]))
+         AS is_outlier
+FROM d
+""",
+)
+def q_hampel_filter(spark, sf_dir):
+    """Hampel filter: rolling-median/MAD outlier flag over the trailing
+    15 events per user — the robust-statistics companion to
+    q_anomaly_zscore (a median/MAD detector is not dragged by the
+    outliers it is hunting). Like the z-score it is evaluated with
+    ZERO float operations: medians live in doubled integer space
+    (med2 = sum of the two middle order statistics = 2·median, exact
+    for odd and even frames alike), deviations are |2x − med2| =
+    2|x − median|, and the flag compares 2·|2x − med2| > 3·mad2 —
+    algebraically |x − med| > 3·MAD with every quantity a long.
+    (The 1.4826 Gaussian-consistency constant is deliberately folded
+    out — a rational threshold keeps the predicate integer-exact.)
+    Sorting happens per-row over a bounded 15-element frame list via
+    codegen'd array kernels; one user-key exchange."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    xq = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-14, 0)
+    )
+    f = e.select(
+        "event_id", "user_id", xq.alias("xq"), F.collect_list(xq).over(w).alias("lst")
+    )
+    n = F.size("lst")
+    i1 = ((n + 1) / 2).cast("int")
+    i2 = (n / 2).cast("int") + 1
+    srt = F.array_sort("lst")
+    m = f.select(
+        "event_id",
+        "user_id",
+        "xq",
+        "lst",
+        n.alias("n"),
+        (F.element_at(srt, i1) + F.element_at(srt, i2)).alias("med2"),
+    )
+    devs = F.array_sort(
+        F.transform("lst", lambda x: F.abs(2 * x - F.col("med2")))
+    )
+    d = m.select("event_id", "user_id", "xq", "med2", "n", devs.alias("devs"))
+    nn = F.col("n")
+    j1 = ((nn + 1) / 2).cast("int")
+    j2 = (nn / 2).cast("int") + 1
+    mad2 = F.element_at("devs", j1) + F.element_at("devs", j2)
+    return d.select(
+        "event_id",
+        "user_id",
+        (2 * F.abs(2 * F.col("xq") - F.col("med2")) > 3 * mad2).alias("is_outlier"),
+    )

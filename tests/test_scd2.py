@@ -199,3 +199,49 @@ def test_zscore_flag_matches_bruteforce(spark):
             x = frame[-1]
             expect[evs[i][1]] = (Fraction(x) - mu) ** 2 > 4 * var
     assert got == expect
+
+
+def test_hampel_flag_matches_bruteforce(spark):
+    """Integer Hampel flag vs Python statistics.median + Fraction on
+    random 2-dp values — exact equality over every frame parity."""
+    import random
+    import statistics
+    from fractions import Fraction
+
+    from pulsar_io_delta_spark.registry import all_queries
+
+    rng = random.Random(4242)
+    base = datetime.datetime(2024, 7, 1)
+    rows = []
+    for eid in range(420):
+        v = round(rng.uniform(0.0, 30.0), 2)
+        if rng.random() < 0.05:
+            v = round(v * 40, 2)  # planted spikes the filter must flag
+        rows.append((eid, eid % 9, base + datetime.timedelta(seconds=eid * 23), v))
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="hampel_")
+    df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    got = {
+        r.event_id: r.is_outlier
+        for r in all_queries()["q_hampel_filter"].fn(spark, d).collect()
+    }
+
+    by_user = {}
+    for eid, uid, ts, v in rows:
+        by_user.setdefault(uid, []).append((ts, eid, round(v * 100)))
+    expect = {}
+    for uid, evs in by_user.items():
+        evs.sort()
+        for i in range(len(evs)):
+            frame = [x for _, _, x in evs[max(0, i - 14) : i + 1]]
+            med = Fraction(statistics.median(frame))
+            mad = Fraction(statistics.median([abs(Fraction(x) - med) for x in frame]))
+            x = frame[-1]
+            expect[evs[i][1]] = abs(Fraction(x) - med) > 3 * mad
+    assert got == expect
