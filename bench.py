@@ -84,6 +84,8 @@ HEADLINE = [
     "q_scd2_dim",
     "q_anomaly_zscore",
     "q_hampel_filter",
+    "q_markov_transitions",
+    "q_profile_stats",
 ]
 
 

@@ -256,6 +256,8 @@ promote(
         "q_ewma",
         "q_anomaly_zscore",
         "q_hampel_filter",
+        "q_markov_transitions",
+        "q_profile_stats",
         "q_stratified_sample",
         "q_time_rollup_multires",
         "q_join_bucketed",

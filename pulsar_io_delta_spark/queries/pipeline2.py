@@ -845,3 +845,120 @@ def q_hampel_filter(spark, sf_dir):
         "user_id",
         (2 * F.abs(2 * F.col("xq") - F.col("med2")) > 3 * mad2).alias("is_outlier"),
     )
+
+
+@register(
+    "q_markov_transitions",
+    oracle="""
+WITH s AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS next_type
+  FROM events
+)
+SELECT event_type AS from_state, next_type AS to_state,
+       CAST(count(*) AS BIGINT) AS transitions,
+       CAST(sum(count(*)) OVER (PARTITION BY event_type) AS BIGINT)
+         AS from_total
+FROM s WHERE next_type IS NOT NULL
+GROUP BY event_type, next_type
+""",
+)
+def q_markov_transitions(spark, sf_dir):
+    """First-order Markov transition counts over per-user event
+    sequences (behavioral modeling / next-event prediction features).
+    Counts and row totals stay as longs — the transition probability
+    is transitions/from_total, left to the consumer so the contract
+    needs no float. Plan: ONE user-key window exchange for the lead,
+    then a states²-bounded aggregation (map-side combined) — the
+    second window runs over the tiny aggregated frame, not the
+    corpus."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = e.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+    ).where(F.col("next_type").isNotNull())
+    agg = s.groupBy(
+        F.col("event_type").alias("from_state"), F.col("next_type").alias("to_state")
+    ).agg(F.count("*").cast("long").alias("transitions"))
+    wtot = Window.partitionBy("from_state")
+    return agg.select(
+        "from_state",
+        "to_state",
+        "transitions",
+        F.sum("transitions").over(wtot).cast("long").alias("from_total"),
+    )
+
+
+@register(
+    "q_profile_stats",
+    oracle="""
+SELECT 'l_quantity' AS col, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(l_quantity) AS BIGINT) AS n_nonnull,
+       CAST(count(DISTINCT l_quantity) AS BIGINT) AS n_distinct,
+       CAST(min(l_quantity) AS DOUBLE) AS min_v,
+       CAST(max(l_quantity) AS DOUBLE) AS max_v
+FROM lineitem
+UNION ALL
+SELECT 'l_discount', count(*), count(l_discount),
+       count(DISTINCT l_discount),
+       CAST(min(l_discount) AS DOUBLE), CAST(max(l_discount) AS DOUBLE)
+FROM lineitem
+UNION ALL
+SELECT 'l_returnflag_len', count(*), count(l_returnflag),
+       count(DISTINCT l_returnflag),
+       CAST(min(length(l_returnflag)) AS DOUBLE),
+       CAST(max(length(l_returnflag)) AS DOUBLE)
+FROM lineitem
+""",
+)
+def q_profile_stats(spark, sf_dir):
+    """Data-quality profiling: per-column row/non-null/distinct counts
+    and min/max over lineitem — the observability pass every ingest
+    pipeline runs before training-data admission. All three column
+    profiles compute in ONE scan via a multi-aggregate projection
+    (Spark plans a single Aggregate over the file scan; the oracle's
+    3-way UNION is the semantic spec, not the plan). Counts exact
+    longs; min/max are existing values (no float arithmetic beyond a
+    widening cast)."""
+    l = table(spark, sf_dir, "lineitem")
+    one = l.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.count("l_quantity").cast("long").alias("nn_q"),
+        F.countDistinct("l_quantity").cast("long").alias("nd_q"),
+        F.min("l_quantity").cast("double").alias("mn_q"),
+        F.max("l_quantity").cast("double").alias("mx_q"),
+        F.count("l_discount").cast("long").alias("nn_d"),
+        F.countDistinct("l_discount").cast("long").alias("nd_d"),
+        F.min("l_discount").cast("double").alias("mn_d"),
+        F.max("l_discount").cast("double").alias("mx_d"),
+        F.count("l_returnflag").cast("long").alias("nn_s"),
+        F.countDistinct("l_returnflag").cast("long").alias("nd_s"),
+        F.min(F.length("l_returnflag")).cast("double").alias("mn_s"),
+        F.max(F.length("l_returnflag")).cast("double").alias("mx_s"),
+    )
+    rows = F.array(
+        F.struct(
+            F.lit("l_quantity").alias("col"), F.col("n_rows").alias("n_rows"),
+            F.col("nn_q").alias("n_nonnull"), F.col("nd_q").alias("n_distinct"),
+            F.col("mn_q").alias("min_v"), F.col("mx_q").alias("max_v"),
+        ),
+        F.struct(
+            F.lit("l_discount").alias("col"), F.col("n_rows").alias("n_rows"),
+            F.col("nn_d").alias("n_nonnull"), F.col("nd_d").alias("n_distinct"),
+            F.col("mn_d").alias("min_v"), F.col("mx_d").alias("max_v"),
+        ),
+        F.struct(
+            F.lit("l_returnflag_len").alias("col"), F.col("n_rows").alias("n_rows"),
+            F.col("nn_s").alias("n_nonnull"), F.col("nd_s").alias("n_distinct"),
+            F.col("mn_s").alias("min_v"), F.col("mx_s").alias("max_v"),
+        ),
+    )
+    return (
+        one.select(F.explode(rows).alias("p"))
+        .select("p.col", "p.n_rows", "p.n_nonnull", "p.n_distinct", "p.min_v", "p.max_v")
+    )
