@@ -178,3 +178,65 @@ def test_incremental_view_maintenance_over_cdc(spark, tmp_path):
         for r in events(0, 150).groupBy("user_id").agg(F.count("*").alias("cnt")).collect()
     }
     assert got == want, (sorted(got), sorted(want))
+
+
+def test_dedup_clustering_to_delta_delete_end_to_end(spark, sf_dir, tmp_path):
+    """The training-data pipeline capstone: corpus lands in a Delta
+    table, near-dup CLUSTERS are found (candidate-pair edges →
+    connected components), non-canonical members are deleted with a
+    row-level DELETE, and the CDC stream then replays insert + delete
+    ops whose net effect IS the kept corpus. Ties the LLM dedup
+    surface to the reference's CDC surface in one flow."""
+    from pulsar_io_delta_spark.operators.graph import connected_components
+
+    path = str(tmp_path / "corpus")
+    d = table(spark, sf_dir, "documents").select("doc_id", "text").limit(200)
+    # plant exact dups: doc_id+1e6 copies of every doc
+    corpus = d.unionAll(
+        d.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    )
+    t = DeltaTable(path)
+    t.write(corpus, mode="overwrite")
+
+    hashed = corpus.select("doc_id", F.md5(F.encode("text", "UTF-8")).alias("h"))
+    grp = hashed.groupBy("h").agg(F.min("doc_id").alias("m"))
+    edges = (
+        hashed.join(grp, "h")
+        .where(F.col("doc_id") != F.col("m"))
+        .select(F.col("doc_id").alias("src"), F.col("m").alias("dst"))
+    )
+    labels = connected_components(corpus.select("doc_id"), edges, id_col="doc_id")
+    drops = sorted(
+        r.id for r in labels.where(F.col("id") != F.col("component")).collect()
+    )
+    assert drops, "planted dups must produce non-canonical members"
+
+    t.delete_where(spark, f"doc_id IN ({','.join(map(str, drops))})")
+
+    kept = {r.doc_id for r in t.read(spark).select("doc_id").collect()}
+    expect_kept = {
+        r.id for r in labels.where(F.col("id") == F.col("component")).collect()
+    }
+    assert kept == expect_kept
+
+    # CDC replay: the delete is a file REWRITE (remove old files +
+    # re-add kept rows), so per-row net state is last-op-wins by
+    # commit version, exactly how a downstream materializer consumes
+    # the reference's stream: latest 'c' => live, latest 'r' => gone
+    # (a rewrite emits 'r' for the old file and 'c' for kept rows at
+    # the same version; the tie resolves to live).
+    from pyspark.sql import Window
+
+    cdc = t.cdc(spark)
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("_commit_version"), F.asc("op")  # 'c' sorts before 'r' on ties
+    )
+    last = (
+        cdc.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select("doc_id", "op")
+    )
+    live = {r.doc_id for r in last.where("op = 'c'").collect()}
+    gone = {r.doc_id for r in last.where("op = 'r'").collect()}
+    assert live == kept
+    assert gone == set(drops)
