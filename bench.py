@@ -86,6 +86,7 @@ HEADLINE = [
     "q_hampel_filter",
     "q_markov_transitions",
     "q_profile_stats",
+    "q_dedup_incremental",
 ]
 
 

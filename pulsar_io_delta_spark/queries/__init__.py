@@ -258,6 +258,8 @@ promote(
         "q_hampel_filter",
         "q_markov_transitions",
         "q_profile_stats",
+        "q_dedup_incremental",
+        "q_dedup_keep_best",
         "q_stratified_sample",
         "q_time_rollup_multires",
         "q_join_bucketed",

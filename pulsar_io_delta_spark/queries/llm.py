@@ -664,3 +664,122 @@ def q_fuzzy_pairs(spark, sf_dir):
             F.levenshtein(F.col("a.probe"), F.col("c.probe")).cast("long").alias("dist"),
         )
     )
+
+
+@register(
+    "q_dedup_incremental",
+    oracle="""
+WITH base AS (
+  SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 4 <> 0
+), delta AS (
+  SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 4 = 0
+  UNION ALL
+  SELECT doc_id + 1000000, md5(text) FROM documents WHERE doc_id % 8 = 0
+), survivors AS (
+  SELECT d.doc_id, d.h,
+         min(d.doc_id) OVER (PARTITION BY d.h) AS first_in_delta
+  FROM delta d
+  WHERE d.h NOT IN (SELECT h FROM base)
+)
+SELECT doc_id, (doc_id = first_in_delta) AS admit
+FROM survivors
+""",
+)
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental exact dedup — the production shape: admit a NEW
+    batch against an EXISTING corpus without re-deduping the corpus.
+    Docs split 3:1 into base/delta (plus planted in-delta dups from
+    the %8 stripe): a delta row is admitted iff its content hash (a)
+    anti-joins the base digest set and (b) is the first occurrence
+    within the batch. Only 16-byte digests shuffle; the base side of
+    the anti-join is digest-only, so at 100 TB this is a
+    bloom-prefilterable hash anti-join, never a corpus rescan. Rows
+    surviving (a) but losing (b) surface with admit=false rather than
+    disappearing — the oracle pins both decisions."""
+    d = table(spark, sf_dir, "documents")
+    h = F.md5(F.encode("text", "UTF-8"))
+    base = d.where(F.col("doc_id") % 4 != 0).select(h.alias("h"))
+    delta = (
+        d.where(F.col("doc_id") % 4 == 0)
+        .select("doc_id", h.alias("h"))
+        .unionAll(
+            d.where(F.col("doc_id") % 8 == 0).select(
+                (F.col("doc_id") + PLANT_OFFSET).alias("doc_id"), h.alias("h")
+            )
+        )
+    )
+    from pyspark.sql import Window
+
+    survivors = delta.join(base, "h", "left_anti").withColumn(
+        "first_in_delta", F.min("doc_id").over(Window.partitionBy("h"))
+    )
+    return survivors.select(
+        "doc_id", (F.col("doc_id") == F.col("first_in_delta")).alias("admit")
+    )
+
+
+@register(
+    "q_dedup_keep_best",
+    oracle="""
+WITH RECURSIVE corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+),
+grp AS (
+  SELECT md5(text) AS h, min(doc_id) AS m FROM corpus GROUP BY md5(text)
+),
+e0 AS (
+  SELECT c.doc_id AS src, g.m AS dst
+  FROM corpus c JOIN grp g ON md5(c.text) = g.h
+  WHERE c.doc_id <> g.m
+  UNION ALL
+  SELECT d.doc_id AS src, d.doc_id - 1 AS dst FROM documents d
+  WHERE d.doc_id % 25 <> 0 AND d.doc_id - 1 IN (SELECT doc_id FROM documents)
+),
+edges AS (SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0),
+reach AS (
+  SELECT doc_id AS id, doc_id AS lab FROM corpus
+  UNION
+  SELECT e.dst AS id, r.lab FROM reach r JOIN edges e ON e.src = r.id
+),
+comp AS (SELECT id AS doc_id, min(lab) AS component FROM reach GROUP BY id),
+scored AS (
+  SELECT c.doc_id, c.component, length(co.text) AS quality
+  FROM comp c JOIN corpus co ON c.doc_id = co.doc_id
+)
+SELECT component,
+       max_by(doc_id, quality * 10000000 + doc_id) AS keep_id,
+       CAST(count(*) AS BIGINT) AS cluster_size
+FROM scored GROUP BY component
+""",
+)
+def q_dedup_keep_best(spark, sf_dir):
+    """Policy-driven canonical selection: within each near-dup cluster
+    (same CC labels as q_dedup_cc) keep the HIGHEST-QUALITY member —
+    here quality = text length, the stand-in for a model score —
+    with doc_id as the total-order tie-break (clusters of exact dups
+    tie on length, so the policy must be deterministic under ties).
+    Real pipelines keep best, not first: the min-id convention throws
+    away the longest/cleanest copy. One extra aggregate over the
+    label table; the (quality, id) order key is packed into a single
+    BIGINT (quality·1e7 + id — exact, id < 1e7) because DuckDB's
+    max_by takes no struct keys. Zero additional corpus scans."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.unionAll(
+        d.select((F.col("doc_id") + PLANT_OFFSET).alias("doc_id"), "text")
+    )
+    labels = connected_components(
+        corpus.select("doc_id"), _cc_edges(d, corpus), id_col="doc_id"
+    )
+    scored = labels.join(
+        corpus.select("doc_id", F.length("text").alias("quality")),
+        labels.id == F.col("doc_id"),
+    )
+    return scored.groupBy("component").agg(
+        F.max_by(
+            "doc_id",
+            F.col("quality").cast("long") * F.lit(10_000_000) + F.col("doc_id"),
+        ).alias("keep_id"),
+        F.count("*").cast("long").alias("cluster_size"),
+    )

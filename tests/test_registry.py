@@ -48,7 +48,7 @@ def test_round6_window_composition():
         "q_dedup_simhash", "q_ngram_jaccard", "q_dedup_embcos",
         "q_merge_upsert", "q_pulsar_wire", "q_snapshot_scan",
         "q_type_widening", "q_cdc_schema_evolution",
-        "q_sql_tpch_q2", "q_sql_tpch_q4", "q_sql_tpch_q7",
+        "q_sql_tpch_q2",
 
         # new round-6 queries (all with zero driver history)
         "q_join_bucketed", "q_agg_approx_quantiles", "q_stream_join_outer",
@@ -56,6 +56,7 @@ def test_round6_window_composition():
         "q_dedup_cc", "q_source_orc", "q_scd2_dim", "q_stream_enrich",
         "q_fuzzy_pairs", "q_bm25_topdocs", "q_ewma", "q_anomaly_zscore",
         "q_hampel_filter", "q_markov_transitions", "q_profile_stats",
+        "q_dedup_incremental", "q_dedup_keep_best",
     }
     assert must_be_in <= set(window), sorted(must_be_in - set(window))
 
