@@ -57,6 +57,7 @@ def connected_components(
     dst_col: str = "dst",
     max_iter: int = 50,
     work_dir: str | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Return ``(id, component)`` where component = min node id reachable
     from ``id`` over the undirected edge set.
@@ -73,7 +74,9 @@ def connected_components(
     ``work_dir`` receives one small parquet table per round (the final
     one backs the returned DataFrame, so it must outlive the caller's
     consumption); defaults to a fresh temp dir. On a cluster pass a
-    durable path — each round is then a resumable superstep.
+    durable path — each round is then a resumable superstep. Pass a
+    dict as ``stats`` to receive {'rounds': k} — tests pin the
+    O(log diameter) convergence bound through it.
     """
     spark = nodes.sparkSession
     workdir = work_dir or tempfile.mkdtemp(prefix="pids_cc_")
@@ -137,6 +140,8 @@ def connected_components(
         shutil.rmtree(cur_path, ignore_errors=True)
         cur_path = os.path.join(workdir, f"labels_{i + 1}")
         if changed == 0:
+            if stats is not None:
+                stats["rounds"] = i + 1
             return labels.select("id", F.col("lab").alias("component"))
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds"
