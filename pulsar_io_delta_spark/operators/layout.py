@@ -32,6 +32,22 @@ def write_clustered(
     return table.write(clustered, mode=mode)
 
 
+def interleave_bits(b1, b2, bits: int = 16):
+    """Morton/Z-curve bit interleave of two non-negative integer bucket
+    columns: bit i of ``b1`` lands at position 2i, bit i of ``b2`` at
+    2i+1. Pure integer shift/mask built-ins — codegen'd, narrow, and
+    engine-portable (the DuckDB oracle reproduces it with the same
+    shifts), unlike any float-bucketed formulation."""
+    from pyspark.sql import functions as F
+
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(b1, i).bitwiseAND(F.lit(1)), 2 * i)
+        ).bitwiseOR(F.shiftleft(F.shiftright(b2, i).bitwiseAND(F.lit(1)), 2 * i + 1))
+    return z
+
+
 def zorder_value(c1, c2, min1, max1, min2, max2, bits: int = 16):
     """Z-curve value interleaving the bits of two equi-width-bucketed
     numeric columns — pure built-in expressions (codegen'd, narrow).
@@ -44,12 +60,7 @@ def zorder_value(c1, c2, min1, max1, min2, max2, bits: int = 16):
     n = 1 << bits
     b1 = (F.width_bucket(c1.cast("double"), F.lit(min1), F.lit(max1), F.lit(n)) - 1).cast("long")
     b2 = (F.width_bucket(c2.cast("double"), F.lit(min2), F.lit(max2), F.lit(n)) - 1).cast("long")
-    z = F.lit(0).cast("long")
-    for i in range(bits):
-        z = z.bitwiseOR(
-            F.shiftleft(F.shiftright(b1, i).bitwiseAND(F.lit(1)), 2 * i)
-        ).bitwiseOR(F.shiftleft(F.shiftright(b2, i).bitwiseAND(F.lit(1)), 2 * i + 1))
-    return z
+    return interleave_bits(b1, b2, bits)
 
 
 def write_zordered(

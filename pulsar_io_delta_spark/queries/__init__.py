@@ -19,6 +19,7 @@ from pulsar_io_delta_spark.queries import relational  # noqa: F401
 from pulsar_io_delta_spark.queries import relational2  # noqa: F401
 from pulsar_io_delta_spark.queries import pipeline_queries  # noqa: F401
 from pulsar_io_delta_spark.queries import pipeline2  # noqa: F401
+from pulsar_io_delta_spark.queries import pipeline3  # noqa: F401
 
 from pulsar_io_delta_spark.registry import promote
 
@@ -293,4 +294,22 @@ promote(
         "q_sql_tpch_q22",
     ],
     after="q_stream_tumbling",
+)
+
+# Late-round-6 additions (pipeline3: LM scoring, mixture sampling,
+# sharding, snapshot diff, Z-order kernel, winsorize) have zero driver
+# history → they take window slots directly after the late-data query,
+# ahead of the stale-green TPC-H r4 block whose tail rotates behind
+# (r4-green, unmodified, judge-gate green on current fixtures — lowest
+# re-check value).
+promote(
+    [
+        "q_lm_score",
+        "q_mixture_sample",
+        "q_shard_assign",
+        "q_snapshot_diff",
+        "q_zorder_scan",
+        "q_winsorize",
+    ],
+    after="q_stream_late_data",
 )

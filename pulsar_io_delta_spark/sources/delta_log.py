@@ -927,10 +927,24 @@ class DeltaTable:
         actions.extend(self._stage_and_move(rewritten, snap.partition_columns))
         return self._commit(actions, operation="MERGE", read_version=snap.version)
 
-    def delete_where(self, spark: SparkSession, predicate: str) -> int:
+    def delete_where(
+        self,
+        spark: SparkSession,
+        predicate: str,
+        filters: list[tuple[str, str, object]] | None = None,
+    ) -> int:
         """Row-level delete: rewrite affected files, emit remove+add —
-        produces the op='r' stream the reference intends for RemoveFile."""
+        produces the op='r' stream the reference intends for RemoveFile.
+
+        ``filters`` (same (col, op, val) shape as :meth:`read`) bounds
+        the predicate from above: files whose partition values / footer
+        stats prove no row can match are NOT rewritten — they stay in
+        the snapshot under their original paths. At 100 TB a delete of
+        one day's partition must rewrite one day's files, not the
+        table; without ``filters`` every file is conservatively
+        rewritten (the pre-round-6 behavior)."""
         snap = self.snapshot()
+        touched = self.prune_files(snap, filters) if filters else list(snap.files)
         now_ms = int(time.time() * 1000)
         actions: list[dict] = [
             {
@@ -941,11 +955,49 @@ class DeltaTable:
                     "partitionValues": snap.partition_values.get(p, {}),
                 }
             }
-            for p in snap.files
+            for p in touched
         ]
-        kept = self.read(spark).where(f"NOT ({predicate})")
-        actions.extend(self._stage_and_move(kept, snap.partition_columns))
+        if touched:
+            kept = self._read_files(
+                spark, touched, schema_string=snap.schema_string
+            ).where(f"NOT ({predicate})")
+            actions.extend(self._stage_and_move(kept, snap.partition_columns))
         return self._commit(actions, operation="DELETE", read_version=snap.version)
+
+    def diff(
+        self, spark: SparkSession, v_from: int, v_to: int | None = None
+    ) -> DataFrame:
+        """Row-level diff between two snapshot versions, reading ONLY
+        files that changed: rows with change='D' existed at ``v_from``
+        but not ``v_to``; change='I' the reverse.
+
+        Files present in both snapshots are untouched by definition and
+        never scanned, so cost is O(changed files) — at 100 TB a diff
+        across a day of commits reads the day's churn, not the table.
+        The multiset comparison (exceptAll) is exact: a file rewrite
+        that keeps a row (delete_where's kept rows land in a new file)
+        contributes the row to both sides and cancels."""
+        a = self.snapshot(v_from)
+        b = self.snapshot(v_to)
+        schema = b.schema_string or a.schema_string
+        if schema is None:
+            raise DeltaProtocolError("diff on a table with no schema")
+        removed = sorted(set(a.files) - set(b.files))
+        added = sorted(set(b.files) - set(a.files))
+
+        def _side(paths: list[str]) -> DataFrame:
+            if not paths:
+                from pyspark.sql.types import StructType
+
+                return spark.createDataFrame(
+                    [], StructType.fromJson(json.loads(schema))
+                )
+            return self._read_files(spark, paths, schema_string=schema)
+
+        old, new = _side(removed), _side(added)
+        deleted = old.exceptAll(new).withColumn("change", F.lit("D"))
+        inserted = new.exceptAll(old).withColumn("change", F.lit("I"))
+        return deleted.unionAll(inserted)
 
     def commit_external_adds(
         self,

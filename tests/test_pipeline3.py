@@ -1,0 +1,181 @@
+"""Unit coverage for the late-round-6 pipeline3 surface: snapshot diff
+(file-level O(churn) contract + row semantics), pruned delete,
+interleave kernel vs a Python reference, winsorize vs brute force,
+shard balance."""
+
+import random
+
+import pyspark.sql.functions as F
+import pytest
+
+from pulsar_io_delta_spark.sources.delta_log import DeltaTable
+from pulsar_io_delta_spark.tables import table
+
+
+def _mini(spark):
+    rows = [(i, i % 3, float(i)) for i in range(30)]
+    return spark.createDataFrame(rows, "id long, grp long, v double")
+
+
+def test_delete_where_pruned_keeps_untouched_files(spark, tmp_path):
+    t = DeltaTable(str(tmp_path / "t"))
+    t.write(_mini(spark), partition_by=["grp"])
+    before = set(t.snapshot().files)
+    untouched_before = {p for p in before if "grp=1" not in p}
+
+    t.delete_where(spark, "grp = 1", filters=[("grp", "=", 1)])
+
+    after = set(t.snapshot().files)
+    # files of the other partitions survive under their ORIGINAL paths —
+    # the delete rewrote only the grp=1 partition
+    assert untouched_before <= after
+    assert not any("grp=1" in p for p in after)
+    got = sorted(r.id for r in t.read(spark).collect())
+    assert got == sorted(i for i in range(30) if i % 3 != 1)
+
+
+def test_delete_where_unfiltered_still_correct(spark, tmp_path):
+    t = DeltaTable(str(tmp_path / "t"))
+    t.write(_mini(spark))
+    t.delete_where(spark, "id >= 20")
+    assert sorted(r.id for r in t.read(spark).collect()) == list(range(20))
+
+
+def test_diff_reads_only_churn_and_is_exact(spark, tmp_path):
+    t = DeltaTable(str(tmp_path / "t"))
+    t.write(_mini(spark), partition_by=["grp"])
+    t.delete_where(spark, "grp = 2", filters=[("grp", "=", 2)])
+    extra = spark.createDataFrame([(100, 0, 1.5), (101, 1, 2.5)], "id long, grp long, v double")
+    t.write(extra, partition_by=["grp"])
+
+    d = t.diff(spark, 0)
+    rows = {(r.id, r.change) for r in d.collect()}
+    expect = {(i, "D") for i in range(30) if i % 3 == 2} | {(100, "I"), (101, "I")}
+    assert rows == expect
+
+    # file-level contract: common files never enter the diff plan
+    a = set(t.snapshot(0).files)
+    b = set(t.snapshot().files)
+    plan = d._jdf.queryExecution().executedPlan().toString()
+    for common in a & b:
+        assert common.split("/")[-1] not in plan
+
+
+def test_diff_same_version_is_empty(spark, tmp_path):
+    t = DeltaTable(str(tmp_path / "t"))
+    t.write(_mini(spark))
+    assert t.diff(spark, 0, 0).count() == 0
+
+
+def test_diff_cancels_rewritten_survivors(spark, tmp_path):
+    """delete_where rewrites survivors into new files; those rows appear
+    on both diff sides and must cancel (multiset semantics)."""
+    t = DeltaTable(str(tmp_path / "t"))
+    t.write(_mini(spark))  # single unpartitioned commit
+    t.delete_where(spark, "id = 7")  # full rewrite: 29 survivors move files
+    d = t.diff(spark, 0)
+    assert {(r.id, r.change) for r in d.collect()} == {(7, "D")}
+
+
+def _py_interleave(b1: int, b2: int, bits: int = 16) -> int:
+    z = 0
+    for i in range(bits):
+        z |= ((b1 >> i) & 1) << (2 * i)
+        z |= ((b2 >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def test_interleave_bits_matches_python_reference(spark):
+    from pulsar_io_delta_spark.operators.layout import interleave_bits
+
+    rng = random.Random(42)
+    vals = [(rng.randrange(1 << 16), rng.randrange(1 << 16)) for _ in range(200)]
+    vals += [(0, 0), (65535, 65535), (65535, 0), (0, 65535), (1, 2)]
+    df = spark.createDataFrame(vals, "b1 long, b2 long")
+    got = {
+        (r.b1, r.b2): r.z
+        for r in df.select(
+            "b1", "b2", interleave_bits(F.col("b1"), F.col("b2"), 16).alias("z")
+        ).collect()
+    }
+    for b1, b2 in vals:
+        assert got[(b1, b2)] == _py_interleave(b1, b2)
+
+
+def test_interleave_locality():
+    """Z-values of points in the same small tile stay close: the top
+    bits of z are exactly the tile coordinates' top bits."""
+    for x, y in [(3, 5), (1000, 2000), (65535, 1)]:
+        z = _py_interleave(x, y)
+        assert (z >> 24) == _py_interleave(x >> 12, y >> 12, 4)
+
+
+def test_winsorize_matches_bruteforce(spark, sf_dir):
+    from pulsar_io_delta_spark.queries.pipeline3 import q_winsorize
+
+    out = {r.event_id: r.win_cents for r in q_winsorize(spark, sf_dir).collect()}
+    ev = [
+        (r.event_id, r.event_type, round(r.value * 100))
+        for r in table(spark, sf_dir, "events")
+        .select("event_id", "event_type", F.col("value").cast("decimal(18,2)").alias("value"))
+        .collect()
+    ]
+    by_type: dict = {}
+    for _, et, c in ev:
+        by_type.setdefault(et, []).append(c)
+    import math
+
+    for et, cs in by_type.items():
+        cs.sort()
+        n = len(cs)
+        lo = cs[math.ceil(n * 5 / 100) - 1]
+        hi = cs[math.ceil(n * 95 / 100) - 1]
+        by_type[et] = (lo, hi)
+    for eid, et, c in ev:
+        lo, hi = by_type[et]
+        assert out[eid] == min(max(c, lo), hi), (eid, et, c, lo, hi)
+
+
+def test_shard_assign_is_balanced(spark, sf_dir):
+    from pulsar_io_delta_spark.queries.pipeline3 import q_shard_assign
+
+    rows = q_shard_assign(spark, sf_dir).collect()
+    total = sum(r.n_docs for r in rows)
+    # Knuth hashing over 64 shards: no shard above 4× the uniform share
+    # (loose — sf0.001 has ~50 docs), and the union covers every doc.
+    assert total == table(spark, sf_dir, "documents").count()
+    assert max(r.n_docs for r in rows) <= max(4 * total // 64, 8)
+
+
+def test_mixture_sample_rates(spark):
+    """Admission rate per residue class converges to the configured
+    fraction on a synthetic 40k-doc corpus."""
+    from pulsar_io_delta_spark.queries import pipeline3 as p3
+    from pulsar_io_delta_spark.operators import pipeline as pl
+
+    n = 40_000
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("src"), (F.col("id") % 8).cast("string")).alias("source"),
+        F.lit(100).alias("n_chars"),
+    )
+    residue = F.pmod(F.regexp_extract("source", r"([0-9]+)", 1).cast("long"), F.lit(4))
+    thr = (
+        F.when(residue == 0, F.lit(p3._MIX_THRESHOLDS[0]))
+        .when(residue == 1, F.lit(p3._MIX_THRESHOLDS[1]))
+        .when(residue == 2, F.lit(p3._MIX_THRESHOLDS[2]))
+        .otherwise(F.lit(p3._MIX_THRESHOLDS[3]))
+    )
+    bucket = F.pmod(F.col("doc_id") * F.lit(pl.KNUTH32), F.lit(pl.M32))
+    got = {
+        r.res: r.kept / r.total
+        for r in docs.groupBy(residue.alias("res"))
+        .agg(
+            F.sum(F.when(bucket < thr, 1).otherwise(0)).alias("kept"),
+            F.count("*").alias("total"),
+        )
+        .collect()
+    }
+    want = {0: 1.0, 1: 0.5, 2: 1 / 3, 3: 0.25}
+    for res, frac in want.items():
+        assert got[res] == pytest.approx(frac, abs=0.02), (res, got[res])

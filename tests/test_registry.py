@@ -39,16 +39,18 @@ def test_round6_window_composition():
         "q_agg_variance", "q_join_broadcast", "q_window_running",
         "q_window_range_frame", "q_timeseries_gapfill",
         "q_join_skew_salted", "q_stream_sliding",
-        # (c) two-rounds-stale r4 greens. The seven late-round-6 query
-        # additions displaced the seven LAST TPC-H singles
-        # (q13/q15/q16/q17/q20/q21/q22 — r4-green, judge-gate green on
-        # current fixtures, lowest re-check value); zero-driver-history
-        # queries always outrank stale greens for window slots.
+        # (c) two-rounds-stale r4 greens. Zero-driver-history queries
+        # always outrank stale greens for window slots: the late-round
+        # additions displaced first the TPC-H singles, then (pipeline3)
+        # the merge/wire/snapshot/type-widening/schema-evolution block —
+        # all r4-green, unmodified, judge-gate green on current
+        # fixtures, lowest re-check value.
         "q_dedup_minhash", "q_dedup_near", "q_dedup_pipeline",
         "q_dedup_simhash", "q_ngram_jaccard", "q_dedup_embcos",
-        "q_merge_upsert", "q_pulsar_wire", "q_snapshot_scan",
-        "q_type_widening", "q_cdc_schema_evolution",
-        "q_sql_tpch_q2",
+
+        # pipeline3 additions (zero driver history)
+        "q_lm_score", "q_mixture_sample", "q_shard_assign",
+        "q_snapshot_diff", "q_zorder_scan", "q_winsorize",
 
         # new round-6 queries (all with zero driver history)
         "q_join_bucketed", "q_agg_approx_quantiles", "q_stream_join_outer",
