@@ -123,3 +123,37 @@ def test_ewma_no_python_eval(spark, sf_dir):
     assert "ArrowEvalPython" not in plan
     assert "BatchEvalPython" not in plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_lm_score_vocab_joins_broadcast(spark, sf_dir):
+    """The frequency join-back must be a broadcast hash join: the only
+    corpus-sized exchanges are the vocab groupBy (map-side combined)
+    and the final doc_id agg — never a sort-merge of the token stream
+    against the vocabulary."""
+    plan = _plan(spark, sf_dir, "q_lm_score")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_winsorize_window_runs_over_histogram(spark, sf_dir):
+    """The cumulative quantile windows must consume the aggregated
+    (event_type, cents) histogram, not raw events: the plan needs a
+    hashpartitioning exchange on BOTH keys feeding the Window stage —
+    the signature of the aggregate-first shape that avoids the
+    5-key-window single-reducer skew at 100 TB."""
+    plan = _plan(spark, sf_dir, "q_winsorize")
+    assert "Window" in plan
+    import re
+
+    assert re.search(r"hashpartitioning\(event_type#\d+, cents#\d+L", plan), plan
+    # thresholds come back via broadcast, never a shuffled join
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_zorder_scan_zero_shuffle_with_pushdown(spark, sf_dir):
+    """Pure interleave projection: no exchange anywhere, box predicate
+    pushed to the parquet scan."""
+    plan = _plan(spark, sf_dir, "q_zorder_scan")
+    assert "Exchange" not in plan, plan
+    assert "PushedFilters: [" in plan and "LessThan" in plan, plan
