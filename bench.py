@@ -87,6 +87,11 @@ HEADLINE = [
     "q_markov_transitions",
     "q_profile_stats",
     "q_dedup_incremental",
+    # late round 6: curation + maintenance surface (pipeline3)
+    "q_lm_score",
+    "q_winsorize",
+    "q_snapshot_diff",
+    "q_zorder_scan",
 ]
 
 

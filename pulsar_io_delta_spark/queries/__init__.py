@@ -310,6 +310,7 @@ promote(
         "q_snapshot_diff",
         "q_zorder_scan",
         "q_winsorize",
+        "q_source_binary",
     ],
     after="q_stream_late_data",
 )

@@ -58,7 +58,10 @@ def q_lm_score(spark, sf_dir):
     map-side on doc_id, the natural parquet clustering key). The only
     corpus-sized shuffle is the final doc_id agg; the frequency join is
     shuffle-free."""
-    d = table(spark, sf_dir, "documents")
+    return _lm_shape(table(spark, sf_dir, "documents"))
+
+
+def _lm_shape(d):
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
     freq = tok.groupBy("token").agg(F.count("*").alias("tf"))
     return (
@@ -325,7 +328,10 @@ def q_winsorize(spark, sf_dir):
     construction. Thresholds broadcast back onto the narrow per-row
     clamp. Values stay in exact integer cents end-to-end (quantile of a
     2-dp domain needs no float interpolation)."""
-    e = table(spark, sf_dir, "events")
+    return _winsorize_shape(table(spark, sf_dir, "events"))
+
+
+def _winsorize_shape(e):
     cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
     hist = (
         e.select("event_type", cents.alias("cents"))
@@ -365,3 +371,63 @@ def q_winsorize(spark, sf_dir):
             "win_cents"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# binaryFile multimodal ingestion
+
+
+@register(
+    "q_source_binary",
+    oracle="""
+SELECT doc_id, CAST(47 AS BIGINT) AS byte_len,
+       CAST(list_sum([unicode(c) FOR c IN
+                list_filter(string_split_regex(substr(text, 1, 36), ''), x -> x <> '')])
+            AS BIGINT) AS pixel_sum
+FROM documents
+""",
+)
+def q_source_binary(spark, sf_dir):
+    """The object-store multimodal ingestion path: one PGM file per
+    document on disk → ``spark.read.format("binaryFile")`` (path,
+    length, content) → doc id recovered from the filename → REAL numpy
+    netpbm decode via mapInPandas → exact pixel sum checked against SQL
+    ground truth. This is the standard Spark pattern for image/audio
+    corpora (millions of small blobs read as (path, bytes) rows, no
+    bespoke reader).
+
+    The per-file materialization below is fixture SETUP (the files
+    would already exist in the object store in production; the
+    driver-side loop is bounded by the fixture's 5k docs). The measured
+    path — binaryFile scan, filename parse, Arrow-batched decode — is
+    fully distributed; binaryFile splits by file, so parallelism =
+    min(files, cores) and small-file pressure is the usual object-store
+    listing cost, not a Spark limit."""
+    import os
+    import tempfile
+
+    from pulsar_io_delta_spark.operators import multimodal as mm
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    outdir = tempfile.mkdtemp(prefix="pids_bin_")
+    for r in d.collect():
+        with open(os.path.join(outdir, f"{r.doc_id}.pgm"), "wb") as f:
+            f.write(b"P5\n6 6\n255\n" + r.text[:36].encode("utf-8"))
+    bf = spark.read.format("binaryFile").load(outdir)
+    framed = bf.select(
+        F.regexp_extract(F.col("path"), r"([0-9]+)\.pgm$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("length").cast("long").alias("byte_len"),
+        F.col("content").alias("payload"),
+        F.lit("image/x-portable-graymap").alias("mime"),
+    )
+    decoded = mm.decode_images(
+        framed.select("doc_id", "payload", "mime"), fake=False
+    ).select(
+        "doc_id",
+        F.round(F.element_at("features", 1) * (255 * 36), 0)
+        .cast("long")
+        .alias("pixel_sum"),
+    )
+    return framed.select("doc_id", "byte_len").join(decoded, "doc_id")

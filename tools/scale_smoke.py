@@ -248,6 +248,26 @@ def main() -> None:
             dt = time.time() - t0
             print(f"{name:10s} {label:4s} rows={rows:>9,d} wall={dt:6.2f}s ns/row={dt/rows*1e9:7.1f}")
 
+    # pipeline3 shapes: unigram-LM scoring (vocab groupBy + broadcast
+    # join-back — the vocab blow-up keeps growing vocabulary with data,
+    # the hard direction for the broadcast), and histogram-quantile
+    # winsorize over the events blow-up (user perturbation leaves
+    # event_type cardinality at 5 — the histogram table's size is
+    # types × distinct cents regardless of row count; ns/row must FALL
+    # as rows grow because the quantile stage is constant-cost).
+    from pulsar_io_delta_spark.queries.pipeline3 import _winsorize_shape, _lm_shape
+
+    for name, fn, base, base_rows, blow in (
+        ("lm_score", _lm_shape, docs, n_docs, blow_docs),
+        ("winsorize", _winsorize_shape, ev, n_ev, blow_events),
+    ):
+        for label, df, rows in (("1x", base, base_rows), (f"{kd}x", blow(base, kd), base_rows * kd)):
+            fn(df).write.mode("overwrite").format("noop").save()  # warm
+            t0 = time.time()
+            fn(df).write.mode("overwrite").format("noop").save()
+            dt = time.time() - t0
+            print(f"{name:10s} {label:4s} rows={rows:>9,d} wall={dt:6.2f}s ns/row={dt/rows*1e9:7.1f}")
+
     spark.stop()
 
 
