@@ -311,6 +311,7 @@ promote(
         "q_zorder_scan",
         "q_winsorize",
         "q_source_binary",
+        "q_restore",
     ],
     after="q_stream_late_data",
 )

@@ -431,3 +431,38 @@ def q_source_binary(spark, sf_dir):
         .alias("pixel_sum"),
     )
     return framed.select("doc_id", "byte_len").join(decoded, "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Delta RESTORE (version rollback)
+
+
+@register(
+    "q_restore",
+    oracle="""
+SELECT event_id, user_id, event_type, value FROM events
+""",
+)
+def q_restore(spark, sf_dir):
+    """RESTORE TABLE TO VERSION AS OF through our own log: events → v0
+    full write, v1 = partition-pruned DELETE of errors, v2 = RESTORE to
+    v0 — reading the restored head must return the ORIGINAL table
+    byte-for-byte. The restore commit is pure metadata (re-add the
+    pruned partition's files, no data copied), so at 100 TB a rollback
+    is O(churned files), and v1 stays time-travel readable afterwards
+    (asserted in tests/test_pipeline3.py, not here)."""
+    import tempfile
+
+    from pulsar_io_delta_spark.sources.delta_log import DeltaTable
+
+    e = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    path = tempfile.mkdtemp(prefix="pids_restore_") + "/tbl"
+    t = DeltaTable(path)
+    t.write(e, partition_by=["event_type"])
+    t.delete_where(
+        spark, "event_type = 'error'", filters=[("event_type", "=", "error")]
+    )
+    t.restore(0)
+    return t.read(spark).select("event_id", "user_id", "event_type", "value")

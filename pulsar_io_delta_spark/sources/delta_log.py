@@ -999,6 +999,56 @@ class DeltaTable:
         inserted = new.exceptAll(old).withColumn("change", F.lit("I"))
         return deleted.unionAll(inserted)
 
+    def restore(self, version: int) -> int:
+        """RESTORE TABLE TO VERSION AS OF ``version``: one commit whose
+        add/remove actions make the latest snapshot's file set equal the
+        target snapshot's — no data files are copied or rewritten, so
+        the operation is O(churned file count) metadata regardless of
+        table size, and every later version stays time-travel readable
+        (restore moves the head, it does not erase history).
+
+        Files to re-add must still exist on disk (not vacuumed) —
+        verified here with a loud error rather than a broken snapshot."""
+        target = self.snapshot(version)
+        cur = self.snapshot()
+        if cur.version == target.version:
+            return cur.version  # nothing to do
+        now_ms = int(time.time() * 1000)
+        actions: list[dict] = []
+        for p in sorted(set(target.files) - set(cur.files)):
+            if not self.fs.exists(os.path.join(self.path, p)):
+                raise DeltaProtocolError(
+                    f"restore to v{version} needs vacuumed file {p}"
+                )
+            add = dict(target.adds.get(p, {}))
+            add.setdefault("path", p)
+            add["dataChange"] = True
+            actions.append({"add": add})
+        for p in sorted(set(cur.files) - set(target.files)):
+            actions.append(
+                {
+                    "remove": {
+                        "path": p,
+                        "deletionTimestamp": now_ms,
+                        "dataChange": True,
+                        "partitionValues": cur.partition_values.get(p, {}),
+                    }
+                }
+            )
+        if target.schema_string and target.schema_string != cur.schema_string:
+            actions.append(
+                {
+                    "metaData": {
+                        "id": "restore",
+                        "schemaString": target.schema_string,
+                        "partitionColumns": target.partition_columns,
+                        "format": {"provider": "parquet", "options": {}},
+                        "configuration": {},
+                    }
+                }
+            )
+        return self._commit(actions, operation="RESTORE", read_version=cur.version)
+
     def commit_external_adds(
         self,
         adds: list[dict],

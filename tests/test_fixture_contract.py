@@ -107,3 +107,22 @@ def test_bench_headline_queries_build(spark, sf_dir):
         except Exception as exc:  # noqa: BLE001 — collecting per-query
             broken[name] = f"{type(exc).__name__}: {exc}"[:200]
     assert not broken, f"headline queries fail to build: {broken}"
+
+
+def test_documents_text_ascii_and_length(spark, sf_dir):
+    """q_multimodal_real_decode and q_source_binary frame the first 36
+    chars of text as a 6×6 PGM and recover the pixel sum from
+    codepoints — which equals the byte sum only while text is ASCII and
+    ≥36 chars. A fixture regeneration that introduces non-ASCII or
+    short docs must fail HERE with the table named, not as an oracle
+    hash mismatch."""
+    import pyspark.sql.functions as F
+
+    d = table(spark, sf_dir, "documents")
+    bad = d.where(
+        (F.length("text") < 36) | F.col("text").rlike("[^\\x20-\\x7e]")
+    ).count()
+    assert bad == 0, (
+        f"{bad} documents are <36 chars or non-printable-ASCII — audit "
+        "q_multimodal_real_decode / q_source_binary framing"
+    )

@@ -179,3 +179,35 @@ def test_mixture_sample_rates(spark):
     want = {0: 1.0, 1: 0.5, 2: 1 / 3, 3: 0.25}
     for res, frac in want.items():
         assert got[res] == pytest.approx(frac, abs=0.02), (res, got[res])
+
+
+def test_restore_is_metadata_only_and_history_survives(spark, tmp_path):
+    t = DeltaTable(str(tmp_path / "t"))
+    t.write(_mini(spark), partition_by=["grp"])
+    v0_files = set(t.snapshot().files)
+    t.delete_where(spark, "grp = 0", filters=[("grp", "=", 0)])
+    v2 = t.restore(0)
+
+    assert v2 == 2
+    # restored head = original file set (no data rewritten)
+    assert set(t.snapshot().files) == v0_files
+    assert sorted(r.id for r in t.read(spark).collect()) == list(range(30))
+    # intermediate version stays time-travel readable
+    assert sorted(r.id for r in t.read(spark, version=1).collect()) == sorted(
+        i for i in range(30) if i % 3 != 0
+    )
+
+
+def test_restore_noop_and_vacuum_guard(spark, tmp_path):
+    import pytest as _pytest
+
+    from pulsar_io_delta_spark.sources.delta_log import DeltaProtocolError
+
+    t = DeltaTable(str(tmp_path / "t"))
+    t.write(_mini(spark))
+    assert t.restore(0) == 0  # no-op restore returns current version
+
+    t.delete_where(spark, "id < 15")  # rewrites everything
+    t.vacuum(retention_ms=0)  # v0's files are physically gone
+    with _pytest.raises(DeltaProtocolError, match="vacuumed"):
+        t.restore(0)
