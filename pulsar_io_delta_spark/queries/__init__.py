@@ -312,6 +312,7 @@ promote(
         "q_winsorize",
         "q_source_binary",
         "q_restore",
+        "q_stream_cdc",
     ],
     after="q_stream_late_data",
 )

@@ -341,3 +341,56 @@ def q_stream_enrich(spark, sf_dir):
         )
     )
     return run_to_memory(enriched, output_mode="append")
+
+
+@register(
+    "q_stream_cdc",
+    oracle="""
+SELECT event_id, user_id, event_type, value, 'c' AS op,
+       'event_type=' || event_type AS partition_value,
+       CAST(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS BIGINT)
+         AS _commit_version
+FROM events
+""",
+)
+def q_stream_cdc(spark, sf_dir):
+    """The reference connector's ACTUAL job, end-to-end as a stream
+    under the oracle gate: events split into two Delta commits (v0 =
+    everything but clicks, v1 = the clicks) → readStream.format(
+    'pulsar_delta_cdc') → Trigger.AvailableNow drain. Each row must
+    carry the op code, canonical partition_value, and the commit
+    version it was observed at — the version labels prove the stream
+    delivered per-commit batches in order, not one flattened snapshot
+    (reference ops #5/#9/#21; batch twin: q_cdc_source).
+
+    Scale shape: the stream reader plans one file-slice per (commit,
+    file) — admission is bounded by maxVersionsPerTrigger, state is the
+    version cursor only, and rows never shuffle (stateless append)."""
+    import tempfile
+
+    from pulsar_io_delta_spark.sources.datasource import register_delta_cdc
+    from pulsar_io_delta_spark.sources.delta_log import DeltaTable
+    from pulsar_io_delta_spark.tables import table
+
+    e = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    path = tempfile.mkdtemp(prefix="pids_stream_cdc_") + "/tbl"
+    t = DeltaTable(path)
+    t.write(e.where(F.col("event_type") != "click"), partition_by=["event_type"])
+    t.write(e.where(F.col("event_type") == "click"), partition_by=["event_type"])
+    register_delta_cdc(spark)
+    s = (
+        spark.readStream.format("pulsar_delta_cdc")
+        .option("tablePath", path)
+        .option("startingVersion", 0)
+        .load()
+    )
+    out = run_to_memory(
+        s.select(
+            "event_id", "user_id", "event_type", "value", "op",
+            "partition_value", "_commit_version",
+        ),
+        output_mode="append",
+    )
+    return out
