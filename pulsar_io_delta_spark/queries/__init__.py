@@ -313,6 +313,7 @@ promote(
         "q_source_binary",
         "q_restore",
         "q_stream_cdc",
+        "q_pit_join",
     ],
     after="q_stream_late_data",
 )

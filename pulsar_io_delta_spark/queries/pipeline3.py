@@ -18,6 +18,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from pulsar_io_delta_spark.operators import pipeline as pl
+from pulsar_io_delta_spark.queries._util import epoch_s, sql_epoch
 from pulsar_io_delta_spark.registry import register
 from pulsar_io_delta_spark.tables import table
 
@@ -466,3 +467,78 @@ def q_restore(spark, sf_dir):
     )
     t.restore(0)
     return t.read(spark).select("event_id", "user_id", "event_type", "value")
+
+
+# ---------------------------------------------------------------------------
+# point-in-time (feature-store) join
+
+
+@register(
+    "q_pit_join",
+    oracle=f"""
+WITH w AS (
+  SELECT user_id, ts, event_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events),
+chg AS (
+  SELECT user_id, ts, event_id, event_type FROM w
+  WHERE prev IS NULL OR prev <> event_type),
+dim AS (
+  SELECT user_id, event_type AS state, ts AS valid_from,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+  FROM chg),
+probe AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+SELECT p.event_id, p.user_id,
+       {sql_epoch('p.ts')} AS ts_epoch,
+       d.state AS prior_state,
+       {sql_epoch('d.valid_from')} AS since_epoch
+FROM probe p JOIN dim d
+  ON p.user_id = d.user_id
+ AND d.valid_from < p.ts
+ AND (p.ts <= d.valid_to OR d.valid_to IS NULL)
+""",
+)
+def q_pit_join(spark, sf_dir):
+    """Point-in-time join — the feature-store temporal-correctness
+    primitive: for each purchase, recover the state the user was in
+    IMMEDIATELY BEFORE the event from the SCD2 dimension (strict
+    valid_from < ts ≤ valid_to half-open match, so the purchase's own
+    transition never leaks into its features — the train-serve skew
+    bug PIT joins exist to prevent).
+
+    Scale shape: the interval predicate rides on a plain user_id
+    EQUI-join — the non-equi conditions are post-join filters over one
+    user's version list (bounded by per-user change count), never a
+    theta join over the cross product. One user-key exchange builds
+    the dimension (same single-window shape as q_scd2_dim); the probe
+    side shuffles once on the same key."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = (
+        e.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("prev", F.lag("event_type").over(w))
+        .where(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+    )
+    dim = chg.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+    )
+    probe = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("p_ts")
+    )
+    joined = probe.join(dim, "user_id").where(
+        (F.col("valid_from") < F.col("p_ts"))
+        & (F.col("valid_to").isNull() | (F.col("p_ts") <= F.col("valid_to")))
+    )
+    return joined.select(
+        "event_id",
+        F.col("user_id").cast("long").alias("user_id"),
+        epoch_s("p_ts").alias("ts_epoch"),
+        F.col("state").alias("prior_state"),
+        epoch_s("valid_from").alias("since_epoch"),
+    )
