@@ -146,3 +146,59 @@ def connected_components(
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds"
     )
+
+
+def pagerank_fixed(
+    edges: DataFrame,
+    iterations: int = 3,
+    scale: int = 10**12,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """Fixed-iteration PageRank in EXACT integer arithmetic: ranks are
+    BIGINT "probability × scale" and every step uses floor division
+    (`div`), so the result is bit-identical on any engine that floors
+    integer division — the determinism trick that lets a float-free
+    oracle hash-match power iteration (float PageRank cannot cross
+    engines: summation order changes the bits).
+
+    ``edges`` must be the SYMMETRIZED edge list (src, dst) — with both
+    directions present every connected node has outdegree ≥ 1, so there
+    is no dangling-mass term. Nodes are the distinct edge endpoints.
+
+    Scale shape per iteration: one join of the edge list against the
+    current rank vector (shuffle on src — at 100 TB pre-partition both
+    by src to make it exchange-free) + one map-side-combined groupBy on
+    dst; the rank and degree tables are node-sized. Same O(E) supersteps
+    as connected_components, without the barrier (the loop is unrolled
+    into one DAG for small fixed k; use parquet barriers as in
+    connected_components when k grows)."""
+    # The unrolled DAG references the edge list 2 + iterations times
+    # (nodes, degrees, each contrib join): persist it once instead of
+    # re-deriving an upstream join per reference.
+    e = edges.select("src", "dst").persist()
+    nodes = e.select(F.col("src").alias("id")).distinct()
+    deg = e.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("outdeg"))
+    n_nodes = nodes.agg(F.count("*").alias("nn"))
+    base_expr = f"(({100 - damping_pct} * ({scale} div nn)) div 100)"
+    pr = nodes.crossJoin(F.broadcast(n_nodes)).select(
+        "id", F.expr(f"{scale} div nn").alias("pr")
+    )
+    for _ in range(iterations):
+        contrib = (
+            e.join(pr.withColumnRenamed("id", "src"), "src")
+            .join(deg.withColumnRenamed("id", "src"), "src")
+            .select("dst", F.expr("pr div outdeg").alias("c"))
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("c").alias("m"))
+        )
+        pr = (
+            nodes.join(contrib, "id", "left")
+            .crossJoin(F.broadcast(n_nodes))
+            .select(
+                "id",
+                F.expr(
+                    f"{base_expr} + (({damping_pct} * coalesce(m, 0)) div 100)"
+                ).alias("pr"),
+            )
+        )
+    return pr

@@ -314,6 +314,7 @@ promote(
         "q_restore",
         "q_stream_cdc",
         "q_pit_join",
+        "q_pagerank",
     ],
     after="q_stream_late_data",
 )

@@ -542,3 +542,70 @@ def q_pit_join(spark, sf_dir):
         F.col("state").alias("prior_state"),
         epoch_s("valid_from").alias("since_epoch"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PageRank (integer-exact power iteration)
+
+
+def _pagerank_oracle(iters: int = 3, scale: int = 10**12) -> str:
+    base = f"((15 * ({scale} // p.nn)) // 100)"
+    ctes = [
+        f"""e0 AS (
+  SELECT DISTINCT o_custkey AS a, 10000000 + l_suppkey AS b
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey)""",
+        "e AS (SELECT a AS src, b AS dst FROM e0 UNION ALL SELECT b, a FROM e0)",
+        "n AS (SELECT DISTINCT src AS id FROM e)",
+        "deg AS (SELECT src AS id, count(*) AS outdeg FROM e GROUP BY src)",
+        "params AS (SELECT count(*) AS nn FROM n)",
+        f"p0 AS (SELECT id, ({scale} // nn) AS pr FROM n, params)",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"""i{k} AS (
+  SELECT e.dst AS id, sum(p{k - 1}.pr // deg.outdeg) AS m
+  FROM e JOIN p{k - 1} ON e.src = p{k - 1}.id JOIN deg ON e.src = deg.id
+  GROUP BY e.dst)"""
+        )
+        ctes.append(
+            f"""p{k} AS (
+  SELECT n.id, {base} + ((85 * coalesce(i{k}.m, 0)) // 100) AS pr
+  FROM n CROSS JOIN params p LEFT JOIN i{k} ON n.id = i{k}.id)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id, CAST(pr AS BIGINT) AS pr FROM p{iters}"
+    )
+
+
+@register("q_pagerank", oracle=_pagerank_oracle())
+def q_pagerank(spark, sf_dir):
+    """PageRank centrality over the customer↔supplier bipartite trade
+    graph (distinct (custkey, suppkey) pairs from orders⋈lineitem,
+    symmetrized), 3 power iterations in EXACT integer arithmetic —
+    ranks are BIGINT probability×10^12 and every division floors, so
+    the oracle hash-matches bit-for-bit where float PageRank never
+    could. In a curation pipeline this is the domain-authority /
+    source-importance signal (rank sources by their link structure).
+
+    Scale shape: per iteration ONE edge⋈rank shuffle on src + a
+    map-side-combined groupBy on dst — textbook distributed PageRank;
+    the node-count scalar broadcasts."""
+    from pulsar_io_delta_spark.operators.graph import pagerank_fixed
+
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("a"),
+            (F.col("l_suppkey") + 10_000_000).alias("b"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
+        pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    return pagerank_fixed(edges, iterations=3).select(
+        F.col("id").cast("long").alias("id"), F.col("pr").cast("long").alias("pr")
+    )

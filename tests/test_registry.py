@@ -45,15 +45,17 @@ def test_round6_window_composition():
         # the merge/wire/snapshot/type-widening/schema-evolution block —
         # all r4-green, unmodified, judge-gate green on current
         # fixtures, lowest re-check value.
-        # (q_dedup_embcos, q_ngram_jaccard, q_dedup_simhash and
-        # q_dedup_pipeline rotated just behind the window edge as the
-        # late additions took their slots — r4-green, lowest-value cuts)
-        "q_dedup_minhash", "q_dedup_near",
+        # (the embcos/jaccard/simhash/pipeline/near dedup singles rotated
+        # just behind the window edge as the late additions took their
+        # slots — r4-green, lowest-value cuts; minhash stays as the
+        # family representative)
+        "q_dedup_minhash",
 
         # pipeline3 additions (zero driver history)
         "q_lm_score", "q_mixture_sample", "q_shard_assign",
         "q_snapshot_diff", "q_zorder_scan", "q_winsorize",
         "q_source_binary", "q_restore", "q_stream_cdc", "q_pit_join",
+        "q_pagerank",
 
         # new round-6 queries (all with zero driver history)
         "q_join_bucketed", "q_agg_approx_quantiles", "q_stream_join_outer",
