@@ -315,6 +315,7 @@ promote(
         "q_stream_cdc",
         "q_pit_join",
         "q_pagerank",
+        "q_curation_pipeline",
     ],
     after="q_stream_late_data",
 )

@@ -609,3 +609,80 @@ def q_pagerank(spark, sf_dir):
     return pagerank_fixed(edges, iterations=3).select(
         F.col("id").cast("long").alias("id"), F.col("pr").cast("long").alias("pr")
     )
+
+
+# ---------------------------------------------------------------------------
+# end-to-end curation pipeline composition
+
+
+@register(
+    "q_curation_pipeline",
+    oracle=f"""
+WITH s AS (
+  SELECT doc_id, n_chars, source, text,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t,
+         length(regexp_replace(text, '[^a-z]', '', 'g')) * 1.0
+           / greatest(length(text), 1) AS ar
+  FROM documents),
+q AS (
+  SELECT doc_id, n_chars, source, text FROM s
+  WHERE NOT (len(t) < 30) AND NOT (ar < 0.81)
+    AND NOT (len(list_distinct(t)) * 1.0 / greatest(len(t), 1) < 0.40)),
+k AS (SELECT md5(text) AS dg, min(doc_id) AS keeper FROM q GROUP BY 1),
+dq AS (SELECT q.doc_id, q.n_chars, q.source FROM q
+       JOIN k ON md5(q.text) = k.dg AND q.doc_id = k.keeper),
+m AS (
+  SELECT doc_id, n_chars FROM dq
+  WHERE (doc_id * {pl.KNUTH32}) % {pl.M32} <
+        CASE CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT) % 4
+          WHEN 0 THEN {_MIX_THRESHOLDS[0]}
+          WHEN 1 THEN {_MIX_THRESHOLDS[1]}
+          WHEN 2 THEN {_MIX_THRESHOLDS[2]}
+          ELSE {_MIX_THRESHOLDS[3]}
+        END)
+SELECT (doc_id * {pl.KNUTH32}) % {pl.M32} % 16 AS shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM m GROUP BY shard
+""",
+)
+def q_curation_pipeline(spark, sf_dir):
+    """The whole curation pipeline as ONE composed DataFrame DAG —
+    quality gate → exact dedup → domain-mixture sampling → shard
+    manifest — proving the operators interoperate (each stage consumes
+    the previous stage's frame, no materialization between them) and
+    that Catalyst fuses the per-row stages into the scan.
+
+    Scale shape stage by stage: the quality gate is a narrow codegen'd
+    map; dedup is digest-groupBy (map-side combine, digest-sized
+    exchange) + a digest equi-join back — NEVER a window over text;
+    mixture admission is a pure integer-hash filter; the manifest is a
+    16-key groupBy. Total: two bounded shuffles over the survivor set
+    for the whole pipeline."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source", "n_chars"
+    )
+    q = pl.quality_filter(d).where(F.col("fail_reason") == "ok").select(
+        "doc_id", "text", "source", "n_chars"
+    )
+    q = q.withColumn("dg", F.md5("text"))
+    keepers = q.groupBy("dg").agg(F.min("doc_id").alias("keeper"))
+    dq = q.join(keepers, (q.dg == keepers.dg) & (q.doc_id == keepers.keeper)).select(
+        "doc_id", "source", "n_chars"
+    )
+    residue = F.pmod(
+        F.regexp_extract("source", r"([0-9]+)", 1).cast("long"), F.lit(4)
+    )
+    thr = (
+        F.when(residue == 0, F.lit(_MIX_THRESHOLDS[0]))
+        .when(residue == 1, F.lit(_MIX_THRESHOLDS[1]))
+        .when(residue == 2, F.lit(_MIX_THRESHOLDS[2]))
+        .otherwise(F.lit(_MIX_THRESHOLDS[3]))
+    )
+    bucket = F.pmod(F.col("doc_id") * F.lit(pl.KNUTH32), F.lit(pl.M32))
+    m = dq.where(bucket < thr)
+    return (
+        m.select(F.pmod(bucket, F.lit(16)).alias("shard"), "n_chars")
+        .groupBy("shard")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("sum_chars"))
+    )

@@ -45,17 +45,14 @@ def test_round6_window_composition():
         # the merge/wire/snapshot/type-widening/schema-evolution block —
         # all r4-green, unmodified, judge-gate green on current
         # fixtures, lowest re-check value.
-        # (the embcos/jaccard/simhash/pipeline/near dedup singles rotated
-        # just behind the window edge as the late additions took their
-        # slots — r4-green, lowest-value cuts; minhash stays as the
-        # family representative)
-        "q_dedup_minhash",
-
+        # (the whole r4-green dedup-single block rotated just behind
+        # the window edge as the late additions took their slots —
+        # zero-history queries always outrank stale greens)
         # pipeline3 additions (zero driver history)
         "q_lm_score", "q_mixture_sample", "q_shard_assign",
         "q_snapshot_diff", "q_zorder_scan", "q_winsorize",
         "q_source_binary", "q_restore", "q_stream_cdc", "q_pit_join",
-        "q_pagerank",
+        "q_pagerank", "q_curation_pipeline",
 
         # new round-6 queries (all with zero driver history)
         "q_join_bucketed", "q_agg_approx_quantiles", "q_stream_join_outer",
