@@ -92,6 +92,8 @@ HEADLINE = [
     "q_winsorize",
     "q_snapshot_diff",
     "q_zorder_scan",
+    "q_pit_join",
+    "q_curation_pipeline",
 ]
 
 

@@ -61,6 +61,11 @@ class DeltaProtocolError(Exception):
     """Raised on protocol features outside this reader's scope."""
 
 
+class DeltaConstraintViolation(Exception):
+    """A write's rows violate a CHECK constraint stored in table
+    metadata — the commit is refused before any action is published."""
+
+
 class DeltaConcurrentCommit(Exception):
     """A snapshot-dependent commit lost its optimistic-concurrency race;
     the caller must recompute its action list against the new snapshot."""
@@ -130,6 +135,7 @@ class Snapshot:
     partition_columns: list[str]
     add_times: dict[str, int] = field(default_factory=dict)  # path → modTime ms
     adds: dict[str, dict] = field(default_factory=dict)  # path → full add action
+    configuration: dict = field(default_factory=dict)  # metaData configuration
 
 
 def _posix_path_col(file_path_col: Column) -> Column:
@@ -267,6 +273,7 @@ class DeltaTable:
         live: dict[str, dict] = {}
         schema_string: str | None = None
         partition_columns: list[str] = []
+        configuration: dict = {}
         replay_from = 0
         usable_ckpts = [c for c in self.checkpoint_versions() if c <= v]
         if usable_ckpts:
@@ -274,6 +281,7 @@ class DeltaTable:
             live = dict(ck["live"])
             schema_string = ck["schema_string"]
             partition_columns = ck["partition_columns"]
+            configuration = dict(ck.get("configuration") or {})
             replay_from = usable_ckpts[-1] + 1
         for ver in self.json_versions():
             if ver < replay_from or ver > v:
@@ -286,6 +294,7 @@ class DeltaTable:
                 elif "metaData" in action:
                     schema_string = action["metaData"].get("schemaString")
                     partition_columns = action["metaData"].get("partitionColumns", [])
+                    configuration = dict(action["metaData"].get("configuration") or {})
                 elif "protocol" in action:
                     p = action["protocol"]
                     if p.get("minReaderVersion", 1) > 1:
@@ -298,6 +307,7 @@ class DeltaTable:
             partition_columns=partition_columns,
             add_times={p: int(a.get("modificationTime", 0)) for p, a in live.items()},
             adds=live,
+            configuration=configuration,
         )
 
     def prune_files(self, snap: Snapshot, filters: list[tuple[str, str, object]]) -> list[str]:
@@ -339,6 +349,7 @@ class DeltaTable:
                 "action_type": "metaData",
                 "schemaString": snap.schema_string,
                 "partitionColumns": json.dumps(snap.partition_columns),
+                "configuration": json.dumps(snap.configuration),
             },
             {"action_type": "protocol", "minReaderVersion": 1, "minWriterVersion": 2},
         ]
@@ -362,6 +373,7 @@ class DeltaTable:
             "stats",
             "schemaString",
             "partitionColumns",
+            "configuration",
             "minReaderVersion",
             "minWriterVersion",
             "txn_appId",
@@ -401,6 +413,7 @@ class DeltaTable:
         live: dict[str, dict] = {}
         schema_string = None
         partition_columns: list[str] = []
+        configuration: dict = {}
         txns: dict[str, int] = {}
         ts = 0
         for r in rows:
@@ -415,6 +428,7 @@ class DeltaTable:
             elif r["action_type"] == "metaData":
                 schema_string = r["schemaString"]
                 partition_columns = json.loads(r["partitionColumns"] or "[]")
+                configuration = json.loads(r.get("configuration") or "{}")
             elif r["action_type"] == "protocol":
                 if int(r["minReaderVersion"] or 1) > 1:
                     raise DeltaProtocolError(f"unsupported protocol in checkpoint: {r}")
@@ -424,6 +438,7 @@ class DeltaTable:
             "live": live,
             "schema_string": schema_string,
             "partition_columns": partition_columns,
+            "configuration": configuration,
             "txns": txns,
             "timestamp": ts,
         }
@@ -738,14 +753,16 @@ class DeltaTable:
         self.fs.rmtree(staging)
         return adds
 
-    def _metadata_action(self, df: DataFrame, partition_by: list[str]) -> dict:
+    def _metadata_action(
+        self, df: DataFrame, partition_by: list[str], configuration: dict | None = None
+    ) -> dict:
         return {
             "metaData": {
                 "id": str(uuid.uuid4()),
                 "format": {"provider": "parquet", "options": {}},
                 "schemaString": df.schema.json(),
                 "partitionColumns": partition_by,
-                "configuration": {},
+                "configuration": dict(configuration or {}),
             }
         }
 
@@ -812,9 +829,12 @@ class DeltaTable:
             # downstream CDC consumers restart into the new epoch
             # (streaming/runner.py::run_cdc_with_schema_evolution).
             prior = self.snapshot()
+            self._validate_constraints(df, prior.configuration)
             merged = self._merge_schema_strings(prior.schema_string, df.schema.json())
             if merged is not None:
-                md = self._metadata_action(df, partition_by or prior.partition_columns)
+                md = self._metadata_action(
+                    df, partition_by or prior.partition_columns, prior.configuration
+                )
                 md["metaData"]["schemaString"] = merged
                 actions.append(md)
                 read_version = prior.version  # don't clobber a racing schema change
@@ -924,6 +944,7 @@ class DeltaTable:
             }
             for p in touched
         ]
+        self._validate_constraints(rewritten, snap.configuration)
         actions.extend(self._stage_and_move(rewritten, snap.partition_columns))
         return self._commit(actions, operation="MERGE", read_version=snap.version)
 
@@ -999,6 +1020,70 @@ class DeltaTable:
         inserted = new.exceptAll(old).withColumn("change", F.lit("I"))
         return deleted.unionAll(inserted)
 
+    CONSTRAINT_PREFIX = "delta.constraints."
+
+    def _validate_constraints(self, df: DataFrame, configuration: dict) -> None:
+        """Refuse a write whose rows violate any CHECK constraint in the
+        table configuration. One limit(1) probe per constraint — skipped
+        entirely (zero cost) when the table has none; NULL predicate
+        results count as violations (Delta CHECK semantics)."""
+        for key, expr in (configuration or {}).items():
+            if not key.startswith(self.CONSTRAINT_PREFIX):
+                continue
+            name = key[len(self.CONSTRAINT_PREFIX):]
+            bad = df.where(f"NOT ({expr}) OR ({expr}) IS NULL").limit(1).count()
+            if bad:
+                raise DeltaConstraintViolation(
+                    f"CHECK constraint {name!r} ({expr}) violated by incoming rows"
+                )
+
+    def set_constraint(self, spark: SparkSession, name: str, expr: str) -> int:
+        """ADD CONSTRAINT name CHECK (expr): validates EXISTING data
+        first (full scan, as Delta does), then publishes a metaData
+        commit carrying the constraint in ``configuration``. Every
+        subsequent write()/merge_upsert() validates against it and
+        refuses violating commits loudly."""
+        snap = self.snapshot()
+        if snap.schema_string is None:
+            raise DeltaProtocolError("cannot add a constraint to a schemaless table")
+        if snap.files:
+            self._validate_constraints(
+                self.read(spark), {self.CONSTRAINT_PREFIX + name: expr}
+            )
+        config = dict(snap.configuration)
+        config[self.CONSTRAINT_PREFIX + name] = expr
+        md = {
+            "metaData": {
+                "id": str(uuid.uuid4()),
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": snap.schema_string,
+                "partitionColumns": snap.partition_columns,
+                "configuration": config,
+            }
+        }
+        return self._commit(
+            [md], operation="ADD CONSTRAINT", read_version=snap.version
+        )
+
+    def drop_constraint(self, name: str) -> int:
+        snap = self.snapshot()
+        key = self.CONSTRAINT_PREFIX + name
+        if key not in snap.configuration:
+            raise DeltaProtocolError(f"no such constraint: {name}")
+        config = {k: v for k, v in snap.configuration.items() if k != key}
+        md = {
+            "metaData": {
+                "id": str(uuid.uuid4()),
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": snap.schema_string,
+                "partitionColumns": snap.partition_columns,
+                "configuration": config,
+            }
+        }
+        return self._commit(
+            [md], operation="DROP CONSTRAINT", read_version=snap.version
+        )
+
     def restore(self, version: int) -> int:
         """RESTORE TABLE TO VERSION AS OF ``version``: one commit whose
         add/remove actions make the latest snapshot's file set equal the
@@ -1035,7 +1120,10 @@ class DeltaTable:
                     }
                 }
             )
-        if target.schema_string and target.schema_string != cur.schema_string:
+        if target.schema_string and (
+            target.schema_string != cur.schema_string
+            or target.configuration != cur.configuration
+        ):
             actions.append(
                 {
                     "metaData": {
@@ -1043,7 +1131,7 @@ class DeltaTable:
                         "schemaString": target.schema_string,
                         "partitionColumns": target.partition_columns,
                         "format": {"provider": "parquet", "options": {}},
-                        "configuration": {},
+                        "configuration": dict(target.configuration),
                     }
                 }
             )

@@ -93,3 +93,26 @@ def test_convergence_round_bound(spark):
     out = connected_components(nodes, e, stats=stats)
     assert {r["component"] for r in out.collect()} == {0}
     assert stats["rounds"] <= 10, stats
+
+
+def test_pagerank_fixed_matches_hand_computation(spark):
+    """Path graph a-b-c (symmetrized): replay the exact integer
+    recurrence in Python and compare bit-for-bit; also pin the
+    structural facts (center outranks leaves, leaves tie)."""
+    from pulsar_io_delta_spark.operators.graph import pagerank_fixed
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2)], "src long, dst long"
+    )
+    got = {r.id: r.pr for r in pagerank_fixed(edges, iterations=3).collect()}
+
+    scale = 10**12
+    deg = {1: 1, 2: 2, 3: 1}
+    pr = {v: scale // 3 for v in (1, 2, 3)}
+    base = (15 * (scale // 3)) // 100
+    nbrs = {1: [2], 2: [1, 3], 3: [2]}
+    for _ in range(3):
+        contrib = {v: sum(pr[u] // deg[u] for u in nbrs[v]) for v in pr}
+        pr = {v: base + (85 * contrib[v]) // 100 for v in pr}
+    assert got == pr
+    assert got[2] > got[1] == got[3]

@@ -211,3 +211,83 @@ def test_restore_noop_and_vacuum_guard(spark, tmp_path):
     t.vacuum(retention_ms=0)  # v0's files are physically gone
     with _pytest.raises(DeltaProtocolError, match="vacuumed"):
         t.restore(0)
+
+
+def test_pit_join_matches_at_most_once(spark, sf_dir):
+    """The SCD2 intervals partition each user's timeline, so every
+    probe event matches AT MOST one dimension version (zero when the
+    purchase is the user's first event) — the uniqueness property that
+    makes a PIT join safe to fan into feature vectors."""
+    from pulsar_io_delta_spark.queries.pipeline3 import q_pit_join
+
+    out = q_pit_join(spark, sf_dir)
+    dupes = out.groupBy("event_id").count().where("count > 1").count()
+    assert dupes == 0
+    # prior_state is genuinely "before": never the probe's own
+    # transition timestamp
+    import pyspark.sql.functions as FF
+
+    assert out.where(FF.col("since_epoch") > FF.col("ts_epoch")).count() == 0
+
+
+def test_check_constraints_roundtrip(spark, tmp_path):
+    """ADD CONSTRAINT validates existing data, blocks violating writes
+    (append AND merge), survives a checkpoint collapse, and DROP
+    re-admits the write."""
+    from pulsar_io_delta_spark.sources.delta_log import (
+        DeltaConstraintViolation,
+        DeltaProtocolError,
+    )
+
+    t = DeltaTable(str(tmp_path / "t"))
+    t.write(_mini(spark))
+    t.set_constraint(spark, "v_nonneg", "v >= 0")
+
+    bad = spark.createDataFrame([(99, 0, -1.0)], "id long, grp long, v double")
+    with pytest.raises(DeltaConstraintViolation, match="v_nonneg"):
+        t.write(bad)
+    with pytest.raises(DeltaConstraintViolation, match="v_nonneg"):
+        t.merge_upsert(spark, bad, ["id"])
+    # NULL predicate results are violations (Delta CHECK semantics)
+    nullrow = spark.createDataFrame([(99, 0, None)], "id long, grp long, v double")
+    with pytest.raises(DeltaConstraintViolation):
+        t.write(nullrow)
+
+    # adding a constraint the EXISTING data violates is refused
+    with pytest.raises(DeltaConstraintViolation):
+        t.set_constraint(spark, "impossible", "v > 1000")
+
+    # constraint survives checkpoint collapse + log expiry
+    t.checkpoint()
+    t.expire_log()
+    with pytest.raises(DeltaConstraintViolation):
+        t.write(bad)
+
+    t.drop_constraint("v_nonneg")
+    t.write(bad)  # admitted now
+    assert t.read(spark).where("v < 0").count() == 1
+    with pytest.raises(DeltaProtocolError, match="no such constraint"):
+        t.drop_constraint("v_nonneg")
+
+
+def test_constraints_preserved_across_schema_evolution_and_restore(spark, tmp_path):
+    from pulsar_io_delta_spark.sources.delta_log import DeltaConstraintViolation
+
+    t = DeltaTable(str(tmp_path / "t"))
+    t.write(_mini(spark))
+    t.set_constraint(spark, "v_nonneg", "v >= 0")
+    v_with = t.latest_version()
+
+    # additive schema evolution must carry configuration forward
+    import pyspark.sql.functions as FF
+
+    wider = _mini(spark).withColumn("extra", FF.lit("x")).where("id >= 100")
+    t.write(wider)
+    bad = spark.createDataFrame([(99, 0, -1.0)], "id long, grp long, v double")
+    with pytest.raises(DeltaConstraintViolation):
+        t.write(bad)
+
+    # restore to the constrained version keeps the constraint
+    t.restore(v_with)
+    with pytest.raises(DeltaConstraintViolation):
+        t.write(bad)
