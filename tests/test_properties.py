@@ -173,3 +173,84 @@ def test_late_split_dir_rebuilds_on_fixture_change(spark, tmp_path):
     os.utime(fixture_dir + "/events.parquet", (1_700_000_000, 1_700_000_000))
     d2 = late_split_stream_dir(spark, fixture_dir)
     assert d2 != d1, "split dir must rebuild when the fixture changes"
+
+
+def _interleave(b1: int, b2: int, bits: int = 16) -> int:
+    z = 0
+    for i in range(bits):
+        z |= ((b1 >> i) & 1) << (2 * i)
+        z |= ((b2 >> i) & 1) << (2 * i + 1)
+    return z
+
+
+@given(st.integers(0, 65535), st.integers(0, 65535))
+def test_interleave_is_bijective(a, b):
+    """Morton interleave (operators/layout.py kernel, mirrored here) is
+    invertible — no two (a, b) cells share a z-value — and the top 2k
+    bits are exactly the coordinates' top k bits (tile-prefix
+    property that makes z-ranges contiguous tiles)."""
+    z = _interleave(a, b)
+    da = sum(((z >> (2 * i)) & 1) << i for i in range(16))
+    db = sum(((z >> (2 * i + 1)) & 1) << i for i in range(16))
+    assert (da, db) == (a, b)
+    assert (z >> 8) == _interleave(a >> 4, b >> 4, 12)
+
+
+@given(st.lists(st.integers(0, 10_000), min_size=1, max_size=300))
+@settings(max_examples=200)
+def test_histogram_quantile_equals_sorted_indexing(vals):
+    """The winsorize threshold rule (min value whose cumulative count
+    reaches ceil(q·n) over the value histogram) must agree with direct
+    sorted-array indexing for every q used — the identity both the
+    Spark plan and the DuckDB oracle implement."""
+    import collections
+
+    n = len(vals)
+    hist = sorted(collections.Counter(vals).items())
+    s = sorted(vals)
+    for pct in (5, 95):
+        target = (n * pct + 99) // 100
+        cum = 0
+        by_hist = None
+        for v, c in hist:
+            cum += c
+            if cum >= target and by_hist is None:
+                by_hist = v
+        assert by_hist == s[target - 1]
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        min_size=1,
+        max_size=120,
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_pagerank_integer_recurrence_is_bounded(pairs):
+    """The integer PageRank recurrence (operators/graph.py) only loses
+    mass to floor division: total rank stays within (0, scale] and
+    every node's rank is at least the teleport base — no overflow, no
+    negative drift, for arbitrary symmetrized graphs."""
+    edges = set()
+    for a, b in pairs:
+        if a != b:
+            edges.add((a, b))
+            edges.add((b, a))
+    if not edges:
+        return
+    nodes = sorted({u for e in edges for u in e})
+    scale = 10**12
+    n = len(nodes)
+    deg = {v: sum(1 for s_, _ in edges if s_ == v) for v in nodes}
+    nbrs = {v: [s_ for s_, d in edges if d == v] for v in nodes}
+    pr = {v: scale // n for v in nodes}
+    base = (15 * (scale // n)) // 100
+    for _ in range(3):
+        pr = {
+            v: base + (85 * sum(pr[u] // deg[u] for u in nbrs[v])) // 100
+            for v in nodes
+        }
+    total = sum(pr.values())
+    assert 0 < total <= scale
+    assert all(p >= base for p in pr.values())
