@@ -337,3 +337,59 @@ def q_map_funcs(spark, sf_dir):
         F.size(mc).cast("long").alias("n_after_concat"),
         F.map_contains_key(m, "type").cast("long").alias("has_type"),
     )
+
+
+@register(
+    "q_bitwise_funcs",
+    oracle="""
+SELECT event_id,
+       event_id & 255 AS b_and,
+       event_id | 4096 AS b_or,
+       xor(event_id, user_id) AS b_xor,
+       (event_id & 1023) << 3 AS b_shl,
+       event_id >> 2 AS b_shr,
+       CAST(bit_count(CAST(event_id AS BIGINT)) AS BIGINT) AS b_cnt
+FROM events
+""",
+)
+def q_bitwise_funcs(spark, sf_dir):
+    """Bitwise scalar family (&, |, xor, shifts, popcount) — the
+    integer-kernel toolbox the Z-order/SimHash/banding operators are
+    built from, pinned as its own contract. Pure codegen projections,
+    zero shuffle."""
+    e = table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.col("event_id").bitwiseAND(F.lit(255)).alias("b_and"),
+        F.col("event_id").bitwiseOR(F.lit(4096)).alias("b_or"),
+        F.col("event_id").bitwiseXOR(F.col("user_id")).alias("b_xor"),
+        F.shiftleft(F.col("event_id").bitwiseAND(F.lit(1023)), 3).cast("long").alias("b_shl"),
+        F.shiftright(F.col("event_id"), 2).cast("long").alias("b_shr"),
+        F.bit_count("event_id").cast("long").alias("b_cnt"),
+    )
+
+
+@register(
+    "q_hash_funcs",
+    oracle="""
+SELECT doc_id,
+       md5(text) AS h_md5,
+       sha256(text) AS h_sha256,
+       md5(text || ':' || CAST(doc_id AS VARCHAR)) AS h_salted
+FROM documents
+""",
+)
+def q_hash_funcs(spark, sf_dir):
+    """Cryptographic digest family (md5 / sha-256 / salted digest) —
+    the content-addressing primitives under exact dedup, incremental
+    admission, and split assignment, pinned byte-for-byte against the
+    oracle's implementations. Narrow projection, zero shuffle."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("h_md5"),
+        F.sha2("text", 256).alias("h_sha256"),
+        F.md5(F.concat("text", F.lit(":"), F.col("doc_id").cast("string"))).alias(
+            "h_salted"
+        ),
+    )

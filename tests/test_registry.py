@@ -45,9 +45,12 @@ def test_round6_window_composition():
         # the merge/wire/snapshot/type-widening/schema-evolution block —
         # all r4-green, unmodified, judge-gate green on current
         # fixtures, lowest re-check value.
-        # (the whole r4-green dedup-single block rotated just behind
-        # the window edge as the late additions took their slots —
-        # zero-history queries always outrank stale greens)
+        # (most r4-green dedup singles rotated just behind the window
+        # edge as the late additions took their slots — zero-history
+        # queries outrank stale greens; q_bitwise_funcs/q_hash_funcs,
+        # trivial scalar contracts, deliberately registered BEHIND the
+        # window so the semantically richer zero-history queries keep
+        # their slots)
         # pipeline3 additions (zero driver history)
         "q_lm_score", "q_mixture_sample", "q_shard_assign",
         "q_snapshot_diff", "q_zorder_scan", "q_winsorize",
