@@ -248,6 +248,28 @@ def main() -> None:
             dt = time.time() - t0
             print(f"{name:10s} {label:4s} rows={rows:>9,d} wall={dt:6.2f}s ns/row={dt/rows*1e9:7.1f}")
 
+    # PageRank: the block graph grows with data (component count up,
+    # diameter flat) — per-row cost must fall as fixed per-iteration
+    # costs amortize; a superlinear trend would mean the edge⋈rank
+    # join shape degraded.
+    from pulsar_io_delta_spark.operators.graph import pagerank_fixed
+
+    def pr_graph(n_blocks):
+        ids = spark.range(n_blocks * 25).select(F.col("id"))
+        e0 = ids.where(F.col("id") % 25 != 0).select(
+            F.col("id").alias("src"), (F.col("id") - 1).alias("dst")
+        )
+        return e0.unionAll(
+            e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+
+    for label, nb in (("1x", 400), (f"{kd}x", 400 * kd)):
+        rows = nb * 25
+        t0 = time.time()
+        pagerank_fixed(pr_graph(nb)).write.mode("overwrite").format("noop").save()
+        dt = time.time() - t0
+        print(f"{'pagerank':10s} {label:4s} rows={rows:>9,d} wall={dt:6.2f}s ns/row={dt/rows*1e9:7.1f}")
+
     # pipeline3 shapes: unigram-LM scoring (vocab groupBy + broadcast
     # join-back — the vocab blow-up keeps growing vocabulary with data,
     # the hard direction for the broadcast), and histogram-quantile
