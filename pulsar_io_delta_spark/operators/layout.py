@@ -135,3 +135,43 @@ def skipping_ratio(table: DeltaTable, filters: list[tuple[str, str, object]]) ->
         return 0.0
     kept = table.prune_files(snap, filters)
     return 1.0 - len(kept) / len(snap.files)
+
+
+GEOHASH_BASE32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash_expr(lat_microdeg, lng_microdeg, chars: int = 8):
+    """Geohash encode from EXACT integer microdegrees — the spatial
+    blocking key for geo-tagged corpora (same-cell equi-joins replace
+    distance theta-joins, exactly like LSH buckets replace all-pairs;
+    prefix truncation coarsens the cell).
+
+    Equi-width bucket each coordinate to 20 bits with integer floor
+    division (no float geometry — engine-portable), interleave with the
+    Morton kernel (longitude on the odd/most-significant positions per
+    geohash convention), then emit ``chars`` base32 characters from the
+    top bits. 8 chars = 40 bits = the standard ~19 m cell. Verified
+    identical to the classic float-bisection geohash on 50k random
+    microdegree points (tests/test_pipeline3.py) — the integer floor
+    is the exact value the bisection approximates.
+    ``lat_microdeg``/``lng_microdeg`` are SQL expression strings in
+    [-90e6, 90e6] / [-180e6, 180e6]; the poles/antimeridian clamp into
+    the last cell."""
+    from pyspark.sql import functions as F
+
+    n = 1 << 20
+    blat = F.expr(
+        f"least(((({lat_microdeg}) + 90000000) * {n}) div 180000000, {n - 1})"
+    )
+    blng = F.expr(
+        f"least(((({lng_microdeg}) + 180000000) * {n}) div 360000000, {n - 1})"
+    )
+    # b2 = lng takes odd bit positions, so bit 39 (the MSB of the
+    # 40-bit cell id) is a longitude bit — geohash's "lng first".
+    z = interleave_bits(blat, blng, 20)
+    alphabet = F.array(*[F.lit(c) for c in GEOHASH_BASE32])
+    out = F.lit("")
+    for k in range(chars):
+        idx = F.shiftright(z, 35 - 5 * k).bitwiseAND(F.lit(31)).cast("int")
+        out = F.concat(out, F.get(alphabet, idx))
+    return out

@@ -686,3 +686,61 @@ def q_curation_pipeline(spark, sf_dir):
         .groupBy("shard")
         .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("sum_chars"))
     )
+
+
+# ---------------------------------------------------------------------------
+# geohash spatial bucketing
+
+
+def _geohash_oracle(chars: int = 8) -> str:
+    from pulsar_io_delta_spark.operators.layout import GEOHASH_BASE32
+
+    n = 1 << 20
+    lat = "((user_id * 7919) % 180000001) - 90000000"
+    lng = "((event_id * 104729) % 360000001) - 180000000"
+    terms = []
+    for i in range(20):
+        terms.append(f"(((blat >> {i}) & 1) * {1 << (2 * i)})")
+        terms.append(f"(((blng >> {i}) & 1) * {1 << (2 * i + 1)})")
+    zsum = " + ".join(terms)
+    ghparts = ", ".join(
+        f"substring('{GEOHASH_BASE32}', CAST(((z >> {35 - 5 * k}) & 31) AS INT) + 1, 1)"
+        for k in range(chars)
+    )
+    return f"""
+WITH b AS (
+  SELECT event_id,
+         least(((({lat}) + 90000000) * {n}) // 180000000, {n - 1}) AS blat,
+         least(((({lng}) + 180000000) * {n}) // 360000000, {n - 1}) AS blng
+  FROM events),
+z AS (SELECT event_id, CAST({zsum} AS BIGINT) AS z FROM b)
+SELECT event_id, concat({ghparts}) AS gh,
+       substring(concat({ghparts}), 1, 5) AS gh5
+FROM z
+"""
+
+
+@register("q_geohash", oracle=_geohash_oracle())
+def q_geohash(spark, sf_dir):
+    """Geohash spatial bucketing over synthesized integer-microdegree
+    coordinates (deterministic functions of event/user ids — the
+    fixture has no geo columns, the ENCODER is the contract): full
+    8-char cell plus the 5-char prefix used for coarse spatial
+    blocking. Same family as the Z-order kernel — integer bucket +
+    Morton interleave + base32 — so one verified kernel backs both the
+    scan-layout and the geo-blocking story.
+
+    Scale shape: pure codegen'd integer/string expressions, zero
+    shuffle; a geo self-join blocks on gh5 equality exactly like LSH
+    band buckets (never a distance theta-join)."""
+    from pulsar_io_delta_spark.operators.layout import geohash_expr
+
+    e = table(spark, sf_dir, "events")
+    gh = geohash_expr(
+        "((user_id * 7919) % 180000001) - 90000000",
+        "((event_id * 104729) % 360000001) - 180000000",
+        8,
+    )
+    return e.select(
+        "event_id", gh.alias("gh"), F.substring(gh, 1, 5).alias("gh5")
+    )

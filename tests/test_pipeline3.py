@@ -291,3 +291,52 @@ def test_constraints_preserved_across_schema_evolution_and_restore(spark, tmp_pa
     t.restore(v_with)
     with pytest.raises(DeltaConstraintViolation):
         t.write(bad)
+
+
+def test_geohash_matches_classic_bisection(spark):
+    """The integer-floor geohash (operators/layout.py) must equal the
+    classic float-bisection encoding — including known published
+    values and the pole/antimeridian clamp."""
+    import pyspark.sql.functions as FF
+
+    from pulsar_io_delta_spark.operators.layout import GEOHASH_BASE32, geohash_expr
+
+    def classic(lat, lng, chars=8):
+        latr, lngr = [-90.0, 90.0], [-180.0, 180.0]
+        bits, even = [], True
+        while len(bits) < chars * 5:
+            r = lngr if even else latr
+            mid = (r[0] + r[1]) / 2
+            v = lng if even else lat
+            if v >= mid:
+                bits.append(1)
+                r[0] = mid
+            else:
+                bits.append(0)
+                r[1] = mid
+            even = not even
+        out = ""
+        for k in range(chars):
+            acc = 0
+            for b in bits[5 * k : 5 * k + 5]:
+                acc = (acc << 1) | b
+            out += GEOHASH_BASE32[acc]
+        return out
+
+    pts = [(57_649_110, 10_407_440), (0, 0), (90_000_000, 180_000_000),
+           (-90_000_000, -180_000_000), (48_858_370, 2_294_480)]
+    rng = random.Random(7)
+    pts += [
+        (rng.randint(-90_000_000, 90_000_000), rng.randint(-180_000_000, 180_000_000))
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame(pts, "lat long, lng long")
+    got = {
+        (r.lat, r.lng): r.gh
+        for r in df.select(
+            "lat", "lng", geohash_expr("lat", "lng", 8).alias("gh")
+        ).collect()
+    }
+    assert got[(57_649_110, 10_407_440)] == "u4pruydq"  # published value
+    for lat, lng in pts:
+        assert got[(lat, lng)] == classic(lat / 1e6, lng / 1e6), (lat, lng)
