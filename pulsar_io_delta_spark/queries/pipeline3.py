@@ -744,3 +744,83 @@ def q_geohash(spark, sf_dir):
     return e.select(
         "event_id", gh.alias("gh"), F.substring(gh, 1, 5).alias("gh5")
     )
+
+
+# ---------------------------------------------------------------------------
+# grid-blocked exact radius join
+
+_GEO_R = 2_000_000  # radius in microdegrees (2°); also the grid cell side
+
+
+def _geo_join_oracle() -> str:
+    lat = "(((user_id * 7919) % 180000001) - 90000000) + 90000000"
+    lng = "(((event_id * 104729) % 360000001) - 180000000) + 180000000"
+    return f"""
+WITH p AS (
+  SELECT event_id AS id, {lat} AS la, {lng} AS lo
+  FROM events WHERE event_id < 2000)
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST((a.la - b.la) * (a.la - b.la)
+            + (a.lo - b.lo) * (a.lo - b.lo) AS BIGINT) AS dist2
+FROM p a JOIN p b ON a.id < b.id
+WHERE (a.la - b.la) * (a.la - b.la) + (a.lo - b.lo) * (a.lo - b.lo)
+      <= CAST({_GEO_R} AS BIGINT) * {_GEO_R}
+"""
+
+
+@register("q_geo_join", oracle=_geo_join_oracle())
+def q_geo_join(spark, sf_dir):
+    """All pairs within a coordinate-space radius, computed EXACTLY by
+    grid blocking with 3×3 neighbor expansion — the oracle is the naive
+    quadratic self-join, so equality proves the blocked join misses no
+    cross-cell pair. Cell side = radius guarantees any qualifying pair
+    is within one cell step; one side explodes its 9 neighbor cells,
+    the join is a plain cell-key EQUI-join, and the exact distance
+    filter runs only inside neighborhoods.
+
+    Scale shape: candidate volume is O(points × local density), never
+    O(n²) — at 100 TB the 9× explode is the entire overhead, the same
+    bucket-blocking bargain as LSH/geohash. Coordinates are offset
+    non-negative so floor division agrees across engines; production
+    geo use scales lng by cos(lat) before bucketing (not needed for
+    the kernel contract). Distance stays in exact BIGINT microdeg²."""
+    e = table(spark, sf_dir, "events").where(F.col("event_id") < 2000)
+    la = (F.pmod(F.col("user_id") * 7919, F.lit(180000001)) - 90000000) + 90000000
+    lo = (
+        F.pmod(F.col("event_id") * 104729, F.lit(360000001)) - 180000000
+    ) + 180000000
+    p = e.select(
+        F.col("event_id").alias("id"), la.alias("la"), lo.alias("lo")
+    )
+    cell = lambda c: F.expr(f"{c} div {_GEO_R}")  # noqa: E731
+    b = p.select(
+        F.col("id").alias("id_b"),
+        F.col("la").alias("lb"),
+        F.col("lo").alias("ob"),
+        cell("la").alias("cx"),
+        cell("lo").alias("cy"),
+    )
+    off = F.explode(
+        F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                  for dx in (-1, 0, 1) for dy in (-1, 0, 1)])
+    )
+    a = p.select(
+        F.col("id").alias("id_a"),
+        F.col("la").alias("laa"),
+        F.col("lo").alias("oa"),
+        cell("la").alias("ax"),
+        cell("lo").alias("ay"),
+        off.alias("o"),
+    ).select(
+        "id_a", "laa", "oa",
+        (F.col("ax") + F.col("o.dx")).alias("cx"),
+        (F.col("ay") + F.col("o.dy")).alias("cy"),
+    )
+    d2 = (F.col("laa") - F.col("lb")) * (F.col("laa") - F.col("lb")) + (
+        F.col("oa") - F.col("ob")
+    ) * (F.col("oa") - F.col("ob"))
+    return (
+        a.join(b, ["cx", "cy"])
+        .where((F.col("id_a") < F.col("id_b")) & (d2 <= F.lit(_GEO_R * _GEO_R)))
+        .select("id_a", "id_b", d2.cast("long").alias("dist2"))
+    )
