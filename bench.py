@@ -94,6 +94,9 @@ HEADLINE = [
     "q_zorder_scan",
     "q_pit_join",
     "q_curation_pipeline",
+    "q_geohash",
+    "q_geo_join",
+    "q_pagerank",
 ]
 
 
