@@ -172,33 +172,44 @@ def pagerank_fixed(
     as connected_components, without the barrier (the loop is unrolled
     into one DAG for small fixed k; use parquet barriers as in
     connected_components when k grows)."""
-    # The unrolled DAG references the edge list 2 + iterations times
-    # (nodes, degrees, each contrib join): persist it once instead of
+    # The unrolled DAG references the edge list 1 + iterations times
+    # (degree seed, each contrib join): persist it once instead of
     # re-deriving an upstream join per reference.
     e = edges.select("src", "dst").persist()
-    nodes = e.select(F.col("src").alias("id")).distinct()
-    deg = e.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("outdeg"))
-    n_nodes = nodes.agg(F.count("*").alias("nn"))
+    # Node table WITH outdegree attached (one groupBy does both —
+    # every node appears as a src in the symmetrized list), persisted:
+    # carrying outdeg inside the rank vector saves a second per-
+    # iteration join against a separate degree table.
+    deg = (
+        e.groupBy(F.col("src").alias("id"))
+        .agg(F.count("*").alias("outdeg"))
+        .persist()
+    )
+    n_nodes = deg.agg(F.count("*").alias("nn"))
     base_expr = f"(({100 - damping_pct} * ({scale} div nn)) div 100)"
-    pr = nodes.crossJoin(F.broadcast(n_nodes)).select(
-        "id", F.expr(f"{scale} div nn").alias("pr")
+    pr = deg.crossJoin(F.broadcast(n_nodes)).select(
+        "id", "outdeg", F.expr(f"{scale} div nn").alias("pr")
     )
     for _ in range(iterations):
         contrib = (
-            e.join(pr.withColumnRenamed("id", "src"), "src")
-            .join(deg.withColumnRenamed("id", "src"), "src")
-            .select("dst", F.expr("pr div outdeg").alias("c"))
+            e.join(
+                pr.select(
+                    F.col("id").alias("src"), F.expr("pr div outdeg").alias("c")
+                ),
+                "src",
+            )
             .groupBy(F.col("dst").alias("id"))
             .agg(F.sum("c").alias("m"))
         )
         pr = (
-            nodes.join(contrib, "id", "left")
+            deg.join(contrib, "id", "left")
             .crossJoin(F.broadcast(n_nodes))
             .select(
                 "id",
+                "outdeg",
                 F.expr(
                     f"{base_expr} + (({damping_pct} * coalesce(m, 0)) div 100)"
                 ).alias("pr"),
             )
         )
-    return pr
+    return pr.select("id", "pr")
