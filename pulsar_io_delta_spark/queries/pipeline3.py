@@ -824,3 +824,89 @@ def q_geo_join(spark, sf_dir):
         .where((F.col("id_a") < F.col("id_b")) & (d2 <= F.lit(_GEO_R * _GEO_R)))
         .select("id_a", "id_b", d2.cast("long").alias("dist2"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (deterministic, fully oracle-checked)
+
+_CMS_W = 64
+_CMS_ROWS = (2654435761, 2246822519, 3266489917, 668265263)  # mixing consts
+
+
+def _cms_oracle() -> str:
+    cells = []
+    for r, a in enumerate(_CMS_ROWS):
+        cells.append(
+            f"""SELECT {r} AS row, (user_id * {a}) % {pl.M32} % {_CMS_W} AS col,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM events GROUP BY 1, 2"""
+        )
+    sketch = " UNION ALL ".join(cells)
+    ests = []
+    for r, a in enumerate(_CMS_ROWS):
+        ests.append(
+            f"""SELECT k.user_id, s.cnt
+  FROM keys k JOIN sketch s
+    ON s.row = {r} AND s.col = (k.user_id * {a}) % {pl.M32} % {_CMS_W}"""
+        )
+    est_union = " UNION ALL ".join(f"({e})" for e in ests)
+    return f"""
+WITH sketch AS ({sketch}),
+keys AS (SELECT DISTINCT user_id FROM events WHERE user_id < 50),
+est AS (
+  SELECT user_id, min(cnt) AS estimate
+  FROM ({est_union}) GROUP BY user_id),
+exact AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS exact_cnt
+  FROM events WHERE user_id < 50 GROUP BY user_id)
+SELECT e.user_id, est.estimate, e.exact_cnt,
+       est.estimate >= e.exact_cnt AS never_undercounts
+FROM exact e JOIN est USING (user_id)
+"""
+
+
+@register("q_sketch_countmin", oracle=_cms_oracle())
+def q_sketch_countmin(spark, sf_dir):
+    """Count-Min sketch frequency estimation, fully value-checked: the
+    sketch is DETERMINISTIC given its hash functions (4 rows × 64
+    columns of Knuth-style multiplicative hashes), so unlike
+    HLL/GK — where only error-bound booleans are checkable — the
+    DuckDB oracle rebuilds the identical sketch and the estimates
+    hash-match exactly. The structural CMS guarantee (estimates never
+    undercount) rides along as a verified boolean per key. Completes
+    the sketch family: HLL (q_agg_approx), Greenwald-Khanna
+    (q_agg_approx_quantiles), CMS here.
+
+    Scale shape: the sketch build is ONE groupBy over (row, col) —
+    map-side combined, exchange bounded at rows×width cells per
+    mapper regardless of stream size; point queries join against the
+    256-cell table (broadcast)."""
+    e = table(spark, sf_dir, "events")
+    cells = None
+    for r, a in enumerate(_CMS_ROWS):
+        c = e.select(
+            F.lit(r).alias("row"),
+            F.pmod(F.pmod(F.col("user_id") * F.lit(a), F.lit(pl.M32)), F.lit(_CMS_W)).alias("col"),
+        )
+        cells = c if cells is None else cells.unionAll(c)
+    sketch = cells.groupBy("row", "col").agg(F.count("*").alias("cnt"))
+    keys = e.where(F.col("user_id") < 50).select("user_id").distinct()
+    est = None
+    for r, a in enumerate(_CMS_ROWS):
+        kcol = F.pmod(F.pmod(F.col("user_id") * F.lit(a), F.lit(pl.M32)), F.lit(_CMS_W))
+        part = keys.select("user_id", F.lit(r).alias("row"), kcol.alias("col")).join(
+            F.broadcast(sketch), ["row", "col"]
+        ).select("user_id", "cnt")
+        est = part if est is None else est.unionAll(part)
+    est = est.groupBy("user_id").agg(F.min("cnt").alias("estimate"))
+    exact = (
+        e.where(F.col("user_id") < 50)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("exact_cnt"))
+    )
+    return exact.join(est, "user_id").select(
+        "user_id",
+        "estimate",
+        "exact_cnt",
+        (F.col("estimate") >= F.col("exact_cnt")).alias("never_undercounts"),
+    )
