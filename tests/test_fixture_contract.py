@@ -126,3 +126,19 @@ def test_documents_text_ascii_and_length(spark, sf_dir):
         f"{bad} documents are <36 chars or non-printable-ASCII — audit "
         "q_multimodal_real_decode / q_source_binary framing"
     )
+
+
+def test_documents_source_format(spark, sf_dir):
+    """q_mixture_sample / q_curation_pipeline key their per-domain
+    thresholds on the numeric suffix of `source` ('srcN'). A fixture
+    regeneration that changes the naming would make DuckDB's
+    CAST(regexp_extract(...) AS BIGINT) ERROR (Spark nulls instead) —
+    fail HERE with the table named, not as an oracle exception."""
+    import pyspark.sql.functions as F
+
+    d = table(spark, sf_dir, "documents")
+    bad = d.where(~F.col("source").rlike(r"^src[0-9]+$")).count()
+    assert bad == 0, (
+        f"{bad} documents.source values do not match '^src[0-9]+$' — "
+        "audit the mixture/shard/curation threshold keying"
+    )
