@@ -910,3 +910,60 @@ def q_sketch_countmin(spark, sf_dir):
         "exact_cnt",
         (F.col("estimate") >= F.col("exact_cnt")).alias("never_undercounts"),
     )
+
+
+# ---------------------------------------------------------------------------
+# log-line ingestion (text source + regex field extraction)
+
+
+@register(
+    "q_source_logs",
+    oracle=f"""
+SELECT event_id, user_id, event_type,
+       {sql_epoch('ts')} AS ts_epoch,
+       CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+FROM events
+""",
+)
+def q_source_logs(spark, sf_dir):
+    """Log-file ingestion, the oldest pipeline pattern there is: events
+    rendered as Apache-style text lines (one file per partition, fixture
+    setup cached per sf_dir), read back with ``spark.read.text`` and
+    parsed with ONE compiled regex into typed columns — ids, event
+    type, an ISO timestamp recovered to the exact original instant, and
+    the exact cent-quantized value. Every field round-trips losslessly
+    through the text representation or the oracle catches it.
+
+    Scale shape: text scan is splittable by line; the regex projection
+    is a narrow codegen'd map (single regexp_extract_all-style pass,
+    no UDF); zero shuffle. At 100 TB this is the standard
+    raw-logs → typed-table bronze stage."""
+    import hashlib
+    import os
+    import tempfile
+
+    e = table(spark, sf_dir, "events")
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    out = os.path.join(tempfile.gettempdir(), f"pids_logs_{key}")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        line = F.concat(
+            F.lit("evt id="), F.col("event_id").cast("string"),
+            F.lit(" user="), F.col("user_id").cast("string"),
+            F.lit(" type="), F.col("event_type"),
+            F.lit(" at="), F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"),
+            F.lit(" val="), F.col("value").cast("decimal(18,2)").cast("string"),
+        )
+        e.select(line.alias("value")).coalesce(4).write.mode("overwrite").text(out)
+    lines = spark.read.text(out)
+    pat = r"^evt id=(\d+) user=(\d+) type=(\w+) at=(\S+) val=([0-9.]+)$"
+    return lines.select(
+        F.regexp_extract("value", pat, 1).cast("long").alias("event_id"),
+        F.regexp_extract("value", pat, 2).cast("long").alias("user_id"),
+        F.regexp_extract("value", pat, 3).alias("event_type"),
+        F.unix_timestamp(
+            F.to_timestamp(F.regexp_extract("value", pat, 4))
+        ).cast("long").alias("ts_epoch"),
+        (F.regexp_extract("value", pat, 5).cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
