@@ -967,3 +967,93 @@ def q_source_logs(spark, sf_dir):
         .cast("long")
         .alias("cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# typed JSON parsing (from_json struct path)
+
+
+@register(
+    "q_json_typed",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+       CAST(json_extract(props, '$.k') AS BIGINT) IS NULL AS k_missing,
+       CAST(json_extract(props, '$.nope') AS BIGINT) AS absent
+FROM events
+""",
+)
+def q_json_typed(spark, sf_dir):
+    """Typed JSON parsing via ``from_json`` with an explicit schema —
+    the scale-correct path for semi-structured columns: ONE parse per
+    row into a struct, then struct field access (codegen'd), instead of
+    get_json_object re-parsing the string per extracted field
+    (q_json_funcs pins that path). Missing fields surface as typed
+    NULLs, never strings.
+
+    Scale shape: narrow projection, zero shuffle; at 100 TB the
+    single-parse difference is a full CPU pass per additional field."""
+    e = table(spark, sf_dir, "events")
+    parsed = F.from_json("props", "k LONG, nope LONG")
+    return e.select(
+        "event_id",
+        parsed.getField("k").alias("k"),
+        parsed.getField("k").isNull().alias("k_missing"),
+        parsed.getField("nope").alias("absent"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Delta table introspection (file-level stats surface)
+
+
+@register(
+    "q_table_detail",
+    oracle="""
+SELECT 'event_type=' || event_type AS partition_value,
+       CAST(count(*) AS BIGINT) AS num_records,
+       CAST(min(event_id) AS BIGINT) AS min_event_id,
+       CAST(max(event_id) AS BIGINT) AS max_event_id
+FROM events GROUP BY event_type
+""",
+)
+def q_table_detail(spark, sf_dir):
+    """DESCRIBE-DETAIL-style table introspection through our own log:
+    events written as a partitioned Delta table (one file per
+    partition via repartition on the partition key), then the
+    per-file footer stats the WRITER recorded — numRecords and
+    event_id min/max, the data-skipping index itself — are surfaced as
+    a queryable DataFrame and value-checked against ground truth. This
+    is the audit a 100 TB operator runs to see whether skipping will
+    work BEFORE paying for a scan.
+
+    Scale shape: reads ONLY the transaction log (driver-side, one JSON
+    per commit — no data files touched); the result is file-count
+    sized."""
+    import json as _json
+    import tempfile
+
+    from pulsar_io_delta_spark.sources.delta_log import DeltaTable
+
+    e = table(spark, sf_dir, "events").select("event_id", "event_type")
+    path = tempfile.mkdtemp(prefix="pids_detail_") + "/tbl"
+    t = DeltaTable(path)
+    t.write(e.repartition(5, "event_type"), partition_by=["event_type"])
+    snap = t.snapshot()
+    rows = []
+    for p in snap.files:
+        stats = snap.adds[p].get("stats")
+        s = _json.loads(stats) if isinstance(stats, str) else (stats or {})
+        pv = snap.partition_values.get(p, {})
+        rows.append(
+            (
+                "".join(f"{k}={v}" for k, v in sorted(pv.items())),
+                int(s.get("numRecords", 0)),
+                int(s["minValues"]["event_id"]),
+                int(s["maxValues"]["event_id"]),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "partition_value string, num_records long, min_event_id long, max_event_id long",
+    )
