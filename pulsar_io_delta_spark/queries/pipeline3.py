@@ -1057,3 +1057,104 @@ def q_table_detail(spark, sf_dir):
         rows,
         "partition_value string, num_records long, min_event_id long, max_event_id long",
     )
+
+
+# ---------------------------------------------------------------------------
+# interval overlap join (bucket-blocked, exactly-once)
+
+_IVL_W = 21600  # bucket width: 6 hours of epoch seconds
+
+
+def _interval_join_oracle() -> str:
+    return f"""
+WITH w AS (
+  SELECT user_id, ts, event_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events WHERE user_id < 200),
+chg AS (
+  SELECT user_id, ts, event_id, event_type FROM w
+  WHERE prev IS NULL OR prev <> event_type),
+ivall AS (
+  -- lead BEFORE the error filter: WHERE evaluates before window
+  -- functions in SQL, so filtering first would make e the next ERROR
+  -- start instead of the next state change (the bug class the Spark
+  -- side avoids by selecting the lead, THEN filtering)
+  SELECT user_id, event_type, {sql_epoch('ts')} AS s,
+         {sql_epoch("lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)")} AS e
+  FROM chg),
+fin AS (SELECT user_id, s, e FROM ivall
+        WHERE event_type = 'error' AND e IS NOT NULL)
+SELECT a.user_id AS user_a, b.user_id AS user_b,
+       greatest(a.s, b.s) AS overlap_start,
+       least(a.e, b.e) AS overlap_end
+FROM fin a JOIN fin b
+  ON a.user_id < b.user_id AND a.s < b.e AND b.s < a.e
+"""
+
+
+@register("q_interval_join", oracle=_interval_join_oracle())
+def q_interval_join(spark, sf_dir):
+    """Interval OVERLAP join (Flink's INTERVAL JOIN / kdb's wj shape,
+    which Spark lacks natively): all pairs of users whose 'error'-state
+    intervals overlapped in time, with the overlap window. Computed
+    EXACTLY by time-bucket blocking: each interval explodes into the
+    6-hour buckets it covers, the join is a plain bucket EQUI-join, and
+    each qualifying pair is emitted EXACTLY once — in the bucket
+    containing the later of the two interval starts (no distinct
+    needed). The oracle is the naive quadratic overlap join; equality
+    proves no cross-bucket pair is missed or duplicated.
+
+    Scale shape: candidate volume is O(intervals × buckets-per-interval
+    × bucket co-occupancy), never O(n²) — the 1-D temporal analog of
+    q_geo_join's grid blocking. Long intervals cost more bucket rows
+    (explode is data-proportional); width is the skew/volume knob."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events").where(F.col("user_id") < 200)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = (
+        e.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("prev", F.lag("event_type").over(w))
+        .where(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+    )
+    iv = (
+        chg.select(
+            "user_id",
+            epoch_s("ts").alias("s"),
+            F.lead(epoch_s("ts")).over(w).alias("e"),
+            F.col("event_type"),
+        )
+        .where((F.col("event_type") == "error") & F.col("e").isNotNull())
+        .drop("event_type")
+    )
+    bucketed = iv.select(
+        "user_id", "s", "e",
+        F.explode(
+            F.sequence(
+                F.expr(f"s div {_IVL_W}"), F.expr(f"(e - 1) div {_IVL_W}")
+            )
+        ).alias("bk"),
+    )
+    a = bucketed.select(
+        F.col("user_id").alias("user_a"), F.col("s").alias("sa"),
+        F.col("e").alias("ea"), "bk",
+    )
+    b = bucketed.select(
+        F.col("user_id").alias("user_b"), F.col("s").alias("sb"),
+        F.col("e").alias("eb"), "bk",
+    )
+    return (
+        a.join(b, "bk")
+        .where(
+            (F.col("user_a") < F.col("user_b"))
+            & (F.col("sa") < F.col("eb"))
+            & (F.col("sb") < F.col("ea"))
+            # exactly-once: only the bucket holding the later start emits
+            & (F.col("bk") == F.expr(f"greatest(sa, sb) div {_IVL_W}"))
+        )
+        .select(
+            "user_a", "user_b",
+            F.greatest("sa", "sb").alias("overlap_start"),
+            F.least("ea", "eb").alias("overlap_end"),
+        )
+    )
