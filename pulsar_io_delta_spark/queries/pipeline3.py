@@ -1158,3 +1158,83 @@ def q_interval_join(spark, sf_dir):
             F.least("ea", "eb").alias("overlap_end"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# real audio decode under the oracle gate
+
+
+def _wav_oracle() -> str:
+    ss = (
+        "list_transform(generate_series(0, 17), i -> "
+        "((unicode(substr(text, 2*i + 1, 1)) * 129"
+        " + unicode(substr(text, 2*i + 2, 1)) * 57) % 40001) - 20000)"
+    )
+    return f"""
+WITH s AS (SELECT doc_id, {ss} AS ss FROM documents)
+SELECT doc_id,
+       CAST(8000 AS BIGINT) AS sample_rate,
+       CAST(18 AS BIGINT) AS n_samples,
+       CAST(list_max(list_transform(ss, x -> abs(x))) AS BIGINT) AS max_abs,
+       CAST(list_sum(list_transform(generate_series(1, 17), i ->
+              CASE WHEN (ss[i] < 0) <> (ss[i + 1] < 0) THEN 1 ELSE 0 END))
+            AS BIGINT) AS crossings
+FROM s
+"""
+
+
+@register("q_multimodal_audio", oracle=_wav_oracle())
+def q_multimodal_audio(spark, sf_dir):
+    """REAL audio decode in the registered surface (the image twin is
+    q_multimodal_real_decode): each document's first 36 chars become 18
+    signed PCM-16 samples in a genuine RIFF/WAVE container, decoded by
+    the numpy chunk-walker inside mapInPandas. The exact integer
+    quantities — max amplitude and zero-crossing count — are recovered
+    from the decoder's features (peak·32768 and zcr·(n−1) round to
+    exact integers because /32768 is a power-of-two division) and
+    value-checked against SQL ground truth computed from the text
+    codepoints. Float-only outputs (rms) stay out of the contract.
+
+    The per-file WAV materialization is fixture setup, as in
+    q_source_binary; the measured path — binaryFile scan + Arrow-
+    batched decode — is fully distributed."""
+    import os
+    import struct
+    import tempfile
+
+    from pulsar_io_delta_spark.operators import multimodal as mm
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    outdir = tempfile.mkdtemp(prefix="pids_wav_")
+    for r in d.collect():
+        samples = [
+            ((ord(r.text[2 * i]) * 129 + ord(r.text[2 * i + 1]) * 57) % 40001)
+            - 20000
+            for i in range(18)
+        ]
+        data = struct.pack("<18h", *samples)
+        hdr = (
+            b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+            + b"data" + struct.pack("<I", len(data))
+        )
+        with open(os.path.join(outdir, f"{r.doc_id}.wav"), "wb") as f:
+            f.write(hdr + data)
+    bf = spark.read.format("binaryFile").load(outdir)
+    framed = bf.select(
+        F.regexp_extract(F.col("path"), r"([0-9]+)\.wav$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("content").alias("payload"),
+        F.lit("audio/wav").alias("mime"),
+    )
+    decoded = mm.decode_audio(framed, fake=False)
+    return decoded.select(
+        "doc_id",
+        F.col("sample_rate").cast("long").alias("sample_rate"),
+        F.col("n_samples").cast("long").alias("n_samples"),
+        F.round(F.element_at("features", 3) * 32768, 0)
+        .cast("long")
+        .alias("max_abs"),
+        F.round(F.element_at("features", 2) * 17, 0).cast("long").alias("crossings"),
+    )
