@@ -1238,3 +1238,62 @@ def q_multimodal_audio(spark, sf_dir):
         .alias("max_abs"),
         F.round(F.element_at("features", 2) * 17, 0).cast("long").alias("crossings"),
     )
+
+
+# ---------------------------------------------------------------------------
+# real video (AVI) frame demux under the oracle gate
+
+
+@register(
+    "q_multimodal_video",
+    oracle="""
+SELECT doc_id, CAST(k * 2 AS BIGINT) AS frame_idx,
+       substr(text, 9 * (k * 2) + 1, 9) AS frame_text
+FROM documents, generate_series(0, 1) t(k)
+""",
+)
+def q_multimodal_video(spark, sf_dir):
+    """REAL video frame demux in the registered surface (completing the
+    image/audio/video trio): each document becomes a genuine RIFF/AVI
+    container with 4 uncompressed '00db' frames whose content is a
+    9-char slice of the text; sample_frames(every_n=2, fake=False)
+    demuxes via the RIFF chunk walker and the recovered frame BYTES
+    must equal the original slices verbatim — a byte-exact round-trip
+    through container framing, word alignment, and the sampling
+    stride. Compressed ('00dc') streams keep raising loudly.
+
+    Fixture setup materializes the AVI files (as in q_source_binary);
+    the measured path — binaryFile scan + mapInPandas demux fan-out
+    (one row per sampled frame) — is fully distributed."""
+    import os
+    import struct
+    import tempfile
+
+    from pulsar_io_delta_spark.operators import multimodal as mm
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    outdir = tempfile.mkdtemp(prefix="pids_avi_")
+    for r in d.collect():
+        avih = bytes(32) + struct.pack("<II", 3, 3)  # width/height at 32/36
+        body = b"avih" + struct.pack("<I", len(avih)) + avih
+        for k in range(4):
+            fr = r.text[9 * k : 9 * k + 9].encode("utf-8")
+            body += b"00db" + struct.pack("<I", len(fr)) + fr
+            if len(fr) & 1:
+                body += b"\x00"
+        payload = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"AVI " + body
+        with open(os.path.join(outdir, f"{r.doc_id}.avi"), "wb") as f:
+            f.write(payload)
+    bf = spark.read.format("binaryFile").load(outdir)
+    framed = bf.select(
+        F.regexp_extract(F.col("path"), r"([0-9]+)\.avi$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("content").alias("payload"),
+    )
+    frames = mm.sample_frames(framed, every_n=2, fake=False)
+    return frames.select(
+        "doc_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.col("frame").cast("string").alias("frame_text"),
+    )
