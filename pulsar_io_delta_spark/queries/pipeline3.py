@@ -1297,3 +1297,50 @@ def q_multimodal_video(spark, sf_dir):
         F.col("frame_idx").cast("long").alias("frame_idx"),
         F.col("frame").cast("string").alias("frame_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# real image resize (payload-in → payload-out) under the gate
+
+
+@register(
+    "q_multimodal_resize",
+    oracle="""
+SELECT doc_id, CAST(3 AS BIGINT) AS width, CAST(3 AS BIGINT) AS height,
+       CAST(list_sum(list_transform(generate_series(0, 8), i ->
+              unicode(substr(text, 12 * (i // 3) + 2 * (i % 3) + 1, 1))))
+            AS BIGINT) AS pixel_sum
+FROM documents
+""",
+)
+def q_multimodal_resize(spark, sf_dir):
+    """REAL media transform chain under the gate: 6×6 PGM framed from
+    text → nearest-neighbour resample to 3×3 (payload-in → payload-out,
+    no codec libs) → re-decode → exact pixel sum. Nearest-neighbour
+    selection is deterministic integer indexing (row/col 0,2,4 of the
+    original), so the oracle recomputes the surviving codepoints
+    directly — the whole decode→transform→decode chain must be
+    byte-faithful for the sums to match.
+
+    Scale shape: two Arrow-batched mapInPandas stages over narrow
+    (id, payload) rows, zero shuffle."""
+    from pulsar_io_delta_spark.operators import multimodal as mm
+
+    d = table(spark, sf_dir, "documents")
+    payload = F.encode(
+        F.concat(F.lit("P5\n6 6\n255\n"), F.substring("text", 1, 36)), "UTF-8"
+    )
+    framed = d.select(
+        "doc_id", payload.alias("payload"),
+        F.lit("image/x-portable-graymap").alias("mime"),
+    )
+    resized = mm.resize_images(framed, 3, 3, fake=False)
+    decoded = mm.decode_images(resized, fake=False)
+    return decoded.select(
+        "doc_id",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.round(F.element_at("features", 1) * (255 * 9), 0)
+        .cast("long")
+        .alias("pixel_sum"),
+    )
