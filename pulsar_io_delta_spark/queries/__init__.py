@@ -319,3 +319,73 @@ promote(
     ],
     after="q_stream_late_data",
 )
+
+# FINAL round-6 window (one list, supersedes the incremental rotations
+# above): with 30+ queries added this round, zero-DRIVER-history
+# entries now fill almost the whole window — every query the driver
+# has never sampled gets a slot (the judge gate covers the rest at all
+# three scales every run). Remaining slots go to the queries whose
+# code or contract changed this round (TF-IDF rewrite, IVF/HLL
+# contracts, funnel/entropy rewrites, the dsum_over user). The
+# r4/r5-green blocks rotate behind: driver-proven, unmodified since,
+# judge-gate green on current fixtures.
+promote(
+    [
+        # (a) oracled r4, zero post-oracle driver rows (r5 verdict #2)
+        "q_multimodal_decode",
+        "q_text_fingerprint",
+        # (b) contract/code changed this round
+        "q_tfidf_topterms",
+        "q_sim_ann_ivf",
+        "q_agg_approx",
+        # (q_funnel / q_text_entropy / q_timeseries_gapfill also changed
+        # this round but hold r5 hard rows and pytest + judge-gate
+        # coverage; zero-driver-history queries outrank them for slots)
+        # (c) zero driver history: mid-round batch
+        "q_stream_late_data",
+        "q_dedup_cc",
+        "q_source_orc",
+        "q_scd2_dim",
+        "q_stream_enrich",
+        "q_fuzzy_pairs",
+        "q_bm25_topdocs",
+        "q_ewma",
+        "q_anomaly_zscore",
+        "q_hampel_filter",
+        "q_markov_transitions",
+        "q_profile_stats",
+        "q_dedup_incremental",
+        "q_dedup_keep_best",
+        "q_stratified_sample",
+        "q_time_rollup_multires",
+        "q_join_bucketed",
+        "q_agg_approx_quantiles",
+        "q_stream_join_outer",
+        # (c) zero driver history: late batch
+        "q_lm_score",
+        "q_mixture_sample",
+        "q_shard_assign",
+        "q_snapshot_diff",
+        "q_zorder_scan",
+        "q_winsorize",
+        "q_source_binary",
+        "q_restore",
+        "q_stream_cdc",
+        "q_pit_join",
+        "q_pagerank",
+        "q_curation_pipeline",
+        "q_bitwise_funcs",
+        "q_hash_funcs",
+        "q_geohash",
+        "q_geo_join",
+        "q_sketch_countmin",
+        "q_source_logs",
+        "q_json_typed",
+        "q_table_detail",
+        "q_interval_join",
+        "q_multimodal_audio",
+        "q_multimodal_video",
+        "q_multimodal_resize",
+    ],
+    after="q_stream_tumbling",
+)
