@@ -374,6 +374,30 @@ def _winsorize_shape(e):
     )
 
 
+def _blob_dir(sf_dir: str, kind: str) -> tuple[str, bool]:
+    """Write-once cache dir for per-doc blob fixtures (PGM/WAV/AVI),
+    keyed by sf_dir: repeated gate/bench invocations reuse the files
+    instead of re-materializing thousands of blobs per run. Returns
+    (path, already_built)."""
+    import hashlib
+    import os
+    import tempfile
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    out = os.path.join(tempfile.gettempdir(), f"pids_{kind}_{key}")
+    done = os.path.exists(os.path.join(out, "_DONE"))
+    if not done:
+        os.makedirs(out, exist_ok=True)
+    return out, done
+
+
+def _blob_done(out: str) -> None:
+    import os
+
+    with open(os.path.join(out, "_DONE"), "w") as f:
+        f.write("ok")
+
+
 # ---------------------------------------------------------------------------
 # binaryFile multimodal ingestion
 
@@ -405,16 +429,17 @@ def q_source_binary(spark, sf_dir):
     min(files, cores) and small-file pressure is the usual object-store
     listing cost, not a Spark limit."""
     import os
-    import tempfile
 
     from pulsar_io_delta_spark.operators import multimodal as mm
 
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
-    outdir = tempfile.mkdtemp(prefix="pids_bin_")
-    for r in d.collect():
-        with open(os.path.join(outdir, f"{r.doc_id}.pgm"), "wb") as f:
-            f.write(b"P5\n6 6\n255\n" + r.text[:36].encode("utf-8"))
-    bf = spark.read.format("binaryFile").load(outdir)
+    outdir, done = _blob_dir(sf_dir, "bin")
+    if not done:
+        for r in d.collect():
+            with open(os.path.join(outdir, f"{r.doc_id}.pgm"), "wb") as f:
+                f.write(b"P5\n6 6\n255\n" + r.text[:36].encode("utf-8"))
+        _blob_done(outdir)
+    bf = spark.read.format("binaryFile").option("pathGlobFilter", "*.pgm").load(outdir)
     framed = bf.select(
         F.regexp_extract(F.col("path"), r"([0-9]+)\.pgm$", 1)
         .cast("long")
@@ -1200,13 +1225,12 @@ def q_multimodal_audio(spark, sf_dir):
     batched decode — is fully distributed."""
     import os
     import struct
-    import tempfile
 
     from pulsar_io_delta_spark.operators import multimodal as mm
 
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
-    outdir = tempfile.mkdtemp(prefix="pids_wav_")
-    for r in d.collect():
+    outdir, done = _blob_dir(sf_dir, "wav")
+    for r in (d.collect() if not done else []):
         samples = [
             ((ord(r.text[2 * i]) * 129 + ord(r.text[2 * i + 1]) * 57) % 40001)
             - 20000
@@ -1220,7 +1244,9 @@ def q_multimodal_audio(spark, sf_dir):
         )
         with open(os.path.join(outdir, f"{r.doc_id}.wav"), "wb") as f:
             f.write(hdr + data)
-    bf = spark.read.format("binaryFile").load(outdir)
+    if not done:
+        _blob_done(outdir)
+    bf = spark.read.format("binaryFile").option("pathGlobFilter", "*.wav").load(outdir)
     framed = bf.select(
         F.regexp_extract(F.col("path"), r"([0-9]+)\.wav$", 1)
         .cast("long")
@@ -1267,13 +1293,12 @@ def q_multimodal_video(spark, sf_dir):
     (one row per sampled frame) — is fully distributed."""
     import os
     import struct
-    import tempfile
 
     from pulsar_io_delta_spark.operators import multimodal as mm
 
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
-    outdir = tempfile.mkdtemp(prefix="pids_avi_")
-    for r in d.collect():
+    outdir, done = _blob_dir(sf_dir, "avi")
+    for r in (d.collect() if not done else []):
         avih = bytes(32) + struct.pack("<II", 3, 3)  # width/height at 32/36
         body = b"avih" + struct.pack("<I", len(avih)) + avih
         for k in range(4):
@@ -1284,7 +1309,9 @@ def q_multimodal_video(spark, sf_dir):
         payload = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"AVI " + body
         with open(os.path.join(outdir, f"{r.doc_id}.avi"), "wb") as f:
             f.write(payload)
-    bf = spark.read.format("binaryFile").load(outdir)
+    if not done:
+        _blob_done(outdir)
+    bf = spark.read.format("binaryFile").option("pathGlobFilter", "*.avi").load(outdir)
     framed = bf.select(
         F.regexp_extract(F.col("path"), r"([0-9]+)\.avi$", 1)
         .cast("long")
