@@ -1371,3 +1371,42 @@ def q_multimodal_resize(spark, sf_dir):
         .cast("long")
         .alias("pixel_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# OPTIMIZE (small-file compaction) round-trip
+
+
+@register(
+    "q_compact_roundtrip",
+    oracle="""
+SELECT event_id, user_id, event_type, value FROM events
+""",
+)
+def q_compact_roundtrip(spark, sf_dir):
+    """OPTIMIZE under the gate: events written deliberately fragmented
+    (64-way shuffle → 64 small files), bin-packed by
+    DeltaTable.compact, then read from the compacted snapshot — the
+    result must be byte-identical to the original table. The
+    small-files problem is the #1 operational issue on streaming-fed
+    tables at 100 TB; this pins that compaction is a pure layout
+    change (dataChange=false rewrite, CDC readers skip it — covered in
+    test_cdc) with zero row-level effect.
+
+    Scale shape: compact is one repartition-and-write of the live file
+    set; the read is an ordinary pruned scan."""
+    import tempfile
+
+    from pulsar_io_delta_spark.sources.delta_log import DeltaTable
+
+    e = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    path = tempfile.mkdtemp(prefix="pids_compact_") + "/tbl"
+    t = DeltaTable(path)
+    t.write(e.repartition(64))
+    n_before = len(t.snapshot().files)
+    t.compact(spark, target_files=4)
+    n_after = len(t.snapshot().files)
+    assert n_after < n_before, (n_before, n_after)  # layout actually changed
+    return t.read(spark).select("event_id", "user_id", "event_type", "value")
