@@ -1410,3 +1410,51 @@ def q_compact_roundtrip(spark, sf_dir):
     n_after = len(t.snapshot().files)
     assert n_after < n_before, (n_before, n_after)  # layout actually changed
     return t.read(spark).select("event_id", "user_id", "event_type", "value")
+
+
+# ---------------------------------------------------------------------------
+# transaction-log lifecycle (multi-part checkpoint + expiry) round-trip
+
+
+@register(
+    "q_log_lifecycle",
+    oracle="""
+SELECT event_id, user_id, event_type, value FROM events
+WHERE event_type <> 'error'
+""",
+)
+def q_log_lifecycle(spark, sf_dir):
+    """The long-lived-table lifecycle in one query: three append
+    commits → MULTI-PART parquet checkpoint (the layout real
+    large-file-count tables have) → log expiry (the JSON tail behind
+    the checkpoint is deleted) → a further stats-pruned DELETE commit
+    on top — and the final read, which must replay checkpoint + the
+    post-checkpoint commit with zero access to the expired JSON,
+    equals the expected table exactly. This is the O(1)-snapshot path
+    a 10^6-commit table depends on, end-to-end under the oracle gate
+    (unit coverage: tests/test_delta_log.py checkpoint/expiry tests).
+
+    Scale shape: log operations are driver-side metadata; the read is
+    an ordinary pruned scan."""
+    import tempfile
+
+    from pulsar_io_delta_spark.sources.delta_log import DeltaTable
+
+    e = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    path = tempfile.mkdtemp(prefix="pids_lifecycle_") + "/tbl"
+    t = DeltaTable(path)
+    t.write(e.where(F.col("event_type") == "click"), partition_by=["event_type"])
+    t.write(e.where(F.col("event_type") == "error"), partition_by=["event_type"])
+    t.write(
+        e.where(~F.col("event_type").isin("click", "error")),
+        partition_by=["event_type"],
+    )
+    t.checkpoint(parts=2)
+    expired = t.expire_log()
+    assert expired, "expiry should drop the pre-checkpoint JSON tail"
+    t.delete_where(
+        spark, "event_type = 'error'", filters=[("event_type", "=", "error")]
+    )
+    return t.read(spark).select("event_id", "user_id", "event_type", "value")
