@@ -376,14 +376,20 @@ def _winsorize_shape(e):
 
 def _blob_dir(sf_dir: str, kind: str) -> tuple[str, bool]:
     """Write-once cache dir for per-doc blob fixtures (PGM/WAV/AVI),
-    keyed by sf_dir: repeated gate/bench invocations reuse the files
-    instead of re-materializing thousands of blobs per run. Returns
-    (path, already_built)."""
+    keyed by the fixture file's IDENTITY (path + mtime + size), not the
+    path alone: the driver regenerates /root/testdata between rounds,
+    and a path-keyed cache would serve blobs built from the OLD corpus
+    — the exact fixture-drift class that broke round 4. Repeated
+    invocations against the same fixture generation reuse the files.
+    Returns (path, already_built)."""
     import hashlib
     import os
     import tempfile
 
-    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    ident = f"{os.path.abspath(sf_dir)}|{st.st_mtime_ns}|{st.st_size}"
+    key = hashlib.md5(ident.encode()).hexdigest()[:10]
     out = os.path.join(tempfile.gettempdir(), f"pids_{kind}_{key}")
     done = os.path.exists(os.path.join(out, "_DONE"))
     if not done:
@@ -968,7 +974,11 @@ def q_source_logs(spark, sf_dir):
     import tempfile
 
     e = table(spark, sf_dir, "events")
-    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    # identity-keyed like _blob_dir: a fixture regeneration must never
+    # serve stale cached lines
+    st = os.stat(os.path.join(sf_dir, "events.parquet"))
+    ident = f"{os.path.abspath(sf_dir)}|{st.st_mtime_ns}|{st.st_size}"
+    key = hashlib.md5(ident.encode()).hexdigest()[:10]
     out = os.path.join(tempfile.gettempdir(), f"pids_logs_{key}")
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
         line = F.concat(

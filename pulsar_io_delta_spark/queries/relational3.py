@@ -16,10 +16,16 @@ from pulsar_io_delta_spark.tables import table
 
 
 def _roundtrip_dir(spark, sf_dir: str, fmt: str):
-    """Write events once per (sf_dir, format) into a stable temp dir."""
+    """Write events once per (fixture generation, format) into a stable
+    temp dir. Keyed by the events file's IDENTITY (path + mtime +
+    size), not the path alone — the driver regenerates /root/testdata
+    between rounds, and a path-keyed cache would serve a stale corpus
+    (the round-4 fixture-drift class)."""
     import hashlib
 
-    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    st = os.stat(os.path.join(sf_dir, "events.parquet"))
+    ident = f"{os.path.abspath(sf_dir)}|{st.st_mtime_ns}|{st.st_size}"
+    key = hashlib.md5(ident.encode()).hexdigest()[:10]
     out = os.path.join(tempfile.gettempdir(), f"pids_fmt_{fmt}_{key}")
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
         e = table(spark, sf_dir, "events").select(
