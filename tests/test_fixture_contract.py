@@ -142,3 +142,48 @@ def test_documents_source_format(spark, sf_dir):
         f"{bad} documents.source values do not match '^src[0-9]+$' — "
         "audit the mixture/shard/curation threshold keying"
     )
+
+
+def test_fixture_regeneration_invalidates_derived_caches(spark, tmp_path):
+    """The round-4 failure class, defended end-to-end: q_source_logs
+    caches its rendered text lines per fixture; when the driver
+    REGENERATES events.parquet at the same path, the identity key
+    (mtime+size) must invalidate the cache and the query must reflect
+    the new corpus — a stale cache would return generation-1 values
+    and silently diverge from the oracle."""
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pulsar_io_delta_spark.queries.pipeline3 import q_source_logs
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+
+    def write_events(values):
+        tbl = pa.table(
+            {
+                "event_id": pa.array(range(len(values)), pa.int64()),
+                "ts": pa.array(
+                    [1704067200000000 + i * 1_000_000 for i in range(len(values))],
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array([i % 3 for i in range(len(values))], pa.int64()),
+                "event_type": pa.array(["view"] * len(values)),
+                "value": pa.array(values, pa.float64()),
+                "props": pa.array(['{"k": 1}'] * len(values)),
+            }
+        )
+        pq.write_table(tbl, str(sf / "events.parquet"))
+
+    write_events([1.25, 2.5, 3.75])
+    got1 = {r.event_id: r.cents for r in q_source_logs(spark, str(sf)).collect()}
+    assert got1 == {0: 125, 1: 250, 2: 375}
+
+    time.sleep(0.01)  # ensure a distinct mtime even on coarse clocks
+    write_events([9.99, 8.88, 7.77, 6.66])  # regenerated: new values AND size
+    got2 = {r.event_id: r.cents for r in q_source_logs(spark, str(sf)).collect()}
+    assert got2 == {0: 999, 1: 888, 2: 777, 3: 666}, (
+        "stale cache served generation-1 lines after fixture regeneration"
+    )
