@@ -167,7 +167,35 @@ def main() -> None:
     if errors:
         payload["errors"] = errors
         payload["value"] = None  # partial totals are not comparable
+
+    # Round-7 fix (VERDICT r6 #1): the full payload (53 queries + spreads,
+    # ~2.6 KB) overflows the driver's 2000-char tail capture, so round 6
+    # recorded parsed=null and lost the official bench number.  Emit the
+    # full detail first (humans / logs / BENCH_detail.json), then ONE
+    # compact summary line LAST — guaranteed < 500 bytes — so the tail
+    # capture always ends with a parseable JSON line.
     print(json.dumps(payload))
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_detail.json"
+    )
+    try:
+        with open(detail_path, "w") as fh:
+            json.dump(payload, fh, indent=1)
+    except OSError as exc:
+        print(f"# could not write {detail_path}: {exc}", file=sys.stderr)
+    summary = {
+        "metric": "headline query wall time (noop sink, local)",
+        "value": payload["value"],
+        "unit": "sec",
+        "n_queries": len(timings),
+        "n_errors": len(errors),
+        "sf": sf,
+        "trials": trials,
+        "detail": "BENCH_detail.json",
+    }
+    line = json.dumps(summary)
+    assert len(line) < 500, f"summary line must stay tail-capture safe: {len(line)}"
+    print(line)
     spark.stop()
 
 

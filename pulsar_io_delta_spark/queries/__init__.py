@@ -389,3 +389,20 @@ promote(
     ],
     after="q_stream_tumbling",
 )
+
+# Round-7 window (slots 1-3 after the q_stream_tumbling canary): the
+# ONLY three queries with zero driver rows ever — registered after the
+# r6 window closed, judge-verified green at sf0.01 in the r6 audit
+# (r6 verdict item #2). Round-7 additions (deletion-vector reads,
+# column mapping, skew-stress variants) are promoted by the later
+# blocks below as they land; everything else keeps the r6 order —
+# the r6-window block holds fresh hard rows, the blocks behind are
+# driver-proven and unmodified.
+promote(
+    [
+        "q_compact_roundtrip",
+        "q_log_lifecycle",
+        "q_sql_recursive_series",
+    ],
+    after="q_stream_tumbling",
+)
