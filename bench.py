@@ -168,6 +168,33 @@ def main() -> None:
         payload["errors"] = errors
         payload["value"] = None  # partial totals are not comparable
 
+    # Per-query budget check (BASELINE.md "Per-query budget table"):
+    # each query is held to 2× its round-7 frozen median, so a per-query
+    # regression fails visibly even when the TOTAL stays inside the
+    # global envelope. Budgets are sf0.1-calibrated — at other SFs the
+    # check is informational only.
+    over_budget: dict[str, list[float]] = {}
+    no_budget: list[str] = []
+    budgets_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_budgets.json"
+    )
+    try:
+        with open(budgets_path) as fh:
+            budget_spec = json.load(fh)
+        budgets = budget_spec.get("budget_sec", {})
+        if abs(sf - float(budget_spec.get("sf", 0.1))) < 1e-9:
+            for name, sec in timings.items():
+                b = budgets.get(name)
+                if b is None:
+                    no_budget.append(name)
+                elif sec > b:
+                    over_budget[name] = [sec, b]
+            payload["over_budget"] = over_budget
+            if no_budget:
+                payload["no_budget"] = sorted(no_budget)
+    except (OSError, ValueError) as exc:
+        print(f"# budget check skipped: {exc}", file=sys.stderr)
+
     # Round-7 fix (VERDICT r6 #1): the full payload (53 queries + spreads,
     # ~2.6 KB) overflows the driver's 2000-char tail capture, so round 6
     # recorded parsed=null and lost the official bench number.  Emit the
@@ -189,12 +216,18 @@ def main() -> None:
         "unit": "sec",
         "n_queries": len(timings),
         "n_errors": len(errors),
+        "n_over_budget": len(over_budget),
         "sf": sf,
         "trials": trials,
         "detail": "BENCH_detail.json",
     }
     line = json.dumps(summary)
-    assert len(line) < 500, f"summary line must stay tail-capture safe: {len(line)}"
+    if len(line) >= 500:
+        # tail-capture safety must hold under `python -O` too (an assert
+        # would be stripped, and failing after results are computed would
+        # lose the run) — degrade to the minimal parseable summary
+        line = json.dumps({"metric": summary["metric"], "value": summary["value"],
+                           "unit": "sec", "sf": sf})
     print(line)
     spark.stop()
 

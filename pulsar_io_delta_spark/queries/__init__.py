@@ -406,3 +406,75 @@ promote(
     ],
     after="q_stream_tumbling",
 )
+
+# Round-8 window (slots 1-49 after the q_stream_tumbling canary):
+# (a) the two queries added this round — the deletion-vector and
+#     column-mapping read surface (VERDICT r7 #2: the r7 DV component
+#     shipped without driver rows; these earn them), zero driver
+#     history → highest re-check value;
+# (b) every query whose delta-log code path changed this round
+#     (remove-actions now carry DV descriptors, writer-side protocol
+#     gating in every write path, DV protocol merge, executor-side CDC
+#     DV expansion): the table-lifecycle and CDC users;
+# (c) the stalest driver rows — the r1-green scalar/join singles
+#     (4+ rounds without a driver re-check), the r3-green LLM block,
+#     and the r4/r5-green relational singles.
+# Rotating behind: the r6/r7-green blocks — freshly hard-verified,
+# unmodified this round.
+WINDOW_MUST_INCLUDE = [
+    # (a) new this round
+    "q_dv_read",
+    "q_column_mapping_read",
+    # (b) delta-log code paths changed this round
+    "q_snapshot_diff",
+    "q_merge_upsert",
+    "q_restore",
+    "q_compact_roundtrip",
+    "q_log_lifecycle",
+    "q_stream_cdc",
+    "q_cdc_source",
+    "q_cdc_schema_evolution",
+    "q_table_detail",
+    "q_pulsar_wire",
+    # (c) stalest driver rows: r1 singles
+    "q_string_funcs",
+    "q_date_funcs",
+    "q_math_funcs",
+    "q_array_funcs",
+    "q_join_cross",
+    "q_null_funcs",
+    "q_join_left",
+    "q_join_right",
+    "q_join_full",
+    # r3 LLM block
+    "q_dedup_exact",
+    "q_sim_topk",
+    "q_text_tokens",
+    "q_text_stats",
+    "q_text_langid",
+    "q_text_quality",
+    "q_multimodal_project",
+    # r4/r5 relational + window singles
+    "q_filter_project",
+    "q_join_inner",
+    "q_join_semi",
+    "q_join_anti",
+    "q_join_range",
+    "q_udaf_weighted_mean",
+    "q_window_rank",
+    "q_window_lag",
+    "q_topk",
+    "q_union_all",
+    "q_union_distinct",
+    "q_intersect",
+    "q_except",
+    "q_intersect_all",
+    "q_except_all",
+    "q_regex_funcs",
+    "q_struct_funcs",
+    "q_agg_percentiles",
+    "q_window_firstlast",
+    "q_unpivot",
+    "q_asof_join",
+]
+promote(WINDOW_MUST_INCLUDE, after="q_stream_tumbling")

@@ -590,11 +590,17 @@ def q_bm25_topdocs(spark, sf_dir):
     query term — the semi-filter runs before any join. Ranking uses
     the ROUNDED score (ties then doc_id) so the order is identical
     across engines regardless of float summation order."""
+    return _bm25_shape(table(spark, sf_dir, "documents"))
+
+
+def _bm25_shape(d):
+    """BM25 scoring body over a (doc_id, text) frame — shared by
+    q_bm25_topdocs and tools/scale_smoke.py so the smoked shape is the
+    shipped shape."""
     from pyspark.sql import Window
 
     K1, B = 1.2, 0.75
     terms = ["spark", "merge", "window"]
-    d = table(spark, sf_dir, "documents")
     tok = d.select(
         "doc_id",
         F.explode(

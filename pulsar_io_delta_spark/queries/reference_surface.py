@@ -7,6 +7,8 @@ bounds, type widening) over the driver fixtures.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from pulsar_io_delta_spark.operators.cdc import OP_INSERT, cdc_envelope, partition_value_expr
@@ -181,4 +183,198 @@ def q_type_widening(spark, sf_dir):
         F.col("l_linenumber").cast("double").alias("ln_dbl"),
         F.col("l_orderkey").cast("string").alias("ok_str"),
         F.col("l_shipdate").cast("date").alias("ship_date"),
+    )
+
+
+@register(
+    "q_dv_read",
+    oracle="""
+WITH ranked AS (
+  SELECT event_id, event_type, value,
+         CAST(event_id % 4 AS BIGINT) AS file_k,
+         row_number() OVER (PARTITION BY event_id % 4 ORDER BY event_id) - 1 AS ridx
+  FROM events
+)
+SELECT event_id, event_type, value, file_k
+FROM ranked
+WHERE NOT (file_k = 0 AND ridx < 3)
+  AND NOT (file_k = 1 AND ridx < 5)
+  AND event_id % 7 != 3
+  AND event_id % 11 != 5
+""",
+)
+def q_dv_read(spark, sf_dir):
+    """Deletion-vector read over the full descriptor surface a 2023+
+    Delta writer produces (Delta PROTOCOL.md "Deletion Vectors"; the
+    reference reader, DeltaReader.java:301-303, predates DVs):
+
+    - events split into 4 files (event_id % 4, each sorted by event_id
+      so the parquet row index is the within-file rank — what the SQL
+      oracle reconstructs with row_number());
+    - file 0 gets a handwritten INLINE ('i') DV deleting row idx {0,1,2};
+    - file 1 gets a handwritten u-FILE ('u') DV deleting row idx {0..4};
+    - two delete_where_dv commits (merge-on-read delete: DV write + same
+      path re-add, NO data-file rewrite) whose second predicate overlaps
+      the first — exercising the DV∪DV union on re-delete, including
+      union with the handwritten descriptors.
+
+    Scale shape: bitmap→row-index expansion runs on executors
+    (mapInPandas over descriptors), the deleted-index side broadcasts
+    under the exact log-recorded cardinality, and the delete itself is
+    O(touched bitmaps), not a file rewrite."""
+    import tempfile
+    import time as _t
+
+    from pulsar_io_delta_spark.sources.delta_log import (
+        DeltaTable,
+        _dv_upgraded_protocol,
+    )
+    from pulsar_io_delta_spark.sources.deletion_vectors import (
+        inline_descriptor,
+        write_dv_file,
+    )
+
+    e = table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    path = tempfile.mkdtemp(prefix="pids_dv_") + "/tbl"
+    t = DeltaTable(path)
+    for k in range(4):
+        part = (
+            e.where(F.col("event_id") % 4 == k)
+            .repartition(1)
+            .sortWithinPartitions("event_id")
+        )
+        t.write(part)
+    snap = t.snapshot()
+    adds = {v: next(a["add"] for a in t.actions(v) if "add" in a) for v in range(4)}
+    (udesc,) = write_dv_file(path, [[0, 1, 2, 3, 4]])
+    now_ms = int(_t.time() * 1000)
+    actions = [{"protocol": _dv_upgraded_protocol(snap.protocol)}]
+    for v, desc in ((0, inline_descriptor([0, 1, 2])), (1, udesc)):
+        add = dict(adds[v])
+        actions.append(
+            {
+                "remove": {
+                    "path": add["path"],
+                    "deletionTimestamp": now_ms,
+                    "dataChange": True,
+                    "partitionValues": {},
+                }
+            }
+        )
+        add["deletionVector"] = desc
+        add["dataChange"] = True
+        actions.append({"add": add})
+    t._commit(actions, operation="DELETE", read_version=snap.version)
+    t.delete_where_dv(spark, "event_id % 7 = 3")
+    # overlapping predicate: DV∪DV union per file, idempotent re-delete
+    t.delete_where_dv(spark, "event_id % 7 = 3 OR event_id % 11 = 5")
+    return t.read(spark).select(
+        "event_id",
+        "event_type",
+        "value",
+        (F.col("event_id") % 4).cast("long").alias("file_k"),
+    )
+
+
+@register(
+    "q_column_mapping_read",
+    oracle="""
+SELECT event_id, user_id, event_type, value
+FROM events
+WHERE event_type = 'click'
+""",
+)
+def q_column_mapping_read(spark, sf_dir):
+    """Name-mode column-mapping read (Delta PROTOCOL.md "Column
+    Mapping"): the table's parquet files and hive partition dirs use
+    PHYSICAL column names (c_xxxx, the delta.columnMapping.physicalName
+    of each schema field), including a MAPPED PARTITION column; the
+    reader renames physical → logical and translates the pruning filter
+    logical → physical so partition pruning still happens on the
+    physically-named directories (only the event_type='click' files are
+    scanned — the other four partitions are pruned from the file list
+    before Spark ever sees them)."""
+    import json as _json
+    import tempfile
+    import uuid as _uuid
+
+    from pulsar_io_delta_spark.sources.delta_log import DeltaTable
+
+    e = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    root = tempfile.mkdtemp(prefix="pids_cm_") + "/tbl"
+    phys = e.select(
+        F.col("event_id").alias("c_7f3a"),
+        F.col("user_id").alias("c_9b21"),
+        F.col("value").alias("c_44de"),
+        F.col("event_type").alias("c_e5c0"),
+    )
+    phys.write.partitionBy("c_e5c0").parquet(root)
+    logical = [
+        ("event_id", "c_7f3a", "long"),
+        ("user_id", "c_9b21", "long"),
+        ("value", "c_44de", "double"),
+        ("event_type", "c_e5c0", "string"),
+    ]
+    schema = _json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {
+                    "name": name,
+                    "type": typ,
+                    "nullable": True,
+                    "metadata": {
+                        "delta.columnMapping.id": i + 1,
+                        "delta.columnMapping.physicalName": pname,
+                    },
+                }
+                for i, (name, pname, typ) in enumerate(logical)
+            ],
+        }
+    )
+    actions = [
+        {"commitInfo": {"timestamp": 1700000000000, "operation": "WRITE"}},
+        # legacy reader version 2 IS the column-mapping era
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {
+            "metaData": {
+                "id": str(_uuid.uuid4()),
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": schema,
+                # partitionColumns stay LOGICAL; partitionValues keys and
+                # dir names are physical
+                "partitionColumns": ["event_type"],
+                "configuration": {"delta.columnMapping.mode": "name"},
+            }
+        },
+    ]
+    for dirpath, _dirs, files in os.walk(root):
+        for fn in files:
+            if not fn.endswith(".parquet"):
+                continue
+            rel = os.path.relpath(os.path.join(dirpath, fn), root)
+            pdir = os.path.basename(os.path.dirname(os.path.join(dirpath, fn)))
+            k, _, v = pdir.partition("=")
+            actions.append(
+                {
+                    "add": {
+                        "path": rel,
+                        "partitionValues": {k: v},
+                        "size": os.path.getsize(os.path.join(dirpath, fn)),
+                        "modificationTime": 1700000000000,
+                        "dataChange": True,
+                    }
+                }
+            )
+    os.makedirs(os.path.join(root, "_delta_log"))
+    with open(os.path.join(root, "_delta_log", f"{0:020d}.json"), "w") as f:
+        for a in actions:
+            f.write(_json.dumps(a) + "\n")
+    t = DeltaTable(root)
+    # the filter is LOGICAL; pruning translates it to the physical
+    # partition key before consulting partitionValues
+    return t.read(spark, filters=[("event_type", "=", "click")]).select(
+        "event_id", "user_id", "event_type", "value"
     )

@@ -125,7 +125,9 @@ def _deserialize_rb32(buf: memoryview, pos: int) -> tuple[list[int], int]:
     (cookie,) = struct.unpack_from("<i", buf, pos)
     run_flags = b""
     if (cookie & 0xFFFF) == _SERIAL_COOKIE_RUN:
-        n = (cookie >> 16) + 1
+        # unsigned shift: with ≥32769 containers the signed int32 cookie
+        # is negative and a plain >> would go negative (ADVICE r7 #4)
+        n = ((cookie >> 16) & 0xFFFF) + 1
         pos += 4
         nflag = (n + 7) // 8
         run_flags = bytes(buf[pos : pos + nflag])

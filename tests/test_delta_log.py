@@ -776,8 +776,12 @@ def test_handwritten_log_unsupported_protocol_fails_loudly(spark, tmp_path):
     """Protocol gating (reference parity: the reference consumes only
     add/remove/metaData/commitInfo — DeltaReader.java:196-247 — and
     anything newer must fail LOUDLY, never silently mis-read): a log
-    demanding minReaderVersion 3 (e.g. deletion vectors) raises
-    DeltaProtocolError at snapshot resolution."""
+    demanding a reader feature outside _SUPPORTED_READER_FEATURES
+    (e.g. v2Checkpoint, which would make us miss adds entirely) raises
+    DeltaProtocolError at snapshot resolution. deletionVectors /
+    columnMapping / timestampNtz are implemented since round 7 and must
+    NOT trip the gate — the positive half asserts a v3 DV-feature table
+    reads clean."""
     root = str(tmp_path / "hand_v3")
     os.makedirs(os.path.join(root, "_delta_log"))
     df = events_df(spark, range(3))
@@ -788,13 +792,22 @@ def test_handwritten_log_unsupported_protocol_fails_loudly(spark, tmp_path):
     actions = [
         {"commitInfo": {"timestamp": 1700000000000, "operation": "WRITE"}},
         {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
-                      "readerFeatures": ["deletionVectors"]}},
+                      "readerFeatures": ["deletionVectors", "v2Checkpoint"]}},
         {"metaData": {"id": "x", "schemaString": df.schema.json(), "partitionColumns": []}},
         {"add": {"path": f"data/{part}", "partitionValues": {}, "size": 1,
                  "modificationTime": 1700000000000, "dataChange": True}},
     ]
-    with open(os.path.join(root, "_delta_log", f"{0:020d}.json"), "w") as f:
+    log_fp = os.path.join(root, "_delta_log", f"{0:020d}.json")
+    with open(log_fp, "w") as f:
         for a in actions:
             f.write(json.dumps(a) + "\n")
-    with pytest.raises(DeltaProtocolError, match="protocol"):
+    with pytest.raises(DeltaProtocolError, match="v2Checkpoint"):
         DeltaTable(root).read(spark).count()
+    # Positive half: the SAME table minus the unsupported feature is a
+    # legal v3 deletion-vectors table and must read (no DV on the add →
+    # all rows visible).
+    actions[1]["protocol"]["readerFeatures"] = ["deletionVectors"]
+    with open(log_fp, "w") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+    assert DeltaTable(root).read(spark).count() == 3

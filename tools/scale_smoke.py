@@ -227,6 +227,20 @@ def main() -> None:
         dt = time.time() - t0
         print(f"{'cc_cluster':10s} {label:4s} rows={rows:>9,d} wall={dt:6.2f}s ns/row={dt/rows*1e9:7.1f}")
 
+    # BM25 over the docs blow-up (round 8): ONE corpus-sized (doc,token)
+    # shuffle + broadcast stats — the ns/row must stay flat since the
+    # only growing exchange is the tf build.
+    from pulsar_io_delta_spark.queries.pipeline2 import _bm25_shape
+
+    for label, df, rows in (("1x", docs, n_docs), (f"{kd}x", blow_docs(docs, kd), n_docs * kd)):
+        _bm25_shape(df).write.mode("overwrite").format("noop").save()  # warm
+        spark.catalog.clearCache()
+        t0 = time.time()
+        _bm25_shape(df).write.mode("overwrite").format("noop").save()
+        dt = time.time() - t0
+        spark.catalog.clearCache()
+        print(f"{'bm25':10s} {label:4s} rows={rows:>9,d} wall={dt:6.2f}s ns/row={dt/rows*1e9:7.1f}")
+
     def fuzzy(df):
         b = df.select(
             "doc_id",
@@ -269,6 +283,50 @@ def main() -> None:
         pagerank_fixed(pr_graph(nb)).write.mode("overwrite").format("noop").save()
         dt = time.time() - t0
         print(f"{'pagerank':10s} {label:4s} rows={rows:>9,d} wall={dt:6.2f}s ns/row={dt/rows*1e9:7.1f}")
+
+    # Round-8 shapes (VERDICT r6 #4 / r7 #4): POWER-LAW SKEW stress for
+    # the graph family. The uniform block graphs above never test the
+    # hub-node case; here ~10% of ALL edges touch node 0 (every 10th
+    # node links to the hub), which (a) merges 10% of the blocks into
+    # one giant component — the worst case for label propagation — and
+    # (b) gives the dst-aggregations and the src-keyed joins one key
+    # carrying 10% of the rows. Why this is expected to hold without
+    # salting, and what the numbers must confirm:
+    #   - both groupBys (neighbor-min, contribution-sum) are ALGEBRAIC
+    #     aggregates → map-side partial combine reduces the hub key to
+    #     one row per map partition before the shuffle;
+    #   - the src-keyed joins funnel the hub's edge rows into one
+    #     reducer under plain SMJ → AQE's OptimizeSkewedJoin (pinned on
+    #     in session.py / tests/test_runtime_opts.py) splits that
+    #     partition at runtime.
+    # Flat-or-falling ns/row at kx ⇒ no salting needed; a blow-up here
+    # is the trigger for a salted two-phase variant.
+    def hub_graph(n_blocks):
+        ids = spark.range(n_blocks * 25).select(F.col("id"))
+        chain = ids.where(F.col("id") % 25 != 0).select(
+            F.col("id").alias("src"), (F.col("id") - 1).alias("dst")
+        )
+        hub = ids.where((F.col("id") % 10 == 0) & (F.col("id") != 0)).select(
+            F.col("id").alias("src"), F.lit(0).alias("dst")
+        )
+        return ids, chain.unionAll(hub)
+
+    for label, nb in (("1x", 400), (f"{kd}x", 400 * kd)):
+        rows = nb * 25
+        ids, e = hub_graph(nb)
+        t0 = time.time()
+        cc_labels((ids, e)).write.mode("overwrite").format("noop").save()
+        dt = time.time() - t0
+        print(f"{'cc_skew':10s} {label:4s} rows={rows:>9,d} wall={dt:6.2f}s ns/row={dt/rows*1e9:7.1f}")
+
+    for label, nb in (("1x", 400), (f"{kd}x", 400 * kd)):
+        rows = nb * 25
+        _ids, e = hub_graph(nb)
+        sym = e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        t0 = time.time()
+        pagerank_fixed(sym).write.mode("overwrite").format("noop").save()
+        dt = time.time() - t0
+        print(f"{'pr_skew':10s} {label:4s} rows={rows:>9,d} wall={dt:6.2f}s ns/row={dt/rows*1e9:7.1f}")
 
     # pipeline3 shapes: unigram-LM scoring (vocab groupBy + broadcast
     # join-back — the vocab blow-up keeps growing vocabulary with data,
