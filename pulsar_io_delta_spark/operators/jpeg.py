@@ -1,0 +1,595 @@
+"""Pure-numpy baseline JPEG codec (decode + encode), no PIL/libjpeg.
+
+Closes the largest environment-bound multimodal waiver (VERDICT r6 #7 /
+r7 #8): ``operators/multimodal.py`` previously gated every compressed
+image format behind ``NotImplementedError`` because PIL is absent in
+this environment. Baseline-sequential JPEG (ITU-T T.81 / ISO 10918-1,
+the overwhelming majority of real-world JPEG files) is implemented here
+from the public spec:
+
+- marker parse: SOI / APPn / COM / DQT / SOF0-SOF1 / DHT / DRI / SOS /
+  EOI; progressive (SOF2) and arithmetic-coded (SOF9+) files fail
+  loudly — a silently wrong decode would poison image features;
+- canonical Huffman decode of the entropy stream (0xFF00 unstuffing,
+  RSTn restart handling with DC-predictor reset);
+- dequantization, zigzag inverse, exact float 8×8 IDCT (separable
+  matrix form, vectorized over all blocks of a component with one
+  einsum — the hot loop is the bit reader, not the math);
+- nearest-neighbor chroma upsampling for 4:2:0 / 4:2:2 / 4:4:4, BT.601
+  YCbCr→RGB.
+
+The encoder (baseline, 4:4:4, Annex K example quantization + typical
+Huffman tables) exists so the pipeline can RE-EMIT images (resize →
+re-encode) and so tests can plant JPEG fixtures without PIL: a
+grayscale solid-color block whose level-shifted DC is a multiple of the
+DC quantization step round-trips EXACTLY, which is what makes a
+hash-exact DuckDB oracle over real JPEG decode possible
+(queries/pipeline3.py::q_multimodal_jpeg).
+
+Scale note: this module is per-payload kernel code executed inside
+Arrow-batched ``mapInPandas`` stages (operators/multimodal.py) — the
+Spark-side plumbing (schema, partitioning, batch shape) is identical to
+the PIL path a production cluster would use; only the per-byte kernel
+differs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# --------------------------------------------------------------------------
+# Shared tables
+
+ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10,
+    17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int32)
+
+# ITU-T T.81 Annex K.1/K.2 example quantization tables (quality ~50).
+QUANT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int32)
+
+QUANT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int32)
+
+# Annex K.3 "typical" Huffman tables: (bits[1..16], huffval).
+_DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_LUMA_VALS = list(range(12))
+_DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+_DC_CHROMA_VALS = list(range(12))
+_AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+_AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+_AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+    0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+    0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+    0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+    0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+    0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+# Separable DCT-II basis: M[u, x] = c(u)/2 * cos((2x+1)uπ/16).
+_COS = np.zeros((8, 8))
+for _u in range(8):
+    _c = (1 / np.sqrt(2)) if _u == 0 else 1.0
+    for _x in range(8):
+        _COS[_u, _x] = _c / 2 * np.cos((2 * _x + 1) * _u * np.pi / 16)
+
+
+def idct_blocks(blocks: np.ndarray) -> np.ndarray:
+    """(n, 8, 8) frequency blocks → (n, 8, 8) spatial, exact float."""
+    return np.einsum("ux,nuv,vy->nxy", _COS, blocks, _COS, optimize=True)
+
+
+def dct_blocks(blocks: np.ndarray) -> np.ndarray:
+    """Forward DCT: inverse of :func:`idct_blocks` (orthonormal basis)."""
+    return np.einsum("xu,nxy,yv->nuv", _COS.T, blocks, _COS.T, optimize=True)
+
+
+class JpegFormatError(ValueError):
+    """Structurally invalid JPEG — distinct from NotImplementedError
+    (valid JPEG using a mode this baseline codec does not cover)."""
+
+
+# --------------------------------------------------------------------------
+# Huffman
+
+
+def _build_decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """Canonical Huffman: {(length, code) -> symbol}."""
+    table: dict[tuple[int, int], int] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _build_encode_table(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """{symbol -> (code, length)}."""
+    return {v: (c, l) for (l, c), v in _build_decode_table(bits, vals).items()}
+
+
+class _BitReader:
+    """MSB-first bit reader over the entropy-coded segment with 0xFF00
+    unstuffing; RSTn markers are consumed by ``restart()``."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        d = self.data
+        b = d[self.pos]
+        if b == 0xFF:
+            nxt = d[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            elif 0xD0 <= nxt <= 0xD7:
+                # restart marker reached mid-read: pad with 1-bits (the
+                # spec's byte-align fill); restart() will consume it
+                self.acc = (self.acc << 8) | 0xFF
+                self.nbits += 8
+                return
+            else:
+                raise JpegFormatError(f"marker 0xFF{nxt:02X} inside entropy data")
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def decode_symbol(self, table: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise JpegFormatError("invalid Huffman code in entropy stream")
+
+    def restart(self) -> None:
+        """Byte-align and consume the RSTn marker."""
+        self.acc = 0
+        self.nbits = 0
+        d = self.data
+        while d[self.pos] != 0xFF:
+            self.pos += 1
+        if not (0xD0 <= d[self.pos + 1] <= 0xD7):
+            raise JpegFormatError("expected restart marker")
+        self.pos += 2
+
+
+def _extend(v: int, size: int) -> int:
+    """T.81 F.2.2.1 sign extension of a size-bit magnitude."""
+    if size == 0:
+        return 0
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+# --------------------------------------------------------------------------
+# Decoder
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline-sequential JPEG → (h, w, 3) uint8 RGB (grayscale input
+    is replicated to 3 channels). Loud on progressive / arithmetic /
+    12-bit / hierarchical modes."""
+    if payload[:2] != b"\xff\xd8":
+        raise JpegFormatError("not a JPEG (missing SOI)")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], dict] = {}  # (class, id) -> decode table
+    frame = None
+    restart_interval = 0
+    n = len(payload)
+    while pos < n:
+        if payload[pos] != 0xFF:
+            raise JpegFormatError(f"expected marker at {pos}")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue  # parameterless
+        seglen = int.from_bytes(payload[pos : pos + 2], "big")
+        seg = payload[pos + 2 : pos + seglen]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0x0F
+                p += 1
+                if pq == 0:
+                    qtables[tq] = np.frombuffer(seg, np.uint8, 64, p).astype(np.int32)
+                    p += 64
+                else:
+                    qtables[tq] = np.frombuffer(seg, ">u2", 64, p).astype(np.int32)
+                    p += 128
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0x0F
+                bits = list(seg[p + 1 : p + 17])
+                nsym = sum(bits)
+                vals = list(seg[p + 17 : p + 17 + nsym])
+                htables[(tc, th)] = _build_decode_table(bits, vals)
+                p += 17 + nsym
+        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext. sequential
+            precision = seg[0]
+            if precision != 8:
+                raise NotImplementedError(f"JPEG precision {precision} (only 8-bit)")
+            h = int.from_bytes(seg[1:3], "big")
+            w = int.from_bytes(seg[3:5], "big")
+            ncomp = seg[5]
+            comps = []
+            for i in range(ncomp):
+                cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
+            frame = {"h": h, "w": w, "comps": comps}
+        elif marker == 0xC2:
+            raise NotImplementedError("progressive JPEG (SOF2) is not supported")
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(f"JPEG SOF 0x{marker:02X} mode is not supported")
+        elif marker == 0xDD:  # DRI
+            restart_interval = int.from_bytes(seg[:2], "big")
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if frame is None:
+                raise JpegFormatError("SOS before SOF")
+            ns = seg[0]
+            scan = []
+            for i in range(ns):
+                cid, tt = seg[1 + 2 * i : 3 + 2 * i]
+                comp = next(c for c in frame["comps"] if c["id"] == cid)
+                scan.append({"comp": comp, "dc": tt >> 4, "ac": tt & 0x0F})
+            data_start = pos + seglen
+            return _decode_scan(
+                payload, data_start, frame, scan, qtables, htables, restart_interval
+            )
+        pos += seglen
+    raise JpegFormatError("no SOS marker found")
+
+
+def _decode_scan(data, pos, frame, scan, qtables, htables, restart_interval):
+    h, w = frame["h"], frame["w"]
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    reader = _BitReader(data, pos)
+    # per-component coefficient block grids
+    planes = {}
+    for s in scan:
+        c = s["comp"]
+        bw, bh = mcux * c["h"], mcuy * c["v"]
+        planes[c["id"]] = np.zeros((bh * bw, 8, 8), dtype=np.float64)
+        c["_bw"] = bw
+    dc_pred = {s["comp"]["id"]: 0 for s in scan}
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                reader.restart()
+                for k in dc_pred:
+                    dc_pred[k] = 0
+            for s in scan:
+                c = s["comp"]
+                dc_tab = htables[(0, s["dc"])]
+                ac_tab = htables[(1, s["ac"])]
+                qt = qtables[c["tq"]]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        zz = np.zeros(64, dtype=np.int32)
+                        t = reader.decode_symbol(dc_tab)
+                        diff = _extend(reader.read_bits(t), t)
+                        dc_pred[c["id"]] += diff
+                        zz[0] = dc_pred[c["id"]]
+                        k = 1
+                        while k < 64:
+                            rs = reader.decode_symbol(ac_tab)
+                            r, size = rs >> 4, rs & 0x0F
+                            if size == 0:
+                                if r == 15:
+                                    k += 16  # ZRL
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise JpegFormatError("AC run past block end")
+                            zz[k] = _extend(reader.read_bits(size), size)
+                            k += 1
+                        block = np.zeros(64, dtype=np.float64)
+                        block[ZIGZAG] = zz * qt
+                        row = my * c["v"] + by
+                        col = mx * c["h"] + bx
+                        planes[c["id"]][row * c["_bw"] + col] = block.reshape(8, 8)
+            mcu_count += 1
+    # IDCT + assemble each component at its natural resolution
+    out_planes = []
+    for s in scan:
+        c = s["comp"]
+        bw = c["_bw"]
+        spatial = idct_blocks(planes[c["id"]]) + 128.0
+        bh = spatial.shape[0] // bw
+        grid = (
+            spatial.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+        )
+        # upsample to full MCU-grid resolution, then crop
+        grid = np.repeat(np.repeat(grid, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
+        out_planes.append(grid[:h, :w])
+    if len(out_planes) == 1:
+        y = np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
+        return np.stack([y, y, y], axis=2)
+    if len(out_planes) != 3:
+        raise NotImplementedError(f"{len(out_planes)}-component JPEG")
+    y, cb, cr = out_planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# --------------------------------------------------------------------------
+# Encoder (baseline, 4:4:4 or grayscale, Annex K tables)
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.nbits = 0
+
+    def flush(self) -> None:
+        if self.nbits:
+            self.acc <<= 8 - self.nbits
+            self.acc |= (1 << (8 - self.nbits)) - 1  # pad with 1-bits
+            self.out.append(self.acc)
+            if self.acc == 0xFF:
+                self.out.append(0x00)
+            self.acc = 0
+            self.nbits = 0
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(size, size-bit code) for DIFF/AC value v (T.81 F.1.2.1.1)."""
+    size = int(v).bit_length() if v >= 0 else int(-v).bit_length()
+    code = v if v >= 0 else v + (1 << size) - 1
+    return size, code
+
+
+def _encode_component_blocks(writer, blocks_q, dc_table, ac_table):
+    dc_pred = 0
+    for zz in blocks_q:
+        diff = int(zz[0]) - dc_pred
+        dc_pred = int(zz[0])
+        size, code = _magnitude(diff)
+        hc, hl = dc_table[size]
+        writer.write(hc, hl)
+        writer.write(code, size)
+        run = 0
+        last_nz = 0
+        for k in range(63, 0, -1):
+            if zz[k] != 0:
+                last_nz = k
+                break
+        for k in range(1, last_nz + 1):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                hc, hl = ac_table[0xF0]
+                writer.write(hc, hl)  # ZRL
+                run -= 16
+            size, code = _magnitude(v)
+            hc, hl = ac_table[(run << 4) | size]
+            writer.write(hc, hl)
+            writer.write(code, size)
+            run = 0
+        if last_nz < 63:
+            hc, hl = ac_table[0x00]
+            writer.write(hc, hl)  # EOB
+
+
+def _blocks_of(plane: np.ndarray) -> np.ndarray:
+    """(h, w) image plane (multiple-of-8 padded) → (n, 8, 8) blocks in
+    raster order."""
+    h, w = plane.shape
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    padded = np.empty((ph, pw), dtype=np.float64)
+    padded[:h, :w] = plane
+    padded[h:, :w] = plane[-1:, :]
+    padded[:, w:] = padded[:, w - 1 : w]
+    return (
+        padded.reshape(ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    )
+
+
+def encode_jpeg(img: np.ndarray) -> bytes:
+    """Encode (h, w) grayscale or (h, w, 3) RGB uint8 as baseline JPEG
+    (4:4:4, Annex K quantization + typical Huffman tables)."""
+    img = np.asarray(img)
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    if h == 0 or w == 0 or h > 65535 or w > 65535:
+        raise JpegFormatError(f"unencodable dimensions {h}x{w}")
+    if gray:
+        planes = [img.astype(np.float64)]
+    else:
+        rf = img[:, :, 0].astype(np.float64)
+        gf = img[:, :, 1].astype(np.float64)
+        bf = img[:, :, 2].astype(np.float64)
+        y = 0.299 * rf + 0.587 * gf + 0.114 * bf
+        cb = 128.0 - 0.168736 * rf - 0.331264 * gf + 0.5 * bf
+        cr = 128.0 + 0.5 * rf - 0.418688 * gf - 0.081312 * bf
+        planes = [y, cb, cr]
+    qts = [QUANT_LUMA] + ([] if gray else [QUANT_CHROMA, QUANT_CHROMA])
+    quantized = []
+    for plane, qt in zip(planes, qts):
+        coefs = dct_blocks(_blocks_of(plane) - 128.0)
+        # quantization table arrives in zigzag order (as stored in DQT);
+        # place it in natural order for the divide, zigzag the result
+        natural_qt = np.empty(64, dtype=np.int64)
+        natural_qt[ZIGZAG] = qt
+        qblocks = np.round(coefs.reshape(-1, 64) / natural_qt).astype(np.int64)
+        quantized.append(qblocks[:, ZIGZAG])  # to zigzag order
+    out = bytearray(b"\xff\xd8")  # SOI
+
+    def seg(marker: int, body: bytes) -> None:
+        out.extend(bytes([0xFF, marker]))
+        out.extend((len(body) + 2).to_bytes(2, "big"))
+        out.extend(body)
+
+    seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    seg(0xDB, bytes([0x00]) + bytes(QUANT_LUMA.astype(np.uint8)))
+    if not gray:
+        seg(0xDB, bytes([0x01]) + bytes(QUANT_CHROMA.astype(np.uint8)))
+    ncomp = 1 if gray else 3
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([ncomp])
+    for i in range(ncomp):
+        sof += bytes([i + 1, 0x11, 0 if i == 0 else 1])  # 4:4:4
+    seg(0xC0, sof)
+
+    def dht(tc: int, th: int, bits: list[int], vals: list[int]) -> None:
+        seg(0xC4, bytes([tc << 4 | th]) + bytes(bits) + bytes(vals))
+
+    dht(0, 0, _DC_LUMA_BITS, _DC_LUMA_VALS)
+    dht(1, 0, _AC_LUMA_BITS, _AC_LUMA_VALS)
+    if not gray:
+        dht(0, 1, _DC_CHROMA_BITS, _DC_CHROMA_VALS)
+        dht(1, 1, _AC_CHROMA_BITS, _AC_CHROMA_VALS)
+    sos = bytes([ncomp])
+    for i in range(ncomp):
+        sos += bytes([i + 1, 0x00 if i == 0 else 0x11])
+    sos += bytes([0, 63, 0])
+    seg(0xDA, sos)
+
+    writer = _BitWriter()
+    dc_enc = [
+        _build_encode_table(_DC_LUMA_BITS, _DC_LUMA_VALS),
+        _build_encode_table(_DC_CHROMA_BITS, _DC_CHROMA_VALS),
+    ]
+    ac_enc = [
+        _build_encode_table(_AC_LUMA_BITS, _AC_LUMA_VALS),
+        _build_encode_table(_AC_CHROMA_BITS, _AC_CHROMA_VALS),
+    ]
+    # 4:4:4 ⇒ every component has the same block grid; MCU interleave is
+    # one block per component in raster order
+    n_blocks = quantized[0].shape[0]
+    if any(qb.shape[0] != n_blocks for qb in quantized):
+        raise JpegFormatError("component block grids diverged")
+    if gray:
+        _encode_component_blocks(writer, quantized[0], dc_enc[0], ac_enc[0])
+    else:
+        preds = [0, 0, 0]
+        for bi in range(n_blocks):
+            for ci in range(3):
+                zz = quantized[ci][bi]
+                t = 0 if ci == 0 else 1
+                diff = int(zz[0]) - preds[ci]
+                preds[ci] = int(zz[0])
+                size, code = _magnitude(diff)
+                hc, hl = dc_enc[t][size]
+                writer.write(hc, hl)
+                writer.write(code, size)
+                run = 0
+                last_nz = 0
+                for k in range(63, 0, -1):
+                    if zz[k] != 0:
+                        last_nz = k
+                        break
+                for k in range(1, last_nz + 1):
+                    v = int(zz[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        hc, hl = ac_enc[t][0xF0]
+                        writer.write(hc, hl)
+                        run -= 16
+                    size, code = _magnitude(v)
+                    hc, hl = ac_enc[t][(run << 4) | size]
+                    writer.write(hc, hl)
+                    writer.write(code, size)
+                    run = 0
+                if last_nz < 63:
+                    hc, hl = ac_enc[t][0x00]
+                    writer.write(hc, hl)
+    writer.flush()
+    out.extend(writer.out)
+    out.extend(b"\xff\xd9")  # EOI
+    return bytes(out)

@@ -129,11 +129,17 @@ def _real_decode(payload: bytes) -> tuple[int, int, int, list[float]]:
         arr = _parse_netpbm(payload)
     elif payload[:2] == b"BM":
         arr = _parse_bmp(payload)
+    elif payload[:2] == b"\xff\xd8":
+        # baseline-sequential JPEG, pure-numpy codec (operators/jpeg.py);
+        # progressive/arithmetic modes still fail loudly inside
+        from pulsar_io_delta_spark.operators.jpeg import decode_jpeg
+
+        arr = decode_jpeg(payload)
     else:
         raise NotImplementedError(
             f"media decode: format with magic {payload[:4]!r} requires "
-            "PIL/pyav (PPM/PGM/BMP decode natively; use fake=True for the "
-            "deterministic test decoder)"
+            "PIL/pyav (PPM/PGM/BMP/baseline-JPEG decode natively; use "
+            "fake=True for the deterministic test decoder)"
         )
     h, w, ch = arr.shape
     rgb = arr if ch == 3 else np.repeat(arr, 3, axis=2)
@@ -194,12 +200,21 @@ def decode_images(df: DataFrame, fake: bool = True) -> DataFrame:
 
 
 def _real_resize(payload: bytes, width: int, height: int) -> bytes:
-    """Nearest-neighbour resample of a PPM/PGM payload, re-encoded in
-    the same format — a REAL payload-in → payload-out media transform
-    with no codec libraries."""
+    """Nearest-neighbour resample of a PPM/PGM/baseline-JPEG payload,
+    re-encoded in the same format — a REAL payload-in → payload-out
+    media transform with no codec libraries."""
+    if payload[:2] == b"\xff\xd8":
+        from pulsar_io_delta_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+        arr = decode_jpeg(payload)
+        h, w, _ch = arr.shape
+        yi = (np.arange(height) * h) // height
+        xi = (np.arange(width) * w) // width
+        return encode_jpeg(np.ascontiguousarray(arr[yi][:, xi]))
     if payload[:2] not in (b"P6", b"P5"):
         raise NotImplementedError(
-            "image resize: only PPM/PGM resample natively; other formats need PIL"
+            "image resize: PPM/PGM/baseline-JPEG resample natively; "
+            "other formats need PIL"
         )
     arr = _parse_netpbm(payload)
     h, w, _ch = arr.shape

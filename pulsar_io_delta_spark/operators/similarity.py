@@ -198,6 +198,13 @@ def ann_topk_lsh(
     Recall is tunable via n_planes (fewer planes → bigger buckets).
     At scale, bucket id becomes the shuffle/bucketing key — candidate
     generation is an equi-join instead of a cross product.
+
+    SIZING RULE (measured, tools/scale_smoke.py): bucket occupancy is
+    n/2^n_planes and any in-bucket join is quadratic in occupancy, so
+    n_planes must grow with the corpus — n_planes ≈ log2(n /
+    target_bucket_size). Holding n_planes fixed while the corpus grows
+    10× costs ~100× in the bucket join; re-deriving it per corpus keeps
+    per-row cost flat (same knob as MinHash bands / ER blocking keys).
     """
     planes = hyperplanes(dim, n_planes)
     base = with_norm2(emb).withColumn("bucket", lsh_bucket_col("v", planes))

@@ -1,0 +1,173 @@
+"""Pure-numpy baseline JPEG codec tests (VERDICT r6 #7 / r7 #8 stretch:
+the compressed-codec waiver closes — baseline-sequential JPEG now
+decodes natively; progressive/arithmetic stay loud).
+
+Spec authority: ITU-T T.81 (public). The round-trip contracts lean on
+two exactness properties: (a) a solid grayscale block whose
+level-shifted DC is a multiple of the DC quant step reconstructs
+EXACTLY; (b) the DCT/IDCT pair here is orthonormal, so quantization is
+the only loss."""
+
+import numpy as np
+import pytest
+
+from pulsar_io_delta_spark.operators.jpeg import (
+    JpegFormatError,
+    decode_jpeg,
+    dct_blocks,
+    encode_jpeg,
+    idct_blocks,
+)
+from pulsar_io_delta_spark.operators.multimodal import _real_decode, _real_resize
+
+
+def test_dct_idct_orthonormal_round_trip():
+    rng = np.random.default_rng(3)
+    blocks = rng.uniform(-128, 127, (7, 8, 8))
+    back = idct_blocks(dct_blocks(blocks))
+    assert np.allclose(back, blocks, atol=1e-9)
+
+
+@pytest.mark.parametrize("level", [80, 128, 130, 176, 254, 2])
+def test_solid_grayscale_exact_round_trip(level):
+    img = np.full((24, 17), level, dtype=np.uint8)  # off-8 dims: pad+crop
+    out = decode_jpeg(encode_jpeg(img))
+    assert out.shape == (24, 17, 3)
+    assert np.all(out == level)
+
+
+def test_gradient_rgb_round_trip_tolerance():
+    yy, xx = np.mgrid[0:40, 0:56]
+    img = np.stack(
+        [(xx * 4) % 256, (yy * 6) % 256, np.full_like(xx, 80)], axis=2
+    ).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(img))
+    assert out.shape == img.shape
+    err = np.abs(out.astype(int) - img.astype(int))
+    # smooth content at Annex-K q50: small quantization error only
+    assert err.max() <= 12 and err.mean() < 3
+
+
+def test_decoder_rejects_progressive_and_garbage():
+    img = np.full((8, 8), 100, dtype=np.uint8)
+    blob = bytearray(encode_jpeg(img))
+    # flip SOF0 (0xFFC0) into SOF2 (progressive)
+    i = blob.find(b"\xff\xc0")
+    blob[i + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="progressive"):
+        decode_jpeg(bytes(blob))
+    with pytest.raises(JpegFormatError, match="SOI"):
+        decode_jpeg(b"\x89PNG\r\n")
+
+
+def test_decoder_handles_byte_stuffing():
+    """A mid-gray-ish ramp reliably produces 0xFF bytes in the entropy
+    stream over enough blocks; decode must unstuff them (a stuffing bug
+    shows up as a Huffman desync crash or wild pixel error)."""
+    rng = np.random.default_rng(11)
+    img = rng.integers(120, 136, (64, 64), dtype=np.uint8)
+    blob = encode_jpeg(img)
+    out = decode_jpeg(blob)
+    err = np.abs(out[:, :, 0].astype(int) - img.astype(int))
+    assert err.max() <= 16  # noise at q50 in a 16-level band stays close
+
+
+def test_multimodal_real_decode_routes_jpeg():
+    img = np.full((12, 10), 150, dtype=np.uint8)
+    w, h, n_frames, feats = _real_decode(encode_jpeg(img))
+    assert (w, h, n_frames) == (10, 12, 1)
+    assert feats[0] == round(150 / 255, 6)  # channel mean exact
+    assert feats[3] == 0.0  # std of a solid image
+    assert feats[7] == 0.0  # edge proxy of a solid image
+
+
+def test_real_resize_jpeg_round_trip():
+    img = np.full((32, 32), 90, dtype=np.uint8)
+    resized = _real_resize(encode_jpeg(img), 16, 8)
+    out = decode_jpeg(resized)
+    assert out.shape == (8, 16, 3)
+    assert np.all(out == 90)  # solid stays exact through decode→NN→encode
+
+
+def test_marker_in_entropy_stream_is_loud():
+    """The reader's marker-in-entropy guard: an illegal marker spliced
+    into the entropy-coded segment must raise, never desync silently.
+    (Grayscale SOS body is 6 bytes, so entropy data starts at
+    sos+10 — insert the marker as the very first entropy bytes.)"""
+    img = np.full((8, 8), 100, dtype=np.uint8)
+    blob = bytearray(encode_jpeg(img))
+    sos = blob.find(b"\xff\xda")
+    blob[sos + 10 : sos + 10] = b"\xff\xc4"  # insert, don't overwrite EOI
+    with pytest.raises(JpegFormatError, match="entropy"):
+        decode_jpeg(bytes(blob))
+
+
+def test_chroma_color_recovery():
+    """Strong primary colors survive 4:4:4 round trip within chroma
+    quantization tolerance — exercises the YCbCr↔RGB pair."""
+    for rgb in ((255, 0, 0), (0, 255, 0), (0, 0, 255), (200, 120, 40)):
+        img = np.zeros((16, 16, 3), dtype=np.uint8)
+        img[:, :] = rgb
+        out = decode_jpeg(encode_jpeg(img))
+        err = np.abs(out[8, 8].astype(int) - np.array(rgb))
+        assert err.max() <= 4, (rgb, out[8, 8])
+
+
+def test_restart_marker_decode():
+    """Genuine RSTn exercise: hand-assemble a grayscale JPEG with
+    DRI=1 (restart after every MCU) — each 8×8 solid block entropy-coded
+    independently (DC predictor reset, byte-aligned 1-padding) and
+    separated by RST0..RSTn markers. The reader must resync and reset
+    predictors at each marker."""
+    from pulsar_io_delta_spark.operators.jpeg import (
+        QUANT_LUMA,
+        _BitWriter,
+        _build_encode_table,
+        _DC_LUMA_BITS,
+        _DC_LUMA_VALS,
+        _AC_LUMA_BITS,
+        _AC_LUMA_VALS,
+        _magnitude,
+    )
+
+    levels = [80, 100, 120, 140]  # even offsets from 128 → exact DC
+    dc_enc = _build_encode_table(_DC_LUMA_BITS, _DC_LUMA_VALS)
+    ac_enc = _build_encode_table(_AC_LUMA_BITS, _AC_LUMA_VALS)
+    dc_q = int(QUANT_LUMA[0])  # 16
+
+    def block_bits(level):
+        w = _BitWriter()
+        dc = round((level - 128) * 8 / dc_q)  # predictor reset ⇒ diff = DC
+        size, code = _magnitude(dc)
+        hc, hl = dc_enc[size]
+        w.write(hc, hl)
+        w.write(code, size)
+        hc, hl = ac_enc[0x00]  # EOB
+        w.write(hc, hl)
+        w.flush()
+        return bytes(w.out)
+
+    h, wpx = 8, 32  # 4 MCUs in one row
+    body = bytearray(b"\xff\xd8")
+
+    def seg(marker, payload):
+        body.extend(bytes([0xFF, marker]))
+        body.extend((len(payload) + 2).to_bytes(2, "big"))
+        body.extend(payload)
+
+    seg(0xDB, bytes([0x00]) + bytes(QUANT_LUMA.astype(np.uint8)))
+    seg(0xC0, bytes([8]) + h.to_bytes(2, "big") + wpx.to_bytes(2, "big")
+        + bytes([1, 1, 0x11, 0]))
+    seg(0xC4, bytes([0x00]) + bytes(_DC_LUMA_BITS) + bytes(_DC_LUMA_VALS))
+    seg(0xC4, bytes([0x10]) + bytes(_AC_LUMA_BITS) + bytes(_AC_LUMA_VALS))
+    seg(0xDD, (1).to_bytes(2, "big"))  # DRI: restart every MCU
+    seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    for i, lv in enumerate(levels):
+        body.extend(block_bits(lv))
+        if i < len(levels) - 1:
+            body.extend(bytes([0xFF, 0xD0 + (i % 8)]))
+    body.extend(b"\xff\xd9")
+    out = decode_jpeg(bytes(body))
+    assert out.shape == (8, 32, 3)
+    for i, lv in enumerate(levels):
+        assert np.all(out[:, 8 * i : 8 * (i + 1), 0] == lv), (i, lv)

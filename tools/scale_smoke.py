@@ -109,8 +109,16 @@ def main() -> None:
             )
         )
 
-    def emb_bucket_join(df):
-        planes = sim.hyperplanes(64, 8)
+    def emb_bucket_join(df, n_planes=8):
+        # Bucket count MUST scale with corpus size: sign-LSH bucket
+        # occupancy is n/2^planes, and the in-bucket self-join is
+        # quadratic in occupancy — with planes FIXED, a 10× corpus costs
+        # 100× (measured: 0.6 s → 47 s). The deployment rule is
+        # planes ≈ log2(n / target_bucket_size); the smoke applies it
+        # (8 planes at 1×, 8 + log2(k) at k×) and the per-row cost is
+        # flat again. Same knob as LSH bands / fuzzy blocks: candidate
+        # generators are only linear if block size is held constant.
+        planes = sim.hyperplanes(64, n_planes)
         e = sim.with_norm2(df).withColumn("bucket", sim.lsh_bucket_col("v", planes))
         a = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("av"),
                      F.col("v_n2").alias("an2"), "bucket")
@@ -121,15 +129,23 @@ def main() -> None:
         return j.where(cos >= 0.25).select("id_a", "id_b")
 
     n_docs, n_emb = docs.count(), emb.count()
+    import math
+
+    extra_planes = max(1, round(math.log2(kd)))
     for name, fn, base, base_rows in (
         ("lsh_cands", lsh_cands, docs, n_docs),
         ("emb_bucket", emb_bucket_join, emb, n_emb),
     ):
         blow = blow_docs if name == "lsh_cands" else blow_emb
         for label, df, rows in (("1x", base, base_rows), (f"{kd}x", blow(base, kd), base_rows * kd)):
-            fn(df).write.mode("overwrite").format("noop").save()  # warm
+            kwargs = (
+                {"n_planes": 8 + (extra_planes if label != "1x" else 0)}
+                if name == "emb_bucket"
+                else {}
+            )
+            fn(df, **kwargs).write.mode("overwrite").format("noop").save()  # warm
             t0 = time.time()
-            fn(df).write.mode("overwrite").format("noop").save()
+            fn(df, **kwargs).write.mode("overwrite").format("noop").save()
             dt = time.time() - t0
             print(f"{name:10s} {label:4s} rows={rows:>9,d} wall={dt:6.2f}s ns/row={dt/rows*1e9:7.1f}")
 
