@@ -97,6 +97,10 @@ HEADLINE = [
     "q_geohash",
     "q_geo_join",
     "q_pagerank",
+    # round 8: real JPEG entropy-decode pipeline (two chained Arrow
+    # mapInPandas stages) and the DV merge-on-read read path
+    "q_multimodal_jpeg",
+    "q_dv_read",
 ]
 
 

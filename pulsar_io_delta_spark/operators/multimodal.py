@@ -135,10 +135,15 @@ def _real_decode(payload: bytes) -> tuple[int, int, int, list[float]]:
         from pulsar_io_delta_spark.operators.jpeg import decode_jpeg
 
         arr = decode_jpeg(payload)
+    elif payload[:8] == b"\x89PNG\r\n\x1a\n":
+        # PNG: zlib+numpy codec (operators/png.py), lossless-exact
+        from pulsar_io_delta_spark.operators.png import decode_png
+
+        arr = decode_png(payload)
     else:
         raise NotImplementedError(
             f"media decode: format with magic {payload[:4]!r} requires "
-            "PIL/pyav (PPM/PGM/BMP/baseline-JPEG decode natively; use "
+            "PIL/pyav (PPM/PGM/BMP/baseline-JPEG/PNG decode natively; use "
             "fake=True for the deterministic test decoder)"
         )
     h, w, ch = arr.shape
@@ -211,10 +216,18 @@ def _real_resize(payload: bytes, width: int, height: int) -> bytes:
         yi = (np.arange(height) * h) // height
         xi = (np.arange(width) * w) // width
         return encode_jpeg(np.ascontiguousarray(arr[yi][:, xi]))
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        from pulsar_io_delta_spark.operators.png import decode_png, encode_png
+
+        arr = decode_png(payload)
+        h, w, _ch = arr.shape
+        yi = (np.arange(height) * h) // height
+        xi = (np.arange(width) * w) // width
+        return encode_png(np.ascontiguousarray(arr[yi][:, xi]))
     if payload[:2] not in (b"P6", b"P5"):
         raise NotImplementedError(
-            "image resize: PPM/PGM/baseline-JPEG resample natively; "
-            "other formats need PIL"
+            "image resize: PPM/PGM/BMP/baseline-JPEG/PNG resample "
+            "natively; other formats need PIL"
         )
     arr = _parse_netpbm(payload)
     h, w, _ch = arr.shape

@@ -425,6 +425,8 @@ WINDOW_MUST_INCLUDE = [
     # (a) new this round
     "q_dv_read",
     "q_column_mapping_read",
+    "q_multimodal_jpeg",
+    "q_multimodal_png",
     # (b) delta-log code paths changed this round
     "q_snapshot_diff",
     "q_merge_upsert",
@@ -474,7 +476,8 @@ WINDOW_MUST_INCLUDE = [
     "q_struct_funcs",
     "q_agg_percentiles",
     "q_window_firstlast",
-    "q_unpivot",
-    "q_asof_join",
+    # (q_unpivot / q_asof_join rotate out to make room for the two new
+    # codec queries — r5-green, unmodified, judge-gate green on current
+    # fixtures)
 ]
 promote(WINDOW_MUST_INCLUDE, after="q_stream_tumbling")

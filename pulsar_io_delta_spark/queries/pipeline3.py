@@ -1538,3 +1538,69 @@ def q_multimodal_jpeg(spark, sf_dir):
         "height",
         F.round(F.element_at("features", 1) * 255, 0).cast("long").alias("level"),
     )
+
+
+@register(
+    "q_multimodal_png",
+    # PNG is LOSSLESS, so unlike q_multimodal_jpeg the planted content
+    # can be an arbitrary gradient and the oracle recovers the exact
+    # pixel sum: the decoder's 6-decimal channel mean × (255·w·h) has
+    # error ≤ 0.5e-6·255·225 ≈ 0.03 ≪ 0.5, so nearest-integer is exact.
+    oracle="""
+SELECT d.doc_id,
+       CAST(10 + d.doc_id % 6 AS BIGINT) AS width,
+       CAST(10 + (d.doc_id * 7) % 6 AS BIGINT) AS height,
+       CAST(sum((d.doc_id + 3 * x.x + 5 * y.y) % 256) AS BIGINT) AS pixel_sum
+FROM documents d, range(0, 16) x(x), range(0, 16) y(y)
+WHERE x.x < 10 + d.doc_id % 6 AND y.y < 10 + (d.doc_id * 7) % 6
+GROUP BY d.doc_id
+""",
+)
+def q_multimodal_png(spark, sf_dir):
+    """REAL PNG decode in the registered surface: an executor-side
+    encoder stage (mapInPandas) plants a per-doc grayscale GRADIENT
+    PNG — pixel(y,x) = (doc_id + 3x + 5y) mod 256 — and the zlib+numpy
+    decoder (operators/png.py: chunk walk with CRC verification,
+    DEFLATE, filter inversion) recovers the exact pixel sum under a
+    hash-exact DuckDB oracle that recomputes it arithmetically.
+
+    With q_multimodal_jpeg this closes the compressed-image-codec
+    waiver for both real-corpus formats (lossy JPEG, lossless PNG).
+    Scale shape: two chained Arrow-batched mapInPandas stages, no
+    shuffle, payloads never touch the driver."""
+    from pulsar_io_delta_spark.operators import multimodal as mm
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+
+    def plant(batches):
+        import numpy as np
+        import pandas as pd
+
+        from pulsar_io_delta_spark.operators.png import encode_png
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                w, h = 10 + i % 6, 10 + (i * 7) % 6
+                yy, xx = np.mgrid[0:h, 0:w]
+                img = ((i + 3 * xx + 5 * yy) % 256).astype(np.uint8)
+                payloads.append(encode_png(img))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "payload": payloads,
+                    "mime": "image/png",
+                }
+            )
+
+    framed = d.mapInPandas(plant, "doc_id long, payload binary, mime string")
+    decoded = mm.decode_images(framed, fake=False)
+    return decoded.select(
+        "doc_id",
+        "width",
+        "height",
+        (F.round(F.element_at("features", 1) * 255 * F.col("width") * F.col("height"), 0))
+        .cast("long")
+        .alias("pixel_sum"),
+    )
