@@ -783,3 +783,34 @@ def q_dedup_keep_best(spark, sf_dir):
         ).alias("keep_id"),
         F.count("*").cast("long").alias("cluster_size"),
     )
+
+
+@register(
+    "q_sim_ann_pq",
+    oracle="SELECT vec_id AS qid, TRUE AS plant_recovered FROM embeddings WHERE vec_id < 10",
+)
+def q_sim_ann_pq(spark, sf_dir):
+    """Product-quantization ANN (operators/similarity.py::ann_topk_pq —
+    per-subspace k-means codebooks, m-byte codes, asymmetric-distance
+    table-lookup scan) under the same planted-recall contract as
+    q_sim_ann_ivf: an EXACT copy of each query vector quantizes to the
+    argmin centroid in EVERY subspace, so its ADC distance equals the
+    global minimum Σ_j min_c ||q_j − c||² and it must land in the
+    query's top-k (ties broken by cid would need ≥k distinct vectors
+    sharing the identical 8-cell product code — 16⁸ cells — to evict
+    it). 100% recovery is construction, not sampling; a false row is a
+    real codes/table/join bug. Codebook float internals stay out of the
+    contract; semantic accuracy is pinned in tests/test_llm_ops.py."""
+    emb = table(spark, sf_dir, "embeddings")
+    plants = emb.select(
+        (F.col("vec_id") + PLANT_OFFSET).alias("vec_id"), "embedding"
+    ).where(F.col("vec_id") - PLANT_OFFSET < 10)
+    corpus = emb.select("vec_id", "embedding").unionAll(plants)
+    topk = sim.ann_topk_pq(corpus, F.col("vec_id") < 10, k=5, rerank_shortlist=50)
+    expected = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), (F.col("vec_id") + PLANT_OFFSET).alias("cid")
+    )
+    hit = topk.select("qid", "cid").withColumn("plant_recovered", F.lit(True))
+    return expected.join(hit, ["qid", "cid"], "left").select(
+        "qid", F.coalesce("plant_recovered", F.lit(False)).alias("plant_recovered")
+    )

@@ -385,3 +385,43 @@ def test_real_avi_frame_sampling(spark):
                                 "doc_id long, payload binary, mime string")
     with pytest.raises(Exception, match="00dc|pyav"):
         mm.sample_frames(bdf, every_n=1, fake=False).collect()
+
+
+def test_pq_recall_vs_exact_l2(spark, sf_dir):
+    """PQ ADC (8 subspaces × 16 centroids over 64 dims) should recover
+    most exact L2 top-5 — the quantization-error recall bound. Also
+    pins the contract basics: ≤ k per query, ADC non-negative and
+    non-decreasing in rank."""
+    from pyspark.sql.window import Window
+
+    emb = table(spark, sf_dir, "embeddings")
+    base = sim.with_norm2(emb)
+    q = base.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    j = base.join(F.broadcast(q), F.col("qid") != F.col("vec_id"))
+    l2 = F.expr(
+        "aggregate(zip_with(qv, v, (x, y) -> (x - y) * (x - y)), "
+        "cast(0 as double), (acc, x) -> acc + x)"
+    )
+    w = Window.partitionBy("qid").orderBy(F.asc("d"), F.asc("vec_id"))
+    exact = {
+        (r.qid, r.vec_id)
+        for r in j.withColumn("d", l2)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .collect()
+    }
+    pq = sim.ann_topk_pq(
+        emb, F.col("vec_id") < 10, k=5, rerank_shortlist=100
+    ).collect()
+    assert len(pq) <= 50
+    by_q: dict = {}
+    for r in pq:
+        assert r.adc_r >= 0
+        by_q.setdefault(r.qid, []).append((r.rn, r.adc_r))
+    for rows in by_q.values():
+        rows.sort()
+        assert all(rows[i][1] <= rows[i + 1][1] for i in range(len(rows) - 1))
+    recall = len(exact & {(r.qid, r.cid) for r in pq}) / len(exact)
+    assert recall >= 0.7, f"PQ recall too low: {recall}"
