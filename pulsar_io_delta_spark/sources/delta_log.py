@@ -1687,7 +1687,15 @@ class DeltaTable:
     def vacuum(self, retention_ms: int = 7 * 24 * 3600 * 1000) -> list[str]:
         """Physically delete data files no longer referenced by the
         latest snapshot whose removal is older than the retention
-        horizon. Never touches live files or the log itself."""
+        horizon. Never touches live files or the log itself.
+
+        Deletion-vector ``.bin`` files are reclaimed the same way
+        (round 8): a DV file superseded by a re-delete (DV∪DV union
+        re-adds the path with a NEW descriptor) is unreferenced by the
+        latest snapshot and ages out by file mtime — without this,
+        every delete_where_dv leaks its predecessor's bitmap file
+        forever. Live descriptors (u-storage on live adds) are never
+        touched."""
         snap = self.snapshot()
         live = set(snap.files)
         horizon = int(time.time() * 1000) - retention_ms
@@ -1704,6 +1712,28 @@ class DeltaTable:
                 if self.fs.exists(fp):
                     self.fs.remove(fp)
                     deleted.append(rel)
+        # unreferenced deletion-vector files (mtime-aged, like every
+        # vacuum treats untracked files)
+        from pulsar_io_delta_spark.sources.deletion_vectors import dv_relative_path
+
+        live_dv = set()
+        for p in snap.files:
+            dv = snap.adds.get(p, {}).get("deletionVector")
+            if dv and dv.get("storageType") == "u":
+                live_dv.add(
+                    os.path.normpath(
+                        os.path.join(self.path, dv_relative_path(dv["pathOrInlineDv"]))
+                    )
+                )
+        for fp in list(self.fs.walk_files(self.path)):
+            name = os.path.basename(fp)
+            if not (name.startswith("deletion_vector_") and name.endswith(".bin")):
+                continue
+            if os.path.normpath(fp) in live_dv:
+                continue
+            if self.fs.mtime_ms(fp) <= horizon:
+                self.fs.remove(fp)
+                deleted.append(os.path.relpath(fp, self.path))
         return deleted
 
     def last_txn_version(self, app_id: str) -> int:

@@ -506,3 +506,29 @@ def test_column_mapping_plus_dv_read(spark, tmp_path):
     out = DeltaTable(root).read(spark)
     assert set(out.columns) == {"event_id", "value"}
     assert {r.event_id for r in out.collect()} == {1, 2, 3, 5, 6, 7, 8}
+
+
+def test_vacuum_reclaims_superseded_dv_files(spark, tmp_path):
+    """A re-delete supersedes the file's previous DV descriptor; the old
+    .bin becomes unreferenced and must age out under vacuum, while the
+    live DV file survives ANY retention (never mtime-aged away)."""
+    import glob
+
+    t = DeltaTable(str(tmp_path / "t"))
+    t.write(_events(spark, 30).coalesce(1))
+    t.delete_where_dv(spark, "event_id < 5")    # DV file A
+    t.delete_where_dv(spark, "event_id >= 25")  # DV file B (A∪new), A now stale
+    bins = glob.glob(str(tmp_path / "t" / "deletion_vector_*.bin"))
+    assert len(bins) == 2
+    # retention larger than the files' age: nothing reclaimed
+    assert t.vacuum(retention_ms=3_600_000) == []
+    # zero retention: the superseded file goes, the live one stays
+    gone = t.vacuum(retention_ms=0)
+    assert len(gone) == 1 and gone[0].startswith("deletion_vector_")
+    live_bins = glob.glob(str(tmp_path / "t" / "deletion_vector_*.bin"))
+    assert len(live_bins) == 1
+    out = t.read(spark)
+    assert out.count() == 20
+    assert {r.event_id for r in out.collect()} == set(range(5, 25))
+    # another vacuum is a no-op (the live DV is referenced)
+    assert t.vacuum(retention_ms=0) == []

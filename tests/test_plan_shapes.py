@@ -157,3 +157,57 @@ def test_zorder_scan_zero_shuffle_with_pushdown(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q_zorder_scan")
     assert "Exchange" not in plan, plan
     assert "PushedFilters: [" in plan and "LessThan" in plan, plan
+
+
+def test_dv_read_plan_broadcast_antijoin_no_driver_rows(spark, tmp_path):
+    """The DV read path must plan a BROADCAST left-anti join against the
+    expanded deleted-index side (cardinalities from the log are far
+    under the 4M threshold) and the expansion itself must be a
+    mapInPandas stage (ArrowEvalPython/MapInPandas), never a
+    LocalTableScan of driver-materialized row indexes."""
+    import pyspark.sql.functions as F
+
+    from pulsar_io_delta_spark.sources.delta_log import DeltaTable
+
+    t = DeltaTable(str(tmp_path / "t"))
+    t.write(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(100)], "event_id long, value double"
+        ).coalesce(1)
+    )
+    t.delete_where_dv(spark, "event_id >= 90")
+    df = t.read(spark)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert "MapInPandas" in plan, plan
+    # and no driver-side LocalTableScan of expanded row indexes: the
+    # only LocalTableScan allowed is the 1-row descriptor table
+    assert df.count() == 90
+
+
+def test_pq_code_scan_is_jvm_only(spark, sf_dir):
+    """PQ encode + ADC scan are pure JVM expressions: the shortlist
+    subplan must contain no Python eval nodes (codes are computed by
+    catalyst higher-order functions, not a UDF) and the query side must
+    broadcast."""
+    import pyspark.sql.functions as F
+
+    from pulsar_io_delta_spark.operators import similarity as sim
+    from pulsar_io_delta_spark.tables import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    out = sim.ann_topk_pq(emb, F.col("vec_id") < 3, k=3, iters=1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
+    assert "BroadcastExchange" in plan, plan
+    assert "CartesianProduct" not in plan.replace("BroadcastNestedLoopJoin", ""), plan
+
+
+def test_multimodal_codec_pipeline_no_shuffle(spark, sf_dir):
+    """The planted-codec queries are two chained mapInPandas stages —
+    the executed plan must contain NO exchange (narrow end-to-end;
+    payloads never shuffle, never reach the driver)."""
+    for name in ("q_multimodal_jpeg", "q_multimodal_png"):
+        plan = _plan(spark, sf_dir, name)
+        assert "Exchange" not in plan, (name, plan)
+        assert plan.count("MapInPandas") >= 2, (name, plan)

@@ -254,3 +254,76 @@ def test_pagerank_integer_recurrence_is_bounded(pairs):
     total = sum(pr.values())
     assert 0 < total <= scale
     assert all(p >= base for p in pr.values())
+
+
+# ---------------------------------------------------------------------------
+# round 8: on-disk format kernels (DV bitmaps, Z85, JPEG/PNG codecs)
+
+
+@given(st.binary(max_size=256).filter(lambda b: len(b) % 4 == 0))
+def test_z85_round_trip(data):
+    from pulsar_io_delta_spark.sources.deletion_vectors import z85_decode, z85_encode
+
+    assert z85_decode(z85_encode(data)) == data
+
+
+@given(
+    st.sets(
+        st.integers(min_value=0, max_value=2**40),
+        max_size=300,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_roaring_bitmap_round_trip(indexes):
+    from pulsar_io_delta_spark.sources.deletion_vectors import (
+        deserialize_bitmap,
+        serialize_bitmap,
+    )
+
+    assert deserialize_bitmap(serialize_bitmap(indexes)) == sorted(indexes)
+
+
+@given(
+    st.sets(st.integers(min_value=0, max_value=100_000), min_size=1, max_size=200)
+)
+@settings(max_examples=30, deadline=None)
+def test_inline_dv_descriptor_round_trip(indexes):
+    from pulsar_io_delta_spark.sources.deletion_vectors import (
+        inline_descriptor,
+        resolve_dv,
+    )
+
+    assert resolve_dv(inline_descriptor(indexes), "/unused") == sorted(indexes)
+
+
+@given(
+    st.integers(min_value=1, max_value=24),
+    st.integers(min_value=1, max_value=24),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_png_round_trip_arbitrary_images(w, h, seed):
+    import numpy as np
+
+    from pulsar_io_delta_spark.operators.png import decode_png, encode_png
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(img)), img)
+
+
+@given(st.integers(min_value=0, max_value=127))
+@settings(max_examples=30, deadline=None)
+def test_jpeg_solid_even_level_exact(offset):
+    """Every even level-shift offset round-trips exactly (DC multiple of
+    the quant step, zero AC) — the invariant q_multimodal_jpeg's oracle
+    depends on."""
+    import numpy as np
+
+    from pulsar_io_delta_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    level = 128 + 2 * (offset - 64)
+    if not 0 <= level <= 255:
+        return
+    img = np.full((9, 13), level, dtype=np.uint8)
+    assert np.all(decode_jpeg(encode_jpeg(img)) == level)
