@@ -425,6 +425,7 @@ WINDOW_MUST_INCLUDE = [
     # (a) new this round
     "q_dv_read",
     "q_column_mapping_read",
+    "q_column_mapping_write",
     "q_multimodal_jpeg",
     "q_multimodal_png",
     "q_sim_ann_pq",

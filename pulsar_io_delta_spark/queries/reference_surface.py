@@ -378,3 +378,90 @@ def q_column_mapping_read(spark, sf_dir):
     return t.read(spark, filters=[("event_type", "=", "click")]).select(
         "event_id", "user_id", "event_type", "value"
     )
+
+
+@register(
+    "q_column_mapping_write",
+    oracle="""
+SELECT event_id, event_type, value
+FROM events
+WHERE event_id % 5 != 0
+  AND NOT (event_id % 7 = 1 AND event_type = 'click')
+""",
+)
+def q_column_mapping_write(spark, sf_dir):
+    """Name-mode column-mapping WRITE lifecycle (round 8; Delta
+    PROTOCOL.md "Column Mapping" — the reference writer,
+    DeltaReader.java:301-303 era, predates mapping entirely): every
+    staging path of this engine renames logical → physical before
+    touching disk, so data files and hive partition dirs of a mapped
+    table never contain logical names.
+
+    Lifecycle on a handwritten EMPTY mapped table (physical names
+    c_xxxx, mapped PARTITION column):
+    - append all events via write(partition_by=['event_type']);
+    - delete_where_dv('event_id % 5 = 0') — merge-on-read DV delete,
+      logical predicate over physical row ordinals;
+    - delete_where('event_id % 7 = 1', filters=[event_type='click']) —
+      rewrite path, partition pruning translated logical → physical
+      (only the click partition's files are rewritten; the DV survives
+      the rewrite via _scan_live);
+    - compact(target_files=2) — dataChange=false physical re-staging.
+
+    Scale shape: identical to the unmapped paths (the rename is a
+    zero-cost projection); pruning still happens on partitionValues
+    before any file is opened."""
+    import json as _json
+    import tempfile
+
+    from pulsar_io_delta_spark.sources.delta_log import DeltaTable
+
+    root = tempfile.mkdtemp(prefix="pids_cmw_") + "/tbl"
+    logical = [
+        ("event_id", "c_11aa", "long"),
+        ("event_type", "c_22bb", "string"),
+        ("value", "c_33cc", "double"),
+    ]
+    schema = _json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {
+                    "name": name,
+                    "type": typ,
+                    "nullable": True,
+                    "metadata": {
+                        "delta.columnMapping.id": i + 1,
+                        "delta.columnMapping.physicalName": pname,
+                    },
+                }
+                for i, (name, pname, typ) in enumerate(logical)
+            ],
+        }
+    )
+    actions = [
+        {"commitInfo": {"timestamp": 1700000000000, "operation": "CREATE TABLE"}},
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["columnMapping"],
+                      "writerFeatures": ["columnMapping"]}},
+        {"metaData": {"id": "cmw-fixture", "schemaString": schema,
+                      "partitionColumns": ["event_type"],
+                      "format": {"provider": "parquet", "options": {}},
+                      "configuration": {"delta.columnMapping.mode": "name"}}},
+    ]
+    os.makedirs(os.path.join(root, "_delta_log"))
+    with open(os.path.join(root, "_delta_log", f"{0:020d}.json"), "w") as f:
+        for a in actions:
+            f.write(_json.dumps(a) + "\n")
+    t = DeltaTable(root)
+    e = table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    t.write(e, partition_by=["event_type"])
+    t.delete_where_dv(spark, "event_id % 5 = 0")
+    t.delete_where(spark, "event_id % 7 = 1", filters=[("event_type", "=", "click")])
+    t.compact(spark, target_files=2)
+    # staged files must be physically named — assert, don't assume
+    snap = t.snapshot()
+    for rel in snap.files:
+        if "c_22bb=" not in rel:
+            raise AssertionError(f"logical name leaked into data path: {rel}")
+    return t.read(spark).select("event_id", "event_type", "value")

@@ -153,8 +153,8 @@ _SUPPORTED_READER_FEATURES = {"deletionVectors", "columnMapping", "timestampNtz"
 # or checkConstraints must not be mutated by a writer that would
 # silently violate them). appendOnly is enforced through its
 # delta.appendOnly config switch; invariants through a loud gate on
-# delta.invariants schema metadata; columnMapping through the
-# read-only-when-mapped gate.
+# delta.invariants schema metadata; columnMapping (name mode) through
+# physical-name staging in _stage_and_move ('id' mode stays loud).
 _SUPPORTED_WRITER_FEATURES = {
     "deletionVectors",
     "timestampNtz",
@@ -656,14 +656,11 @@ class DeltaTable:
         scanning a date range.
         """
         snap = self.snapshot(version, timestamp_ms)
-        mapping = _column_mapping(snap.schema_string, snap.configuration)
-        phys_filters = filters
-        if mapping and filters:
-            # the log's partitionValues / stats are keyed by PHYSICAL
-            # names under column mapping — translate before pruning
-            to_phys = {logical: phys for phys, logical in mapping[1]}
-            phys_filters = [(to_phys.get(c, c), op, v) for c, op, v in filters]
-        files = self.prune_files(snap, phys_filters) if filters else snap.files
+        files = (
+            self.prune_files(snap, self._phys_filters(snap, filters))
+            if filters
+            else snap.files
+        )
         if not files:
             if snap.schema_string is None:
                 raise DeltaProtocolError("empty table with no schema")
@@ -758,6 +755,26 @@ class DeltaTable:
         if total_card <= 4_000_000:  # ≈64 MB of (path-hash, long) — safe to ship
             deleted = F.broadcast(deleted)
         return deleted
+
+    def _scan_logical_meta(
+        self, spark: SparkSession, snap: Snapshot, rel_paths: list[str], ridx: bool = False
+    ) -> DataFrame:
+        """Scan files under LOGICAL column names with ``_fp`` (decoded
+        file path) — and ``_ridx`` when asked — attached BEFORE any
+        column-mapping rename (file metadata must be captured on the
+        physical scan). Rows are NOT DV-filtered; writer paths that need
+        visibility use _scan_live instead."""
+        mapping = self._mapping_of(snap)
+        df = self._read_files(
+            spark, rel_paths, schema_string=mapping[0] if mapping else snap.schema_string
+        )
+        df = df.withColumn("_fp", _posix_path_col(F.col("_metadata.file_path")))
+        if ridx:
+            df = df.withColumn("_ridx", F.col("_metadata.row_index"))
+        if mapping:
+            keep = ["_fp"] + (["_ridx"] if ridx else [])
+            df = df.select([F.col(p).alias(l) for p, l in mapping[1]] + keep)
+        return df
 
     def _apply_dv_antijoin(
         self, spark: SparkSession, df: DataFrame, dv_by_abs: dict[str, dict]
@@ -1011,8 +1028,54 @@ class DeltaTable:
         with self.fs.open_read(path) as f:
             return _file_stats(f)
 
-    def _stage_and_move(self, df: DataFrame, partition_by: list[str]) -> list[dict]:
-        """Write df as parquet into the table dir; return add actions."""
+    @staticmethod
+    def _mapping_of(snap: Snapshot):
+        return _column_mapping(snap.schema_string, snap.configuration)
+
+    @staticmethod
+    def _to_physical(df: DataFrame, mapping) -> DataFrame:
+        """Rename logical → physical columns for staging into a
+        name-mode column-mapped table (only columns present in df are
+        renamed; the physical schemaString null-fills the rest on
+        read)."""
+        if not mapping:
+            return df
+        to_phys = {logical: phys for phys, logical in mapping[1]}
+        return df.select(
+            [F.col(c).alias(to_phys.get(c, c)) for c in df.columns]
+        )
+
+    @staticmethod
+    def _physical_pcols(mapping, pcols: list[str]) -> list[str]:
+        if not mapping:
+            return pcols
+        to_phys = {logical: phys for phys, logical in mapping[1]}
+        return [to_phys.get(c, c) for c in pcols]
+
+    def _phys_filters(
+        self, snap: Snapshot, filters: list[tuple[str, str, object]] | None
+    ) -> list[tuple[str, str, object]] | None:
+        """Rename logical filter columns to physical for data skipping:
+        add-action ``partitionValues`` and parquet-footer stats of a
+        column-mapped table are keyed by PHYSICAL names."""
+        if not filters:
+            return filters
+        mapping = self._mapping_of(snap)
+        if not mapping:
+            return filters
+        to_phys = {logical: phys for phys, logical in mapping[1]}
+        return [(to_phys.get(c, c), op, v) for c, op, v in filters]
+
+    def _stage_and_move(
+        self, df: DataFrame, partition_by: list[str], mapping=None
+    ) -> list[dict]:
+        """Write df as parquet into the table dir; return add actions.
+        ``mapping`` (from _column_mapping) stages under PHYSICAL column
+        names — data files and hive partition dirs of a mapped table
+        must never contain logical names."""
+        if mapping:
+            df = self._to_physical(df, mapping)
+            partition_by = self._physical_pcols(mapping, partition_by)
         staging = os.path.join(self.path, f"_staging_{uuid.uuid4().hex}")
         writer = df.write.mode("overwrite")
         if partition_by:
@@ -1101,6 +1164,7 @@ class DeltaTable:
         first = not (self.exists() and self.versions())
         read_version: int | None = None  # blind append unless state-dependent
         state_dependent = False
+        mapping = None  # set for non-first writes to name-mode mapped tables
         if txn is not None:
             app_id, txn_version = txn
             if self.last_txn_version(app_id) >= txn_version:
@@ -1127,9 +1191,17 @@ class DeltaTable:
             prior = self.snapshot()
             # overwrite emits data-changing removes; append does not
             self._guard_writable(prior, data_change_removes=(mode == "overwrite"))
+            mapping = self._mapping_of(prior)
             self._validate_constraints(df, prior.configuration)
             merged = self._merge_schema_strings(prior.schema_string, df.schema.json())
             if merged is not None:
+                if mapping:
+                    # new columns on a mapped table need physicalName +
+                    # maxColumnId assignment — out of scope, loud
+                    raise DeltaProtocolError(
+                        "schema evolution on column-mapped tables is not "
+                        "supported; add the column with a mapping-aware tool"
+                    )
                 md = self._metadata_action(
                     df, partition_by or prior.partition_columns, prior.configuration
                 )
@@ -1145,7 +1217,7 @@ class DeltaTable:
             actions.extend(self._remove_action(snap, p, now_ms) for p in snap.files)
         elif mode not in ("append", "overwrite"):
             raise ValueError(f"unsupported mode: {mode}")
-        actions.extend(self._stage_and_move(df, partition_by))
+        actions.extend(self._stage_and_move(df, partition_by, mapping=mapping))
         while True:
             try:
                 return self._commit(actions, operation=mode.upper(), read_version=read_version)
@@ -1191,14 +1263,14 @@ class DeltaTable:
             )
         keys = source.select(*key_cols).distinct()
         if snap.files:
-            scan = self._read_files(spark, snap.files, schema_string=snap.schema_string)
-            # _metadata.file_path is a percent-encoded Hadoop URI; decode
-            # (not just strip the scheme) so relpath keys survive spaces,
-            # '%', '+', and non-ASCII in table/partition paths
+            # logical-named scan with decoded _fp (the percent-encoded
+            # Hadoop URI is decoded so relpath keys survive spaces, '%',
+            # '+', non-ASCII; mapped tables rename physical → logical
+            # AFTER the metadata capture)
+            scan = self._scan_logical_meta(spark, snap, snap.files)
             touched_abs = [
                 r._fp
-                for r in scan.withColumn("_fp", _posix_path_col(F.col("_metadata.file_path")))
-                .join(keys, key_cols, "left_semi")
+                for r in scan.join(keys, key_cols, "left_semi")
                 .select("_fp")
                 .distinct()
                 .collect()
@@ -1228,16 +1300,20 @@ class DeltaTable:
         now_ms = int(time.time() * 1000)
         actions: list[dict] = [self._remove_action(snap, p, now_ms) for p in touched]
         self._validate_constraints(rewritten, snap.configuration)
-        actions.extend(self._stage_and_move(rewritten, snap.partition_columns))
+        actions.extend(
+            self._stage_and_move(
+                rewritten, snap.partition_columns, mapping=self._mapping_of(snap)
+            )
+        )
         return self._commit(actions, operation="MERGE", read_version=snap.version)
 
     @staticmethod
     def _guard_writable(snap: Snapshot, data_change_removes: bool = True) -> None:
         """Writer-side gates, mirroring _check_protocol (ADVICE r7 #3).
 
-        - Column-mapped tables are read-only here: our writer stages
-          files under logical names, which would corrupt a physical-name
-          table. Loud, not silent.
+        - 'id'-mode column mapping raises loudly inside _column_mapping
+          (name-mode tables are WRITABLE since round 8: every staging
+          path renames logical → physical via _stage_and_move).
         - minWriterVersion 3-6 imply legacy features (checkConstraints,
           changeDataFeed, generatedColumns, identityColumns, ...) this
           writer does not implement — reject.
@@ -1248,10 +1324,7 @@ class DeltaTable:
           column invariants (schema-metadata-armed) refuse all writes —
           we do not evaluate them, so committing would skip enforcement.
         """
-        if _column_mapping(snap.schema_string, snap.configuration):
-            raise DeltaProtocolError(
-                "writes to column-mapped tables are not supported (read-only)"
-            )
+        _column_mapping(snap.schema_string, snap.configuration)  # id-mode gate
         p = snap.protocol
         mwv = int(p.get("minWriterVersion") or 2)
         if mwv > 2:
@@ -1325,17 +1398,19 @@ class DeltaTable:
 
         snap = self.snapshot()
         self._guard_writable(snap)
-        candidates = self.prune_files(snap, filters) if filters else list(snap.files)
+        candidates = self.prune_files(
+            snap, self._phys_filters(snap, filters)
+        ) if filters else list(snap.files)
         now_ms = int(time.time() * 1000)
         if not candidates:
             return self._commit([], operation="DELETE", read_version=snap.version)
-        scan = self._read_files(spark, candidates, schema_string=snap.schema_string)
         # Already-deleted rows may re-match the predicate — harmless:
         # the union with the old DV below makes re-deletion idempotent,
-        # and skipping the DV apply here saves a join.
+        # and skipping the DV apply here saves a join. Mapped tables
+        # evaluate the (logical-name) predicate after the rename while
+        # _ridx stays the PHYSICAL row ordinal the DV addresses.
         matched = (
-            scan.withColumn("_fp", _posix_path_col(F.col("_metadata.file_path")))
-            .withColumn("_ridx", F.col("_metadata.row_index"))
+            self._scan_logical_meta(spark, snap, candidates, ridx=True)
             .where(predicate)
             .select("_fp", "_ridx")
         )
@@ -1410,14 +1485,20 @@ class DeltaTable:
         rewritten (the pre-round-6 behavior)."""
         snap = self.snapshot()
         self._guard_writable(snap)
-        touched = self.prune_files(snap, filters) if filters else list(snap.files)
+        touched = self.prune_files(
+            snap, self._phys_filters(snap, filters)
+        ) if filters else list(snap.files)
         now_ms = int(time.time() * 1000)
         actions: list[dict] = [self._remove_action(snap, p, now_ms) for p in touched]
         if touched:
             # _scan_live, not _read_files: rewriting a file that carries
             # a DV must not resurrect its deleted rows
             kept = self._scan_live(spark, snap, touched).where(f"NOT ({predicate})")
-            actions.extend(self._stage_and_move(kept, snap.partition_columns))
+            actions.extend(
+                self._stage_and_move(
+                    kept, snap.partition_columns, mapping=self._mapping_of(snap)
+                )
+            )
         return self._commit(actions, operation="DELETE", read_version=snap.version)
 
     def diff(
@@ -1678,7 +1759,9 @@ class DeltaTable:
             self._remove_action(snap, p, now_ms, data_change=False)
             for p in snap.files
         ]
-        adds = self._stage_and_move(df, snap.partition_columns)
+        adds = self._stage_and_move(
+            df, snap.partition_columns, mapping=self._mapping_of(snap)
+        )
         for a in adds:
             a["add"]["dataChange"] = False
         actions.extend(adds)

@@ -1,0 +1,199 @@
+"""Column-mapped table WRITE paths (round 8): every staging path
+(append / overwrite / merge / delete rewrite / DV delete / OPTIMIZE)
+on a name-mode mapped table must put PHYSICAL column names in data
+files and hive partition dirs, keep add-action partitionValues keyed
+physical, and still present LOGICAL names to every reader.
+
+Format authority: the public Delta protocol spec (delta-io/delta
+PROTOCOL.md "Column Mapping") — physical names live in parquet files
+and partitionValues; logical names live only in the schemaString. The
+reference reader (DeltaReader.java:301-303) predates column mapping.
+"""
+
+import json
+import os
+
+import pytest
+
+from pulsar_io_delta_spark.sources.delta_log import (
+    DeltaProtocolError,
+    DeltaTable,
+)
+
+SCHEMA = json.dumps(
+    {
+        "type": "struct",
+        "fields": [
+            {"name": "event_id", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.physicalName": "p_1"}},
+            {"name": "category", "type": "string", "nullable": True,
+             "metadata": {"delta.columnMapping.physicalName": "p_2"}},
+            {"name": "value", "type": "double", "nullable": True,
+             "metadata": {"delta.columnMapping.physicalName": "p_3"}},
+        ],
+    }
+)
+
+
+@pytest.fixture
+def mapped_table(tmp_path):
+    """An EMPTY name-mode mapped table (handwritten v0: protocol +
+    metaData, no data) — partitionColumns are LOGICAL names per spec."""
+    root = str(tmp_path / "cm")
+    actions = [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["columnMapping"],
+                      "writerFeatures": ["columnMapping"]}},
+        {"metaData": {"id": "cm-w", "schemaString": SCHEMA,
+                      "partitionColumns": ["category"],
+                      "format": {"provider": "parquet", "options": {}},
+                      "configuration": {"delta.columnMapping.mode": "name"}}},
+    ]
+    os.makedirs(os.path.join(root, "_delta_log"))
+    with open(os.path.join(root, "_delta_log", f"{0:020d}.json"), "w") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+    return DeltaTable(root)
+
+
+def _rows(spark, ids, cat="a"):
+    return spark.createDataFrame(
+        [(i, cat, float(i)) for i in ids],
+        "event_id long, category string, value double",
+    )
+
+
+def _data_files(t):
+    out = []
+    for dirpath, _dirs, names in os.walk(t.path):
+        if "_delta_log" in dirpath:
+            continue
+        out.extend(os.path.join(dirpath, n) for n in names if n.endswith(".parquet"))
+    return out
+
+
+def test_append_stages_physical_names(spark, mapped_table):
+    t = mapped_table
+    t.write(_rows(spark, range(5), "a"), partition_by=["category"])
+    t.write(_rows(spark, range(5, 8), "b"), partition_by=["category"])
+    # reader surface: logical names, all rows
+    out = t.read(spark)
+    assert set(out.columns) == {"event_id", "category", "value"}
+    assert {(r.event_id, r.category) for r in out.collect()} == {
+        (i, "a") for i in range(5)
+    } | {(i, "b") for i in range(5, 8)}
+    # disk surface: physical names in files AND partition dirs
+    files = _data_files(t)
+    assert files
+    for fp in files:
+        raw = spark.read.parquet(fp)
+        assert "p_1" in raw.columns and "event_id" not in raw.columns
+        assert "p_2=" in fp and "category=" not in fp
+    # add-action partitionValues keyed by PHYSICAL name (spec shape)
+    snap = t.snapshot()
+    for p in snap.files:
+        pv = snap.partition_values[p]
+        assert set(pv) == {"p_2"}, pv
+
+
+def test_partition_filter_prunes_on_logical_name(spark, mapped_table):
+    t = mapped_table
+    t.write(_rows(spark, range(5), "a"), partition_by=["category"])
+    t.write(_rows(spark, range(5, 9), "b"), partition_by=["category"])
+    snap = t.snapshot()
+    pruned = t.prune_files(snap, t._phys_filters(snap, [("category", "=", "b")]))
+    assert 0 < len(pruned) < len(snap.files)
+    got = t.read(spark, filters=[("category", "=", "b")])
+    assert {r.event_id for r in got.collect()} == {5, 6, 7, 8}
+
+
+def test_overwrite_and_compact_keep_physical_staging(spark, mapped_table):
+    t = mapped_table
+    t.write(_rows(spark, range(4)), partition_by=["category"])
+    t.write(_rows(spark, range(100, 104)), mode="overwrite",
+            partition_by=["category"])
+    t.compact(spark, target_files=1)
+    out = t.read(spark)
+    assert {r.event_id for r in out.collect()} == set(range(100, 104))
+    for fp in _data_files(t):
+        assert "event_id" not in spark.read.parquet(fp).columns
+
+
+def test_merge_upsert_on_mapped_table(spark, mapped_table):
+    t = mapped_table
+    t.write(_rows(spark, range(6)), partition_by=["category"])
+    src = spark.createDataFrame(
+        [(4, "a", 400.0), (10, "a", 10.0)],
+        "event_id long, category string, value double",
+    )
+    t.merge_upsert(spark, src, key_cols=["event_id"])
+    got = {r.event_id: r.value for r in t.read(spark).collect()}
+    assert got[4] == 400.0 and got[10] == 10.0 and len(got) == 7
+
+
+def test_delete_where_rewrite_on_mapped_table(spark, mapped_table):
+    t = mapped_table
+    t.write(_rows(spark, range(8), "a"), partition_by=["category"])
+    t.write(_rows(spark, range(8, 12), "b"), partition_by=["category"])
+    t.delete_where(spark, "event_id < 3", filters=[("category", "=", "a")])
+    assert {r.event_id for r in t.read(spark).collect()} == set(range(3, 12))
+    for fp in _data_files(t):
+        assert "p_1" in spark.read.parquet(fp).columns
+
+
+def test_delete_where_dv_on_mapped_table(spark, mapped_table):
+    """DV delete on a mapped table: the logical-name predicate selects
+    rows whose PHYSICAL row ordinals land in the bitmap — re-read and
+    cdc() must both hide them."""
+    t = mapped_table
+    t.write(_rows(spark, range(10)).coalesce(1), partition_by=["category"])
+    v = t.delete_where_dv(spark, "event_id IN (0, 4, 9)")
+    assert {r.event_id for r in t.read(spark).collect()} == {1, 2, 3, 5, 6, 7, 8}
+    # data file NOT rewritten (merge-on-read): same physical file re-added
+    snap = t.snapshot()
+    (only,) = snap.files
+    assert snap.adds[only]["deletionVector"]["cardinality"] == 3
+    # re-delete unions into the existing DV
+    t.delete_where_dv(spark, "event_id = 7")
+    assert {r.event_id for r in t.read(spark).collect()} == {1, 2, 3, 5, 6, 8}
+    # cdc over the DV commit: pre-DV remove re-emits all 10 rows as 'r',
+    # the DV-carrying re-add emits the 7 live rows as 'c' — under
+    # LOGICAL column names
+    ch = t.cdc(spark, start_version=v)
+    assert "event_id" in ch.columns
+    import pyspark.sql.functions as F
+
+    by = {
+        r["op"]: r["cnt"]
+        for r in ch.filter(F.col("_commit_version") == v)
+        .groupBy("op").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert by == {"r": 10, "c": 7}
+
+
+def test_schema_evolution_on_mapped_table_is_loud(spark, mapped_table):
+    t = mapped_table
+    t.write(_rows(spark, range(3)), partition_by=["category"])
+    widened = spark.createDataFrame(
+        [(3, "a", 3.0, "x")],
+        "event_id long, category string, value double, extra string",
+    )
+    with pytest.raises(DeltaProtocolError, match="column-mapped"):
+        t.write(widened, partition_by=["category"])
+
+
+def test_id_mode_mapping_still_rejected(spark, tmp_path, mapped_table):
+    root = str(tmp_path / "idm")
+    os.makedirs(os.path.join(root, "_delta_log"))
+    actions = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {"id": "idm", "schemaString": SCHEMA,
+                      "partitionColumns": [],
+                      "configuration": {"delta.columnMapping.mode": "id"}}},
+    ]
+    with open(os.path.join(root, "_delta_log", f"{0:020d}.json"), "w") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+    t = DeltaTable(root)
+    with pytest.raises(DeltaProtocolError, match="column mapping mode"):
+        t.write(_rows(spark, range(3)))

@@ -304,7 +304,7 @@ def test_no_posix_calls_in_delta_table():
 
     src = inspect.getsource(delta_log.DeltaTable)
     banned = re.findall(
-        r"os\.(?!path\.(?:join|relpath|dirname|basename|abspath)|sep)\w+"
+        r"os\.(?!path\.(?:join|relpath|dirname|basename|abspath|normpath)|sep)\w+"
         r"|(?<![\w.])open\(|shutil\.\w+",
         src,
     )
