@@ -426,6 +426,8 @@ WINDOW_MUST_INCLUDE = [
     "q_dv_read",
     "q_column_mapping_read",
     "q_column_mapping_write",
+    "q_mapping_upgrade",
+    "q_checkpoint_v2",
     "q_multimodal_jpeg",
     "q_multimodal_png",
     "q_sim_ann_pq",
@@ -472,13 +474,12 @@ WINDOW_MUST_INCLUDE = [
     "q_union_distinct",
     "q_intersect",
     "q_except",
-    "q_intersect_all",
-    "q_except_all",
     "q_regex_funcs",
     "q_struct_funcs",
-    "q_agg_percentiles",
-    # (q_window_firstlast / q_unpivot / q_asof_join rotate out to make
-    # room for the three new round-8 queries — r5-green, unmodified,
-    # judge-gate green on current fixtures)
+    # (q_window_firstlast / q_unpivot / q_asof_join, then
+    # q_intersect_all / q_except_all / q_agg_percentiles rotate out to
+    # make room for the six new round-8 queries — r5-green, unmodified,
+    # judge-gate green on current fixtures; their set-op siblings
+    # q_intersect/q_except stay sampled)
 ]
 promote(WINDOW_MUST_INCLUDE, after="q_stream_tumbling")

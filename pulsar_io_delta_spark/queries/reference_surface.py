@@ -465,3 +465,97 @@ def q_column_mapping_write(spark, sf_dir):
         if "c_22bb=" not in rel:
             raise AssertionError(f"logical name leaked into data path: {rel}")
     return t.read(spark).select("event_id", "event_type", "value")
+
+
+@register(
+    "q_mapping_upgrade",
+    oracle="""
+SELECT event_id, event_type, value, src FROM (
+  SELECT event_id, event_type, value, CAST(NULL AS VARCHAR) AS src
+  FROM events
+  UNION ALL
+  SELECT event_id, event_type, value, 'v2' AS src
+  FROM events WHERE event_type = 'click'
+)
+WHERE event_id % 6 != 2
+""",
+)
+def q_mapping_upgrade(spark, sf_dir):
+    """Column-mapping UPGRADE lifecycle (round 8): an existing unmapped
+    table is ALTERed to name-mode mapping in place — per spec upgrade
+    semantics every existing column keeps its current name as its
+    physicalName, so the files already on disk are never rewritten —
+    then evolves (new column gets a col-<uuid> physical name and bumps
+    delta.columnMapping.maxColumnId) and takes a merge-on-read DV
+    delete across the mixed pre/post-upgrade file population.
+
+    Scale shape: the upgrade is a metadata-only commit (zero data I/O
+    regardless of table size); evolution null-fills old files at scan
+    time via the pinned physical schema, no backfill rewrite."""
+    from pulsar_io_delta_spark.sources.delta_log import DeltaTable
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="pids_cmu_") + "/tbl"
+    t = DeltaTable(root)
+    e = table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    t.write(e)                      # v0: plain, unmapped
+    t.enable_column_mapping()       # v1: metadata-only upgrade
+    t.write(                        # v2: schema evolution under mapping
+        e.where(F.col("event_type") == "click").withColumn("src", F.lit("v2"))
+    )
+    t.delete_where_dv(spark, "event_id % 6 = 2")  # v3: DV over the mix
+    return t.read(spark).select("event_id", "event_type", "value", "src")
+
+
+@register(
+    "q_checkpoint_v2",
+    oracle="""
+SELECT event_id, event_type, value
+FROM events
+WHERE event_id % 9 != 4
+""",
+)
+def q_checkpoint_v2(spark, sf_dir):
+    """V2 spec checkpoint lifecycle (round 8; Delta PROTOCOL.md "V2
+    Spec Checkpoints" — the reference's delta-standalone era,
+    DeltaReader.java:301-303, predates them): the table upgrades to the
+    v2Checkpoint feature, takes a DV delete, checkpoints — checkpoint()
+    auto-selects the UUID-named v2 form because the protocol demands it
+    — and then the whole JSON history expires. The final read is served
+    ENTIRELY from the v2 checkpoint: live adds, the DV descriptor, and
+    the table-features protocol all survive expiry.
+
+    Scale shape: checkpoint bootstrap is O(live files), not O(commits)
+    — the difference between opening a 10^6-commit table in seconds vs
+    replaying a year of JSON. The reader also accepts foreign v2
+    parquet checkpoints with _sidecars/ shards (test_checkpoint_interop
+    covers that dialect on handwritten fixtures)."""
+    import tempfile
+
+    from pulsar_io_delta_spark.sources.delta_log import (
+        DeltaTable,
+        _upgraded_protocol,
+    )
+
+    root = tempfile.mkdtemp(prefix="pids_v2ck_") + "/tbl"
+    t = DeltaTable(root)
+    e = table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    t.write(e)
+    snap = t.snapshot()
+    t._commit(
+        [{"protocol": _upgraded_protocol(
+            snap.protocol, ("v2Checkpoint",), ("v2Checkpoint",)
+        )}],
+        operation="UPGRADE",
+        read_version=snap.version,
+    )
+    t.delete_where_dv(spark, "event_id % 9 = 4")
+    v = t.checkpoint()  # auto-v2: the protocol demands it
+    t.expire_log()
+    # the log is now checkpoint-only; bootstrap must come from v2
+    t2 = DeltaTable(root)
+    if t2.json_versions():
+        raise AssertionError("expiry left JSON commits behind")
+    if t2.checkpoint_versions() != [v]:
+        raise AssertionError("v2 checkpoint not discovered after expiry")
+    return t2.read(spark).select("event_id", "event_type", "value")

@@ -46,6 +46,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 import uuid
 from dataclasses import dataclass, field
@@ -146,7 +147,12 @@ class Snapshot:
 # table-features model, minReaderVersion 3). Anything else still fails
 # loudly — a feature we silently ignored could mis-read data (e.g. v2
 # checkpoints would make us miss adds entirely).
-_SUPPORTED_READER_FEATURES = {"deletionVectors", "columnMapping", "timestampNtz"}
+_SUPPORTED_READER_FEATURES = {
+    "deletionVectors",
+    "columnMapping",
+    "timestampNtz",
+    "v2Checkpoint",
+}
 
 # Writer features this engine implements (write paths consult these via
 # _guard_writable — ADVICE r7 #3: a table advertising e.g. rowTracking
@@ -161,16 +167,21 @@ _SUPPORTED_WRITER_FEATURES = {
     "columnMapping",
     "appendOnly",
     "invariants",
+    # checkpoint() auto-switches to the v2 form when the protocol
+    # demands it (spec: classic checkpoints forbidden on such tables)
+    "v2Checkpoint",
 }
 
 
-def _dv_upgraded_protocol(prior: dict) -> dict:
-    """Protocol action for a DV-writing commit: upgrade to the
-    table-features form by MERGING with the prior protocol — the spec
-    forbids dropping features, and a legacy version's implicit features
-    must be enumerated on upgrade (ADVICE r7 #1: re-stating a bare
-    deletionVectors protocol would strip e.g. timestampNtz and lose a
-    downstream reader's refusal gate)."""
+def _upgraded_protocol(
+    prior: dict, reader_features: tuple[str, ...], writer_features: tuple[str, ...]
+) -> dict:
+    """Protocol action adding features: upgrade to the table-features
+    form by MERGING with the prior protocol — the spec forbids dropping
+    features, and a legacy version's implicit features must be
+    enumerated on upgrade (ADVICE r7 #1: re-stating a bare new-feature
+    protocol would strip e.g. timestampNtz and lose a downstream
+    reader's refusal gate)."""
     mrv = int(prior.get("minReaderVersion") or 1)
     mwv = int(prior.get("minWriterVersion") or 2)
     rf = set(prior.get("readerFeatures") or ())
@@ -179,14 +190,18 @@ def _dv_upgraded_protocol(prior: dict) -> dict:
         rf.add("columnMapping")  # implied by legacy reader version 2
     if mwv == 2:
         wf |= {"appendOnly", "invariants"}  # implied by legacy writer v2
-    rf.add("deletionVectors")
-    wf.add("deletionVectors")
+    rf |= set(reader_features)
+    wf |= set(writer_features)
     return {
         "minReaderVersion": 3,
         "minWriterVersion": 7,
         "readerFeatures": sorted(rf),
         "writerFeatures": sorted(wf),
     }
+
+
+def _dv_upgraded_protocol(prior: dict) -> dict:
+    return _upgraded_protocol(prior, ("deletionVectors",), ("deletionVectors",))
 
 
 def _check_protocol(p: dict) -> None:
@@ -258,6 +273,34 @@ def _column_mapping(
     return json.dumps({"type": "struct", "fields": phys_fields}), renames
 
 
+def _assign_mapping_metadata(
+    merged_schema: str, configuration: dict
+) -> tuple[str, dict]:
+    """Assign ``delta.columnMapping.id`` + ``physicalName`` to fields
+    lacking them — schema evolution on a name-mode mapped table. New
+    columns get ``col-<uuid>`` physical names (never reused, so a
+    dropped-and-readded column cannot resurrect old data) and the next
+    free id; ``delta.columnMapping.maxColumnId`` advances past the
+    highest assigned id (Delta PROTOCOL.md "Column Mapping"
+    invariants)."""
+    s = json.loads(merged_schema)
+    max_id = int((configuration or {}).get("delta.columnMapping.maxColumnId") or 0)
+    for f in s["fields"]:
+        fid = (f.get("metadata") or {}).get("delta.columnMapping.id")
+        if fid is not None:
+            max_id = max(max_id, int(fid))
+    for f in s["fields"]:
+        meta = dict(f.get("metadata") or {})
+        if "delta.columnMapping.physicalName" not in meta:
+            max_id += 1
+            meta["delta.columnMapping.id"] = max_id
+            meta["delta.columnMapping.physicalName"] = f"col-{uuid.uuid4()}"
+            f["metadata"] = meta
+    config = dict(configuration or {})
+    config["delta.columnMapping.maxColumnId"] = str(max_id)
+    return json.dumps(s), config
+
+
 def _posix_path_col(file_path_col: Column) -> Column:
     """Decode ``_metadata.file_path`` (a Hadoop-style URI such as
     ``file:/abs/path``, percent-encoded — spaces become ``%20``,
@@ -291,6 +334,69 @@ def _parse_checkpoint_name(name: str) -> tuple[int, int, int] | None:
     return None
 
 
+_UUID_RE = re.compile(r"^[0-9a-fA-F]{8}(-[0-9a-fA-F]{4}){3}-[0-9a-fA-F]{12}$")
+
+
+def _parse_v2_checkpoint_name(name: str) -> tuple[int, str] | None:
+    """(version, name) for a UUID-named V2 checkpoint file
+    ``<v20>.checkpoint.<uuid>.{parquet,json}`` (Delta PROTOCOL.md
+    "V2 Spec Checkpoints"), else None."""
+    for ext in (".parquet", ".json"):
+        if name.endswith(ext) and ".checkpoint." in name:
+            stem = name[: -len(ext)]
+            v, _, rest = stem.partition(".checkpoint.")
+            if v.isdigit() and _UUID_RE.match(rest):
+                return int(v), name
+    return None
+
+
+def _as_str_map(v) -> dict:
+    """Normalize a pyarrow-decoded map column (list of (k, v) pairs) or
+    an already-dict value to a plain dict."""
+    if v is None:
+        return {}
+    if isinstance(v, dict):
+        return dict(v)
+    return {k: val for k, val in v}
+
+
+def _spec_checkpoint_actions(rows: list[dict]) -> list[dict]:
+    """Convert SPEC-format checkpoint parquet rows (each row has at most
+    one non-null nested action column: txn / add / remove / metaData /
+    protocol / checkpointMetadata / sidecar — Delta PROTOCOL.md
+    "Checkpoint Schema") into log-style action dicts. Parsed/derived
+    columns (stats_parsed, partitionValues_parsed) are ignored."""
+    out: list[dict] = []
+    for r in rows:
+        for key in ("txn", "add", "remove", "metaData", "protocol",
+                    "checkpointMetadata", "sidecar"):
+            v = r.get(key)
+            if not isinstance(v, dict):
+                continue
+            # a struct column decodes to a dict of all-None fields when
+            # the action is absent from this row
+            if all(x is None for x in v.values()):
+                continue
+            a = {k: x for k, x in v.items() if x is not None}
+            if key in ("add", "remove"):
+                a["partitionValues"] = _as_str_map(a.get("partitionValues"))
+                dv = a.get("deletionVector")
+                if isinstance(dv, dict):
+                    dv = {k: x for k, x in dv.items() if x is not None}
+                    if dv.get("storageType"):
+                        a["deletionVector"] = dv
+                    else:
+                        a.pop("deletionVector", None)
+            elif key == "metaData":
+                a["configuration"] = _as_str_map(a.get("configuration"))
+                if isinstance(a.get("format"), dict):
+                    fmt = {k: x for k, x in a["format"].items() if x is not None}
+                    fmt["options"] = _as_str_map(fmt.get("options"))
+                    a["format"] = fmt
+            out.append({key: a})
+    return out
+
+
 class DeltaTable:
     def __init__(self, path: str, fs: FileSystem | None = None):
         self.path = path
@@ -313,9 +419,12 @@ class DeltaTable:
                 out.add(int(name[: -len(".json")]))
             elif ".checkpoint." in name:
                 parsed = _parse_checkpoint_name(name)
-                if parsed is None:
+                if parsed is not None:
+                    out.add(parsed[0])
+                elif (p2 := _parse_v2_checkpoint_name(name)) is not None:
+                    out.add(p2[0])
+                else:
                     raise DeltaProtocolError(f"unsupported checkpoint layout: {name}")
-                out.add(parsed[0])
         return sorted(out)
 
     def json_versions(self) -> list[int]:
@@ -326,33 +435,46 @@ class DeltaTable:
         )
 
     def checkpoint_versions(self) -> list[int]:
-        """Versions with a COMPLETE checkpoint (all parts present)."""
+        """Versions with a COMPLETE checkpoint: classic (all parts
+        present) or a UUID-named V2 checkpoint file (complete by
+        construction — its sidecars are referenced from inside it)."""
         if not self.exists():
             return []
         seen: dict[int, set[tuple[int, int]]] = {}
+        v2: set[int] = set()
         for n in self.fs.listdir(self.log_dir):
             parsed = _parse_checkpoint_name(n)
             if parsed is not None:
                 v, part, num = parsed
                 seen.setdefault(v, set()).add((part, num))
-        out = []
+            elif (p2 := _parse_v2_checkpoint_name(n)) is not None:
+                v2.add(p2[0])
+        out = set(v2)
         for v, parts in seen.items():
             nums = {num for _p, num in parts}
             if len(nums) == 1:
                 num = nums.pop()
                 if {p for p, _n in parts} == set(range(1, num + 1)):
-                    out.append(v)
+                    out.add(v)
         return sorted(out)
 
     def _checkpoint_files(self, version: int) -> list[str]:
-        """Absolute paths of the checkpoint part files for a version,
-        in part order."""
+        """Absolute paths of the checkpoint part files for a version, in
+        part order — or the (single) V2 checkpoint file when no classic
+        checkpoint exists at that version. Multiple V2 files for one
+        version are equivalent by spec; the lexicographically first is
+        used for determinism."""
         found: list[tuple[int, str]] = []
+        v2: list[str] = []
         for n in self.fs.listdir(self.log_dir):
             parsed = _parse_checkpoint_name(n)
             if parsed is not None and parsed[0] == version:
                 found.append((parsed[1], os.path.join(self.log_dir, n)))
-        return [p for _i, p in sorted(found)]
+            elif (p2 := _parse_v2_checkpoint_name(n)) is not None and p2[0] == version:
+                v2.append(os.path.join(self.log_dir, n))
+        if found:
+            return [p for _i, p in sorted(found)]
+        return sorted(v2)[:1]
 
     def latest_version(self) -> int:
         versions = self.versions()
@@ -449,7 +571,9 @@ class DeltaTable:
 
     # ---------- checkpoints (O(1) snapshot for long logs) ----------
 
-    def checkpoint(self, version: int | None = None, parts: int = 1) -> int:
+    def checkpoint(
+        self, version: int | None = None, parts: int = 1, v2: bool = False
+    ) -> int:
         """Collapse replay state through ``version`` (default latest)
         into a parquet checkpoint + ``_last_checkpoint``. Carries live
         adds, metadata, protocol, and the latest txn per appId so
@@ -466,6 +590,10 @@ class DeltaTable:
 
         v = self.resolve_version(version)
         snap = self.snapshot(v)
+        if v2 or "v2Checkpoint" in (snap.protocol.get("writerFeatures") or ()):
+            # a table whose protocol demands v2Checkpoint MUST get v2
+            # checkpoints (spec: classic checkpoints are forbidden there)
+            return self._checkpoint_v2(v, snap)
         rows: list[dict] = [
             {
                 "action_type": "metaData",
@@ -540,16 +668,132 @@ class DeltaTable:
         )
         return v
 
+    def _checkpoint_v2(self, v: int, snap: Snapshot) -> int:
+        """V2 spec checkpoint (Delta PROTOCOL.md "V2 Spec Checkpoints"):
+        a UUID-named ``<v>.checkpoint.<uuid>.json`` file carrying
+        checkpointMetadata + protocol + metaData + txns + file actions
+        INLINE (the spec's sidecar indirection is an option, not a
+        requirement, for the json form). The reader side also accepts
+        parquet v2 checkpoints with ``_sidecars/`` files — see
+        _load_checkpoint."""
+        actions: list[dict] = [
+            {"checkpointMetadata": {"version": v}},
+            {"protocol": dict(snap.protocol)},
+            {
+                "metaData": {
+                    "id": str(uuid.uuid4()),
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": snap.schema_string,
+                    "partitionColumns": snap.partition_columns,
+                    "configuration": dict(snap.configuration or {}),
+                }
+            },
+        ]
+        for path in snap.files:
+            add = {
+                "path": path,
+                "partitionValues": snap.partition_values.get(path, {}),
+                "size": int(snap.adds.get(path, {}).get("size") or 0),
+                "modificationTime": snap.add_times.get(path, 0),
+                "dataChange": False,
+            }
+            if snap.adds.get(path, {}).get("stats"):
+                add["stats"] = snap.adds[path]["stats"]
+            dv = snap.adds.get(path, {}).get("deletionVector")
+            if dv:
+                add["deletionVector"] = dv
+            actions.append({"add": add})
+        for app_id, txn_v in self._txns_through(v).items():
+            actions.append({"txn": {"appId": app_id, "version": txn_v}})
+        name = f"{v:020d}.checkpoint.{uuid.uuid4()}.json"
+        self.fs.write_text(
+            os.path.join(self.log_dir, name),
+            "".join(json.dumps(a) + "\n" for a in actions),
+        )
+        self.fs.write_text(
+            os.path.join(self.log_dir, "_last_checkpoint"),
+            json.dumps({"version": v, "parts": 1}),
+        )
+        return v
+
     def _load_checkpoint(self, version: int) -> dict:
+        """Parse the checkpoint at ``version`` into replay-base state.
+        Three on-disk dialects are read transparently:
+        - this engine's compact layout (``action_type`` column);
+        - the SPEC classic layout (nested add/remove/metaData/protocol
+          struct columns — what delta-spark / delta-rs write);
+        - V2 spec checkpoints (UUID-named parquet or json, file actions
+          inline or in ``_sidecars/`` parquet files)."""
         import pyarrow.parquet as pq
 
         files = self._checkpoint_files(version)
         if not files:
             raise DeltaProtocolError(f"no checkpoint at version {version}")
-        rows = []
+        action_dicts: list[dict] = []
+        legacy_rows: list[dict] = []
         for fp in files:
+            if fp.endswith(".json"):  # V2 checkpoints may be json lines
+                action_dicts.extend(
+                    json.loads(line)
+                    for line in self.fs.read_text(fp).splitlines()
+                    if line.strip()
+                )
+                continue
             with self.fs.open_read(fp) as f:
-                rows.extend(pq.read_table(f).to_pylist())
+                rows = pq.read_table(f).to_pylist()
+            if rows and "action_type" in rows[0]:
+                legacy_rows.extend(rows)
+            else:
+                action_dicts.extend(_spec_checkpoint_actions(rows))
+        if legacy_rows:
+            return self._parse_legacy_checkpoint(legacy_rows)
+        # V2: sidecar references carry the file actions (relative to
+        # _delta_log/_sidecars/ per spec)
+        for a in [x for x in action_dicts if "sidecar" in x]:
+            sp = a["sidecar"]["path"]
+            if not os.path.isabs(sp):
+                sp = os.path.join(self.log_dir, "_sidecars", sp)
+            with self.fs.open_read(sp) as f:
+                action_dicts.extend(
+                    _spec_checkpoint_actions(pq.read_table(f).to_pylist())
+                )
+        live: dict[str, dict] = {}
+        schema_string = None
+        partition_columns: list[str] = []
+        configuration: dict = {}
+        protocol: dict = {"minReaderVersion": 1, "minWriterVersion": 2}
+        txns: dict[str, int] = {}
+        for a in action_dicts:
+            if "add" in a:
+                live[a["add"]["path"]] = a["add"]
+            elif "metaData" in a:
+                schema_string = a["metaData"].get("schemaString")
+                partition_columns = a["metaData"].get("partitionColumns") or []
+                configuration = dict(a["metaData"].get("configuration") or {})
+            elif "protocol" in a:
+                protocol = a["protocol"]
+                _check_protocol(protocol)
+            elif "txn" in a:
+                t = a["txn"]
+                if t.get("appId"):
+                    txns[t["appId"]] = max(
+                        txns.get(t["appId"], -1), int(t.get("version", -1))
+                    )
+            # "remove" rows are vacuum tombstones — not snapshot state;
+            # "checkpointMetadata" is self-describing version info
+        return {
+            "live": live,
+            "schema_string": schema_string,
+            "partition_columns": partition_columns,
+            "configuration": configuration,
+            "protocol": protocol,
+            "txns": txns,
+            # spec checkpoints carry no commit timestamp — file mtime is
+            # the same approximation every vacuum/time-travel impl uses
+            "timestamp": self.fs.mtime_ms(files[0]),
+        }
+
+    def _parse_legacy_checkpoint(self, rows: list[dict]) -> dict:
         live: dict[str, dict] = {}
         schema_string = None
         partition_columns: list[str] = []
@@ -1195,15 +1439,15 @@ class DeltaTable:
             self._validate_constraints(df, prior.configuration)
             merged = self._merge_schema_strings(prior.schema_string, df.schema.json())
             if merged is not None:
+                config = prior.configuration
                 if mapping:
-                    # new columns on a mapped table need physicalName +
-                    # maxColumnId assignment — out of scope, loud
-                    raise DeltaProtocolError(
-                        "schema evolution on column-mapped tables is not "
-                        "supported; add the column with a mapping-aware tool"
-                    )
+                    # new columns on a mapped table get a col-<uuid>
+                    # physicalName + the next columnMapping.id, and the
+                    # staging mapping must include them
+                    merged, config = _assign_mapping_metadata(merged, config)
+                    mapping = _column_mapping(merged, config)
                 md = self._metadata_action(
-                    df, partition_by or prior.partition_columns, prior.configuration
+                    df, partition_by or prior.partition_columns, config
                 )
                 md["metaData"]["schemaString"] = merged
                 actions.append(md)
@@ -1743,6 +1987,50 @@ class DeltaTable:
                     return -1  # a racer delivered this exact batch
                 # loop: rebuild actions (txn read_version, schema merge)
                 # against the post-race snapshot
+
+    def enable_column_mapping(self) -> int:
+        """``ALTER TABLE ... SET ('delta.columnMapping.mode'='name')``
+        on an existing unmapped table. Per the spec's upgrade semantics
+        every existing column keeps its CURRENT name as its
+        physicalName — files already on disk stay readable without a
+        rewrite — and gets a ``columnMapping.id``; columns added later
+        get fresh ``col-<uuid>`` physical names. The protocol upgrades
+        to the table-features form, merging (never dropping) prior
+        features. Idempotent: a second call is a no-op returning the
+        current version."""
+        snap = self.snapshot()
+        self._guard_writable(snap, data_change_removes=False)
+        if self._mapping_of(snap):
+            return snap.version
+        if snap.schema_string is None:
+            raise DeltaProtocolError("cannot enable column mapping: no schema")
+        s = json.loads(snap.schema_string)
+        for i, f in enumerate(s["fields"], start=1):
+            meta = dict(f.get("metadata") or {})
+            meta["delta.columnMapping.id"] = i
+            meta["delta.columnMapping.physicalName"] = f["name"]
+            f["metadata"] = meta
+        config = dict(snap.configuration or {})
+        config["delta.columnMapping.mode"] = "name"
+        config["delta.columnMapping.maxColumnId"] = str(len(s["fields"]))
+        md = {
+            "metaData": {
+                "id": str(uuid.uuid4()),
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": json.dumps(s),
+                "partitionColumns": snap.partition_columns,
+                "configuration": config,
+            }
+        }
+        actions = [
+            {"protocol": _upgraded_protocol(
+                snap.protocol, ("columnMapping",), ("columnMapping",)
+            )},
+            md,
+        ]
+        return self._commit(
+            actions, operation="UPGRADE", read_version=snap.version
+        )
 
     def compact(self, spark: SparkSession, target_files: int = 1) -> int:
         """OPTIMIZE-style bin-packing: rewrite the current snapshot's

@@ -171,15 +171,73 @@ def test_delete_where_dv_on_mapped_table(spark, mapped_table):
     assert by == {"r": 10, "c": 7}
 
 
-def test_schema_evolution_on_mapped_table_is_loud(spark, mapped_table):
+def test_schema_evolution_assigns_physical_names(spark, mapped_table):
+    """Appending a new column to a mapped table assigns it a col-<uuid>
+    physicalName and bumps delta.columnMapping.maxColumnId; old rows
+    null-fill, and the new column round-trips under its logical name."""
     t = mapped_table
     t.write(_rows(spark, range(3)), partition_by=["category"])
     widened = spark.createDataFrame(
-        [(3, "a", 3.0, "x")],
+        [(3, "a", 3.0, "x"), (4, "a", 4.0, "y")],
         "event_id long, category string, value double, extra string",
     )
-    with pytest.raises(DeltaProtocolError, match="column-mapped"):
-        t.write(widened, partition_by=["category"])
+    t.write(widened, partition_by=["category"])
+    snap = t.snapshot()
+    fields = {f["name"]: f for f in json.loads(snap.schema_string)["fields"]}
+    meta = fields["extra"]["metadata"]
+    assert meta["delta.columnMapping.physicalName"].startswith("col-")
+    assert int(meta["delta.columnMapping.id"]) >= 1
+    assert int(snap.configuration["delta.columnMapping.maxColumnId"]) == int(
+        meta["delta.columnMapping.id"]
+    )
+    # original columns keep their original physical names
+    assert fields["event_id"]["metadata"]["delta.columnMapping.physicalName"] == "p_1"
+    got = {r.event_id: r.extra for r in t.read(spark).collect()}
+    assert got == {0: None, 1: None, 2: None, 3: "x", 4: "y"}
+    # the staged parquet never contains the LOGICAL name
+    for fp in _data_files(t):
+        cols = set(spark.read.parquet(fp).columns)
+        assert "extra" not in cols and "event_id" not in cols
+
+
+def test_enable_column_mapping_upgrade(spark, tmp_path):
+    """Enabling name-mode mapping on an existing table keeps every
+    existing column's name as its physicalName (no file rewrite), takes
+    the table-features protocol WITHOUT dropping prior features, and
+    later appends of new columns get col-<uuid> names."""
+    from pulsar_io_delta_spark.sources.delta_log import DeltaTable
+
+    t = DeltaTable(str(tmp_path / "up"))
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(6)], "event_id long, value double"
+    )
+    t.write(df, partition_by=[])
+    v = t.enable_column_mapping()
+    assert t.enable_column_mapping() == v  # idempotent
+    snap = t.snapshot()
+    assert snap.configuration["delta.columnMapping.mode"] == "name"
+    assert snap.configuration["delta.columnMapping.maxColumnId"] == "2"
+    p = snap.protocol
+    assert p["minReaderVersion"] == 3 and "columnMapping" in p["readerFeatures"]
+    # implicit legacy writer features enumerated on upgrade, not dropped
+    assert {"appendOnly", "invariants"} <= set(p["writerFeatures"])
+    # pre-upgrade files stay readable (physicalName == logical name)
+    assert {r.event_id for r in t.read(spark).collect()} == set(range(6))
+    # post-upgrade evolution takes the col-uuid path
+    t.write(spark.createDataFrame(
+        [(6, 6.0, "z")], "event_id long, value double, tag string"
+    ))
+    snap = t.snapshot()
+    tagmeta = {
+        f["name"]: f for f in json.loads(snap.schema_string)["fields"]
+    }["tag"]["metadata"]
+    assert tagmeta["delta.columnMapping.physicalName"].startswith("col-")
+    assert snap.configuration["delta.columnMapping.maxColumnId"] == "3"
+    got = {r.event_id: r.tag for r in t.read(spark).collect()}
+    assert got[6] == "z" and got[0] is None
+    # DV delete still works across the mapped/unmapped file mix
+    t.delete_where_dv(spark, "event_id IN (1, 6)")
+    assert {r.event_id for r in t.read(spark).collect()} == {0, 2, 3, 4, 5}
 
 
 def test_id_mode_mapping_still_rejected(spark, tmp_path, mapped_table):

@@ -304,7 +304,7 @@ def test_no_posix_calls_in_delta_table():
 
     src = inspect.getsource(delta_log.DeltaTable)
     banned = re.findall(
-        r"os\.(?!path\.(?:join|relpath|dirname|basename|abspath|normpath)|sep)\w+"
+        r"os\.(?!path\.(?:join|relpath|dirname|basename|abspath|normpath|isabs)|sep)\w+"
         r"|(?<![\w.])open\(|shutil\.\w+",
         src,
     )
@@ -777,11 +777,11 @@ def test_handwritten_log_unsupported_protocol_fails_loudly(spark, tmp_path):
     add/remove/metaData/commitInfo — DeltaReader.java:196-247 — and
     anything newer must fail LOUDLY, never silently mis-read): a log
     demanding a reader feature outside _SUPPORTED_READER_FEATURES
-    (e.g. v2Checkpoint, which would make us miss adds entirely) raises
+    (e.g. variantType, whose column values we could not decode) raises
     DeltaProtocolError at snapshot resolution. deletionVectors /
-    columnMapping / timestampNtz are implemented since round 7 and must
-    NOT trip the gate — the positive half asserts a v3 DV-feature table
-    reads clean."""
+    columnMapping / timestampNtz (round 7) and v2Checkpoint (round 8)
+    are implemented and must NOT trip the gate — the positive half
+    asserts a v3 DV-feature table reads clean."""
     root = str(tmp_path / "hand_v3")
     os.makedirs(os.path.join(root, "_delta_log"))
     df = events_df(spark, range(3))
@@ -792,7 +792,7 @@ def test_handwritten_log_unsupported_protocol_fails_loudly(spark, tmp_path):
     actions = [
         {"commitInfo": {"timestamp": 1700000000000, "operation": "WRITE"}},
         {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
-                      "readerFeatures": ["deletionVectors", "v2Checkpoint"]}},
+                      "readerFeatures": ["deletionVectors", "variantType"]}},
         {"metaData": {"id": "x", "schemaString": df.schema.json(), "partitionColumns": []}},
         {"add": {"path": f"data/{part}", "partitionValues": {}, "size": 1,
                  "modificationTime": 1700000000000, "dataChange": True}},
@@ -801,7 +801,7 @@ def test_handwritten_log_unsupported_protocol_fails_loudly(spark, tmp_path):
     with open(log_fp, "w") as f:
         for a in actions:
             f.write(json.dumps(a) + "\n")
-    with pytest.raises(DeltaProtocolError, match="v2Checkpoint"):
+    with pytest.raises(DeltaProtocolError, match="variantType"):
         DeltaTable(root).read(spark).count()
     # Positive half: the SAME table minus the unsupported feature is a
     # legal v3 deletion-vectors table and must read (no DV on the add →
