@@ -559,3 +559,57 @@ def q_checkpoint_v2(spark, sf_dir):
     if t2.checkpoint_versions() != [v]:
         raise AssertionError("v2 checkpoint not discovered after expiry")
     return t2.read(spark).select("event_id", "event_type", "value")
+
+
+@register(
+    "q_cdf_merge",
+    oracle="""
+SELECT event_id, event_type, value, _change_type FROM (
+  SELECT event_id, event_type, value, 'update_preimage' AS _change_type
+  FROM events WHERE event_id % 10 = 0
+  UNION ALL
+  SELECT event_id, event_type, value * 2 AS value, 'update_postimage'
+  FROM events WHERE event_id % 10 = 0
+  UNION ALL
+  SELECT event_id + 10000000 AS event_id, event_type, value + 0.5 AS value,
+         'insert'
+  FROM events WHERE event_id % 13 = 0
+)
+""",
+)
+def q_cdf_merge(spark, sf_dir):
+    """Change Data Feed over a MERGE (round 8; Delta PROTOCOL.md
+    "Change Data Feed"): the table is created with
+    delta.enableChangeDataFeed armed, a merge updates every 10th event
+    (value doubled) and inserts offset copies of every 13th; the commit
+    writes _change_data files + cdc actions (and the feature-merging
+    changeDataFeed protocol upgrade), and table_changes() reads the
+    commit EXCLUSIVELY from those files — yielding the exact
+    update_preimage / update_postimage pairs that the reference's
+    add/remove-derived change stream (DeltaReader.java:196-247)
+    fundamentally cannot express.
+
+    Scale shape: change files are written partitioned alongside the
+    data (one bounded extra write per touched partition); the read is
+    one scan per schema epoch with commit metadata attached by a
+    broadcast lookup join — no change row ever touches the driver."""
+    import tempfile
+
+    from pulsar_io_delta_spark.sources.delta_log import DeltaTable
+
+    root = tempfile.mkdtemp(prefix="pids_cdf_") + "/tbl"
+    t = DeltaTable(root)
+    e = table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    t.write(e, configuration={"delta.enableChangeDataFeed": "true"})
+    updates = e.where(F.col("event_id") % 10 == 0).withColumn(
+        "value", F.col("value") * 2
+    )
+    inserts = e.where(F.col("event_id") % 13 == 0).select(
+        (F.col("event_id") + 10000000).alias("event_id"),
+        "event_type",
+        (F.col("value") + 0.5).alias("value"),
+    )
+    v = t.merge_upsert(spark, updates.unionByName(inserts), ["event_id"])
+    return t.table_changes(spark, start_version=v).select(
+        "event_id", "event_type", "value", "_change_type"
+    )

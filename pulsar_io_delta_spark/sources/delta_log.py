@@ -170,6 +170,9 @@ _SUPPORTED_WRITER_FEATURES = {
     # checkpoint() auto-switches to the v2 form when the protocol
     # demands it (spec: classic checkpoints forbidden on such tables)
     "v2Checkpoint",
+    # merge/delete paths write _change_data files + cdc actions when
+    # delta.enableChangeDataFeed is armed (round 8)
+    "changeDataFeed",
 }
 
 
@@ -233,6 +236,14 @@ def _contains_struct(t) -> bool:
     if tt == "map":
         return _contains_struct(t["keyType"]) or _contains_struct(t["valueType"])
     return False
+
+
+def _cdf_enabled(configuration: dict | None) -> bool:
+    """Change Data Feed activation switch (Delta PROTOCOL.md "Change
+    Data Feed"): when armed, UPDATE/DELETE/MERGE commits must carry cdc
+    actions with exact change rows; readers then use those exclusively
+    for the commit instead of deriving from add/remove."""
+    return (configuration or {}).get("delta.enableChangeDataFeed") == "true"
 
 
 def _column_mapping(
@@ -870,7 +881,11 @@ class DeltaTable:
     # ---------- reading data ----------
 
     def _read_files(
-        self, spark: SparkSession, rel_paths: list[str], schema_string: str | None = None
+        self,
+        spark: SparkSession,
+        rel_paths: list[str],
+        schema_string: str | None = None,
+        base_path: str | None = None,
     ) -> DataFrame:
         pin_session(spark)
         paths = [os.path.join(self.path, p) for p in rel_paths]
@@ -882,7 +897,7 @@ class DeltaTable:
             # schema evolution lack the new columns — explicit schema
             # null-fills them instead of letting inference drop them.
             reader = reader.schema(StructType.fromJson(json.loads(schema_string)))
-        return reader.option("basePath", self.path).parquet(*paths)
+        return reader.option("basePath", base_path or self.path).parquet(*paths)
 
     def read(
         self,
@@ -1056,7 +1071,12 @@ class DeltaTable:
             )
         return [(v, self.actions(v)) for v in jsons if v >= start_version]
 
-    def cdc(self, spark: SparkSession, start_version: int = 0) -> DataFrame:
+    def cdc(
+        self,
+        spark: SparkSession,
+        start_version: int = 0,
+        versions: set[int] | None = None,
+    ) -> DataFrame:
         """Change-data rows from the log tail: op 'c' for rows of added
         files, 'r' for rows of removed (pre-vacuum) files, with
         partition_value string, event time, and commit version.
@@ -1120,6 +1140,8 @@ class DeltaTable:
                     if changed:
                         epoch += 1
                         epoch_meta[epoch] = (pcols, schema_str, config)
+            if versions is not None and version not in versions:
+                continue  # epoch tracking above still sees every commit
             # dataChange=false actions are file reorganization (OPTIMIZE)
             # — invisible to change consumers
             adds = [a["add"] for a in actions if "add" in a and a["add"].get("dataChange", True)]
@@ -1208,6 +1230,160 @@ class DeltaTable:
             .drop("_fp", "_ts_ms", "_epoch", "_dv")
         )
 
+    def table_changes(
+        self,
+        spark: SparkSession,
+        start_version: int = 0,
+        end_version: int | None = None,
+    ) -> DataFrame:
+        """Change Data Feed read (Delta PROTOCOL.md "Change Data Feed"):
+        table columns + ``_change_type`` / ``_commit_version`` /
+        ``_commit_timestamp``.
+
+        Commits carrying cdc actions contribute ONLY their
+        ``_change_data`` files — the exact rows the writer recorded,
+        including MERGE update_preimage/update_postimage pairs that no
+        add/remove derivation can reconstruct. Data-changing commits
+        without cdc actions derive insert/delete rows from their
+        add/remove actions (the spec's reader-side derivation), reusing
+        cdc()'s one-scan-per-epoch machinery.
+
+        Scale shape: cdc files are grouped into one scan per schema
+        epoch (pinned schema; commit version and timestamp attached by a
+        broadcast lookup join on file path) — a 10^5-commit feed plans a
+        handful of scans, and no change row ever touches the driver."""
+        changes = self.changes(start_version)
+        if end_version is not None:
+            changes = [(v, a) for v, a in changes if v <= end_version]
+        cdc_versions = {
+            v for v, actions in changes if any("cdc" in a for a in actions)
+        }
+        derived_versions = {
+            v
+            for v, actions in changes
+            if v not in cdc_versions
+            and any(
+                k in a and a[k].get("dataChange", True)
+                for a in actions
+                for k in ("add", "remove")
+            )
+        }
+        frames: list[DataFrame] = []
+        if derived_versions:
+            derived = self.cdc(spark, start_version, versions=derived_versions)
+            frames.append(
+                derived.withColumn(
+                    "_change_type",
+                    F.when(F.col("op") == OP_INSERT, F.lit("insert")).otherwise(
+                        F.lit("delete")
+                    ),
+                )
+                .withColumnRenamed("ts", "_commit_timestamp")
+                .drop("op", "partition_value")
+            )
+        if cdc_versions:
+            frames.append(self._scan_change_files(spark, changes, cdc_versions))
+        if not frames:
+            raise DeltaProtocolError(f"no data-changing commits ≥ {start_version}")
+        out = frames[0]
+        for f in frames[1:]:
+            # schema may evolve between epochs: align by name
+            out = out.unionByName(f, allowMissingColumns=True)
+        return out
+
+    def _scan_change_files(
+        self,
+        spark: SparkSession,
+        changes: list[tuple[int, list[dict]]],
+        cdc_versions: set[int],
+    ) -> DataFrame:
+        """One scan per schema epoch over the ``_change_data`` files of
+        the commits in ``cdc_versions`` (epoch tracking mirrors cdc():
+        a metaData action that evolves schema/pcols/config starts a new
+        pinned-schema scan group)."""
+        base = self.snapshot(changes[0][0])
+        pcols: tuple[str, ...] = tuple(base.partition_columns)
+        schema_str: str | None = base.schema_string
+        config: dict = dict(base.configuration)
+        epoch = 0
+        epoch_meta: dict[int, tuple[tuple[str, ...], str | None, dict]] = {
+            0: (pcols, schema_str, config)
+        }
+        groups: dict[int, list[str]] = {}
+        lookup_rows: list[tuple[str, int, int, int]] = []
+        for version, actions in changes:
+            for action in actions:
+                if "metaData" in action:
+                    md = action["metaData"]
+                    new_pcols = md.get("partitionColumns")
+                    new_schema = md.get("schemaString")
+                    new_config = md.get("configuration")
+                    changed = False
+                    if new_pcols is not None and tuple(new_pcols) != pcols:
+                        pcols = tuple(new_pcols)
+                        changed = True
+                    if new_schema is not None and new_schema != schema_str:
+                        schema_str = new_schema
+                        changed = True
+                    if new_config is not None and dict(new_config) != config:
+                        config = dict(new_config)
+                        changed = True
+                    if changed:
+                        epoch += 1
+                        epoch_meta[epoch] = (pcols, schema_str, config)
+            if version not in cdc_versions:
+                continue
+            ts_ms = next(
+                (
+                    int(a["commitInfo"]["timestamp"])
+                    for a in actions
+                    if a.get("commitInfo", {}).get("timestamp") is not None
+                ),
+                0,
+            )
+            for a in actions:
+                c = a.get("cdc")
+                if not c:
+                    continue
+                abs_path = os.path.abspath(os.path.join(self.path, c["path"]))
+                lookup_rows.append((abs_path, epoch, version, ts_ms))
+                groups.setdefault(epoch, []).append(c["path"])
+        lookup = spark.createDataFrame(
+            lookup_rows, "_fp string, _epoch int, _commit_version long, _ts_ms long"
+        )
+        frames: list[DataFrame] = []
+        for epoch_id, rel_paths in groups.items():
+            _epoch_pcols, epoch_schema, epoch_config = epoch_meta[epoch_id]
+            mapping = _column_mapping(epoch_schema, epoch_config)
+            s = json.loads(mapping[0] if mapping else epoch_schema)
+            s["fields"].append(
+                {"name": "_change_type", "type": "string", "nullable": True,
+                 "metadata": {}}
+            )
+            df = self._read_files(
+                spark,
+                rel_paths,
+                schema_string=json.dumps(s),
+                # cdc files live under _change_data/<pcol>=v/...; the
+                # basePath must be the dir whose children are the hive
+                # partition dirs or Spark's partition discovery chokes
+                base_path=os.path.join(self.path, "_change_data"),
+            )
+            df = df.withColumn("_fp", _posix_path_col(F.col("_metadata.file_path")))
+            if mapping:
+                df = df.select(
+                    [F.col(p).alias(l) for p, l in mapping[1]]
+                    + ["_change_type", "_fp"]
+                )
+            frames.append(df.withColumn("_epoch", F.lit(epoch_id)))
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f, allowMissingColumns=True)
+        out = out.join(F.broadcast(lookup), ["_fp", "_epoch"])
+        return out.withColumn(
+            "_commit_timestamp", F.timestamp_millis(F.col("_ts_ms"))
+        ).drop("_fp", "_epoch", "_ts_ms")
+
     def schema_changes(self, start_version: int = 0) -> list[tuple[int, str]]:
         """(version, schemaString) for each metaData action — the op='m'
         boundary events (reference emits these inline; Spark restarts the
@@ -1277,6 +1453,18 @@ class DeltaTable:
         return _column_mapping(snap.schema_string, snap.configuration)
 
     @staticmethod
+    def _cdf_protocol_actions(snap: Snapshot) -> list[dict]:
+        """Protocol action list for a cdc-writing commit: upgrade to the
+        table-features form with changeDataFeed on first use (feature-
+        merging, never dropping — same rule as the DV upgrade); empty
+        when the protocol already advertises it."""
+        if "changeDataFeed" in (snap.protocol.get("writerFeatures") or ()):
+            return []
+        return [
+            {"protocol": _upgraded_protocol(snap.protocol, (), ("changeDataFeed",))}
+        ]
+
+    @staticmethod
     def _to_physical(df: DataFrame, mapping) -> DataFrame:
         """Rename logical → physical columns for staging into a
         name-mode column-mapped table (only columns present in df are
@@ -1311,12 +1499,16 @@ class DeltaTable:
         return [(to_phys.get(c, c), op, v) for c, op, v in filters]
 
     def _stage_and_move(
-        self, df: DataFrame, partition_by: list[str], mapping=None
+        self, df: DataFrame, partition_by: list[str], mapping=None, cdc: bool = False
     ) -> list[dict]:
         """Write df as parquet into the table dir; return add actions.
         ``mapping`` (from _column_mapping) stages under PHYSICAL column
         names — data files and hive partition dirs of a mapped table
-        must never contain logical names."""
+        must never contain logical names. ``cdc=True`` stages CHANGE
+        DATA files instead (Delta PROTOCOL.md "Add CDC File"): they land
+        under ``_change_data/``, the action key is ``cdc`` with
+        ``dataChange=false`` (change files never count as table data),
+        and the ``_change_type`` column passes through un-renamed."""
         if mapping:
             df = self._to_physical(df, mapping)
             partition_by = self._physical_pcols(mapping, partition_by)
@@ -1325,6 +1517,7 @@ class DeltaTable:
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(staging)
+        prefix = "_change_data" if cdc else ""
         adds: list[dict] = []
         for src in self.fs.walk_files(staging):
             name = os.path.basename(src)
@@ -1337,22 +1530,36 @@ class DeltaTable:
                     k, _, val = piece.partition("=")
                     pvals[k] = val
             final_rel = os.path.join(
-                "" if rel_dir == "." else rel_dir, f"part-{uuid.uuid4().hex}.parquet"
+                prefix,
+                "" if rel_dir == "." else rel_dir,
+                f"{'cdc' if cdc else 'part'}-{uuid.uuid4().hex}.parquet",
             )
             dst = os.path.join(self.path, final_rel)
             self.fs.move(src, dst)
-            adds.append(
-                {
-                    "add": {
-                        "path": final_rel,
-                        "partitionValues": pvals,
-                        "size": self.fs.size(dst),
-                        "modificationTime": self.fs.mtime_ms(dst),
-                        "dataChange": True,
-                        "stats": json.dumps(self._stats_for(dst)),
+            if cdc:
+                adds.append(
+                    {
+                        "cdc": {
+                            "path": final_rel,
+                            "partitionValues": pvals,
+                            "size": self.fs.size(dst),
+                            "dataChange": False,
+                        }
                     }
-                }
-            )
+                )
+            else:
+                adds.append(
+                    {
+                        "add": {
+                            "path": final_rel,
+                            "partitionValues": pvals,
+                            "size": self.fs.size(dst),
+                            "modificationTime": self.fs.mtime_ms(dst),
+                            "dataChange": True,
+                            "stats": json.dumps(self._stats_for(dst)),
+                        }
+                    }
+                )
         self.fs.rmtree(staging)
         return adds
 
@@ -1400,9 +1607,14 @@ class DeltaTable:
         mode: str = "append",
         partition_by: list[str] | None = None,
         txn: tuple[str, int] | None = None,
+        configuration: dict | None = None,
     ) -> int:
         """Append/overwrite commit. ``txn=(app_id, txn_version)`` makes
-        the commit idempotent (streaming sink exactly-once)."""
+        the commit idempotent (streaming sink exactly-once).
+        ``configuration`` sets table properties (e.g.
+        ``delta.enableChangeDataFeed``) on the CREATING write only —
+        altering properties of an existing table is a separate metaData
+        commit, not a side effect of a data write."""
         partition_by = partition_by or []
         actions: list[dict] = []
         first = not (self.exists() and self.versions())
@@ -1426,7 +1638,9 @@ class DeltaTable:
             read_version = -1
             state_dependent = True
             actions.append({"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}})
-            actions.append(self._metadata_action(df, partition_by))
+            actions.append(
+                self._metadata_action(df, partition_by, configuration)
+            )
         else:
             # Additive schema evolution: appending a frame with new
             # columns emits the op='m' boundary (merged schemaString);
@@ -1549,6 +1763,39 @@ class DeltaTable:
                 rewritten, snap.partition_columns, mapping=self._mapping_of(snap)
             )
         )
+        if _cdf_enabled(snap.configuration):
+            # exact MERGE change rows (Delta "Change Data Feed"):
+            # update_preimage = touched LIVE rows whose key matches the
+            # source; update_postimage = the matching source rows;
+            # insert = source rows with no existing key. A reader-side
+            # derivation from remove+add cannot express pre/post images
+            # — that is the entire point of cdc files.
+            ct = F.lit
+            if touched:
+                pre = (
+                    self._scan_live(spark, snap, touched)
+                    .join(keys, key_cols, "left_semi")
+                    .select(*table_cols)
+                )
+                matched_keys = pre.select(*key_cols).distinct()
+                post = aligned_source.join(matched_keys, key_cols, "left_semi")
+                ins = aligned_source.join(matched_keys, key_cols, "left_anti")
+                change_rows = (
+                    pre.withColumn("_change_type", ct("update_preimage"))
+                    .unionByName(post.withColumn("_change_type", ct("update_postimage")))
+                    .unionByName(ins.withColumn("_change_type", ct("insert")))
+                )
+            else:
+                change_rows = aligned_source.withColumn("_change_type", ct("insert"))
+            actions.extend(
+                self._stage_and_move(
+                    change_rows,
+                    snap.partition_columns,
+                    mapping=self._mapping_of(snap),
+                    cdc=True,
+                )
+            )
+            actions.extend(self._cdf_protocol_actions(snap))
         return self._commit(actions, operation="MERGE", read_version=snap.version)
 
     @staticmethod
@@ -1709,6 +1956,24 @@ class DeltaTable:
             old_add["deletionVector"] = json.loads(r["_desc"])
             old_add["dataChange"] = True
             actions.extend([remove, {"add": old_add}])
+        if desc_rows and _cdf_enabled(snap.configuration):
+            # exact delete change rows: the LIVE rows matching the
+            # predicate (the pre-filter `matched` above may re-match
+            # already-DV-deleted rows — those must NOT re-report)
+            deleted_rows = (
+                self._scan_live(spark, snap, candidates)
+                .where(predicate)
+                .withColumn("_change_type", F.lit("delete"))
+            )
+            actions.extend(
+                self._stage_and_move(
+                    deleted_rows,
+                    snap.partition_columns,
+                    mapping=self._mapping_of(snap),
+                    cdc=True,
+                )
+            )
+            actions.extend(self._cdf_protocol_actions(snap))
         return self._commit(actions, operation="DELETE", read_version=snap.version)
 
     def delete_where(
@@ -1743,6 +2008,21 @@ class DeltaTable:
                     kept, snap.partition_columns, mapping=self._mapping_of(snap)
                 )
             )
+            if _cdf_enabled(snap.configuration):
+                deleted_rows = (
+                    self._scan_live(spark, snap, touched)
+                    .where(predicate)
+                    .withColumn("_change_type", F.lit("delete"))
+                )
+                actions.extend(
+                    self._stage_and_move(
+                        deleted_rows,
+                        snap.partition_columns,
+                        mapping=self._mapping_of(snap),
+                        cdc=True,
+                    )
+                )
+                actions.extend(self._cdf_protocol_actions(snap))
         return self._commit(actions, operation="DELETE", read_version=snap.version)
 
     def diff(
@@ -2066,17 +2346,25 @@ class DeltaTable:
         latest snapshot and ages out by file mtime — without this,
         every delete_where_dv leaks its predecessor's bitmap file
         forever. Live descriptors (u-storage on live adds) are never
-        touched."""
+        touched. Change-data files (round 8) follow the same rule:
+        referenced by a surviving commit → kept, orphaned by log expiry
+        → mtime-aged."""
         snap = self.snapshot()
         live = set(snap.files)
         horizon = int(time.time() * 1000) - retention_ms
         deleted: list[str] = []
         removed_at: dict[str, int] = {}
+        referenced_cdc: set[str] = set()
         for _v, actions in ((v, self.actions(v)) for v in self.json_versions()):
             for action in actions:
                 r = action.get("remove")
                 if r and r["path"] not in live:
                     removed_at[r["path"]] = int(r.get("deletionTimestamp") or 0)
+                c = action.get("cdc")
+                if c:
+                    referenced_cdc.add(
+                        os.path.normpath(os.path.join(self.path, c["path"]))
+                    )
         for rel, ts in removed_at.items():
             if ts <= horizon:
                 fp = os.path.join(self.path, rel)
@@ -2105,6 +2393,17 @@ class DeltaTable:
             if self.fs.mtime_ms(fp) <= horizon:
                 self.fs.remove(fp)
                 deleted.append(os.path.relpath(fp, self.path))
+        # change-data files: a cdc file referenced by a SURVIVING commit
+        # stays (its feed is still readable via table_changes); orphans
+        # from expired commits age out by mtime like any untracked file
+        cd_root = os.path.join(self.path, "_change_data")
+        if self.fs.exists(cd_root):
+            for fp in list(self.fs.walk_files(cd_root)):
+                if os.path.normpath(fp) in referenced_cdc:
+                    continue
+                if self.fs.mtime_ms(fp) <= horizon:
+                    self.fs.remove(fp)
+                    deleted.append(os.path.relpath(fp, self.path))
         return deleted
 
     def last_txn_version(self, app_id: str) -> int:

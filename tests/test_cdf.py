@@ -1,0 +1,161 @@
+"""Change Data Feed (round 8; Delta PROTOCOL.md "Change Data Feed"):
+writer-side cdc actions + _change_data files on MERGE/DELETE when
+delta.enableChangeDataFeed is armed, and the table_changes() reader —
+cdc-file commits contribute exact rows (incl. update_preimage /
+update_postimage, which no add/remove derivation can express); other
+data-changing commits derive insert/delete per spec.
+
+The reference connector (DeltaReader.java:196-247) derives its change
+stream purely from add/remove actions — CDF is the modern surface its
+users migrate onto.
+"""
+
+import os
+
+from pulsar_io_delta_spark.sources.delta_log import DeltaTable
+
+CDF = {"delta.enableChangeDataFeed": "true"}
+
+
+def _rows(spark, ids, cat="a"):
+    return spark.createDataFrame(
+        [(i, cat, float(i)) for i in ids],
+        "event_id long, category string, value double",
+    )
+
+
+def _by_type(df):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r["_change_type"], set()).add((r.event_id, r.value))
+    return out
+
+
+def test_merge_writes_pre_post_images(spark, tmp_path):
+    t = DeltaTable(str(tmp_path / "t"))
+    t.write(_rows(spark, range(6)), configuration=CDF)
+    src = spark.createDataFrame(
+        [(2, "a", 200.0), (4, "a", 400.0), (10, "a", 10.0)],
+        "event_id long, category string, value double",
+    )
+    v = t.merge_upsert(spark, src, key_cols=["event_id"])
+    ch = t.table_changes(spark, start_version=v)
+    by = _by_type(ch)
+    assert by["update_preimage"] == {(2, 2.0), (4, 4.0)}
+    assert by["update_postimage"] == {(2, 200.0), (4, 400.0)}
+    assert by["insert"] == {(10, 10.0)}
+    # exclusively from cdc files: no derived rows for this commit (the
+    # rewrite's add/remove would have claimed 7 inserts + 6 deletes)
+    assert ch.count() == 5
+    assert {r["_commit_version"] for r in ch.collect()} == {v}
+    # commit carries cdc actions + the changeDataFeed feature upgrade
+    acts = t.actions(v)
+    assert any("cdc" in a for a in acts)
+    (proto,) = [a["protocol"] for a in acts if "protocol" in a]
+    assert "changeDataFeed" in proto["writerFeatures"]
+    # change files live under _change_data/ and are NOT table data
+    assert t.read(spark).count() == 7
+    cdc_paths = [a["cdc"]["path"] for a in acts if "cdc" in a]
+    assert all(p.startswith("_change_data/") for p in cdc_paths)
+    assert all(not a["cdc"]["dataChange"] for a in acts if "cdc" in a)
+
+
+def test_delete_where_cdf_exact_rows(spark, tmp_path):
+    t = DeltaTable(str(tmp_path / "t"))
+    t.write(_rows(spark, range(8)), configuration=CDF)
+    v = t.delete_where(spark, "event_id >= 5")
+    ch = t.table_changes(spark, start_version=v)
+    assert _by_type(ch) == {"delete": {(5, 5.0), (6, 6.0), (7, 7.0)}}
+
+
+def test_delete_where_dv_cdf_no_double_report(spark, tmp_path):
+    """A re-delete whose predicate overlaps an existing DV must report
+    only the NEWLY deleted live rows."""
+    t = DeltaTable(str(tmp_path / "t"))
+    t.write(_rows(spark, range(10)).coalesce(1), configuration=CDF)
+    v1 = t.delete_where_dv(spark, "event_id < 3")
+    v2 = t.delete_where_dv(spark, "event_id < 5")  # 0-2 already gone
+    ch1 = t.table_changes(spark, start_version=v1, end_version=v1)
+    assert _by_type(ch1) == {"delete": {(0, 0.0), (1, 1.0), (2, 2.0)}}
+    ch2 = t.table_changes(spark, start_version=v2)
+    assert _by_type(ch2) == {"delete": {(3, 3.0), (4, 4.0)}}
+
+
+def test_derived_inserts_for_appends(spark, tmp_path):
+    """Appends carry no cdc files; the reader derives insert rows from
+    add actions — and a mixed range unions derived + cdc commits."""
+    t = DeltaTable(str(tmp_path / "t"))
+    t.write(_rows(spark, range(3)), configuration=CDF)       # v0 derived
+    t.write(_rows(spark, range(3, 5)))                        # v1 derived
+    src = spark.createDataFrame(
+        [(0, "a", 100.0)], "event_id long, category string, value double"
+    )
+    v2 = t.merge_upsert(spark, src, key_cols=["event_id"])    # v2 cdc
+    ch = t.table_changes(spark, start_version=0)
+    by = _by_type(ch)
+    assert by["insert"] == {(i, float(i)) for i in range(5)}
+    assert by["update_preimage"] == {(0, 0.0)}
+    assert by["update_postimage"] == {(0, 100.0)}
+    vs = {r["_commit_version"] for r in ch.collect()}
+    assert vs == {0, 1, v2}
+    # end_version bounds the feed
+    early = t.table_changes(spark, start_version=0, end_version=1)
+    assert _by_type(early) == {"insert": {(i, float(i)) for i in range(5)}}
+
+
+def test_cdf_on_partitioned_table(spark, tmp_path):
+    """cdc files of a partitioned table land under
+    _change_data/<pcol>=v/ and read back with the partition column."""
+    t = DeltaTable(str(tmp_path / "t"))
+    t.write(
+        _rows(spark, range(4), "a").unionByName(_rows(spark, range(4, 8), "b")),
+        partition_by=["category"],
+        configuration=CDF,
+    )
+    v = t.delete_where(spark, "event_id = 6", filters=[("category", "=", "b")])
+    ch = t.table_changes(spark, start_version=v)
+    (row,) = ch.collect()
+    assert (row.event_id, row.category, row["_change_type"]) == (6, "b", "delete")
+    acts = t.actions(v)
+    (c,) = [a["cdc"] for a in acts if "cdc" in a]
+    assert c["partitionValues"] == {"category": "b"}
+    assert "category=b" in c["path"]
+
+
+def test_cdf_without_config_stays_derived(spark, tmp_path):
+    """No config switch → no cdc files (spec: CDF is opt-in), and
+    table_changes still derives insert/delete."""
+    t = DeltaTable(str(tmp_path / "t"))
+    t.write(_rows(spark, range(4)))
+    v = t.delete_where(spark, "event_id = 1")
+    assert not any("cdc" in a for a in t.actions(v))
+    ch = t.table_changes(spark, start_version=v)
+    by = _by_type(ch)
+    # derivation over a rewrite commit: old file rows out, kept rows in
+    assert by["delete"] == {(i, float(i)) for i in range(4)}
+    assert by["insert"] == {(0, 0.0), (2, 2.0), (3, 3.0)}
+
+
+def test_vacuum_reclaims_orphaned_change_files(spark, tmp_path):
+    """cdc files referenced by surviving commits survive ANY retention;
+    once their commit JSON expires they age out by mtime."""
+    t = DeltaTable(str(tmp_path / "t"))
+    t.write(_rows(spark, range(6)).coalesce(1), configuration=CDF)
+    t.delete_where(spark, "event_id = 1")
+    cd = os.path.join(t.path, "_change_data")
+
+    def cdc_files():
+        return [
+            os.path.join(dp, n) for dp, _d, ns in os.walk(cd) for n in ns
+            if n.endswith(".parquet")
+        ]
+
+    assert cdc_files()
+    # referenced: survives even at zero retention
+    t.checkpoint()
+    t.vacuum(retention_ms=0)
+    assert cdc_files()
+    # expire the log → the reference disappears → ages out
+    t.expire_log()
+    t.vacuum(retention_ms=0)
+    assert not cdc_files()
