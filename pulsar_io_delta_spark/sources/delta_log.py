@@ -173,6 +173,12 @@ _SUPPORTED_WRITER_FEATURES = {
     # merge/delete paths write _change_data files + cdc actions when
     # delta.enableChangeDataFeed is armed (round 8)
     "changeDataFeed",
+    # every write path enforces delta.constraints.* via
+    # _validate_constraints (violating commits refuse loudly)
+    "checkConstraints",
+    # _commit stamps a monotonic commitInfo.inCommitTimestamp when
+    # delta.enableInCommitTimestamps is armed; time travel trusts it
+    "inCommitTimestamp",
 }
 
 
@@ -497,11 +503,27 @@ class DeltaTable:
         fp = os.path.join(self.log_dir, f"{version:020d}.json")
         return [json.loads(line) for line in self.fs.read_text(fp).splitlines() if line.strip()]
 
+    def _last_ict(self) -> int:
+        """The latest commit's effective timestamp for in-commit-
+        timestamp monotonicity (its inCommitTimestamp when present, else
+        its wall timestamp — the spec's enablement boundary)."""
+        vs = self.json_versions()
+        if not vs:
+            return 0
+        for action in self.actions(vs[-1]):
+            info = action.get("commitInfo")
+            if info:
+                return int(info.get("inCommitTimestamp") or info.get("timestamp") or 0)
+        return 0
+
     def commit_timestamp_ms(self, version: int) -> int:
         fp = os.path.join(self.log_dir, f"{version:020d}.json")
         if self.fs.exists(fp):
             for action in self.actions(version):
                 info = action.get("commitInfo")
+                if info and "inCommitTimestamp" in info:
+                    # ICT is authoritative over the wall timestamp
+                    return int(info["inCommitTimestamp"])
                 if info and "timestamp" in info:
                     return int(info["timestamp"])
             return self.fs.mtime_ms(fp)
@@ -1403,6 +1425,7 @@ class DeltaTable:
         operation: str,
         read_version: int | None = None,
         max_retries: int = 10,
+        configuration: dict | None = None,
     ) -> int:
         """Publish one commit with optimistic concurrency.
 
@@ -1416,13 +1439,34 @@ class DeltaTable:
           version their action list was computed against) raise
           ``DeltaConcurrentCommit`` so the caller recomputes against the
           new table state instead of publishing stale removes.
-        """
+
+        ``configuration`` (the table config this commit runs under, or
+        the one it is publishing) arms in-commit timestamps: with
+        ``delta.enableInCommitTimestamps`` true the commitInfo carries a
+        MONOTONIC ``inCommitTimestamp`` — strictly greater than the
+        predecessor commit's — which time travel then trusts over file
+        mtimes (Delta PROTOCOL.md "In-Commit Timestamps": the defense
+        against clock-skewed object stores reordering history). The
+        timestamp is re-derived on every retry so a racer's commit
+        cannot break monotonicity."""
+        ict_armed = (configuration or {}).get(
+            "delta.enableInCommitTimestamps"
+        ) == "true" or any(
+            (a.get("metaData") or {}).get("configuration", {}).get(
+                "delta.enableInCommitTimestamps"
+            )
+            == "true"
+            for a in actions
+        )
         self.fs.makedirs(self.log_dir)
-        payload = [
-            {"commitInfo": {"timestamp": int(time.time() * 1000), "operation": operation}}
-        ] + actions
-        body = "".join(json.dumps(a) + "\n" for a in payload)
         for _attempt in range(max_retries):
+            now_ms = int(time.time() * 1000)
+            info: dict = {"timestamp": now_ms, "operation": operation}
+            if ict_armed:
+                info["inCommitTimestamp"] = max(now_ms, self._last_ict() + 1)
+            body = "".join(
+                json.dumps(a) + "\n" for a in [{"commitInfo": info}] + actions
+            )
             version = (self.versions()[-1] + 1) if self.versions() else 0
             if read_version is not None and version != read_version + 1:
                 raise DeltaConcurrentCommit(
@@ -1621,6 +1665,7 @@ class DeltaTable:
         read_version: int | None = None  # blind append unless state-dependent
         state_dependent = False
         mapping = None  # set for non-first writes to name-mode mapped tables
+        commit_config = configuration  # ICT arming (updated from prior below)
         if txn is not None:
             app_id, txn_version = txn
             if self.last_txn_version(app_id) >= txn_version:
@@ -1650,6 +1695,7 @@ class DeltaTable:
             # overwrite emits data-changing removes; append does not
             self._guard_writable(prior, data_change_removes=(mode == "overwrite"))
             mapping = self._mapping_of(prior)
+            commit_config = prior.configuration
             self._validate_constraints(df, prior.configuration)
             merged = self._merge_schema_strings(prior.schema_string, df.schema.json())
             if merged is not None:
@@ -1660,6 +1706,7 @@ class DeltaTable:
                     # staging mapping must include them
                     merged, config = _assign_mapping_metadata(merged, config)
                     mapping = _column_mapping(merged, config)
+                    commit_config = config
                 md = self._metadata_action(
                     df, partition_by or prior.partition_columns, config
                 )
@@ -1678,7 +1725,12 @@ class DeltaTable:
         actions.extend(self._stage_and_move(df, partition_by, mapping=mapping))
         while True:
             try:
-                return self._commit(actions, operation=mode.upper(), read_version=read_version)
+                return self._commit(
+                    actions,
+                    operation=mode.upper(),
+                    read_version=read_version,
+                    configuration=commit_config,
+                )
             except DeltaConcurrentCommit:
                 if txn is not None and self.last_txn_version(txn[0]) >= txn[1]:
                     return -1  # a racer delivered this exact batch
@@ -1796,7 +1848,10 @@ class DeltaTable:
                 )
             )
             actions.extend(self._cdf_protocol_actions(snap))
-        return self._commit(actions, operation="MERGE", read_version=snap.version)
+        return self._commit(
+            actions, operation="MERGE", read_version=snap.version,
+            configuration=snap.configuration,
+        )
 
     @staticmethod
     def _guard_writable(snap: Snapshot, data_change_removes: bool = True) -> None:
@@ -1894,7 +1949,10 @@ class DeltaTable:
         ) if filters else list(snap.files)
         now_ms = int(time.time() * 1000)
         if not candidates:
-            return self._commit([], operation="DELETE", read_version=snap.version)
+            return self._commit(
+                [], operation="DELETE", read_version=snap.version,
+                configuration=snap.configuration,
+            )
         # Already-deleted rows may re-match the predicate — harmless:
         # the union with the old DV below makes re-deletion idempotent,
         # and skipping the DV apply here saves a join. Mapped tables
@@ -1974,7 +2032,10 @@ class DeltaTable:
                 )
             )
             actions.extend(self._cdf_protocol_actions(snap))
-        return self._commit(actions, operation="DELETE", read_version=snap.version)
+        return self._commit(
+            actions, operation="DELETE", read_version=snap.version,
+            configuration=snap.configuration,
+        )
 
     def delete_where(
         self,
@@ -2023,7 +2084,10 @@ class DeltaTable:
                     )
                 )
                 actions.extend(self._cdf_protocol_actions(snap))
-        return self._commit(actions, operation="DELETE", read_version=snap.version)
+        return self._commit(
+            actions, operation="DELETE", read_version=snap.version,
+            configuration=snap.configuration,
+        )
 
     def diff(
         self, spark: SparkSession, v_from: int, v_to: int | None = None
@@ -2333,7 +2397,10 @@ class DeltaTable:
         for a in adds:
             a["add"]["dataChange"] = False
         actions.extend(adds)
-        return self._commit(actions, operation="OPTIMIZE", read_version=snap.version)
+        return self._commit(
+            actions, operation="OPTIMIZE", read_version=snap.version,
+            configuration=snap.configuration,
+        )
 
     def vacuum(self, retention_ms: int = 7 * 24 * 3600 * 1000) -> list[str]:
         """Physically delete data files no longer referenced by the

@@ -811,3 +811,56 @@ def test_handwritten_log_unsupported_protocol_fails_loudly(spark, tmp_path):
         for a in actions:
             f.write(json.dumps(a) + "\n")
     assert DeltaTable(root).read(spark).count() == 3
+
+
+def test_in_commit_timestamps_monotonic_and_authoritative(spark, tmp_path):
+    """delta.enableInCommitTimestamps (Delta PROTOCOL.md "In-Commit
+    Timestamps"): every commit carries a STRICTLY increasing
+    commitInfo.inCommitTimestamp, and timestamp time-travel trusts it
+    over wall timestamps — the defense against clock-skewed object
+    stores reordering history."""
+    t = DeltaTable(str(tmp_path / "ict"))
+    t.write(
+        events_df(spark, range(3)),
+        configuration={"delta.enableInCommitTimestamps": "true"},
+    )
+    t.write(events_df(spark, range(3, 6)))
+    t.delete_where(spark, "event_id = 0")
+    icts = []
+    for v in t.json_versions():
+        (info,) = [a["commitInfo"] for a in t.actions(v) if "commitInfo" in a]
+        icts.append(int(info["inCommitTimestamp"]))
+        assert t.commit_timestamp_ms(v) == icts[-1]
+    assert icts == sorted(set(icts)), icts  # strictly increasing
+    # time travel at exactly v1's ICT resolves to v1
+    assert t.read(spark, timestamp_ms=icts[1]).count() == 6
+    assert t.read(spark, timestamp_ms=icts[0]).count() == 3
+
+
+def test_check_constraints_writer_feature_table_enforced(spark, tmp_path):
+    """A table-features protocol advertising checkConstraints is
+    WRITABLE (round 8: the gate used to refuse it) because every write
+    path enforces delta.constraints.* — a violating commit still
+    refuses loudly."""
+    t = DeltaTable(str(tmp_path / "cc"))
+    t.write(
+        events_df(spark, range(5)),
+        configuration={"delta.constraints.positive": "value >= 0"},
+    )
+    snap = t.snapshot()
+    t._commit(
+        [{"protocol": {"minReaderVersion": 1, "minWriterVersion": 7,
+                       "writerFeatures": ["appendOnly", "invariants",
+                                          "checkConstraints"]}}],
+        operation="UPGRADE",
+        read_version=snap.version,
+    )
+    t.write(events_df(spark, range(5, 8)))  # valid rows pass
+    assert t.read(spark).count() == 8
+    from pulsar_io_delta_spark.sources.delta_log import DeltaConstraintViolation
+
+    bad = spark.createDataFrame(
+        [(99, "click", -1.0)], "event_id long, event_type string, value double"
+    )
+    with pytest.raises(DeltaConstraintViolation):
+        t.write(bad)

@@ -211,3 +211,27 @@ def test_multimodal_codec_pipeline_no_shuffle(spark, sf_dir):
         plan = _plan(spark, sf_dir, name)
         assert "Exchange" not in plan, (name, plan)
         assert plan.count("MapInPandas") >= 2, (name, plan)
+
+
+def test_table_changes_one_scan_per_epoch_broadcast_lookup(spark, tmp_path):
+    """A CDF read over MANY cdc commits (one schema epoch) plans ONE
+    parquet scan for all change files, with commit metadata attached by
+    a BROADCAST join — at 10^5 commits the plan stays a handful of
+    nodes, never 10^5 union branches, and no change row touches the
+    driver."""
+    from pulsar_io_delta_spark.sources.delta_log import DeltaTable
+
+    t = DeltaTable(str(tmp_path / "t"))
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(40)], "event_id long, value double"
+    )
+    t.write(df.coalesce(1), configuration={"delta.enableChangeDataFeed": "true"})
+    for k in range(4):  # four cdc-writing commits
+        t.delete_where_dv(spark, f"event_id % 10 = {k}")
+    ch = t.table_changes(spark, start_version=1)
+    plan = ch._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    # and the rows are right: each commit deleted 4 live rows
+    assert ch.count() == 16
