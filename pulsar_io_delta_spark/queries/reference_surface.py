@@ -613,3 +613,60 @@ def q_cdf_merge(spark, sf_dir):
     return t.table_changes(spark, start_version=v).select(
         "event_id", "event_type", "value", "_change_type"
     )
+
+
+@register(
+    "q_cdf_source",
+    oracle="""
+SELECT event_id, value, _change_type, _commit_version FROM (
+  SELECT event_id, value, 'insert' AS _change_type,
+         CAST(0 AS BIGINT) AS _commit_version
+  FROM events
+  UNION ALL
+  SELECT event_id, value, 'update_preimage', CAST(1 AS BIGINT)
+  FROM events WHERE event_id % 11 = 0
+  UNION ALL
+  SELECT event_id, value * 3 AS value, 'update_postimage', CAST(1 AS BIGINT)
+  FROM events WHERE event_id % 11 = 0
+  UNION ALL
+  SELECT event_id, value, 'delete', CAST(2 AS BIGINT)
+  FROM events WHERE event_id % 11 != 0 AND event_id % 17 = 3
+)
+""",
+)
+def q_cdf_source(spark, sf_dir):
+    """Change Data Feed through the registered Python DataSource
+    (option readChangeFeed=true, round 8): append (derived inserts) →
+    MERGE (cdc files, exact pre/post images) → merge-on-read DV delete
+    (cdc files; the DV commit is readable ONLY because cdc actions
+    carry the exact rows — the arrow whole-file reader refuses derived
+    DV slices loudly). The schema swaps op for _change_type, matching
+    delta-spark CDF consumers.
+
+    Scale shape: planning stays file-granular (one input partition per
+    change file); change rows stream from parquet as Arrow batches on
+    executors — no driver materialization."""
+    import tempfile
+
+    from pulsar_io_delta_spark.sources.datasource import register_delta_cdc
+    from pulsar_io_delta_spark.sources.delta_log import DeltaTable
+
+    e = table(spark, sf_dir, "events").select("event_id", "value")
+    path = tempfile.mkdtemp(prefix="pids_cdf_src_") + "/tbl"
+    t = DeltaTable(path)
+    t.write(e, configuration={"delta.enableChangeDataFeed": "true"})   # v0
+    t.merge_upsert(                                                    # v1
+        spark,
+        e.where(F.col("event_id") % 11 == 0).withColumn("value", F.col("value") * 3),
+        ["event_id"],
+    )
+    t.delete_where_dv(spark, "event_id % 11 != 0 AND event_id % 17 = 3")  # v2
+    register_delta_cdc(spark)
+    cdf = (
+        spark.read.format("pulsar_delta_cdc")
+        .option("tablePath", path)
+        .option("readChangeFeed", "true")
+        .option("startingVersion", 0)
+        .load()
+    )
+    return cdf.select("event_id", "value", "_change_type", "_commit_version")

@@ -16,6 +16,13 @@ checkpointLocation gives exactly-once delivery across restarts — the
 durable progress the reference intended its state store to provide
 (SURVEY §2.4 #8).
 
+``option("readChangeFeed", "true")`` (round 8) switches both batch and
+streaming reads to the Change Data Feed surface: commits carrying cdc
+actions are served from their ``_change_data`` files (exact
+``_change_type`` rows incl. MERGE update_preimage/update_postimage);
+other commits derive insert/delete — the schema swaps ``op`` for
+``_change_type``, matching what delta-spark CDF consumers expect.
+
 Scale notes: planning is file-granular — each input partition is one
 (file, op, version) triple read by executors as Arrow batches straight
 from parquet (no driver materialization). A 10k-file commit fans out to
@@ -46,6 +53,20 @@ ENVELOPE_FIELDS = """
     {"name": "_commit_version", "type": "long", "nullable": false, "metadata": {}}
 """
 
+# readChangeFeed=true swaps the op column for the CDF _change_type
+# (insert / delete / update_preimage / update_postimage) — the schema
+# delta-spark CDF consumers expect, minus nothing they rely on.
+CHANGE_FEED_ENVELOPE_FIELDS = """
+    {"name": "_change_type", "type": "string", "nullable": false, "metadata": {}},
+    {"name": "partition_value", "type": "string", "nullable": false, "metadata": {}},
+    {"name": "ts", "type": "timestamp", "nullable": true, "metadata": {}},
+    {"name": "_commit_version", "type": "long", "nullable": false, "metadata": {}}
+"""
+
+
+def _is_change_feed(options) -> bool:
+    return str(options.get("readChangeFeed", "")).lower() == "true"
+
 
 def _canonical_pv(partition_values: dict[str, str]) -> str:
     """TreeMap-sorted k=v concatenation, no pair separator
@@ -63,8 +84,24 @@ class _FileSlice(InputPartition):
     partition_values: tuple[tuple[str, str], ...]
 
 
-def _plan_slices(table_path: str, start_version: int, end_version: int) -> list[_FileSlice]:
-    """File-level input partitions for commits in [start, end]."""
+def _plan_slices(
+    table_path: str,
+    start_version: int,
+    end_version: int,
+    change_feed: bool = False,
+) -> list[_FileSlice]:
+    """File-level input partitions for commits in [start, end].
+
+    ``change_feed`` (option ``readChangeFeed``): commits carrying cdc
+    actions contribute ONLY their ``_change_data`` files (op='cdf'; the
+    file's own ``_change_type`` column carries exact semantics incl.
+    MERGE pre/post images); other commits derive insert/delete from
+    add/remove exactly like the op stream.
+
+    Deletion-vector guard: a derived slice over a DV-carrying add would
+    emit the file's DELETED rows too (this arrow path reads whole
+    files) — refuse loudly instead of silently over-reporting; CDF
+    tables never hit this because their DV deletes carry cdc actions."""
     from pulsar_io_delta_spark.sources.delta_log import DeltaTable
 
     t = DeltaTable(table_path)
@@ -72,6 +109,30 @@ def _plan_slices(table_path: str, start_version: int, end_version: int) -> list[
     for version, actions in t.changes(start_version):
         if version > end_version:
             break
+        cdc_actions = [a["cdc"] for a in actions if "cdc" in a] if change_feed else []
+        if cdc_actions:
+            ts_ms = next(
+                (
+                    int(a["commitInfo"]["timestamp"])
+                    for a in actions
+                    if a.get("commitInfo", {}).get("timestamp") is not None
+                ),
+                0,
+            )
+            for c in cdc_actions:
+                slices.append(
+                    _FileSlice(
+                        table_path=table_path,
+                        rel_path=c["path"],
+                        op="cdf",
+                        version=version,
+                        ts_ms=ts_ms,
+                        partition_values=tuple(
+                            sorted((c.get("partitionValues") or {}).items())
+                        ),
+                    )
+                )
+            continue
         for action in actions:
             if "add" in action:
                 a, op, ts_key = action["add"], "c", "modificationTime"
@@ -83,6 +144,14 @@ def _plan_slices(table_path: str, start_version: int, end_version: int) -> list[
                 # OPTIMIZE/compaction rewrites move bytes without changing
                 # data; mirroring DeltaTable.cdc(), they are invisible here.
                 continue
+            dv = a.get("deletionVector")
+            if dv and int(dv.get("cardinality") or 0) > 0:
+                raise ValueError(
+                    "pulsar_delta_cdc cannot derive changes from a "
+                    f"deletion-vector file ({a['path']}): whole-file reads "
+                    "would resurrect deleted rows; use DeltaTable.cdc()/"
+                    "table_changes(), or enable delta.enableChangeDataFeed"
+                )
             slices.append(
                 _FileSlice(
                     table_path=table_path,
@@ -118,6 +187,12 @@ def _read_slice(slice_: _FileSlice, schema: StructType):
                 col = present[name].cast(target)
             elif name == "op":
                 col = pa.array([slice_.op] * n, pa.string())
+            elif name == "_change_type":
+                # derived slices: constant from the action kind ('cdf'
+                # slices never reach here — the file column wins above)
+                col = pa.array(
+                    ["insert" if slice_.op == "c" else "delete"] * n, pa.string()
+                )
             elif name == "partition_value":
                 col = pa.array([_canonical_pv(pvals)] * n, pa.string())
             elif name == "ts":
@@ -159,6 +234,7 @@ class _CdcBatchReader(DataSourceReader):
         self.table_path = options["tablePath"]
         self.start = int(options.get("startingVersion", 0))
         self.end = int(options["endingVersion"]) if "endingVersion" in options else None
+        self.change_feed = _is_change_feed(options)
 
     def partitions(self):
         end = self.end
@@ -166,7 +242,9 @@ class _CdcBatchReader(DataSourceReader):
             from pulsar_io_delta_spark.sources.delta_log import DeltaTable
 
             end = DeltaTable(self.table_path).latest_version()
-        return _plan_slices(self.table_path, self.start, end)
+        return _plan_slices(
+            self.table_path, self.start, end, change_feed=self.change_feed
+        )
 
     def read(self, partition: _FileSlice):
         yield from _read_slice(partition, self.schema_)
@@ -185,6 +263,7 @@ class _CdcStreamReader(DataSourceStreamReader):
         self.schema_ = schema
         self.table_path = options["tablePath"]
         self.start = int(options.get("startingVersion", 0))
+        self.change_feed = _is_change_feed(options)
         self.max_versions = int(options.get("maxVersionsPerTrigger", 0)) or None
         # Inclusive ceiling: the stream never admits commits beyond this
         # version (schema-evolution epochs end here; -1 = unbounded).
@@ -220,7 +299,12 @@ class _CdcStreamReader(DataSourceStreamReader):
         self._seed(end["version"])
         if end["version"] <= start["version"]:
             return []
-        return _plan_slices(self.table_path, start["version"], end["version"] - 1)
+        return _plan_slices(
+            self.table_path,
+            start["version"],
+            end["version"] - 1,
+            change_feed=self.change_feed,
+        )
 
     def read(self, partition: _FileSlice):
         yield from _read_slice(partition, self.schema_)
@@ -333,9 +417,24 @@ class DeltaCdcDataSource(DataSource):
         snap = t.snapshot(int(as_of)) if as_of is not None else t.snapshot()
         if snap.schema_string is None:
             raise ValueError("table has no metaData/schemaString")
+        from pulsar_io_delta_spark.sources.delta_log import _column_mapping
+
+        if _column_mapping(snap.schema_string, snap.configuration):
+            # the arrow slice reader matches FILE column names against
+            # the logical schema — on a mapped table that would silently
+            # null-fill every column. Loud, not wrong.
+            raise ValueError(
+                "pulsar_delta_cdc does not support column-mapped tables; "
+                "read them through DeltaTable.read()/cdc()/table_changes()"
+            )
         base = json.loads(snap.schema_string)
         taken = {f["name"] for f in base["fields"]}
-        envelope = [f for f in json.loads(f"[{ENVELOPE_FIELDS}]") if f["name"] not in taken]
+        fields = (
+            CHANGE_FEED_ENVELOPE_FIELDS
+            if _is_change_feed(self.options)
+            else ENVELOPE_FIELDS
+        )
+        envelope = [f for f in json.loads(f"[{fields}]") if f["name"] not in taken]
         base["fields"] = base["fields"] + envelope
         return StructType.fromJson(base)
 

@@ -194,3 +194,99 @@ def test_stream_max_versions_per_trigger(spark, tmp_path):
     assert sorted(seen) == list(range(25))  # exactly-once, no overlap
     for b in batches:
         assert len({r._commit_version for r in b}) <= 2
+
+
+@pytest.fixture()
+def cdf_table(spark, tmp_path):
+    """A CDF-armed table with an append (derived), a merge (cdc files
+    with pre/post images) and a DV delete (cdc files)."""
+    path = str(tmp_path / "cdf_tbl")
+    t = DeltaTable(path)
+    mk = lambda lo, hi: spark.range(lo, hi).select(  # noqa: E731
+        F.col("id").alias("event_id"),
+        (F.col("id") * 1.5).alias("value"),
+    )
+    t.write(mk(0, 8).coalesce(1),
+            configuration={"delta.enableChangeDataFeed": "true"})   # v0
+    src = spark.createDataFrame(
+        [(2, 200.0), (99, 99.0)], "event_id long, value double"
+    )
+    t.merge_upsert(spark, src, key_cols=["event_id"])               # v1
+    t.delete_where_dv(spark, "event_id = 5")                        # v2
+    register_delta_cdc(spark)
+    return path
+
+
+def test_batch_read_change_feed(spark, cdf_table):
+    ds = (
+        spark.read.format("pulsar_delta_cdc")
+        .option("tablePath", cdf_table)
+        .option("readChangeFeed", "true")
+        .option("startingVersion", 0)
+        .load()
+    )
+    assert "_change_type" in ds.columns and "op" not in ds.columns
+    by = {}
+    for r in ds.collect():
+        by.setdefault(r["_change_type"], set()).add((r.event_id, r.value))
+    assert by["update_preimage"] == {(2, 3.0)}
+    assert by["update_postimage"] == {(2, 200.0)}
+    assert by["delete"] == {(5, 7.5)}
+    assert {(99, 99.0)} <= by["insert"]          # merge insert (cdc file)
+    assert {(0, 0.0), (1, 1.5)} <= by["insert"]  # v0 append (derived)
+    # agreement with the DataFrame CDF path
+    ref = DeltaTable(cdf_table).table_changes(spark, start_version=0)
+    a = {(r.event_id, r.value, r["_change_type"], r["_commit_version"])
+         for r in ds.collect()}
+    b = {(r.event_id, r.value, r["_change_type"], r["_commit_version"])
+         for r in ref.collect()}
+    assert a == b
+
+
+def test_stream_read_change_feed(spark, cdf_table, tmp_path):
+    rows = []
+
+    def sink(b, _i):
+        rows.extend(b.select("event_id", "_change_type", "_commit_version").collect())
+
+    q = (
+        spark.readStream.format("pulsar_delta_cdc")
+        .option("tablePath", cdf_table)
+        .option("readChangeFeed", "true")
+        .option("stopAfterVersion", 2)
+        .load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck_cdf"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r.event_id, r["_change_type"]) for r in rows}
+    assert (2, "update_preimage") in got and (2, "update_postimage") in got
+    assert (5, "delete") in got
+    assert {r["_commit_version"] for r in rows} == {0, 1, 2}
+
+
+def test_derived_dv_slice_refuses_loudly(spark, tmp_path):
+    """Without CDF, a DV-carrying add cannot be derived by the arrow
+    whole-file reader — loud error, never resurrected rows."""
+    path = str(tmp_path / "dv_tbl")
+    t = DeltaTable(path)
+    t.write(
+        spark.range(6).select(F.col("id").alias("event_id")).coalesce(1)
+    )
+    t.delete_where_dv(spark, "event_id = 0")
+    register_delta_cdc(spark)
+    ds = spark.read.format("pulsar_delta_cdc").option("tablePath", path).load()
+    with pytest.raises(Exception, match="deletion-vector"):
+        ds.collect()
+
+
+def test_mapped_table_refused_by_datasource(spark, tmp_path):
+    path = str(tmp_path / "cm_tbl")
+    t = DeltaTable(path)
+    t.write(spark.range(3).select(F.col("id").alias("event_id")))
+    t.enable_column_mapping()
+    register_delta_cdc(spark)
+    with pytest.raises(Exception, match="column-mapped"):
+        spark.read.format("pulsar_delta_cdc").option("tablePath", path).load().collect()
