@@ -394,3 +394,63 @@ def q_stream_cdc(spark, sf_dir):
         output_mode="append",
     )
     return out
+
+
+@register(
+    "q_stream_cdf",
+    oracle="""
+SELECT event_id, value, _change_type, _commit_version FROM (
+  SELECT event_id, value, 'insert' AS _change_type,
+         CAST(0 AS BIGINT) AS _commit_version
+  FROM events
+  UNION ALL
+  SELECT event_id, value, 'update_preimage', CAST(1 AS BIGINT)
+  FROM events WHERE event_id % 12 = 7
+  UNION ALL
+  SELECT event_id, value * 2 AS value, 'update_postimage', CAST(1 AS BIGINT)
+  FROM events WHERE event_id % 12 = 7
+  UNION ALL
+  SELECT event_id, value, 'delete', CAST(2 AS BIGINT)
+  FROM events WHERE event_id % 12 != 7 AND event_id % 19 = 5
+)
+""",
+)
+def q_stream_cdf(spark, sf_dir):
+    """STREAMING Change Data Feed (round 8): append → MERGE (cdc files
+    with exact pre/post images) → merge-on-read DV delete, drained as a
+    readChangeFeed=true stream under Trigger.AvailableNow. Per-row
+    _commit_version labels prove per-commit batch delivery; the DV
+    commit is streamable only because its cdc actions carry the exact
+    rows (the derived path refuses DV files loudly). Batch twin:
+    q_cdf_source.
+
+    Scale shape: identical to q_stream_cdc — file-slice planning,
+    version-cursor state, stateless append, no shuffle."""
+    import tempfile
+
+    from pulsar_io_delta_spark.sources.datasource import register_delta_cdc
+    from pulsar_io_delta_spark.sources.delta_log import DeltaTable
+    from pulsar_io_delta_spark.tables import table
+
+    e = table(spark, sf_dir, "events").select("event_id", "value")
+    path = tempfile.mkdtemp(prefix="pids_stream_cdf_") + "/tbl"
+    t = DeltaTable(path)
+    t.write(e, configuration={"delta.enableChangeDataFeed": "true"})     # v0
+    t.merge_upsert(                                                      # v1
+        spark,
+        e.where(F.col("event_id") % 12 == 7).withColumn("value", F.col("value") * 2),
+        ["event_id"],
+    )
+    t.delete_where_dv(spark, "event_id % 12 != 7 AND event_id % 19 = 5")  # v2
+    register_delta_cdc(spark)
+    s = (
+        spark.readStream.format("pulsar_delta_cdc")
+        .option("tablePath", path)
+        .option("readChangeFeed", "true")
+        .option("startingVersion", 0)
+        .load()
+    )
+    return run_to_memory(
+        s.select("event_id", "value", "_change_type", "_commit_version"),
+        output_mode="append",
+    )

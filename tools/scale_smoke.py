@@ -364,6 +364,31 @@ def main() -> None:
             dt = time.time() - t0
             print(f"{name:10s} {label:4s} rows={rows:>9,d} wall={dt:6.2f}s ns/row={dt/rows*1e9:7.1f}")
 
+    # Round-8 shape: Change Data Feed read as COMMIT COUNT grows (the
+    # scale axis that breaks naive per-commit union plans — a 10×
+    # commit-count feed must plan the same handful of scans, so wall
+    # time grows with data volume only, never with plan size).
+    import tempfile
+
+    from pulsar_io_delta_spark.sources.delta_log import DeltaTable
+
+    for label, n_commits in (("1x", 8), (f"{kd}x", 8 * kd)):
+        root = tempfile.mkdtemp(prefix="smoke_cdf_") + "/tbl"
+        tt = DeltaTable(root)
+        base = spark.range(2000).select(
+            F.col("id").alias("event_id"), (F.col("id") * 1.5).alias("value")
+        )
+        tt.write(base.coalesce(4),
+                 configuration={"delta.enableChangeDataFeed": "true"})
+        for i in range(n_commits):
+            tt.delete_where_dv(spark, f"event_id % {n_commits * 3} = {i}")
+        t0 = time.time()
+        out = tt.table_changes(spark, start_version=1)
+        out.write.mode("overwrite").format("noop").save()
+        dt = time.time() - t0
+        rows = out.count()
+        print(f"{'cdf_read':10s} {label:4s} rows={rows:>9,d} wall={dt:6.2f}s ns/row={dt/rows*1e9:7.1f} commits={n_commits}")
+
     spark.stop()
 
 
