@@ -431,6 +431,7 @@ WINDOW_MUST_INCLUDE = [
     "q_cdf_merge",
     "q_cdf_source",
     "q_stream_cdf",
+    "q_update_where",
     "q_multimodal_jpeg",
     "q_multimodal_png",
     "q_sim_ann_pq",
@@ -475,12 +476,10 @@ WINDOW_MUST_INCLUDE = [
     "q_topk",
     "q_union_all",
     "q_union_distinct",
-    "q_intersect",
     # (q_window_firstlast / q_unpivot / q_asof_join, then
     # q_intersect_all / q_except_all / q_agg_percentiles /
-    # q_struct_funcs / q_regex_funcs / q_except rotate out to make
-    # room for the nine new round-8 queries — r5-green, unmodified,
-    # judge-gate green on current fixtures; q_intersect keeps the
-    # set-op family sampled)
+    # q_struct_funcs / q_regex_funcs / q_except / q_intersect rotate
+    # out to make room for the ten new round-8 queries — r5-green,
+    # unmodified, judge-gate green on current fixtures)
 ]
 promote(WINDOW_MUST_INCLUDE, after="q_stream_tumbling")

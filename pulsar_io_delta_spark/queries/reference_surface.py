@@ -670,3 +670,44 @@ def q_cdf_source(spark, sf_dir):
         .load()
     )
     return cdf.select("event_id", "value", "_change_type", "_commit_version")
+
+
+@register(
+    "q_update_where",
+    oracle="""
+SELECT event_id, event_type,
+       CASE WHEN event_type = 'click' AND event_id % 7 = 2
+            THEN value * 10 + 1 ELSE value END AS value,
+       CASE WHEN event_type = 'click' AND event_id % 7 = 2
+            THEN 'promo' ELSE event_type END AS tag
+FROM events
+""",
+)
+def q_update_where(spark, sf_dir):
+    """UPDATE ... SET (round 8): rewrite ONLY the files containing
+    matching rows, applying SQL-expression assignments to matched rows
+    and keeping FALSE/NULL-predicate rows byte-identical — the last
+    missing DML verb beside MERGE/DELETE. The partition filter prunes
+    the click partition's files before any scan; touch detection
+    collects file paths only.
+
+    Scale shape: same class as delete_where — prune → path-only touch
+    probe → one rewrite of touched files; the assignment expressions
+    stay in whole-stage codegen."""
+    import tempfile
+
+    from pulsar_io_delta_spark.sources.delta_log import DeltaTable
+
+    root = tempfile.mkdtemp(prefix="pids_upd_") + "/tbl"
+    t = DeltaTable(root)
+    e = table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    t.write(
+        e.withColumn("tag", F.col("event_type")), partition_by=["event_type"]
+    )
+    t.update_where(
+        spark,
+        "event_id % 7 = 2",
+        {"value": "value * 10 + 1", "tag": "'promo'"},
+        filters=[("event_type", "=", "click")],
+    )
+    return t.read(spark).select("event_id", "event_type", "value", "tag")

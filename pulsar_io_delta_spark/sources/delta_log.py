@@ -2037,6 +2037,96 @@ class DeltaTable:
             configuration=snap.configuration,
         )
 
+    def update_where(
+        self,
+        spark: SparkSession,
+        predicate: str,
+        assignments: dict[str, str],
+        filters: list[tuple[str, str, object]] | None = None,
+    ) -> int:
+        """UPDATE ... SET: rewrite only the files that contain matching
+        rows, applying ``assignments`` (column → SQL expression over the
+        pre-update row) to rows where ``predicate`` is TRUE; rows where
+        it is FALSE or NULL are kept unchanged (SQL UPDATE semantics).
+        With delta.enableChangeDataFeed armed the commit carries exact
+        update_preimage/update_postimage cdc rows.
+
+        Scale shape: touch detection is a distributed scan + filter
+        collecting only file PATHS; untouched files are never read twice
+        nor rewritten; ``filters`` adds partition/stats pruning before
+        any file is opened (at 100 TB: update one day's partition,
+        rewrite one day's matching files)."""
+        snap = self.snapshot()
+        self._guard_writable(snap)
+        table_cols = (
+            [f["name"] for f in json.loads(snap.schema_string)["fields"]]
+            if snap.schema_string
+            else []
+        )
+        unknown = [c for c in assignments if c not in table_cols]
+        if unknown:
+            raise DeltaProtocolError(f"UPDATE assigns unknown columns: {unknown}")
+        candidates = self.prune_files(
+            snap, self._phys_filters(snap, filters)
+        ) if filters else list(snap.files)
+        if not candidates:
+            return self._commit(
+                [], operation="UPDATE", read_version=snap.version,
+                configuration=snap.configuration,
+            )
+        # touch detection: only file paths reach the driver
+        probe = self._scan_logical_meta(spark, snap, candidates)
+        touched_abs = [
+            r._fp
+            for r in probe.where(predicate).select("_fp").distinct().collect()
+        ]
+        base = os.path.abspath(self.path)
+        touched = [os.path.relpath(p, base) for p in touched_abs]
+        if not touched:
+            return self._commit(
+                [], operation="UPDATE", read_version=snap.version,
+                configuration=snap.configuration,
+            )
+        live = self._scan_live(spark, snap, touched)
+        p = F.expr(predicate)
+        matched = live.where(p)
+        kept = live.where((~p) | p.isNull())
+        updated = matched.select(
+            [
+                F.expr(assignments[c]).alias(c) if c in assignments else F.col(c)
+                for c in table_cols
+            ]
+        )
+        self._validate_constraints(updated, snap.configuration)
+        now_ms = int(time.time() * 1000)
+        actions: list[dict] = [self._remove_action(snap, pth, now_ms) for pth in touched]
+        actions.extend(
+            self._stage_and_move(
+                kept.unionByName(updated),
+                snap.partition_columns,
+                mapping=self._mapping_of(snap),
+            )
+        )
+        if _cdf_enabled(snap.configuration):
+            change_rows = matched.withColumn(
+                "_change_type", F.lit("update_preimage")
+            ).unionByName(
+                updated.withColumn("_change_type", F.lit("update_postimage"))
+            )
+            actions.extend(
+                self._stage_and_move(
+                    change_rows,
+                    snap.partition_columns,
+                    mapping=self._mapping_of(snap),
+                    cdc=True,
+                )
+            )
+            actions.extend(self._cdf_protocol_actions(snap))
+        return self._commit(
+            actions, operation="UPDATE", read_version=snap.version,
+            configuration=snap.configuration,
+        )
+
     def delete_where(
         self,
         spark: SparkSession,

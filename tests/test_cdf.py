@@ -159,3 +159,45 @@ def test_vacuum_reclaims_orphaned_change_files(spark, tmp_path):
     t.expire_log()
     t.vacuum(retention_ms=0)
     assert not cdc_files()
+
+
+def test_update_where_rewrites_and_reports_images(spark, tmp_path):
+    """UPDATE ... SET: matched rows transformed, NULL-predicate rows
+    kept (SQL semantics), untouched files not rewritten, and CDF
+    carries exact pre/post images."""
+    t = DeltaTable(str(tmp_path / "t"))
+    rows = spark.createDataFrame(
+        [(0, "a", 0.0), (1, "a", 1.0), (2, "a", None), (3, "a", 3.0)],
+        "event_id long, category string, value double",
+    )
+    t.write(rows.coalesce(1), configuration=CDF)
+    t.write(_rows(spark, range(100, 103)).coalesce(1))  # no rows match below
+    files_before = set(t.snapshot().files)
+    v = t.update_where(
+        spark,
+        "value >= 1 AND value < 50",
+        {"value": "value * 10", "category": "upper(category)"},
+    )
+    got = {(r.event_id, r.category, r.value) for r in t.read(spark).collect()}
+    assert (1, "A", 10.0) in got and (3, "A", 30.0) in got
+    assert (0, "a", 0.0) in got          # predicate FALSE: unchanged
+    assert (2, "a", None) in got          # predicate NULL: unchanged
+    assert (100, "a", 100.0) in got       # untouched file intact
+    # the no-match file survived un-rewritten
+    removed = {a["remove"]["path"] for a in t.actions(v) if "remove" in a}
+    assert len(removed) == 1 and removed < files_before
+    ch = t.table_changes(spark, start_version=v)
+    by = _by_type(ch)
+    assert by["update_preimage"] == {(1, 1.0), (3, 3.0)}
+    assert by["update_postimage"] == {(1, 10.0), (3, 30.0)}
+    assert set(by) == {"update_preimage", "update_postimage"}
+
+
+def test_update_where_unknown_column_is_loud(spark, tmp_path):
+    from pulsar_io_delta_spark.sources.delta_log import DeltaProtocolError
+    import pytest
+
+    t = DeltaTable(str(tmp_path / "t"))
+    t.write(_rows(spark, range(3)))
+    with pytest.raises(DeltaProtocolError, match="unknown columns"):
+        t.update_where(spark, "event_id = 0", {"nope": "1"})
