@@ -432,6 +432,7 @@ WINDOW_MUST_INCLUDE = [
     "q_cdf_source",
     "q_stream_cdf",
     "q_update_where",
+    "q_generated_columns",
     "q_multimodal_jpeg",
     "q_multimodal_png",
     "q_sim_ann_pq",
@@ -446,12 +447,12 @@ WINDOW_MUST_INCLUDE = [
     "q_cdc_schema_evolution",
     "q_table_detail",
     "q_pulsar_wire",
-    # (c) stalest driver rows: r1 singles
+    # (c) stalest driver rows: r1 singles (q_join_cross rotates out —
+    # the join family keeps 6 other sampled members)
     "q_string_funcs",
     "q_date_funcs",
     "q_math_funcs",
     "q_array_funcs",
-    "q_join_cross",
     "q_null_funcs",
     "q_join_left",
     "q_join_right",

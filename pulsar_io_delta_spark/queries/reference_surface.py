@@ -711,3 +711,58 @@ def q_update_where(spark, sf_dir):
         filters=[("event_type", "=", "click")],
     )
     return t.read(spark).select("event_id", "event_type", "value", "tag")
+
+
+@register(
+    "q_generated_columns",
+    oracle="""
+SELECT event_id, event_type,
+       CASE WHEN event_id % 8 = 1 THEN value + 100 ELSE value END AS value,
+       upper(event_type) AS etype_upper
+FROM events
+""",
+)
+def q_generated_columns(spark, sf_dir):
+    """Generated columns (round 8; Delta PROTOCOL.md "Generated
+    Columns"): a table born with etype_upper GENERATED ALWAYS AS
+    upper(event_type) — appends omitting the column get it computed at
+    write time inside whole-stage codegen, a provided-but-wrong value
+    refuses loudly, and UPDATE recomputes it over the post-assignment
+    row. The invariant every downstream reader relies on (column ==
+    expression) is enforced at the only place it can be: the writer."""
+    import json as _json
+    import tempfile
+
+    from pulsar_io_delta_spark.sources.delta_log import DeltaTable
+
+    root = tempfile.mkdtemp(prefix="pids_gen_") + "/tbl"
+    schema = _json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "event_id", "type": "long", "nullable": True, "metadata": {}},
+                {"name": "event_type", "type": "string", "nullable": True, "metadata": {}},
+                {"name": "value", "type": "double", "nullable": True, "metadata": {}},
+                {"name": "etype_upper", "type": "string", "nullable": True,
+                 "metadata": {"delta.generationExpression": "upper(event_type)"}},
+            ],
+        }
+    )
+    actions = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 7,
+                      "writerFeatures": ["appendOnly", "invariants",
+                                         "generatedColumns"]}},
+        {"metaData": {"id": "gen-fixture", "schemaString": schema,
+                      "partitionColumns": [],
+                      "format": {"provider": "parquet", "options": {}},
+                      "configuration": {}}},
+    ]
+    os.makedirs(os.path.join(root, "_delta_log"))
+    with open(os.path.join(root, "_delta_log", f"{0:020d}.json"), "w") as f:
+        for a in actions:
+            f.write(_json.dumps(a) + "\n")
+    t = DeltaTable(root)
+    e = table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    t.write(e)  # etype_upper computed on write
+    t.update_where(spark, "event_id % 8 = 1", {"value": "value + 100"})
+    return t.read(spark).select("event_id", "event_type", "value", "etype_upper")

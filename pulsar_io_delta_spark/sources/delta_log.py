@@ -141,6 +141,10 @@ class Snapshot:
     protocol: dict = field(
         default_factory=lambda: {"minReaderVersion": 1, "minWriterVersion": 2}
     )
+    # domain → latest non-removed domainMetadata action (spec: writers
+    # must PRESERVE these across checkpoints — liquid-clustered tables
+    # carry their clustering state here)
+    domain_metadata: dict[str, dict] = field(default_factory=dict)
 
 
 # Reader features this engine actually implements (Delta PROTOCOL.md
@@ -179,6 +183,13 @@ _SUPPORTED_WRITER_FEATURES = {
     # _commit stamps a monotonic commitInfo.inCommitTimestamp when
     # delta.enableInCommitTimestamps is armed; time travel trusts it
     "inCommitTimestamp",
+    # write/merge compute columns missing from the incoming frame from
+    # their delta.generationExpression and VALIDATE provided ones;
+    # UPDATE recomputes them and refuses direct assignment
+    "generatedColumns",
+    # snapshot replay tracks domainMetadata (last-wins, removed=drop)
+    # and every checkpoint dialect we write preserves it
+    "domainMetadata",
 }
 
 
@@ -242,6 +253,20 @@ def _contains_struct(t) -> bool:
     if tt == "map":
         return _contains_struct(t["keyType"]) or _contains_struct(t["valueType"])
     return False
+
+
+def _generation_exprs(schema_string: str | None) -> dict[str, str]:
+    """Generated columns (Delta PROTOCOL.md "Generated Columns"): map of
+    column → SQL generation expression from the schema fields'
+    ``delta.generationExpression`` metadata."""
+    if not schema_string:
+        return {}
+    out: dict[str, str] = {}
+    for f in json.loads(schema_string)["fields"]:
+        e = (f.get("metadata") or {}).get("delta.generationExpression")
+        if e:
+            out[f["name"]] = e
+    return out
 
 
 def _cdf_enabled(configuration: dict | None) -> bool:
@@ -386,7 +411,7 @@ def _spec_checkpoint_actions(rows: list[dict]) -> list[dict]:
     out: list[dict] = []
     for r in rows:
         for key in ("txn", "add", "remove", "metaData", "protocol",
-                    "checkpointMetadata", "sidecar"):
+                    "checkpointMetadata", "sidecar", "domainMetadata"):
             v = r.get(key)
             if not isinstance(v, dict):
                 continue
@@ -550,6 +575,7 @@ class DeltaTable:
         partition_columns: list[str] = []
         configuration: dict = {}
         protocol: dict = {"minReaderVersion": 1, "minWriterVersion": 2}
+        domains: dict[str, dict] = {}
         replay_from = 0
         usable_ckpts = [c for c in self.checkpoint_versions() if c <= v]
         if usable_ckpts:
@@ -559,6 +585,7 @@ class DeltaTable:
             partition_columns = ck["partition_columns"]
             configuration = dict(ck.get("configuration") or {})
             protocol = dict(ck.get("protocol") or protocol)
+            domains = dict(ck.get("domain_metadata") or {})
             replay_from = usable_ckpts[-1] + 1
         for ver in self.json_versions():
             if ver < replay_from or ver > v:
@@ -575,6 +602,12 @@ class DeltaTable:
                 elif "protocol" in action:
                     protocol = action["protocol"]
                     _check_protocol(protocol)
+                elif "domainMetadata" in action:
+                    dm = action["domainMetadata"]
+                    if dm.get("removed"):
+                        domains.pop(dm.get("domain"), None)
+                    else:
+                        domains[dm["domain"]] = dm
         return Snapshot(
             version=v,
             files=sorted(live),
@@ -585,6 +618,7 @@ class DeltaTable:
             adds=live,
             configuration=configuration,
             protocol=protocol,
+            domain_metadata=domains,
         )
 
     def prune_files(self, snap: Snapshot, filters: list[tuple[str, str, object]]) -> list[str]:
@@ -663,6 +697,12 @@ class DeltaTable:
             )
         for app_id, txn_v in self._txns_through(v).items():
             rows.append({"action_type": "txn", "txn_appId": app_id, "txn_version": txn_v})
+        for dm in snap.domain_metadata.values():
+            # spec: writers must PRESERVE domain metadata across
+            # checkpoints (liquid-clustering state lives here)
+            rows.append(
+                {"action_type": "domainMetadata", "domainMetadata": json.dumps(dm)}
+            )
         cols = [
             "action_type",
             "path",
@@ -679,6 +719,7 @@ class DeltaTable:
             "deletionVector",
             "txn_appId",
             "txn_version",
+            "domainMetadata",
         ]
         ts = self.commit_timestamp_ms(v)
         if parts <= 1:
@@ -738,6 +779,8 @@ class DeltaTable:
             actions.append({"add": add})
         for app_id, txn_v in self._txns_through(v).items():
             actions.append({"txn": {"appId": app_id, "version": txn_v}})
+        for dm in snap.domain_metadata.values():
+            actions.append({"domainMetadata": dm})
         name = f"{v:020d}.checkpoint.{uuid.uuid4()}.json"
         self.fs.write_text(
             os.path.join(self.log_dir, name),
@@ -796,6 +839,7 @@ class DeltaTable:
         configuration: dict = {}
         protocol: dict = {"minReaderVersion": 1, "minWriterVersion": 2}
         txns: dict[str, int] = {}
+        domains: dict[str, dict] = {}
         for a in action_dicts:
             if "add" in a:
                 live[a["add"]["path"]] = a["add"]
@@ -812,6 +856,10 @@ class DeltaTable:
                     txns[t["appId"]] = max(
                         txns.get(t["appId"], -1), int(t.get("version", -1))
                     )
+            elif "domainMetadata" in a:
+                dm = a["domainMetadata"]
+                if not dm.get("removed"):
+                    domains[dm["domain"]] = dm
             # "remove" rows are vacuum tombstones — not snapshot state;
             # "checkpointMetadata" is self-describing version info
         return {
@@ -821,6 +869,7 @@ class DeltaTable:
             "configuration": configuration,
             "protocol": protocol,
             "txns": txns,
+            "domain_metadata": domains,
             # spec checkpoints carry no commit timestamp — file mtime is
             # the same approximation every vacuum/time-travel impl uses
             "timestamp": self.fs.mtime_ms(files[0]),
@@ -833,6 +882,7 @@ class DeltaTable:
         configuration: dict = {}
         protocol: dict = {"minReaderVersion": 1, "minWriterVersion": 2}
         txns: dict[str, int] = {}
+        domains: dict[str, dict] = {}
         ts = 0
         for r in rows:
             ts = int(r.get("commit_timestamp") or 0)
@@ -862,6 +912,9 @@ class DeltaTable:
                 _check_protocol(protocol)
             elif r["action_type"] == "txn":
                 txns[r["txn_appId"]] = int(r["txn_version"])
+            elif r["action_type"] == "domainMetadata":
+                dm = json.loads(r["domainMetadata"])
+                domains[dm["domain"]] = dm
         return {
             "live": live,
             "schema_string": schema_string,
@@ -869,6 +922,7 @@ class DeltaTable:
             "configuration": configuration,
             "protocol": protocol,
             "txns": txns,
+            "domain_metadata": domains,
             "timestamp": ts,
         }
 
@@ -1496,6 +1550,25 @@ class DeltaTable:
     def _mapping_of(snap: Snapshot):
         return _column_mapping(snap.schema_string, snap.configuration)
 
+    def _apply_generated(self, df: DataFrame, schema_string: str | None) -> DataFrame:
+        """Generated-column write semantics: columns MISSING from the
+        incoming frame are computed from their generation expression;
+        columns the caller DID provide are validated against it (one
+        limit(1) probe each — a mismatch means the invariant every
+        downstream reader relies on would silently break)."""
+        gen = _generation_exprs(schema_string)
+        for c, expr in gen.items():
+            if c not in df.columns:
+                df = df.withColumn(c, F.expr(expr))
+            else:
+                bad = df.where(f"NOT ({c} <=> ({expr}))").limit(1).count()
+                if bad:
+                    raise DeltaConstraintViolation(
+                        f"generated column {c!r} does not match its "
+                        f"generation expression ({expr}) on incoming rows"
+                    )
+        return df
+
     @staticmethod
     def _cdf_protocol_actions(snap: Snapshot) -> list[dict]:
         """Protocol action list for a cdc-writing commit: upgrade to the
@@ -1696,6 +1769,7 @@ class DeltaTable:
             self._guard_writable(prior, data_change_removes=(mode == "overwrite"))
             mapping = self._mapping_of(prior)
             commit_config = prior.configuration
+            df = self._apply_generated(df, prior.schema_string)
             self._validate_constraints(df, prior.configuration)
             merged = self._merge_schema_strings(prior.schema_string, df.schema.json())
             if merged is not None:
@@ -1789,9 +1863,11 @@ class DeltaTable:
             touched_abs = []
         base = os.path.abspath(self.path)
         touched = [os.path.relpath(p, base) for p in touched_abs]
-        aligned_source = source
+        # generated columns: compute the ones the source omits, validate
+        # the ones it provides; remaining absent columns null-fill
+        aligned_source = self._apply_generated(source, snap.schema_string)
         for c in table_cols:
-            if c not in source.columns:
+            if c not in aligned_source.columns:
                 aligned_source = aligned_source.withColumn(c, F.lit(None))
         aligned_source = aligned_source.select(*table_cols)
         if touched:
@@ -2066,6 +2142,13 @@ class DeltaTable:
         unknown = [c for c in assignments if c not in table_cols]
         if unknown:
             raise DeltaProtocolError(f"UPDATE assigns unknown columns: {unknown}")
+        gen = _generation_exprs(snap.schema_string)
+        assigned_gen = [c for c in assignments if c in gen]
+        if assigned_gen:
+            raise DeltaProtocolError(
+                f"UPDATE cannot assign generated columns {assigned_gen}; "
+                "they are recomputed from their generation expressions"
+            )
         candidates = self.prune_files(
             snap, self._phys_filters(snap, filters)
         ) if filters else list(snap.files)
@@ -2097,6 +2180,12 @@ class DeltaTable:
                 for c in table_cols
             ]
         )
+        if gen:
+            # recompute generated columns over the post-assignment row
+            # (their referenced base columns may have changed)
+            updated = self._apply_generated(
+                updated.drop(*gen.keys()), snap.schema_string
+            ).select(*table_cols)
         self._validate_constraints(updated, snap.configuration)
         now_ms = int(time.time() * 1000)
         actions: list[dict] = [self._remove_action(snap, pth, now_ms) for pth in touched]

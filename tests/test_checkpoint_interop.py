@@ -298,3 +298,45 @@ def test_v2_checkpoint_name_parser_rejects_non_uuid():
         "00000000000000000001.checkpoint.deadbeef-dead-beef-dead-beefdeadbeef.parquet"
     ) == (1, "00000000000000000001.checkpoint.deadbeef-dead-beef-dead-beefdeadbeef.parquet")
     assert _parse_v2_checkpoint_name("00000000000000000001.checkpoint.notauuid.json") is None
+
+
+def test_domain_metadata_preserved_across_checkpoints(spark, tmp_path):
+    """domainMetadata actions (liquid-clustering state lives here)
+    survive snapshot replay AND both checkpoint dialects we write —
+    the spec's writer obligation for the domainMetadata feature."""
+    t = DeltaTable(str(tmp_path / "dm"))
+    t.write(_events(spark, 6).coalesce(1))
+    snap = t.snapshot()
+    t._commit(
+        [
+            {"domainMetadata": {"domain": "delta.clustering",
+                                "configuration": "{\"cols\":[\"event_id\"]}",
+                                "removed": False}},
+            {"domainMetadata": {"domain": "app.custom",
+                                "configuration": "v1", "removed": False}},
+        ],
+        operation="SET DOMAIN",
+        read_version=snap.version,
+    )
+    assert set(t.snapshot().domain_metadata) == {"delta.clustering", "app.custom"}
+    # removal drops the domain
+    t._commit(
+        [{"domainMetadata": {"domain": "app.custom", "configuration": "",
+                             "removed": True}}],
+        operation="SET DOMAIN",
+        read_version=t.snapshot().version,
+    )
+    assert set(t.snapshot().domain_metadata) == {"delta.clustering"}
+    # compact checkpoint + expiry: domain survives
+    t.checkpoint()
+    t.expire_log()
+    snap = DeltaTable(t.path).snapshot()
+    assert set(snap.domain_metadata) == {"delta.clustering"}
+    assert "event_id" in snap.domain_metadata["delta.clustering"]["configuration"]
+    # v2 checkpoint + expiry: domain still survives
+    t.write(_events(spark, 3, start=100).coalesce(1))
+    t.checkpoint(v2=True)
+    t.expire_log()
+    snap = DeltaTable(t.path).snapshot()
+    assert set(snap.domain_metadata) == {"delta.clustering"}
+    assert snap.version >= 0 and len(snap.files) == 2

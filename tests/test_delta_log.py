@@ -864,3 +864,59 @@ def test_check_constraints_writer_feature_table_enforced(spark, tmp_path):
     )
     with pytest.raises(DeltaConstraintViolation):
         t.write(bad)
+
+
+def _arm_generated(t, spark):
+    """Publish a metaData commit adding a generated column
+    etype_upper = upper(event_type) (Delta 'Generated Columns')."""
+    snap = t.snapshot()
+    s = json.loads(snap.schema_string)
+    s["fields"].append(
+        {"name": "etype_upper", "type": "string", "nullable": True,
+         "metadata": {"delta.generationExpression": "upper(event_type)"}}
+    )
+    md = {"metaData": {"id": "gen", "schemaString": json.dumps(s),
+                       "partitionColumns": [],
+                       "format": {"provider": "parquet", "options": {}},
+                       "configuration": dict(snap.configuration or {})}}
+    proto = {"protocol": {"minReaderVersion": 1, "minWriterVersion": 7,
+                          "writerFeatures": ["appendOnly", "invariants",
+                                             "generatedColumns"]}}
+    t._commit([proto, md], operation="UPGRADE", read_version=snap.version)
+
+
+def test_generated_columns_computed_validated_recomputed(spark, tmp_path):
+    from pulsar_io_delta_spark.sources.delta_log import (
+        DeltaConstraintViolation,
+        DeltaProtocolError,
+    )
+
+    t = DeltaTable(str(tmp_path / "gen"))
+    t.write(events_df(spark, range(3)))
+    _arm_generated(t, spark)
+    # append WITHOUT the generated column → computed on write
+    t.write(events_df(spark, range(3, 5), etype="buy"))
+    got = {r.event_id: r.etype_upper for r in t.read(spark).collect()}
+    assert got[3] == "BUY" and got[4] == "BUY"
+    assert got[0] is None  # pre-upgrade file: null-filled, never backfilled
+    # append WITH a wrong provided value → loud
+    bad = spark.createDataFrame(
+        [(9, "click", 9.0, "WRONG")],
+        "event_id long, event_type string, value double, etype_upper string",
+    )
+    with pytest.raises(DeltaConstraintViolation, match="generated column"):
+        t.write(bad)
+    # merge source omitting the column → computed
+    src = spark.createDataFrame(
+        [(3, "sell", 30.0)], "event_id long, event_type string, value double"
+    )
+    t.merge_upsert(spark, src, key_cols=["event_id"])
+    got = {r.event_id: (r.event_type, r.etype_upper) for r in t.read(spark).collect()}
+    assert got[3] == ("sell", "SELL")
+    # UPDATE refuses direct assignment of a generated column...
+    with pytest.raises(DeltaProtocolError, match="generated columns"):
+        t.update_where(spark, "event_id = 4", {"etype_upper": "'X'"})
+    # ...and recomputes it when a referenced base column changes
+    t.update_where(spark, "event_id = 4", {"event_type": "'promo'"})
+    got = {r.event_id: (r.event_type, r.etype_upper) for r in t.read(spark).collect()}
+    assert got[4] == ("promo", "PROMO")
