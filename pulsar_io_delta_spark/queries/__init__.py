@@ -433,6 +433,7 @@ WINDOW_MUST_INCLUDE = [
     "q_stream_cdf",
     "q_update_where",
     "q_generated_columns",
+    "q_column_mapping_id",
     "q_multimodal_jpeg",
     "q_multimodal_png",
     "q_sim_ann_pq",
@@ -447,13 +448,13 @@ WINDOW_MUST_INCLUDE = [
     "q_cdc_schema_evolution",
     "q_table_detail",
     "q_pulsar_wire",
-    # (c) stalest driver rows: r1 singles (q_join_cross rotates out —
-    # the join family keeps 6 other sampled members)
+    # (c) stalest driver rows: r1 singles (q_join_cross / q_null_funcs
+    # rotate out — the join family keeps 6 other sampled members and
+    # the scalar-func family keeps 3)
     "q_string_funcs",
     "q_date_funcs",
     "q_math_funcs",
     "q_array_funcs",
-    "q_null_funcs",
     "q_join_left",
     "q_join_right",
     "q_join_full",

@@ -766,3 +766,78 @@ def q_generated_columns(spark, sf_dir):
     t.write(e)  # etype_upper computed on write
     t.update_where(spark, "event_id % 8 = 1", {"value": "value + 100"})
     return t.read(spark).select("event_id", "event_type", "value", "etype_upper")
+
+
+@register(
+    "q_column_mapping_id",
+    oracle="""
+SELECT event_id, user_id, value FROM events
+WHERE event_id % 3 = 1
+""",
+)
+def q_column_mapping_id(spark, sf_dir):
+    """'id'-mode column mapping read (round 8; Delta PROTOCOL.md
+    "Column Mapping", mode=id): the data file stores FOREIGN column
+    names that match neither the logical nor the physical names — only
+    the parquet field ids (what a UniForm/converted table or an
+    id-preserving engine produces). The read schema carries
+    parquet.field.id metadata, Spark's field-id matching resolves the
+    columns, and the result surfaces under logical names. Writes to
+    id-mode tables stay loudly rejected (our staging does not emit
+    field ids). Filter pushdown still reaches the scan under the
+    resolved schema."""
+    import json as _json
+    import tempfile
+
+    from pyspark.sql.types import (
+        DoubleType, LongType, StructField, StructType,
+    )
+
+    from pulsar_io_delta_spark.sources.delta_log import DeltaTable
+
+    root = tempfile.mkdtemp(prefix="pids_cmid_") + "/tbl"
+    e = table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    w_schema = StructType([
+        StructField("fx_1", LongType(), True, {"parquet.field.id": 1}),
+        StructField("fx_2", LongType(), True, {"parquet.field.id": 2}),
+        StructField("fx_3", DoubleType(), True, {"parquet.field.id": 3}),
+    ])
+    foreign = spark.createDataFrame(e.rdd, schema=w_schema)
+    foreign.write.parquet(os.path.join(root, "d"))
+    schema = _json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "event_id", "type": "long", "nullable": True,
+                 "metadata": {"delta.columnMapping.id": 1,
+                              "delta.columnMapping.physicalName": "c_aa"}},
+                {"name": "user_id", "type": "long", "nullable": True,
+                 "metadata": {"delta.columnMapping.id": 2,
+                              "delta.columnMapping.physicalName": "c_bb"}},
+                {"name": "value", "type": "double", "nullable": True,
+                 "metadata": {"delta.columnMapping.id": 3,
+                              "delta.columnMapping.physicalName": "c_cc"}},
+            ],
+        }
+    )
+    actions = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {"id": "cmid", "schemaString": schema,
+                      "partitionColumns": [],
+                      "configuration": {"delta.columnMapping.mode": "id"}}},
+    ]
+    for fn in os.listdir(os.path.join(root, "d")):
+        if fn.endswith(".parquet"):
+            actions.append(
+                {"add": {"path": f"d/{fn}", "partitionValues": {}, "size": 1,
+                         "modificationTime": 1, "dataChange": True}}
+            )
+    os.makedirs(os.path.join(root, "_delta_log"))
+    with open(os.path.join(root, "_delta_log", f"{0:020d}.json"), "w") as f:
+        for a in actions:
+            f.write(_json.dumps(a) + "\n")
+    t = DeltaTable(root)
+    return t.read(spark).where(F.col("event_id") % 3 == 1).select(
+        "event_id", "user_id", "value"
+    )

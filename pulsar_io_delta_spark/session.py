@@ -49,4 +49,8 @@ def pin_session(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    # 'id'-mode column mapping: read schemas carry parquet.field.id
+    # metadata; files written by id-preserving engines (UniForm /
+    # converted tables) match by field id, Delta-written files by name
+    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     return spark

@@ -280,19 +280,25 @@ def _cdf_enabled(configuration: dict | None) -> bool:
 def _column_mapping(
     schema_string: str | None, configuration: dict
 ) -> tuple[str, list[tuple[str, str]]] | None:
-    """Name-mode column mapping (Delta PROTOCOL.md "Column Mapping"):
-    parquet files store per-column physical names recorded in each
-    schema field's ``delta.columnMapping.physicalName`` metadata, and
-    readers rename physical → logical. Returns ``(physical_schema_json,
+    """Column mapping (Delta PROTOCOL.md "Column Mapping"): parquet
+    files store per-column physical names recorded in each schema
+    field's ``delta.columnMapping.physicalName`` metadata, and readers
+    rename physical → logical. Returns ``(physical_schema_json,
     [(physical, logical), ...])``, or None when mapping is off.
 
-    'id' mode (match by parquet field id) and nested-struct mapping are
-    gated loudly — silently reading physical names as data would be a
-    wrong-answer bug, not a degraded mode."""
+    'name' mode matches by physical name. 'id' mode (round 8) attaches
+    ``parquet.field.id`` metadata to each physical field — with
+    ``spark.sql.parquet.fieldId.read.enabled`` (pin_session) files
+    written by id-preserving engines (UniForm / converted tables) match
+    by field id even when their column names differ, while Delta-written
+    files match by physical name as before; partition dirs are
+    physically named in both modes, so the rename path is shared.
+    Nested-struct mapping is gated loudly — silently reading physical
+    names as data would be a wrong-answer bug, not a degraded mode."""
     mode = (configuration or {}).get("delta.columnMapping.mode", "none")
     if mode in ("none", ""):
         return None
-    if mode != "name":
+    if mode not in ("name", "id"):
         raise DeltaProtocolError(f"unsupported column mapping mode: {mode!r}")
     if schema_string is None:
         return None
@@ -310,6 +316,14 @@ def _column_mapping(
         g = dict(f)
         g["name"] = pname
         g["metadata"] = {}
+        if mode == "id":
+            fid = meta.get("delta.columnMapping.id")
+            if fid is None:
+                raise DeltaProtocolError(
+                    f"id-mode column mapping: field {f['name']!r} lacks "
+                    "delta.columnMapping.id"
+                )
+            g["metadata"] = {"parquet.field.id": int(fid)}
         phys_fields.append(g)
         renames.append((pname, f["name"]))
     return json.dumps({"type": "struct", "fields": phys_fields}), renames
@@ -1946,7 +1960,14 @@ class DeltaTable:
           column invariants (schema-metadata-armed) refuse all writes —
           we do not evaluate them, so committing would skip enforcement.
         """
-        _column_mapping(snap.schema_string, snap.configuration)  # id-mode gate
+        if (snap.configuration or {}).get("delta.columnMapping.mode") == "id":
+            # id-mode files must carry parquet field ids; our staging
+            # writes physical names only — refusing beats emitting files
+            # an id-matching reader cannot resolve. Reads ARE supported.
+            raise DeltaProtocolError(
+                "writes to id-mode column-mapped tables are not supported "
+                "(read-only); name-mode tables are writable"
+            )
         p = snap.protocol
         mwv = int(p.get("minWriterVersion") or 2)
         if mwv > 2:

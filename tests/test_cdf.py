@@ -201,3 +201,58 @@ def test_update_where_unknown_column_is_loud(spark, tmp_path):
     t.write(_rows(spark, range(3)))
     with pytest.raises(DeltaProtocolError, match="unknown columns"):
         t.update_where(spark, "event_id = 0", {"nope": "1"})
+
+
+def test_cdf_replay_reconstructs_table_state(spark, tmp_path):
+    """Conservation law: replaying table_changes() from v0 — apply
+    inserts, drop deletes, swap update pre→post — must reconstruct
+    exactly the final read() state, across a randomized op sequence
+    (seeded: appends, merges, rewrite deletes, DV deletes, updates)."""
+    import random
+
+    for seed in (0, 1):
+        rng = random.Random(seed)
+        t = DeltaTable(str(tmp_path / f"replay{seed}"))
+        t.write(_rows(spark, range(20)).coalesce(1), configuration=CDF)
+        next_id = 20
+        for _step in range(4):
+            op = rng.choice(["append", "merge", "delete", "dv_delete", "update"])
+            if op == "append":
+                t.write(_rows(spark, range(next_id, next_id + 5)).coalesce(1))
+                next_id += 5
+            elif op == "merge":
+                upd = rng.sample(range(next_id), 3)
+                src = spark.createDataFrame(
+                    [(i, "a", i * 100.0) for i in upd]
+                    + [(next_id, "a", float(next_id))],
+                    "event_id long, category string, value double",
+                )
+                t.merge_upsert(spark, src, key_cols=["event_id"])
+                next_id += 1
+            elif op == "delete":
+                t.delete_where(spark, f"event_id % 13 = {rng.randrange(13)}")
+            elif op == "dv_delete":
+                t.delete_where_dv(spark, f"event_id % 11 = {rng.randrange(11)}")
+            else:
+                t.update_where(
+                    spark, f"event_id % 7 = {rng.randrange(7)}",
+                    {"value": "value + 0.5"},
+                )
+        ch = t.table_changes(spark, start_version=0)
+        state: dict = {}
+        rows = sorted(
+            ch.collect(),
+            key=lambda r: (r["_commit_version"],
+                           0 if r["_change_type"] == "update_preimage" else 1),
+        )
+        for r in rows:
+            key = r.event_id
+            ct = r["_change_type"]
+            if ct == "insert" or ct == "update_postimage":
+                state[key] = (r.category, r.value)
+            elif ct == "delete":
+                state.pop(key, None)
+            elif ct == "update_preimage":
+                assert key in state, (seed, key)
+        final = {r.event_id: (r.category, r.value) for r in t.read(spark).collect()}
+        assert state == final, (seed, len(state), len(final))

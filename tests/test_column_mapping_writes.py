@@ -240,18 +240,75 @@ def test_enable_column_mapping_upgrade(spark, tmp_path):
     assert {r.event_id for r in t.read(spark).collect()} == {0, 2, 3, 4, 5}
 
 
-def test_id_mode_mapping_still_rejected(spark, tmp_path, mapped_table):
-    root = str(tmp_path / "idm")
-    os.makedirs(os.path.join(root, "_delta_log"))
+ID_SCHEMA = json.dumps(
+    {
+        "type": "struct",
+        "fields": [
+            {"name": "event_id", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 1,
+                          "delta.columnMapping.physicalName": "p_1"}},
+            {"name": "value", "type": "double", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 2,
+                          "delta.columnMapping.physicalName": "p_2"}},
+        ],
+    }
+)
+
+
+def _write_id_mode_table(spark, root, file_field_names):
+    """Handwrite an id-mode table whose data file stores
+    ``file_field_names`` with parquet field ids 1/2 (what an
+    id-preserving foreign engine produces)."""
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    w_schema = StructType([
+        StructField(file_field_names[0], LongType(), True, {"parquet.field.id": 1}),
+        StructField(file_field_names[1], DoubleType(), True, {"parquet.field.id": 2}),
+    ])
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    df = spark.createDataFrame([(i, float(i)) for i in range(6)], schema=w_schema)
+    df.coalesce(1).write.parquet(os.path.join(root, "d"))
+    (pq,) = [f for f in os.listdir(os.path.join(root, "d")) if f.endswith(".parquet")]
     actions = [
         {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
-        {"metaData": {"id": "idm", "schemaString": SCHEMA,
+        {"metaData": {"id": "idm", "schemaString": ID_SCHEMA,
                       "partitionColumns": [],
                       "configuration": {"delta.columnMapping.mode": "id"}}},
+        {"add": {"path": f"d/{pq}", "partitionValues": {}, "size": 1,
+                 "modificationTime": 1, "dataChange": True}},
     ]
+    os.makedirs(os.path.join(root, "_delta_log"))
     with open(os.path.join(root, "_delta_log", f"{0:020d}.json"), "w") as f:
         for a in actions:
             f.write(json.dumps(a) + "\n")
-    t = DeltaTable(root)
-    with pytest.raises(DeltaProtocolError, match="column mapping mode"):
-        t.write(_rows(spark, range(3)))
+    return DeltaTable(root)
+
+
+def test_id_mode_read_matches_by_field_id(spark, tmp_path):
+    """id-mode mapping (round 8): a file written by an id-preserving
+    FOREIGN engine — column names that match NEITHER logical nor
+    physical names, only parquet field ids — reads under logical names."""
+    t = _write_id_mode_table(spark, str(tmp_path / "idm"),
+                             ("foreign_x", "foreign_y"))
+    out = t.read(spark)
+    assert set(out.columns) == {"event_id", "value"}
+    assert {(r.event_id, r.value) for r in out.collect()} == {
+        (i, float(i)) for i in range(6)
+    }
+
+
+def test_id_mode_read_delta_written_physical_names(spark, tmp_path):
+    """The same id-mode table with a Delta-writer-style file (physical
+    p_1/p_2 names + ids) reads identically — name OR id matching."""
+    t = _write_id_mode_table(spark, str(tmp_path / "idm2"), ("p_1", "p_2"))
+    assert {(r.event_id, r.value) for r in t.read(spark).collect()} == {
+        (i, float(i)) for i in range(6)
+    }
+
+
+def test_id_mode_writes_still_rejected(spark, tmp_path):
+    t = _write_id_mode_table(spark, str(tmp_path / "idm3"), ("p_1", "p_2"))
+    with pytest.raises(DeltaProtocolError, match="id-mode"):
+        t.write(spark.createDataFrame(
+            [(9, 9.0)], "event_id long, value double"
+        ))
