@@ -434,6 +434,7 @@ WINDOW_MUST_INCLUDE = [
     "q_update_where",
     "q_generated_columns",
     "q_column_mapping_id",
+    "q_identity_columns",
     "q_multimodal_jpeg",
     "q_multimodal_png",
     "q_sim_ann_pq",
@@ -449,12 +450,11 @@ WINDOW_MUST_INCLUDE = [
     "q_table_detail",
     "q_pulsar_wire",
     # (c) stalest driver rows: r1 singles (q_join_cross / q_null_funcs
-    # rotate out — the join family keeps 6 other sampled members and
-    # the scalar-func family keeps 3)
+    # / q_array_funcs rotate out — the join family keeps 6 other
+    # sampled members and the scalar-func family keeps 3)
     "q_string_funcs",
     "q_date_funcs",
     "q_math_funcs",
-    "q_array_funcs",
     "q_join_left",
     "q_join_right",
     "q_join_full",

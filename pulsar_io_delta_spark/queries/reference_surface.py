@@ -841,3 +841,80 @@ def q_column_mapping_id(spark, sf_dir):
     return t.read(spark).where(F.col("event_id") % 3 == 1).select(
         "event_id", "user_id", "value"
     )
+
+
+@register(
+    "q_identity_columns",
+    oracle="""
+SELECT event_id, event_type,
+       CAST(1 AS BOOLEAN) AS sk_unique,
+       CAST(1 AS BOOLEAN) AS sk_on_lattice,
+       CAST(1 AS BOOLEAN) AS sk_past_watermark
+FROM events
+""",
+)
+def q_identity_columns(spark, sf_dir):
+    """Identity columns (round 8; Delta PROTOCOL.md "Identity
+    Columns"): a GENERATED ALWAYS AS IDENTITY (START 1000 STEP 3)
+    surrogate key assigned distributedly across two appends. Assigned
+    VALUES are partitioning-dependent (gaps are legal), so the oracle
+    is the identity CONTRACT per row: uniqueness (window count over
+    row_sk == 1), lattice membership ((row_sk-1000) % 3 == 0), and
+    second-append values strictly beyond the first append's recorded
+    highWaterMark. Watermark advance costs zero extra jobs — it is read
+    from the staged files' footer stats."""
+    import json as _json
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from pulsar_io_delta_spark.sources.delta_log import DeltaTable
+
+    root = tempfile.mkdtemp(prefix="pids_ident_") + "/tbl"
+    schema = _json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "event_id", "type": "long", "nullable": True, "metadata": {}},
+                {"name": "event_type", "type": "string", "nullable": True, "metadata": {}},
+                {"name": "row_sk", "type": "long", "nullable": True,
+                 "metadata": {"delta.identity.start": 1000,
+                              "delta.identity.step": 3,
+                              "delta.identity.allowExplicitInsert": False}},
+            ],
+        }
+    )
+    actions = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 7,
+                      "writerFeatures": ["appendOnly", "invariants",
+                                         "identityColumns"]}},
+        {"metaData": {"id": "ident-fixture", "schemaString": schema,
+                      "partitionColumns": [],
+                      "format": {"provider": "parquet", "options": {}},
+                      "configuration": {}}},
+    ]
+    os.makedirs(os.path.join(root, "_delta_log"))
+    with open(os.path.join(root, "_delta_log", f"{0:020d}.json"), "w") as f:
+        for a in actions:
+            f.write(_json.dumps(a) + "\n")
+    t = DeltaTable(root)
+    e = table(spark, sf_dir, "events").select("event_id", "event_type")
+    half = e.where(F.col("event_id") % 2 == 0)
+    t.write(half)                                   # v1: first assignment
+    hw = next(
+        int(fld["metadata"]["delta.identity.highWaterMark"])
+        for fld in _json.loads(t.snapshot().schema_string)["fields"]
+        if fld["name"] == "row_sk"
+    )
+    t.write(e.where(F.col("event_id") % 2 == 1))    # v2: past the watermark
+    out = t.read(spark)
+    w = Window.partitionBy("row_sk")
+    return out.select(
+        "event_id",
+        "event_type",
+        (F.count("*").over(w) == 1).alias("sk_unique"),
+        ((F.col("row_sk") - 1000) % 3 == 0).alias("sk_on_lattice"),
+        (
+            (F.col("event_id") % 2 == 0) | (F.col("row_sk") > hw)
+        ).alias("sk_past_watermark"),
+    )

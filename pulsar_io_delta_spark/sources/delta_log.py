@@ -190,6 +190,10 @@ _SUPPORTED_WRITER_FEATURES = {
     # snapshot replay tracks domainMetadata (last-wins, removed=drop)
     # and every checkpoint dialect we write preserves it
     "domainMetadata",
+    # write() assigns lattice values distributedly and advances
+    # delta.identity.highWaterMark from staged footer stats; MERGE and
+    # UPDATE gate loudly where generation semantics would be ambiguous
+    "identityColumns",
 }
 
 
@@ -266,6 +270,32 @@ def _generation_exprs(schema_string: str | None) -> dict[str, str]:
         e = (f.get("metadata") or {}).get("delta.generationExpression")
         if e:
             out[f["name"]] = e
+    return out
+
+
+def _identity_cols(schema_string: str | None) -> dict[str, dict]:
+    """Identity columns (Delta PROTOCOL.md "Identity Columns"): col →
+    {start, step, hw, allow} from the schema fields' ``delta.identity.*``
+    metadata. ``hw`` (highWaterMark) is None until the first write
+    assigns values; ``allow`` is allowExplicitInsert (GENERATED BY
+    DEFAULT vs ALWAYS)."""
+    if not schema_string:
+        return {}
+    out: dict[str, dict] = {}
+    for f in json.loads(schema_string)["fields"]:
+        meta = f.get("metadata") or {}
+        if "delta.identity.start" not in meta and "delta.identity.step" not in meta:
+            continue
+        out[f["name"]] = {
+            "start": int(meta.get("delta.identity.start", 1)),
+            "step": int(meta.get("delta.identity.step", 1)),
+            "hw": (
+                int(meta["delta.identity.highWaterMark"])
+                if meta.get("delta.identity.highWaterMark") is not None
+                else None
+            ),
+            "allow": bool(meta.get("delta.identity.allowExplicitInsert", False)),
+        }
     return out
 
 
@@ -1564,6 +1594,69 @@ class DeltaTable:
     def _mapping_of(snap: Snapshot):
         return _column_mapping(snap.schema_string, snap.configuration)
 
+    def _advance_identity_watermarks(
+        self,
+        actions: list[dict],
+        idents: dict[str, dict],
+        schema_string: str | None,
+        configuration: dict | None,
+        partition_columns: list[str],
+    ) -> None:
+        """Advance each identity column's delta.identity.highWaterMark
+        past the extreme value this commit's staged files contain — read
+        from the add actions' footer STATS (zero extra Spark jobs) — and
+        carry it in the commit's metaData action (reusing an existing
+        one, e.g. from schema evolution, or appending one)."""
+        if not schema_string:
+            return
+        adds_stats = [
+            json.loads(a["add"]["stats"])
+            for a in actions
+            if "add" in a and a["add"].get("stats")
+        ]
+        s = json.loads(schema_string)
+        changed = False
+        for f in s["fields"]:
+            spec = idents.get(f["name"])
+            if not spec:
+                continue
+            key = "maxValues" if spec["step"] > 0 else "minValues"
+            vals = [
+                int(st[key][f["name"]])
+                for st in adds_stats
+                if f["name"] in st.get(key, {})
+            ]
+            if not vals:
+                continue
+            extreme = max(vals) if spec["step"] > 0 else min(vals)
+            cur = spec["hw"]
+            if (
+                cur is None
+                or (spec["step"] > 0 and extreme > cur)
+                or (spec["step"] < 0 and extreme < cur)
+            ):
+                meta = dict(f.get("metadata") or {})
+                meta["delta.identity.highWaterMark"] = int(extreme)
+                f["metadata"] = meta
+                changed = True
+        if not changed:
+            return
+        for a in actions:
+            if "metaData" in a:
+                a["metaData"]["schemaString"] = json.dumps(s)
+                return
+        actions.append(
+            {
+                "metaData": {
+                    "id": str(uuid.uuid4()),
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": json.dumps(s),
+                    "partitionColumns": partition_columns,
+                    "configuration": dict(configuration or {}),
+                }
+            }
+        )
+
     def _apply_generated(self, df: DataFrame, schema_string: str | None) -> DataFrame:
         """Generated-column write semantics: columns MISSING from the
         incoming frame are computed from their generation expression;
@@ -1753,6 +1846,8 @@ class DeltaTable:
         state_dependent = False
         mapping = None  # set for non-first writes to name-mode mapped tables
         commit_config = configuration  # ICT arming (updated from prior below)
+        idents: dict[str, dict] = {}
+        effective_schema: str | None = None  # schema the commit leaves behind
         if txn is not None:
             app_id, txn_version = txn
             if self.last_txn_version(app_id) >= txn_version:
@@ -1784,8 +1879,44 @@ class DeltaTable:
             mapping = self._mapping_of(prior)
             commit_config = prior.configuration
             df = self._apply_generated(df, prior.schema_string)
+            idents = _identity_cols(prior.schema_string)
+            if idents and mapping:
+                raise DeltaProtocolError(
+                    "identity columns on column-mapped tables are not supported"
+                )
+            for c, spec in idents.items():
+                if c in df.columns:
+                    if not spec["allow"]:
+                        raise DeltaProtocolError(
+                            f"identity column {c!r} is GENERATED ALWAYS; "
+                            "explicit values are not allowed"
+                        )
+                else:
+                    # unique values on the start+k*step lattice, assigned
+                    # distributedly (gaps are legal; the watermark
+                    # advances from the staged files' footer stats —
+                    # zero extra jobs)
+                    base = (
+                        spec["hw"]
+                        if spec["hw"] is not None
+                        else spec["start"] - spec["step"]
+                    )
+                    df = df.withColumn(
+                        c,
+                        (
+                            F.lit(base)
+                            + F.lit(spec["step"])
+                            * (F.monotonically_increasing_id() + 1)
+                        ).cast("long"),
+                    )
+            if idents:
+                # the watermark advance races with concurrent writers —
+                # pin the snapshot so a lost race recomputes
+                read_version = prior.version
+                state_dependent = True
             self._validate_constraints(df, prior.configuration)
             merged = self._merge_schema_strings(prior.schema_string, df.schema.json())
+            effective_schema = merged or prior.schema_string
             if merged is not None:
                 config = prior.configuration
                 if mapping:
@@ -1811,6 +1942,11 @@ class DeltaTable:
         elif mode not in ("append", "overwrite"):
             raise ValueError(f"unsupported mode: {mode}")
         actions.extend(self._stage_and_move(df, partition_by, mapping=mapping))
+        if idents:
+            self._advance_identity_watermarks(
+                actions, idents, effective_schema, commit_config,
+                partition_by or self.snapshot().partition_columns,
+            )
         while True:
             try:
                 return self._commit(
@@ -1858,6 +1994,17 @@ class DeltaTable:
             raise DeltaProtocolError(
                 f"merge source has columns not in the table: {unknown}; "
                 "evolve the schema with write() first"
+            )
+        bad_ident = [
+            c
+            for c, spec in _identity_cols(snap.schema_string).items()
+            if c not in source.columns or not spec["allow"]
+        ]
+        if bad_ident:
+            raise DeltaProtocolError(
+                f"MERGE into a table with identity columns {bad_ident} requires "
+                "the source to provide them explicitly and "
+                "delta.identity.allowExplicitInsert=true"
             )
         keys = source.select(*key_cols).distinct()
         if snap.files:
@@ -2169,6 +2316,13 @@ class DeltaTable:
             raise DeltaProtocolError(
                 f"UPDATE cannot assign generated columns {assigned_gen}; "
                 "they are recomputed from their generation expressions"
+            )
+        assigned_ident = [
+            c for c in assignments if c in _identity_cols(snap.schema_string)
+        ]
+        if assigned_ident:
+            raise DeltaProtocolError(
+                f"UPDATE cannot assign identity columns {assigned_ident}"
             )
         candidates = self.prune_files(
             snap, self._phys_filters(snap, filters)

@@ -920,3 +920,83 @@ def test_generated_columns_computed_validated_recomputed(spark, tmp_path):
     t.update_where(spark, "event_id = 4", {"event_type": "'promo'"})
     got = {r.event_id: (r.event_type, r.etype_upper) for r in t.read(spark).collect()}
     assert got[4] == ("promo", "PROMO")
+
+
+def _arm_identity(t, allow=False, start=100, step=10):
+    snap = t.snapshot()
+    s = json.loads(snap.schema_string)
+    s["fields"].append(
+        {"name": "row_sk", "type": "long", "nullable": True,
+         "metadata": {"delta.identity.start": start,
+                      "delta.identity.step": step,
+                      "delta.identity.allowExplicitInsert": allow}}
+    )
+    md = {"metaData": {"id": "ident", "schemaString": json.dumps(s),
+                       "partitionColumns": [],
+                       "format": {"provider": "parquet", "options": {}},
+                       "configuration": dict(snap.configuration or {})}}
+    proto = {"protocol": {"minReaderVersion": 1, "minWriterVersion": 7,
+                          "writerFeatures": ["appendOnly", "invariants",
+                                             "identityColumns"]}}
+    t._commit([proto, md], operation="UPGRADE", read_version=snap.version)
+
+
+def test_identity_columns_assign_unique_lattice_values(spark, tmp_path):
+    """Identity columns (Delta 'Identity Columns'): appends omitting the
+    column get UNIQUE values on the start + k*step lattice; the
+    highWaterMark advances from staged footer stats so the next write
+    never collides; GENERATED ALWAYS refuses explicit values."""
+    from pulsar_io_delta_spark.sources.delta_log import DeltaProtocolError
+
+    t = DeltaTable(str(tmp_path / "ident"))
+    t.write(events_df(spark, range(0)))  # schema-only
+    _arm_identity(t)
+    t.write(events_df(spark, range(7)))
+    vals1 = [r.row_sk for r in t.read(spark).select("row_sk").collect()]
+    assert len(vals1) == len(set(vals1)) == 7
+    assert all(v is not None and (v - 100) % 10 == 0 for v in vals1)
+    # watermark recorded; second write strictly beyond it
+    snap = t.snapshot()
+    hw = next(
+        int(f["metadata"]["delta.identity.highWaterMark"])
+        for f in json.loads(snap.schema_string)["fields"] if f["name"] == "row_sk"
+    )
+    assert hw == max(vals1)
+    t.write(events_df(spark, range(7, 12)))
+    vals2 = [r.row_sk for r in t.read(spark).select("row_sk").collect()]
+    assert len(vals2) == len(set(vals2)) == 12
+    assert min(set(vals2) - set(vals1)) > hw
+    # GENERATED ALWAYS: explicit values refuse
+    explicit = spark.createDataFrame(
+        [(99, "click", 9.9, 123)],
+        "event_id long, event_type string, value double, row_sk long",
+    )
+    with pytest.raises(DeltaProtocolError, match="GENERATED ALWAYS"):
+        t.write(explicit)
+    # UPDATE cannot assign it; MERGE without allowExplicitInsert refuses
+    with pytest.raises(DeltaProtocolError, match="identity columns"):
+        t.update_where(spark, "event_id = 1", {"row_sk": "1"})
+    with pytest.raises(DeltaProtocolError, match="identity columns"):
+        t.merge_upsert(spark, explicit, key_cols=["event_id"])
+
+
+def test_identity_allow_explicit_insert_syncs_watermark(spark, tmp_path):
+    """GENERATED BY DEFAULT (allowExplicitInsert): provided values are
+    accepted and the watermark still advances past them."""
+    t = DeltaTable(str(tmp_path / "ident2"))
+    t.write(events_df(spark, range(0)))
+    _arm_identity(t, allow=True)
+    explicit = spark.createDataFrame(
+        [(0, "click", 0.0, 5000), (1, "click", 1.0, 7000)],
+        "event_id long, event_type string, value double, row_sk long",
+    )
+    t.write(explicit)
+    snap = t.snapshot()
+    hw = next(
+        int(f["metadata"]["delta.identity.highWaterMark"])
+        for f in json.loads(snap.schema_string)["fields"] if f["name"] == "row_sk"
+    )
+    assert hw == 7000
+    t.write(events_df(spark, range(2, 5)))  # generated: must clear 7000
+    vals = {r.event_id: r.row_sk for r in t.read(spark).collect()}
+    assert all(vals[i] > 7000 for i in (2, 3, 4))
