@@ -197,6 +197,18 @@ _SUPPORTED_WRITER_FEATURES = {
 }
 
 
+# Features implied by each legacy minWriterVersion (Delta PROTOCOL.md
+# version-to-feature appendix; cumulative). ALL are implemented by this
+# writer as of round 8, which is what makes legacy 3-6 tables writable.
+_LEGACY_WRITER_IMPLIED = {
+    2: {"appendOnly", "invariants"},
+    3: {"checkConstraints"},
+    4: {"changeDataFeed", "generatedColumns"},
+    5: {"columnMapping"},
+    6: {"identityColumns"},
+}
+
+
 def _upgraded_protocol(
     prior: dict, reader_features: tuple[str, ...], writer_features: tuple[str, ...]
 ) -> dict:
@@ -212,8 +224,8 @@ def _upgraded_protocol(
     wf = set(prior.get("writerFeatures") or ())
     if mrv == 2:
         rf.add("columnMapping")  # implied by legacy reader version 2
-    if mwv == 2:
-        wf |= {"appendOnly", "invariants"}  # implied by legacy writer v2
+    for v in range(2, min(mwv, 6) + 1):
+        wf |= _LEGACY_WRITER_IMPLIED[v]  # cumulative legacy implications
     rf |= set(reader_features)
     wf |= set(writer_features)
     return {
@@ -2094,12 +2106,16 @@ class DeltaTable:
     def _guard_writable(snap: Snapshot, data_change_removes: bool = True) -> None:
         """Writer-side gates, mirroring _check_protocol (ADVICE r7 #3).
 
-        - 'id'-mode column mapping raises loudly inside _column_mapping
-          (name-mode tables are WRITABLE since round 8: every staging
-          path renames logical → physical via _stage_and_move).
-        - minWriterVersion 3-6 imply legacy features (checkConstraints,
-          changeDataFeed, generatedColumns, identityColumns, ...) this
-          writer does not implement — reject.
+        - 'id'-mode column mapping is read-only (our staging does not
+          emit parquet field ids); name-mode tables are WRITABLE since
+          round 8 via logical → physical staging renames.
+        - legacy minWriterVersion 3-6: every implied feature
+          (_LEGACY_WRITER_IMPLIED — checkConstraints, changeDataFeed,
+          generatedColumns, columnMapping, identityColumns) is
+          implemented and enforced through its activation switch
+          (configuration / schema metadata), which the write paths
+          consult regardless of protocol version — so these versions
+          are accepted as of round 8. Anything newer than 7 rejects.
         - minWriterVersion 7: every writerFeature must be in
           _SUPPORTED_WRITER_FEATURES, or a commit could silently violate
           e.g. rowTracking.
@@ -2117,18 +2133,16 @@ class DeltaTable:
             )
         p = snap.protocol
         mwv = int(p.get("minWriterVersion") or 2)
-        if mwv > 2:
-            if mwv != 7:
-                raise DeltaProtocolError(
-                    f"unsupported writer protocol minWriterVersion={mwv}: "
-                    "legacy versions 3-6 imply features this writer does "
-                    "not implement"
-                )
+        if mwv == 7:
             unsupported = set(p.get("writerFeatures") or ()) - _SUPPORTED_WRITER_FEATURES
             if unsupported:
                 raise DeltaProtocolError(
                     f"unsupported protocol writer features: {sorted(unsupported)}"
                 )
+        elif mwv > 7:
+            raise DeltaProtocolError(
+                f"unsupported writer protocol minWriterVersion={mwv}"
+            )
         if data_change_removes and (
             (snap.configuration or {}).get("delta.appendOnly") == "true"
         ):

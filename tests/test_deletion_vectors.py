@@ -436,14 +436,25 @@ def test_writer_feature_gate_rejects_unknown(spark, tmp_path):
     assert t.read(spark).count() == 40
 
 
-def test_legacy_writer_versions_rejected(spark, tmp_path):
+def test_legacy_writer_versions_accepted_unknown_rejected(spark, tmp_path):
+    """Round 8 lifted the legacy 3-6 gate: every implied feature
+    (checkConstraints / CDF / generatedColumns / columnMapping /
+    identityColumns) is implemented and enforced through its activation
+    switch regardless of protocol version — so a legacy mwv=4 table is
+    writable. A version NEWER than the table-features era still refuses
+    (it could imply semantics we cannot honor)."""
     t = DeltaTable(str(tmp_path / "t"))
     t.write(_events(spark))
     with open(os.path.join(t.log_dir, f"{1:020d}.json"), "w") as f:
         f.write(json.dumps({"commitInfo": {"timestamp": 1, "operation": "UPGRADE"}}) + "\n")
         f.write(json.dumps({"protocol": {"minReaderVersion": 1, "minWriterVersion": 4}}) + "\n")
-    with pytest.raises(DeltaProtocolError, match="minWriterVersion=4"):
-        t.delete_where(spark, "event_id = 0")
+    t.delete_where(spark, "event_id = 0")
+    assert t.read(spark).count() == 39
+    with open(os.path.join(t.log_dir, f"{3:020d}.json"), "w") as f:
+        f.write(json.dumps({"commitInfo": {"timestamp": 1, "operation": "UPGRADE"}}) + "\n")
+        f.write(json.dumps({"protocol": {"minReaderVersion": 1, "minWriterVersion": 9}}) + "\n")
+    with pytest.raises(DeltaProtocolError, match="minWriterVersion=9"):
+        t.delete_where(spark, "event_id = 1")
 
 
 def test_append_only_table_refuses_data_changing_removes(spark, tmp_path):
