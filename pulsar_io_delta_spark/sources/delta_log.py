@@ -348,27 +348,98 @@ def _column_mapping(
     phys_fields: list[dict] = []
     renames: list[tuple[str, str]] = []
     for f in s["fields"]:
-        if _contains_struct(f["type"]):
-            raise DeltaProtocolError(
-                f"column mapping on nested struct column {f['name']!r} "
-                "is not supported"
-            )
         meta = f.get("metadata") or {}
         pname = meta.get("delta.columnMapping.physicalName", f["name"])
-        g = dict(f)
-        g["name"] = pname
-        g["metadata"] = {}
-        if mode == "id":
-            fid = meta.get("delta.columnMapping.id")
-            if fid is None:
+        if _contains_struct(f["type"]):
+            if mode == "id":
                 raise DeltaProtocolError(
-                    f"id-mode column mapping: field {f['name']!r} lacks "
-                    "delta.columnMapping.id"
+                    f"id-mode column mapping on nested struct column "
+                    f"{f['name']!r} is not supported"
                 )
-            g["metadata"] = {"parquet.field.id": int(fid)}
+            # name-mode nested structs: rename recursively (round 8);
+            # arrays/maps CONTAINING structs still gate inside
+            g = {
+                "name": pname,
+                "type": _phys_nested_type(f["type"], f["name"]),
+                "nullable": f.get("nullable", True),
+                "metadata": {},
+            }
+        else:
+            g = dict(f)
+            g["name"] = pname
+            g["metadata"] = {}
+            if mode == "id":
+                fid = meta.get("delta.columnMapping.id")
+                if fid is None:
+                    raise DeltaProtocolError(
+                        f"id-mode column mapping: field {f['name']!r} lacks "
+                        "delta.columnMapping.id"
+                    )
+                g["metadata"] = {"parquet.field.id": int(fid)}
         phys_fields.append(g)
         renames.append((pname, f["name"]))
     return json.dumps({"type": "struct", "fields": phys_fields}), renames
+
+
+def _phys_nested_type(t, path: str):
+    """Recursively rename a struct type's fields to their physical
+    names. Arrays/maps whose element/value CONTAINS a struct are gated
+    loudly — their rename would need higher-order rebuild logic and
+    silently skipping it would read physical names as data."""
+    if isinstance(t, str):
+        return t
+    if t["type"] == "struct":
+        out_fields = []
+        for sf in t["fields"]:
+            meta = sf.get("metadata") or {}
+            pname = meta.get("delta.columnMapping.physicalName", sf["name"])
+            out_fields.append(
+                {
+                    "name": pname,
+                    "type": _phys_nested_type(sf["type"], f"{path}.{sf['name']}"),
+                    "nullable": sf.get("nullable", True),
+                    "metadata": {},
+                }
+            )
+        return {"type": "struct", "fields": out_fields}
+    if _contains_struct(t):
+        raise DeltaProtocolError(
+            f"column mapping on array/map-of-struct column {path!r} "
+            "is not supported"
+        )
+    return t
+
+
+def _mapping_select_exprs(schema_string: str, mapping) -> list[Column]:
+    """SELECT expressions renaming a physically-named scan back to
+    LOGICAL names. Flat columns alias directly; struct columns rebuild
+    recursively with their subfields renamed — preserving NULL structs
+    (a bare F.struct would turn a null struct into a struct of
+    nulls)."""
+    from pyspark.sql.types import StructField
+
+    def rename(path: str, f: dict) -> Column:
+        t = f["type"]
+        if isinstance(t, dict) and t.get("type") == "struct":
+            subs = []
+            for sf in t["fields"]:
+                meta = sf.get("metadata") or {}
+                pname = meta.get("delta.columnMapping.physicalName", sf["name"])
+                subs.append(rename(f"{path}.{pname}", sf).alias(sf["name"]))
+            logical_type = StructField.fromJson(
+                {"name": "x", "type": t, "nullable": True, "metadata": {}}
+            ).dataType
+            return F.when(
+                F.col(path).isNull(), F.lit(None).cast(logical_type)
+            ).otherwise(F.struct(*subs))
+        return F.col(path)
+
+    out: list[Column] = []
+    for f in json.loads(schema_string)["fields"]:
+        meta = f.get("metadata") or {}
+        pname = meta.get("delta.columnMapping.physicalName", f["name"])
+        out.append(rename(pname, f).alias(f["name"]))
+    return out
 
 
 def _assign_mapping_metadata(
@@ -1092,7 +1163,7 @@ class DeltaTable:
         if mapping:
             # partition columns surface under physical names too (the
             # hive dirs are physically named) — the rename covers them
-            df = df.select([F.col(p).alias(l) for p, l in mapping[1]])
+            df = df.select(_mapping_select_exprs(snap.schema_string, mapping))
         return df
 
     def _expand_dv_df(
@@ -1164,7 +1235,10 @@ class DeltaTable:
             df = df.withColumn("_ridx", F.col("_metadata.row_index"))
         if mapping:
             keep = ["_fp"] + (["_ridx"] if ridx else [])
-            df = df.select([F.col(p).alias(l) for p, l in mapping[1]] + keep)
+            df = df.select(
+                _mapping_select_exprs(snap.schema_string, mapping)
+                + [F.col(k) for k in keep]
+            )
         return df
 
     def _apply_dv_antijoin(
@@ -1326,7 +1400,8 @@ class DeltaTable:
                 # so after the rename epoch_pcols applies unchanged
                 keep = ["_fp"] + (["_ridx"] if dv_registry else [])
                 df = df.select(
-                    [F.col(p).alias(l) for p, l in mapping[1]] + keep
+                    _mapping_select_exprs(epoch_schema, mapping)
+                    + [F.col(k) for k in keep]
                 )
             pv = (
                 partition_value_expr({c: F.col(c) for c in epoch_pcols})
@@ -1504,8 +1579,8 @@ class DeltaTable:
             df = df.withColumn("_fp", _posix_path_col(F.col("_metadata.file_path")))
             if mapping:
                 df = df.select(
-                    [F.col(p).alias(l) for p, l in mapping[1]]
-                    + ["_change_type", "_fp"]
+                    _mapping_select_exprs(epoch_schema, mapping)
+                    + [F.col("_change_type"), F.col("_fp")]
                 )
             frames.append(df.withColumn("_epoch", F.lit(epoch_id)))
         out = frames[0]
@@ -2130,6 +2205,21 @@ class DeltaTable:
             raise DeltaProtocolError(
                 "writes to id-mode column-mapped tables are not supported "
                 "(read-only); name-mode tables are writable"
+            )
+        if (
+            (snap.configuration or {}).get("delta.columnMapping.mode") == "name"
+            and snap.schema_string
+            and any(
+                _contains_struct(f["type"])
+                for f in json.loads(snap.schema_string)["fields"]
+            )
+        ):
+            # _to_physical renames only top-level columns; staging a
+            # mapped nested struct would leave LOGICAL subfield names in
+            # the file. Reads ARE supported (recursive rename).
+            raise DeltaProtocolError(
+                "writes to tables with column-mapped nested struct "
+                "columns are not supported (read-only)"
             )
         p = snap.protocol
         mwv = int(p.get("minWriterVersion") or 2)

@@ -312,3 +312,92 @@ def test_id_mode_writes_still_rejected(spark, tmp_path):
         t.write(spark.createDataFrame(
             [(9, 9.0)], "event_id long, value double"
         ))
+
+
+def test_nested_struct_mapping_read(spark, tmp_path):
+    """Name-mode mapping over a STRUCT column (round 8): physical names
+    at BOTH nesting levels in the file, logical names out, NULL structs
+    preserved (not turned into structs of nulls). Writes refuse."""
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType,
+    )
+
+    root = str(tmp_path / "nested")
+    w_schema = StructType([
+        StructField("p_id", LongType(), True),
+        StructField("p_info", StructType([
+            StructField("p_name", StringType(), True),
+            StructField("p_score", DoubleType(), True),
+        ]), True),
+    ])
+    rows = [(0, ("alpha", 1.5)), (1, None), (2, ("gamma", None))]
+    spark.createDataFrame(rows, schema=w_schema).coalesce(1).write.parquet(
+        os.path.join(root, "d")
+    )
+    (pq,) = [f for f in os.listdir(os.path.join(root, "d")) if f.endswith(".parquet")]
+    schema = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "event_id", "type": "long", "nullable": True,
+                 "metadata": {"delta.columnMapping.physicalName": "p_id"}},
+                {"name": "info", "nullable": True,
+                 "metadata": {"delta.columnMapping.physicalName": "p_info"},
+                 "type": {"type": "struct", "fields": [
+                     {"name": "name", "type": "string", "nullable": True,
+                      "metadata": {"delta.columnMapping.physicalName": "p_name"}},
+                     {"name": "score", "type": "double", "nullable": True,
+                      "metadata": {"delta.columnMapping.physicalName": "p_score"}},
+                 ]}},
+            ],
+        }
+    )
+    actions = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {"id": "nested", "schemaString": schema,
+                      "partitionColumns": [],
+                      "configuration": {"delta.columnMapping.mode": "name"}}},
+        {"add": {"path": f"d/{pq}", "partitionValues": {}, "size": 1,
+                 "modificationTime": 1, "dataChange": True}},
+    ]
+    os.makedirs(os.path.join(root, "_delta_log"))
+    with open(os.path.join(root, "_delta_log", f"{0:020d}.json"), "w") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+    t = DeltaTable(root)
+    out = t.read(spark)
+    assert set(out.columns) == {"event_id", "info"}
+    got = {r.event_id: r.info for r in out.collect()}
+    assert got[0].name == "alpha" and got[0].score == 1.5
+    assert got[1] is None                     # null struct preserved
+    assert got[2].name == "gamma" and got[2].score is None
+    # logical subfield names, queryable
+    assert {r.n for r in out.selectExpr("info.name AS n").collect()} == {
+        "alpha", "gamma", None
+    }
+    # writes refuse loudly
+    with pytest.raises(DeltaProtocolError, match="nested struct"):
+        t.write(out.limit(1))
+
+
+def test_array_of_struct_mapping_still_gated():
+    """An array-of-struct column under name-mode mapping gates loudly at
+    mapping resolution (higher-order rebuilds are out of scope; reading
+    physical names as data silently would be a wrong answer)."""
+    from pulsar_io_delta_spark.sources.delta_log import _column_mapping
+
+    schema = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "xs", "nullable": True,
+                 "metadata": {"delta.columnMapping.physicalName": "p_xs"},
+                 "type": {"type": "array", "containsNull": True,
+                          "elementType": {"type": "struct", "fields": [
+                              {"name": "a", "type": "long", "nullable": True,
+                               "metadata": {}}]}}},
+            ],
+        }
+    )
+    with pytest.raises(DeltaProtocolError, match="array/map-of-struct"):
+        _column_mapping(schema, {"delta.columnMapping.mode": "name"})
