@@ -435,6 +435,7 @@ WINDOW_MUST_INCLUDE = [
     "q_generated_columns",
     "q_column_mapping_id",
     "q_identity_columns",
+    "q_nested_mapping",
     "q_multimodal_jpeg",
     "q_multimodal_png",
     "q_sim_ann_pq",
@@ -450,14 +451,13 @@ WINDOW_MUST_INCLUDE = [
     "q_table_detail",
     "q_pulsar_wire",
     # (c) stalest driver rows: r1 singles (q_join_cross / q_null_funcs
-    # / q_array_funcs rotate out — the join family keeps 6 other
-    # sampled members and the scalar-func family keeps 3)
+    # / q_array_funcs / q_join_full rotate out — the join family keeps
+    # 5 other sampled members and the scalar-func family keeps 3)
     "q_string_funcs",
     "q_date_funcs",
     "q_math_funcs",
     "q_join_left",
     "q_join_right",
-    "q_join_full",
     # r3 LLM block
     "q_dedup_exact",
     "q_sim_topk",

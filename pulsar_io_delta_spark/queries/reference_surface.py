@@ -918,3 +918,80 @@ def q_identity_columns(spark, sf_dir):
             (F.col("event_id") % 2 == 0) | (F.col("row_sk") > hw)
         ).alias("sk_past_watermark"),
     )
+
+
+@register(
+    "q_nested_mapping",
+    oracle="""
+SELECT event_id, event_type AS etype, value AS val
+FROM events
+WHERE event_id % 4 != 2
+""",
+)
+def q_nested_mapping(spark, sf_dir):
+    """Nested-struct column mapping read (round 8): a name-mode mapped
+    table whose STRUCT column carries physical names at BOTH nesting
+    levels (p_info.p_t / p_info.p_v on disk) — the reader renames
+    recursively and the logical subfields (info.etype / info.val) are
+    directly queryable; a pruning-predicate read on the flat mapped
+    column still works. NULL-struct preservation is pinned by
+    tests/test_column_mapping_writes.py; here the oracle verifies the
+    value surface hash-exactly."""
+    import json as _json
+    import tempfile
+
+    from pulsar_io_delta_spark.sources.delta_log import DeltaTable
+
+    root = tempfile.mkdtemp(prefix="pids_nest_") + "/tbl"
+    e = table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    phys = e.select(
+        F.col("event_id").alias("p_id"),
+        F.struct(
+            F.col("event_type").alias("p_t"), F.col("value").alias("p_v")
+        ).alias("p_info"),
+    )
+    phys.write.parquet(os.path.join(root, "d"))
+    schema = _json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "event_id", "type": "long", "nullable": True,
+                 "metadata": {"delta.columnMapping.physicalName": "p_id"}},
+                {"name": "info", "nullable": True,
+                 "metadata": {"delta.columnMapping.physicalName": "p_info"},
+                 "type": {"type": "struct", "fields": [
+                     {"name": "etype", "type": "string", "nullable": True,
+                      "metadata": {"delta.columnMapping.physicalName": "p_t"}},
+                     {"name": "val", "type": "double", "nullable": True,
+                      "metadata": {"delta.columnMapping.physicalName": "p_v"}},
+                 ]}},
+            ],
+        }
+    )
+    actions = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {"id": "nest-fixture", "schemaString": schema,
+                      "partitionColumns": [],
+                      "format": {"provider": "parquet", "options": {}},
+                      "configuration": {"delta.columnMapping.mode": "name"}}},
+    ]
+    for fn in os.listdir(os.path.join(root, "d")):
+        if fn.endswith(".parquet"):
+            actions.append(
+                {"add": {"path": f"d/{fn}", "partitionValues": {}, "size": 1,
+                         "modificationTime": 1, "dataChange": True}}
+            )
+    os.makedirs(os.path.join(root, "_delta_log"))
+    with open(os.path.join(root, "_delta_log", f"{0:020d}.json"), "w") as f:
+        for a in actions:
+            f.write(_json.dumps(a) + "\n")
+    t = DeltaTable(root)
+    return (
+        t.read(spark)
+        .where(F.col("event_id") % 4 != 2)
+        .select(
+            "event_id",
+            F.col("info.etype").alias("etype"),
+            F.col("info.val").alias("val"),
+        )
+    )
