@@ -436,6 +436,7 @@ WINDOW_MUST_INCLUDE = [
     "q_column_mapping_id",
     "q_identity_columns",
     "q_nested_mapping",
+    "q_variant",
     "q_multimodal_jpeg",
     "q_multimodal_png",
     "q_sim_ann_pq",
@@ -451,13 +452,12 @@ WINDOW_MUST_INCLUDE = [
     "q_table_detail",
     "q_pulsar_wire",
     # (c) stalest driver rows: r1 singles (q_join_cross / q_null_funcs
-    # / q_array_funcs / q_join_full rotate out — the join family keeps
-    # 5 other sampled members and the scalar-func family keeps 3)
+    # / q_array_funcs / q_join_full / q_join_right rotate out — the
+    # join family keeps 4 other sampled members, scalar funcs keep 3)
     "q_string_funcs",
     "q_date_funcs",
     "q_math_funcs",
     "q_join_left",
-    "q_join_right",
     # r3 LLM block
     "q_dedup_exact",
     "q_sim_topk",

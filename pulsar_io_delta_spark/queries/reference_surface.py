@@ -995,3 +995,45 @@ def q_nested_mapping(spark, sf_dir):
             F.col("info.val").alias("val"),
         )
     )
+
+
+@register(
+    "q_variant",
+    oracle="""
+SELECT event_id, event_type AS vt, value AS vv
+FROM events
+WHERE event_id % 5 != 3
+""",
+)
+def q_variant(spark, sf_dir):
+    """VARIANT columns (round 8; Delta PROTOCOL.md "Variant Data
+    Type"): semi-structured payloads stored in the open variant binary
+    encoding. The table is created by our writer from parse_json rows —
+    write() auto-upgrades the protocol to the variantType table feature
+    — rows are deleted through a variant-path predicate, and the read
+    extracts typed fields with variant_get. Spark decodes the physical
+    struct<metadata,value> natively through the same pinned-schema scan
+    every other read uses; the oracle reconstructs the extracted
+    scalars from the source columns."""
+    import tempfile
+
+    from pulsar_io_delta_spark.sources.delta_log import DeltaTable
+
+    root = tempfile.mkdtemp(prefix="pids_var_") + "/tbl"
+    e = table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    e.createOrReplaceTempView("ev_for_variant")
+    df = spark.sql(
+        "SELECT event_id, parse_json(to_json(named_struct("
+        "'t', event_type, 'v', value))) AS payload FROM ev_for_variant"
+    )
+    t = DeltaTable(root)
+    t.write(df)
+    if "variantType" not in t.snapshot().protocol["readerFeatures"]:
+        raise AssertionError("variant table missing the variantType feature")
+    t.delete_where(spark, "variant_get(payload, '$.t', 'string') IS NOT NULL "
+                          "AND event_id % 5 = 3")
+    return t.read(spark).selectExpr(
+        "event_id",
+        "variant_get(payload, '$.t', 'string') AS vt",
+        "variant_get(payload, '$.v', 'double') AS vv",
+    )

@@ -155,6 +155,9 @@ _SUPPORTED_READER_FEATURES = {
     "deletionVectors",
     "columnMapping",
     "timestampNtz",
+    # Spark 4.x decodes the variant physical encoding natively through
+    # the exact StructType.fromJson path _read_files pins (round 8)
+    "variantType",
     "v2Checkpoint",
 }
 
@@ -194,6 +197,9 @@ _SUPPORTED_WRITER_FEATURES = {
     # delta.identity.highWaterMark from staged footer stats; MERGE and
     # UPDATE gate loudly where generation semantics would be ambiguous
     "identityColumns",
+    # Spark stages the variant physical encoding natively; write()
+    # auto-upgrades the protocol when a schema carries a variant column
+    "variantType",
 }
 
 
@@ -256,6 +262,28 @@ def _check_protocol(p: dict) -> None:
             )
         return
     raise DeltaProtocolError(f"unsupported protocol: {p}")
+
+
+def _schema_has_variant(schema_json: str) -> bool:
+    """True when any field (at any nesting) is the VARIANT type — such
+    schemas demand the variantType table feature (spec: a reader
+    lacking it would mis-read the physical struct<metadata,value> as
+    data)."""
+
+    def walk(t) -> bool:
+        if isinstance(t, str):
+            return t == "variant"
+        tt = t.get("type")
+        if tt == "struct":
+            return any(walk(f["type"]) for f in t["fields"])
+        if tt == "array":
+            return walk(t["elementType"])
+        if tt == "map":
+            return walk(t["keyType"]) or walk(t["valueType"])
+        return False
+
+    s = json.loads(schema_json)
+    return any(walk(f["type"]) for f in s["fields"])
 
 
 def _contains_struct(t) -> bool:
@@ -1859,18 +1887,22 @@ class DeltaTable:
                     }
                 )
             else:
-                adds.append(
-                    {
-                        "add": {
-                            "path": final_rel,
-                            "partitionValues": pvals,
-                            "size": self.fs.size(dst),
-                            "modificationTime": self.fs.mtime_ms(dst),
-                            "dataChange": True,
-                            "stats": json.dumps(self._stats_for(dst)),
-                        }
-                    }
-                )
+                add = {
+                    "path": final_rel,
+                    "partitionValues": pvals,
+                    "size": self.fs.size(dst),
+                    "modificationTime": self.fs.mtime_ms(dst),
+                    "dataChange": True,
+                }
+                try:
+                    add["stats"] = json.dumps(self._stats_for(dst))
+                except OSError:
+                    # footer logical types this pyarrow can't parse
+                    # (e.g. VARIANT): stats are an optimization — every
+                    # consumer (pruning, identity watermark) treats a
+                    # missing stats key conservatively
+                    pass
+                adds.append({"add": add})
         self.fs.rmtree(staging)
         return adds
 
@@ -1951,7 +1983,19 @@ class DeltaTable:
             # clobbering the racer's schema
             read_version = -1
             state_dependent = True
-            actions.append({"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}})
+            if _schema_has_variant(df.schema.json()):
+                # variant columns demand the variantType table feature
+                # from creation (a featureless reader would mis-read the
+                # physical struct<metadata,value> as data)
+                actions.append(
+                    {"protocol": _upgraded_protocol(
+                        {}, ("variantType",), ("variantType",)
+                    )}
+                )
+            else:
+                actions.append(
+                    {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+                )
             actions.append(
                 self._metadata_action(df, partition_by, configuration)
             )
@@ -2018,6 +2062,14 @@ class DeltaTable:
                 )
                 md["metaData"]["schemaString"] = merged
                 actions.append(md)
+                if _schema_has_variant(merged) and "variantType" not in (
+                    prior.protocol.get("readerFeatures") or ()
+                ):
+                    actions.append(
+                        {"protocol": _upgraded_protocol(
+                            prior.protocol, ("variantType",), ("variantType",)
+                        )}
+                    )
                 read_version = prior.version  # don't clobber a racing schema change
                 state_dependent = True
         if mode == "overwrite" and not first:

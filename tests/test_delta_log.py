@@ -777,7 +777,8 @@ def test_handwritten_log_unsupported_protocol_fails_loudly(spark, tmp_path):
     add/remove/metaData/commitInfo — DeltaReader.java:196-247 — and
     anything newer must fail LOUDLY, never silently mis-read): a log
     demanding a reader feature outside _SUPPORTED_READER_FEATURES
-    (e.g. variantType, whose column values we could not decode) raises
+    (e.g. typeWidening, whose narrowed physical values we could not
+    convert) raises
     DeltaProtocolError at snapshot resolution. deletionVectors /
     columnMapping / timestampNtz (round 7) and v2Checkpoint (round 8)
     are implemented and must NOT trip the gate — the positive half
@@ -792,7 +793,7 @@ def test_handwritten_log_unsupported_protocol_fails_loudly(spark, tmp_path):
     actions = [
         {"commitInfo": {"timestamp": 1700000000000, "operation": "WRITE"}},
         {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
-                      "readerFeatures": ["deletionVectors", "variantType"]}},
+                      "readerFeatures": ["deletionVectors", "typeWidening"]}},
         {"metaData": {"id": "x", "schemaString": df.schema.json(), "partitionColumns": []}},
         {"add": {"path": f"data/{part}", "partitionValues": {}, "size": 1,
                  "modificationTime": 1700000000000, "dataChange": True}},
@@ -801,7 +802,7 @@ def test_handwritten_log_unsupported_protocol_fails_loudly(spark, tmp_path):
     with open(log_fp, "w") as f:
         for a in actions:
             f.write(json.dumps(a) + "\n")
-    with pytest.raises(DeltaProtocolError, match="variantType"):
+    with pytest.raises(DeltaProtocolError, match="typeWidening"):
         DeltaTable(root).read(spark).count()
     # Positive half: the SAME table minus the unsupported feature is a
     # legal v3 deletion-vectors table and must read (no DV on the add →
@@ -1000,3 +1001,45 @@ def test_identity_allow_explicit_insert_syncs_watermark(spark, tmp_path):
     t.write(events_df(spark, range(2, 5)))  # generated: must clear 7000
     vals = {r.event_id: r.row_sk for r in t.read(spark).collect()}
     assert all(vals[i] > 7000 for i in (2, 3, 4))
+
+
+def test_variant_column_roundtrip_and_protocol(spark, tmp_path):
+    """VARIANT columns (round 8): write() auto-upgrades the protocol to
+    the variantType table feature at creation, the value round-trips
+    through our reader (Spark decodes the physical
+    struct<metadata,value> natively), DML over variant rows works, and
+    schema EVOLUTION adding a variant column upgrades a legacy
+    protocol."""
+    t = DeltaTable(str(tmp_path / "var"))
+    df = spark.sql(
+        "SELECT id AS event_id, parse_json(concat('{\"k\":', id, '}')) AS payload "
+        "FROM range(6)"
+    )
+    t.write(df)
+    p = t.snapshot().protocol
+    assert "variantType" in p["readerFeatures"]
+    assert "variantType" in p["writerFeatures"]
+    out = t.read(spark).selectExpr(
+        "event_id", "variant_get(payload, '$.k', 'long') AS k"
+    )
+    assert {(r.event_id, r.k) for r in out.collect()} == {(i, i) for i in range(6)}
+    # DML over a variant predicate column
+    t.delete_where(spark, "variant_get(payload, '$.k', 'long') >= 4")
+    assert t.read(spark).count() == 4
+    # evolution: adding a variant column to a LEGACY table upgrades it
+    t2 = DeltaTable(str(tmp_path / "var2"))
+    t2.write(events_df(spark, range(3)))
+    assert "readerFeatures" not in t2.snapshot().protocol
+    widened = spark.sql(
+        "SELECT id + 10 AS event_id, 'click' AS event_type, "
+        "CAST(id AS DOUBLE) AS value, parse_json('{\"x\":1}') AS extra "
+        "FROM range(2)"
+    )
+    t2.write(widened)
+    assert "variantType" in t2.snapshot().protocol["readerFeatures"]
+    got = t2.read(spark).selectExpr(
+        "event_id", "variant_get(extra, '$.x', 'long') AS x"
+    ).collect()
+    assert {(r.event_id, r.x) for r in got} == {
+        (0, None), (1, None), (2, None), (10, 1), (11, 1)
+    }
