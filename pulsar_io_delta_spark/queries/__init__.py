@@ -437,6 +437,7 @@ WINDOW_MUST_INCLUDE = [
     "q_identity_columns",
     "q_nested_mapping",
     "q_variant",
+    "q_schema_widening",
     "q_multimodal_jpeg",
     "q_multimodal_png",
     "q_sim_ann_pq",
@@ -452,12 +453,12 @@ WINDOW_MUST_INCLUDE = [
     "q_table_detail",
     "q_pulsar_wire",
     # (c) stalest driver rows: r1 singles (q_join_cross / q_null_funcs
-    # / q_array_funcs / q_join_full / q_join_right rotate out — the
-    # join family keeps 4 other sampled members, scalar funcs keep 3)
+    # / q_array_funcs / q_join_full / q_join_right / q_join_left rotate
+    # out — the join family keeps inner/semi/anti/range sampled,
+    # scalar funcs keep 3)
     "q_string_funcs",
     "q_date_funcs",
     "q_math_funcs",
-    "q_join_left",
     # r3 LLM block
     "q_dedup_exact",
     "q_sim_topk",

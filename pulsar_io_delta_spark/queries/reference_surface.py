@@ -1037,3 +1037,66 @@ def q_variant(spark, sf_dir):
         "variant_get(payload, '$.t', 'string') AS vt",
         "variant_get(payload, '$.v', 'double') AS vv",
     )
+
+
+@register(
+    "q_schema_widening",
+    oracle="""
+SELECT event_id, CAST(event_id * 100 AS BIGINT) AS metric
+FROM events
+UNION ALL
+SELECT event_id + 10000000 AS event_id, CAST(event_id AS BIGINT) + 3000000000 AS metric
+FROM events WHERE event_id % 6 = 0
+""",
+)
+def q_schema_widening(spark, sf_dir):
+    """Type widening (round 8; Delta PROTOCOL.md "Type Widening"): the
+    table starts with an INT metric column, is ALTERed to BIGINT
+    (typeWidening feature + delta.typeChanges metadata), then receives
+    values beyond int range. Pre-widening files keep their narrow
+    physical encoding on disk — the reader pins the widened log schema
+    and Spark's parquet reader upconverts per file, so the mixed file
+    population reads as one BIGINT column with zero rewrites. That
+    zero-rewrite property is the entire point at 100 TB: ALTER COLUMN
+    TYPE is a metadata commit, not a table rewrite."""
+    import json as _json
+    import tempfile
+
+    from pulsar_io_delta_spark.sources.delta_log import DeltaTable
+
+    root = tempfile.mkdtemp(prefix="pids_tw_") + "/tbl"
+    e = table(spark, sf_dir, "events").select("event_id")
+    t = DeltaTable(root)
+    t.write(
+        e.select(
+            "event_id", (F.col("event_id") * 100).cast("int").alias("metric")
+        )
+    )
+    snap = t.snapshot()
+    s = _json.loads(snap.schema_string)
+    (mf,) = [f for f in s["fields"] if f["name"] == "metric"]
+    mf["type"] = "long"
+    mf["metadata"] = {
+        "delta.typeChanges": [{"fromType": "integer", "toType": "long"}]
+    }
+    t._commit(
+        [
+            {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                          "readerFeatures": ["typeWidening"],
+                          "writerFeatures": ["appendOnly", "invariants",
+                                             "typeWidening"]}},
+            {"metaData": {"id": "tw-fixture", "schemaString": _json.dumps(s),
+                          "partitionColumns": [],
+                          "format": {"provider": "parquet", "options": {}},
+                          "configuration": {}}},
+        ],
+        operation="ALTER COLUMN",
+        read_version=snap.version,
+    )
+    t.write(  # beyond-int values land in wide files
+        e.where(F.col("event_id") % 6 == 0).select(
+            (F.col("event_id") + 10000000).alias("event_id"),
+            (F.col("event_id") + 3000000000).cast("long").alias("metric"),
+        )
+    )
+    return t.read(spark).select("event_id", "metric")

@@ -158,6 +158,12 @@ _SUPPORTED_READER_FEATURES = {
     # Spark 4.x decodes the variant physical encoding natively through
     # the exact StructType.fromJson path _read_files pins (round 8)
     "variantType",
+    # files written before a widening carry the NARROW physical type;
+    # _read_files always pins the widened LOG schema and Spark's
+    # parquet reader upconverts (int→long/double, float→double,
+    # date→timestampNtz, decimal precision growth — all probed)
+    "typeWidening",
+    "typeWidening-preview",
     "v2Checkpoint",
 }
 
@@ -200,6 +206,11 @@ _SUPPORTED_WRITER_FEATURES = {
     # Spark stages the variant physical encoding natively; write()
     # auto-upgrades the protocol when a schema carries a variant column
     "variantType",
+    # we never CHANGE column types (_merge_schema_strings rejects that
+    # as evolution), and appends in the current widened schema are
+    # compliant — so committing to a typeWidening table is safe
+    "typeWidening",
+    "typeWidening-preview",
 }
 
 

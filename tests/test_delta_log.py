@@ -777,8 +777,7 @@ def test_handwritten_log_unsupported_protocol_fails_loudly(spark, tmp_path):
     add/remove/metaData/commitInfo — DeltaReader.java:196-247 — and
     anything newer must fail LOUDLY, never silently mis-read): a log
     demanding a reader feature outside _SUPPORTED_READER_FEATURES
-    (e.g. typeWidening, whose narrowed physical values we could not
-    convert) raises
+    (an unknown future feature) raises
     DeltaProtocolError at snapshot resolution. deletionVectors /
     columnMapping / timestampNtz (round 7) and v2Checkpoint (round 8)
     are implemented and must NOT trip the gate — the positive half
@@ -793,7 +792,7 @@ def test_handwritten_log_unsupported_protocol_fails_loudly(spark, tmp_path):
     actions = [
         {"commitInfo": {"timestamp": 1700000000000, "operation": "WRITE"}},
         {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
-                      "readerFeatures": ["deletionVectors", "typeWidening"]}},
+                      "readerFeatures": ["deletionVectors", "someFutureFeature"]}},
         {"metaData": {"id": "x", "schemaString": df.schema.json(), "partitionColumns": []}},
         {"add": {"path": f"data/{part}", "partitionValues": {}, "size": 1,
                  "modificationTime": 1700000000000, "dataChange": True}},
@@ -802,7 +801,7 @@ def test_handwritten_log_unsupported_protocol_fails_loudly(spark, tmp_path):
     with open(log_fp, "w") as f:
         for a in actions:
             f.write(json.dumps(a) + "\n")
-    with pytest.raises(DeltaProtocolError, match="typeWidening"):
+    with pytest.raises(DeltaProtocolError, match="someFutureFeature"):
         DeltaTable(root).read(spark).count()
     # Positive half: the SAME table minus the unsupported feature is a
     # legal v3 deletion-vectors table and must read (no DV on the add →
@@ -1043,3 +1042,46 @@ def test_variant_column_roundtrip_and_protocol(spark, tmp_path):
     assert {(r.event_id, r.x) for r in got} == {
         (0, None), (1, None), (2, None), (10, 1), (11, 1)
     }
+
+
+def test_type_widening_reads_narrow_files_as_wide(spark, tmp_path):
+    """typeWidening (Delta 'Type Widening'): files written BEFORE the
+    widening keep their narrow physical type; the reader pins the
+    widened log schema and Spark upconverts — int→long here — while
+    post-widening appends land wide. Appends to the widened table pass
+    the writer gate (we never change types ourselves)."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    t = DeltaTable(str(tmp_path / "tw"))
+    narrow = spark.createDataFrame(
+        [(i,) for i in range(4)], StructType([StructField("a", IntegerType())])
+    )
+    t.write(narrow.coalesce(1))
+    snap = t.snapshot()
+    s = json.loads(snap.schema_string)
+    assert s["fields"][0]["type"] == "integer"
+    s["fields"][0]["type"] = "long"
+    s["fields"][0]["metadata"] = {
+        "delta.typeChanges": [{"fromType": "integer", "toType": "long"}]
+    }
+    t._commit(
+        [
+            {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                          "readerFeatures": ["typeWidening"],
+                          "writerFeatures": ["appendOnly", "invariants",
+                                             "typeWidening"]}},
+            {"metaData": {"id": "tw", "schemaString": json.dumps(s),
+                          "partitionColumns": [],
+                          "format": {"provider": "parquet", "options": {}},
+                          "configuration": {}}},
+        ],
+        operation="ALTER COLUMN",
+        read_version=snap.version,
+    )
+    t.write(spark.createDataFrame([(10_000_000_000,)], "a long").coalesce(1))
+    out = t.read(spark)
+    assert dict(out.dtypes)["a"] == "bigint"
+    assert {r.a for r in out.collect()} == {0, 1, 2, 3, 10_000_000_000}
+    # DML across the mixed narrow/wide file population
+    t.delete_where(spark, "a = 2")
+    assert {r.a for r in t.read(spark).collect()} == {0, 1, 3, 10_000_000_000}
