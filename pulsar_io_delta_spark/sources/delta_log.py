@@ -371,11 +371,12 @@ def _column_mapping(
     ``parquet.field.id`` metadata to each physical field — with
     ``spark.sql.parquet.fieldId.read.enabled`` (pin_session) files
     written by id-preserving engines (UniForm / converted tables) match
-    by field id even when their column names differ, while Delta-written
-    files match by physical name as before; partition dirs are
-    physically named in both modes, so the rename path is shared.
-    Nested-struct mapping is gated loudly — silently reading physical
-    names as data would be a wrong-answer bug, not a degraded mode."""
+    by field id even when their column names differ. A file in an
+    id-mode table that carries NO field ids (spec-violating — id-mode
+    writers must emit them) fails LOUDLY with Spark's missing-field-ids
+    error naming the ``fieldId.read.ignoreMissing`` escape hatch —
+    never a silent null-fill. Name-mode nested structs rename
+    recursively; id-mode nested and array/map-of-struct gate loudly."""
     mode = (configuration or {}).get("delta.columnMapping.mode", "none")
     if mode in ("none", ""):
         return None

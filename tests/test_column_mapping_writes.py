@@ -401,3 +401,38 @@ def test_array_of_struct_mapping_still_gated():
     )
     with pytest.raises(DeltaProtocolError, match="array/map-of-struct"):
         _column_mapping(schema, {"delta.columnMapping.mode": "name"})
+
+
+def test_id_mode_file_without_ids_fails_loudly(spark, tmp_path):
+    """A spec-violating id-mode file that carries NO parquet field ids
+    must FAIL the read (Spark's missing-field-ids error) — never
+    silently null-fill columns."""
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    root = str(tmp_path / "noids")
+    w_schema = StructType([
+        StructField("p_1", LongType(), True),          # no field ids
+        StructField("p_2", DoubleType(), True),
+    ])
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "false")
+    try:
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(3)], schema=w_schema
+        ).coalesce(1).write.parquet(os.path.join(root, "d"))
+    finally:
+        spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    (pq,) = [f for f in os.listdir(os.path.join(root, "d")) if f.endswith(".parquet")]
+    actions = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {"id": "noids", "schemaString": ID_SCHEMA,
+                      "partitionColumns": [],
+                      "configuration": {"delta.columnMapping.mode": "id"}}},
+        {"add": {"path": f"d/{pq}", "partitionValues": {}, "size": 1,
+                 "modificationTime": 1, "dataChange": True}},
+    ]
+    os.makedirs(os.path.join(root, "_delta_log"))
+    with open(os.path.join(root, "_delta_log", f"{0:020d}.json"), "w") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+    with pytest.raises(Exception, match="field Id|FAILED_READ"):
+        DeltaTable(root).read(spark).collect()
