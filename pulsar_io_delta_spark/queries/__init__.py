@@ -438,6 +438,7 @@ WINDOW_MUST_INCLUDE = [
     "q_nested_mapping",
     "q_variant",
     "q_schema_widening",
+    "q_dedup_semantic",
     "q_multimodal_jpeg",
     "q_multimodal_png",
     "q_sim_ann_pq",
@@ -453,12 +454,11 @@ WINDOW_MUST_INCLUDE = [
     "q_table_detail",
     "q_pulsar_wire",
     # (c) stalest driver rows: r1 singles (q_join_cross / q_null_funcs
-    # / q_array_funcs / q_join_full / q_join_right / q_join_left rotate
-    # out — the join family keeps inner/semi/anti/range sampled,
-    # scalar funcs keep 3)
+    # / q_array_funcs / q_join_full / q_join_right / q_join_left /
+    # q_math_funcs rotate out — the join family keeps
+    # inner/semi/anti/range sampled, scalar funcs keep 2)
     "q_string_funcs",
     "q_date_funcs",
-    "q_math_funcs",
     # r3 LLM block
     "q_dedup_exact",
     "q_sim_topk",

@@ -814,3 +814,71 @@ def q_sim_ann_pq(spark, sf_dir):
     return expected.join(hit, ["qid", "cid"], "left").select(
         "qid", F.coalesce("plant_recovered", F.lit(False)).alias("plant_recovered")
     )
+
+
+@register(
+    "q_dedup_semantic",
+    oracle="""
+SELECT vec_id, CAST(1 AS BOOLEAN) AS kept FROM embeddings
+UNION ALL
+SELECT vec_id + 1000000 AS vec_id, CAST(0 AS BOOLEAN) AS kept
+FROM embeddings WHERE vec_id % 10 = 0
+""",
+)
+def q_dedup_semantic(spark, sf_dir):
+    """SemDeDup-style SEMANTIC dedup (Abbas et al. 2023, public
+    arXiv:2303.09540 method): k-means-cluster the embedding space, find
+    near-duplicate pairs ONLY within clusters (cos >= 0.999), collapse
+    duplicate groups with connected components, keep the min-id
+    representative of each group. Planted-copy construction: every 10th
+    embedding gets an EXACT copy at vec_id+1000000 — identical vectors
+    land in the same cluster deterministically, every planted copy must
+    be dropped and every original kept (random 64-dim fixture vectors
+    never reach cos 0.999 cross-doc, and both sides read the same
+    parquet, so the contract is exact).
+
+    Scale shape — the reason SemDeDup clusters first: candidate pairs
+    are confined to clusters, O(n²/k) total pair work instead of O(n²);
+    k scales like n/target_cluster_size (the same sizing rule as LSH
+    planes / MinHash bands). k-means itself collects only the k×dim
+    centroid matrix (operators/similarity.py); the duplicate-group
+    collapse is the parquet-barrier CC used by q_dedup_cc — node-table
+    sized joins, O(log d) supersteps."""
+    from pulsar_io_delta_spark.operators import similarity as sim
+    from pulsar_io_delta_spark.operators.graph import connected_components
+
+    e = sim.with_norm2(table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "v", "v_n2"
+    )
+    planted = e.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "v", "v_n2"
+    )
+    allv = e.unionByName(planted)
+    centroids = sim.kmeans_centroids(allv, k=8, iters=3, vec="v")
+    assigned = allv.withColumn(
+        "cluster", sim._nearest_centroid_col("v", centroids)
+    )
+    a = assigned.select(
+        F.col("vec_id").alias("id_a"), F.col("v").alias("av"),
+        F.col("v_n2").alias("an2"), "cluster",
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("id_b"), F.col("v").alias("bv"),
+        F.col("v_n2").alias("bn2"), "cluster",
+    )
+    cos = F.expr(sim.DOT.format(a="av", b="bv")) / F.sqrt(
+        F.col("an2") * F.col("bn2")
+    )
+    edges = (
+        a.join(b, ["cluster"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(cos >= 0.999)
+        .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    comp = connected_components(
+        assigned.select(F.col("vec_id").alias("id")), edges
+    )
+    return comp.select(
+        F.col("id").alias("vec_id"),
+        (F.col("id") == F.col("component")).alias("kept"),
+    )
