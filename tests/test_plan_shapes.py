@@ -235,3 +235,12 @@ def test_table_changes_one_scan_per_epoch_broadcast_lookup(spark, tmp_path):
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     # and the rows are right: each commit deleted 4 live rows
     assert ch.count() == 16
+
+
+def test_dedup_semantic_within_cluster_equijoin_only(spark, sf_dir):
+    """SemDeDup's candidate join must be an EQUI-join on the cluster id
+    — never a nested-loop/cartesian all-pairs plan (the entire point of
+    clustering first is O(n²/k) pair work)."""
+    plan = _plan(spark, sf_dir, "q_dedup_semantic")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
