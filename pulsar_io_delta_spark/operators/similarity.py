@@ -15,6 +15,7 @@ that into an equi-join on bucket signature.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -108,26 +109,64 @@ def kmeans_centroids(
     return centroids
 
 
-def _nearest_centroid_col(vec: str, centroids: list[list[float]]) -> Column:
-    """argmin over squared distance to each centroid (pure JVM exprs).
+# Above this k, the literal-expression argmin is replaced by the
+# vectorized Arrow path: the expression embeds k×dim literal doubles in
+# the PLAN, so with the SemDeDup sizing rule k ∝ n the plan itself
+# grows with the corpus (measured: k=81 over 64-dim = ~5k literal
+# nodes, re-analyzed per k-means iteration — 13× wall blow-up at 10×).
+_EXPR_ARGMIN_MAX_K = 16
 
-    Shape matters: a ``when(d_i < best)`` chain embeds the running best
-    TWICE per step (condition + otherwise), so the expression tree
-    doubles per centroid — with 8 centroids × 64-dim distance lambdas
-    that was a 2^8-node interpreted tree per row. ``array_min`` over
-    ``struct(d, i)`` is linear-size and keeps identical tie semantics
-    (lexicographic struct order = min distance, then lowest index —
-    the same earliest-index-wins the strict-< chain had, and the same
-    ordering the nprobe ranking uses via array_sort)."""
-    ds = []
-    for i, cent in enumerate(centroids):
-        arr = f"array({','.join(f'cast({x} as double)' for x in cent)})"
-        d = F.expr(
-            f"aggregate(zip_with({vec}, {arr}, (x, y) -> (x - y) * (x - y)), "
-            "cast(0 as double), (acc, x) -> acc + x)"
-        )
-        ds.append(F.struct(d.alias("d"), F.lit(i).alias("cell")))
-    return F.array_min(F.array(*ds))["cell"].cast("int")
+
+def _nearest_centroid_col(vec: str, centroids: list[list[float]]) -> Column:
+    """argmin over squared distance to each centroid.
+
+    Two shapes, picked by k:
+
+    * k ≤ 16 — pure JVM exprs. A ``when(d_i < best)`` chain embeds the
+      running best TWICE per step (condition + otherwise), so the
+      expression tree doubles per centroid — with 8 centroids × 64-dim
+      distance lambdas that was a 2^8-node interpreted tree per row.
+      ``array_min`` over ``struct(d, i)`` is linear-size and keeps
+      identical tie semantics (lexicographic struct order = min
+      distance, then lowest index — the same earliest-index-wins the
+      strict-< chain had, and the same ordering the nprobe ranking
+      uses via array_sort).
+    * k > 16 — vectorized Arrow pandas UDF: one BLAS matmul per batch
+      (argmin of c² − 2x·c; x² is constant per row), centroid matrix
+      shipped once per task via closure. Plan size is O(1) regardless
+      of k, so the SemDeDup rule k ∝ n no longer grows the plan.
+      np.argmin also breaks ties at the lowest index. This is the
+      documented UDF exception: per-row work is O(k·dim) arithmetic,
+      and batched BLAS beats a k×dim-literal codegen expression well
+      before k=100.
+    """
+    if len(centroids) <= _EXPR_ARGMIN_MAX_K:
+        ds = []
+        for i, cent in enumerate(centroids):
+            arr = f"array({','.join(f'cast({x} as double)' for x in cent)})"
+            d = F.expr(
+                f"aggregate(zip_with({vec}, {arr}, (x, y) -> (x - y) * (x - y)), "
+                "cast(0 as double), (acc, x) -> acc + x)"
+            )
+            ds.append(F.struct(d.alias("d"), F.lit(i).alias("cell")))
+        return F.array_min(F.array(*ds))["cell"].cast("int")
+    return _nearest_centroid_vectorized(vec, centroids)
+
+
+def _nearest_centroid_vectorized(vec: str, centroids: list[list[float]]) -> Column:
+    cent = np.asarray(centroids, dtype=np.float64)  # k×dim
+    cent_t = cent.T.copy()
+    c_n2 = (cent * cent).sum(axis=1)
+
+    @F.pandas_udf("int")
+    def _cell(v: pd.Series) -> pd.Series:
+        x = np.asarray([np.asarray(row, dtype=np.float64) for row in v])
+        if x.size == 0:
+            return pd.Series([], dtype="int32")
+        d = c_n2[None, :] - 2.0 * (x @ cent_t)
+        return pd.Series(d.argmin(axis=1).astype("int32"))
+
+    return _cell(F.col(vec))
 
 
 def ann_topk_ivf(

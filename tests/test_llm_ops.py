@@ -83,6 +83,39 @@ def test_ann_subset_of_bruteforce_space(spark, sf_dir):
         assert 1 <= r.rn <= 5 and -1.0001 <= r.cos_r <= 1.0001
 
 
+def test_nearest_centroid_vectorized_agrees_with_expr(spark, sf_dir):
+    """The k>16 Arrow argmin path must assign the same cells as the
+    literal-expression path (same argmin, same lowest-index tie rule).
+    Uses k=20 centroids from the fixture itself so every vector has an
+    exact-zero distance to one centroid — a genuine tie-shaped case —
+    and compares against the expression path forced over the same
+    centroid list."""
+    base = sim.with_norm2(table(spark, sf_dir, "embeddings")).select("vec_id", "v")
+    cents = [list(r.v) for r in base.orderBy("vec_id").limit(20).collect()]
+    assert len(cents) > sim._EXPR_ARGMIN_MAX_K
+    fast = base.withColumn("cell", sim._nearest_centroid_vectorized("v", cents))
+    slow_col = None
+    # force the expression path by splitting the centroid list in two
+    # calls is NOT equivalent; instead inline the k<=16 shape manually
+    ds = []
+    for i, cent in enumerate(cents):
+        arr = f"array({','.join(f'cast({x} as double)' for x in cent)})"
+        d = F.expr(
+            f"aggregate(zip_with(v, {arr}, (x, y) -> (x - y) * (x - y)), "
+            "cast(0 as double), (acc, x) -> acc + x)"
+        )
+        ds.append(F.struct(d.alias("d"), F.lit(i).alias("cell")))
+    slow_col = F.array_min(F.array(*ds))["cell"].cast("int")
+    slow = base.withColumn("cell", slow_col)
+    diff = (
+        fast.alias("f")
+        .join(slow.alias("s"), "vec_id")
+        .where(F.col("f.cell") != F.col("s.cell"))
+        .count()
+    )
+    assert diff == 0
+
+
 def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     """IVF with nprobe=4 of 8 cells should recover most exact top-5."""
     emb = table(spark, sf_dir, "embeddings")
