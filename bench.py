@@ -101,6 +101,9 @@ HEADLINE = [
     # mapInPandas stages) and the DV merge-on-read read path
     "q_multimodal_jpeg",
     "q_dv_read",
+    # round 8: span-level exact-substring dedup (rolling-hash windows,
+    # hash-only shuffle)
+    "q_dedup_substr",
 ]
 
 

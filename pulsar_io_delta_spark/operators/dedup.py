@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import random
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from pulsar_io_delta_spark.operators.text import char_ngrams_col, tokens_col
@@ -382,4 +382,69 @@ def ngram_jaccard_pairs(
                 F.col("inter") / (F.col("cnt_a") + F.col("cnt_b") - F.col("inter")), 4
             ).alias("jaccard"),
         )
+    )
+
+
+def duplicated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 40,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Span-level EXACT-substring dedup (the suffix-array approach of
+    the training-data dedup literature, re-expressed as a fixed-window
+    rolling-hash plan): every length-``k`` character window occurring
+    in >= ``min_docs`` DISTINCT documents marks its char range
+    duplicated; overlapping/adjacent marked windows merge into maximal
+    ``(id, span_start, span_end)`` intervals (1-based, inclusive) —
+    the ranges a curation pipeline would cut before LM training.
+
+    Scale shape (the reason this is NOT a suffix array): windows are
+    hashed JVM-side INSIDE the explode lambda (xxhash64), so only
+    (id, pos, int64) triples ever shuffle — the k-char substrings
+    themselves never leave the scan stage, keeping the exploded
+    intermediate at ~20 bytes/char regardless of k. The duplicated-
+    hash set is a count_distinct groupBy (map-side partial) followed
+    by a left_semi join; the interval merge is one window + one
+    groupBy, both partitioned by document id. False positives require
+    an xxhash64 collision between distinct k-grams (~n^2/2^65).
+
+    Reference parity: the reference engine has no substring-level
+    dedup; this extends its dedup family (SURVEY §2 LLM-pipeline
+    block) the way q_dedup_minhash extends whole-doc near-dup.
+    """
+    grams = (
+        df.where(F.length(text_col) >= k)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, length({text_col}) - {k} + 1), "
+                    f"i -> struct(i AS pos, "
+                    f"xxhash64(substring({text_col}, i, {k})) AS gh))"
+                )
+            ).alias("g"),
+        )
+        .select(id_col, F.col("g.pos").alias("pos"), F.col("g.gh").alias("gh"))
+    )
+    dup = (
+        grams.groupBy("gh")
+        .agg(F.count_distinct(id_col).alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("gh")
+    )
+    dpos = grams.join(dup, "gh", "left_semi").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    # two same-length windows overlap-or-touch iff their starts differ
+    # by <= k, so an island breaks exactly when the gap exceeds k
+    brk = F.when(F.col("pos") - F.lag("pos").over(w) > k, 1).otherwise(0)
+    return (
+        dpos.withColumn("grp", F.sum(brk).over(w))
+        .groupBy(id_col, "grp")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + F.lit(k - 1)).cast("long").alias("span_end"),
+        )
+        .drop("grp")
     )

@@ -439,6 +439,7 @@ WINDOW_MUST_INCLUDE = [
     "q_variant",
     "q_schema_widening",
     "q_dedup_semantic",
+    "q_dedup_substr",
     "q_multimodal_jpeg",
     "q_multimodal_png",
     "q_sim_ann_pq",
@@ -478,8 +479,9 @@ WINDOW_MUST_INCLUDE = [
     "q_window_lag",
     "q_topk",
     "q_union_all",
-    "q_union_distinct",
-    # (q_window_firstlast / q_unpivot / q_asof_join, then
+    # (q_union_distinct rotates out for q_dedup_substr — r5-green,
+    # unmodified, the set-op family keeps q_union_all sampled;
+    # q_window_firstlast / q_unpivot / q_asof_join, then
     # q_intersect_all / q_except_all / q_agg_percentiles /
     # q_struct_funcs / q_regex_funcs / q_except / q_intersect rotate
     # out to make room for the ten new round-8 queries — r5-green,

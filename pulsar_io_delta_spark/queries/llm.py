@@ -882,3 +882,39 @@ def q_dedup_semantic(spark, sf_dir):
         F.col("id").alias("vec_id"),
         (F.col("id") == F.col("component")).alias("kept"),
     )
+
+
+@register(
+    "q_dedup_substr",
+    oracle="""
+WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 40),
+grams AS (
+  SELECT doc_id, i AS pos, substr(text, i, 40) AS g
+  FROM d, UNNEST(generate_series(1, length(text) - 39)) AS t(i)
+),
+dup AS (SELECT g FROM grams GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+dpos AS (SELECT doc_id, pos FROM grams WHERE g IN (SELECT g FROM dup)),
+brk AS (SELECT doc_id, pos,
+        CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 40
+             THEN 1 ELSE 0 END AS b
+        FROM dpos),
+isl AS (SELECT doc_id, pos,
+        SUM(b) OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM brk)
+SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 39 AS span_end
+FROM isl GROUP BY doc_id, grp
+""",
+)
+def q_dedup_substr(spark, sf_dir):
+    """Span-level exact-substring dedup (suffix-array-style, as in the
+    public training-data dedup literature): maximal character ranges
+    whose every 40-char window recurs in >= 2 distinct documents — the
+    spans a curation pass would excise, at char granularity rather than
+    q_dedup_exact's whole-doc granularity. The oracle recomputes the
+    identical fixed-window semantics over the raw substrings; Spark
+    groups on xxhash64 of the window (computed inside the explode
+    lambda) so only 8-byte hashes shuffle — identical output absent a
+    2^-65-scale hash collision. No plants needed: the templated corpus
+    carries genuine cross-document 40-char repeats."""
+    return dd.duplicated_spans(
+        table(spark, sf_dir, "documents"), "doc_id", "text", k=40, min_docs=2
+    )
