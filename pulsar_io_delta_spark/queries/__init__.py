@@ -440,6 +440,7 @@ WINDOW_MUST_INCLUDE = [
     "q_schema_widening",
     "q_dedup_semantic",
     "q_dedup_substr",
+    "q_clone_shallow",
     "q_multimodal_jpeg",
     "q_multimodal_png",
     "q_sim_ann_pq",
@@ -476,7 +477,8 @@ WINDOW_MUST_INCLUDE = [
     "q_join_range",
     "q_udaf_weighted_mean",
     "q_window_rank",
-    "q_window_lag",
+    # (q_window_lag rotates out for q_clone_shallow — r5-green, family
+    # keeps q_window_rank sampled)
     "q_topk",
     "q_union_all",
     # (q_union_distinct rotates out for q_dedup_substr — r5-green,

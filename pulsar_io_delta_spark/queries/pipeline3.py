@@ -1604,3 +1604,43 @@ def q_multimodal_png(spark, sf_dir):
         .cast("long")
         .alias("pixel_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Delta SHALLOW CLONE (zero-copy table fork)
+
+
+@register(
+    "q_clone_shallow",
+    oracle="""
+SELECT event_id, user_id, event_type, value FROM events
+WHERE value >= 0.1 AND event_type <> 'error'
+""",
+)
+def q_clone_shallow(spark, sf_dir):
+    """SHALLOW CLONE end-to-end: events → source table (partitioned,
+    then DV-deleted so the clone must rebase a live deletion vector),
+    CLONE (one metadata commit, absolute-path adds, zero data copied),
+    then a DELETE inside the clone (metadata-only removes of files the
+    clone does not own) — the surviving read must equal plain SQL over
+    events. At 100 TB the clone commit is O(live files) log writes; the
+    clone read attaches partition values from the log via a broadcast
+    join (no hive inference outside the table root), so the scan plan
+    is the same shape as the source's."""
+    import tempfile
+
+    from pulsar_io_delta_spark.sources.delta_log import DeltaTable
+
+    e = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    base = tempfile.mkdtemp(prefix="pids_clone_")
+    src = DeltaTable(base + "/src")
+    src.write(e, partition_by=["event_type"])
+    src.delete_where_dv(spark, "value < 0.1")
+    clone = DeltaTable(base + "/clone")
+    clone.clone_from(src)
+    clone.delete_where(
+        spark, "event_type = 'error'", filters=[("event_type", "=", "error")]
+    )
+    return clone.read(spark).select("event_id", "user_id", "event_type", "value")

@@ -1129,18 +1129,103 @@ class DeltaTable:
         rel_paths: list[str],
         schema_string: str | None = None,
         base_path: str | None = None,
+        pv_by_abs: dict[str, dict] | None = None,
+        partition_cols: list[str] | None = None,
     ) -> DataFrame:
         pin_session(spark)
-        paths = [os.path.join(self.path, p) for p in rel_paths]
-        reader = spark.read
-        if schema_string is not None:
-            from pyspark.sql.types import StructType
+        from pyspark.sql.types import StructType
 
-            # Log schema governs (Delta semantics): files written before a
-            # schema evolution lack the new columns — explicit schema
-            # null-fills them instead of letting inference drop them.
-            reader = reader.schema(StructType.fromJson(json.loads(schema_string)))
-        return reader.option("basePath", base_path or self.path).parquet(*paths)
+        schema = (
+            StructType.fromJson(json.loads(schema_string))
+            if schema_string is not None
+            else None
+        )
+        # add.path may be an ABSOLUTE reference outside the table root
+        # (Delta PROTOCOL.md — the shallow-clone layout). Those files
+        # can't share the hive-basePath scan: partition columns come
+        # from the log instead (``pv_by_abs``), see _read_external.
+        rel = [p for p in rel_paths if not os.path.isabs(p)]
+        ext = [p for p in rel_paths if os.path.isabs(p)]
+        branches: list[DataFrame] = []
+        if rel:
+            reader = spark.read
+            if schema is not None:
+                # Log schema governs (Delta semantics): files written
+                # before a schema evolution lack the new columns —
+                # explicit schema null-fills them instead of letting
+                # inference drop them.
+                reader = reader.schema(schema)
+            df = reader.option("basePath", base_path or self.path).parquet(
+                *[os.path.join(self.path, p) for p in rel]
+            )
+            if ext:
+                # materialize the metadata struct so it survives the
+                # union (virtual _metadata doesn't propagate through one)
+                df = df.withColumn("_metadata", F.col("_metadata"))
+            branches.append(df)
+        if ext:
+            branches.append(
+                self._read_external(
+                    spark, ext, schema, pv_by_abs or {}, partition_cols or []
+                )
+            )
+        out = branches[0]
+        for b in branches[1:]:
+            out = out.unionByName(b)
+        return out
+
+    def _read_external(
+        self,
+        spark: SparkSession,
+        abs_paths: list[str],
+        schema,
+        pv_by_abs: dict[str, dict],
+        pcols: list[str],
+    ) -> DataFrame:
+        """Scan ABSOLUTE-path adds (shallow clone). No hive directory
+        inference applies — the files live under ANOTHER table's layout
+        — so partition columns are attached from the log's per-file
+        ``partitionValues`` (the spec's source of truth) via a broadcast
+        join keyed on the decoded file path: O(live files) string rows,
+        never data-sized. ``_metadata`` is materialized as a regular
+        column so downstream ``_metadata.*`` references (DV anti-join,
+        CDC lookup keys) keep resolving after the union with the
+        relative-path branch."""
+        if schema is None:
+            raise DeltaProtocolError(
+                "absolute-path adds require a log schemaString to scan"
+            )
+        from pyspark.sql.types import StringType, StructField, StructType
+
+        data_fields = [f for f in schema.fields if f.name not in set(pcols)]
+        df = (
+            spark.read.schema(StructType(data_fields))
+            .parquet(*abs_paths)
+            .withColumn("_metadata", F.col("_metadata"))
+        )
+        if pcols:
+            pv_schema = StructType(
+                [StructField("__pv_fp", StringType())]
+                + [StructField(f"__pv_{i}", StringType()) for i in range(len(pcols))]
+            )
+            pv_rows = [
+                [p] + [(pv_by_abs.get(p) or {}).get(c) for c in pcols]
+                for p in abs_paths
+            ]
+            by_name = {f.name: f for f in schema.fields}
+            df = df.withColumn(
+                "__pv_fp", _posix_path_col(F.col("_metadata.file_path"))
+            ).join(F.broadcast(spark.createDataFrame(pv_rows, pv_schema)), "__pv_fp")
+            for i, c in enumerate(pcols):
+                # canonical partition-value string → declared type (the
+                # same encoding partition dirs carry; null stays null)
+                df = df.withColumn(c, F.col(f"__pv_{i}").cast(by_name[c].dataType))
+            df = df.drop("__pv_fp", *[f"__pv_{i}" for i in range(len(pcols))])
+        # Spark's hive scan surfaces partition columns LAST regardless of
+        # schema position — mirror that so both branches union cleanly
+        # and a clone read orders columns exactly like the source read
+        order = [f.name for f in data_fields] + list(pcols)
+        return df.select([F.col(c) for c in order] + [F.col("_metadata")])
 
     def read(
         self,
@@ -1191,7 +1276,20 @@ class DeltaTable:
         that used ``_read_files`` directly would resurrect deleted rows."""
         mapping = _column_mapping(snap.schema_string, snap.configuration)
         schema_string = mapping[0] if mapping else snap.schema_string
-        df = self._read_files(spark, rel_paths, schema_string=schema_string)
+        ext_pv = {
+            p: (snap.adds.get(p, {}).get("partitionValues") or {})
+            for p in rel_paths
+            if os.path.isabs(p)
+        }
+        df = self._read_files(
+            spark,
+            rel_paths,
+            schema_string=schema_string,
+            pv_by_abs=ext_pv or None,
+            partition_cols=self._physical_pcols(mapping, list(snap.partition_columns))
+            if ext_pv
+            else None,
+        )
         dv_by_abs = {
             os.path.abspath(os.path.join(self.path, p)): dv
             for p in rel_paths
@@ -1204,7 +1302,9 @@ class DeltaTable:
             # partition columns surface under physical names too (the
             # hive dirs are physically named) — the rename covers them
             df = df.select(_mapping_select_exprs(snap.schema_string, mapping))
-        return df
+        # the external (absolute-path) branch materializes _metadata as a
+        # real column; it must not leak into the table's logical schema
+        return df.drop("_metadata")
 
     def _expand_dv_df(
         self, spark: SparkSession, entries: list[tuple[str, str]], with_key: bool
@@ -1267,8 +1367,19 @@ class DeltaTable:
         physical scan). Rows are NOT DV-filtered; writer paths that need
         visibility use _scan_live instead."""
         mapping = self._mapping_of(snap)
+        ext_pv = {
+            p: (snap.adds.get(p, {}).get("partitionValues") or {})
+            for p in rel_paths
+            if os.path.isabs(p)
+        }
         df = self._read_files(
-            spark, rel_paths, schema_string=mapping[0] if mapping else snap.schema_string
+            spark,
+            rel_paths,
+            schema_string=mapping[0] if mapping else snap.schema_string,
+            pv_by_abs=ext_pv or None,
+            partition_cols=self._physical_pcols(mapping, list(snap.partition_columns))
+            if ext_pv
+            else None,
         )
         df = df.withColumn("_fp", _posix_path_col(F.col("_metadata.file_path")))
         if ridx:
@@ -1279,7 +1390,7 @@ class DeltaTable:
                 _mapping_select_exprs(snap.schema_string, mapping)
                 + [F.col(k) for k in keep]
             )
-        return df
+        return df.drop("_metadata")
 
     def _apply_dv_antijoin(
         self, spark: SparkSession, df: DataFrame, dv_by_abs: dict[str, dict]
@@ -1355,6 +1466,10 @@ class DeltaTable:
             0: (pcols, schema_str, config)
         }
         groups: dict[tuple[str, int], list[str]] = {}
+        # absolute-path adds (shallow clone commits) carry their
+        # partition values in the log, not in hive dirs — collect them
+        # for _read_files' external branch (stable per path)
+        pv_abs: dict[str, dict] = {}
         # DV identity per (file, commit, op): an add/remove action that
         # carries a deletionVector emits only the file's LIVE rows; the
         # descriptor digest keys the per-variant row filter so a file
@@ -1408,6 +1523,8 @@ class DeltaTable:
                 bucket = groups.setdefault((op, epoch), [])
                 for g in group:
                     abs_path = os.path.abspath(os.path.join(self.path, g["path"]))
+                    if os.path.isabs(g["path"]):
+                        pv_abs[g["path"]] = g.get("partitionValues") or {}
                     dv = g.get("deletionVector")
                     dv_key = ""
                     if dv and int(dv.get("cardinality") or 0) > 0:
@@ -1426,8 +1543,15 @@ class DeltaTable:
         for (op, epoch_id), rel_paths in groups.items():
             epoch_pcols, epoch_schema, epoch_config = epoch_meta[epoch_id]
             mapping = _column_mapping(epoch_schema, epoch_config)
+            has_ext = any(os.path.isabs(p) for p in rel_paths)
             df = self._read_files(
-                spark, rel_paths, schema_string=mapping[0] if mapping else epoch_schema
+                spark,
+                rel_paths,
+                schema_string=mapping[0] if mapping else epoch_schema,
+                pv_by_abs=pv_abs if has_ext else None,
+                partition_cols=self._physical_pcols(mapping, list(epoch_pcols))
+                if has_ext
+                else None,
             )
             # _metadata.file_path is a percent-encoded Hadoop URI
             # (file:/abs/path); decode to the posix lookup key
@@ -1449,7 +1573,8 @@ class DeltaTable:
                 else F.lit("")
             )
             frames.append(
-                df.withColumn("op", F.lit(op))
+                df.drop("_metadata")
+                .withColumn("op", F.lit(op))
                 .withColumn("_epoch", F.lit(epoch_id))
                 .withColumn("partition_value", pv)
             )
@@ -2774,6 +2899,73 @@ class DeltaTable:
             )
         return self._commit(actions, operation="RESTORE", read_version=cur.version)
 
+    def clone_from(
+        self,
+        source: "DeltaTable",
+        version: int | None = None,
+        timestamp_ms: int | None = None,
+    ) -> int:
+        """SHALLOW CLONE: one metadata commit whose add actions point at
+        the SOURCE table's data files by ABSOLUTE path (Delta
+        PROTOCOL.md allows add.path to be an absolute reference; this is
+        the public shallow-clone layout). Zero bytes of data copied —
+        O(live files) log work at any table size — and the clone then
+        evolves independently: new writes land under the clone root,
+        removes of source-owned files are metadata-only, vacuum never
+        reaches outside the clone directory, and time travel inside the
+        clone starts at this v0.
+
+        Schema, partition columns, configuration, and protocol are
+        copied from the source snapshot; DV descriptors are rebased
+        u → p (absolute path) so merge-on-read visibility survives the
+        re-rooting. Reference parity: the reference connector
+        (DeltaReader.java) resolves add paths against the table root
+        only — absolute adds extend that surface the way the spec
+        directs, not the reference's subset."""
+        if self.exists() and self.versions():
+            raise DeltaProtocolError(
+                f"clone target {self.path} already has a delta log"
+            )
+        snap = source.snapshot(version, timestamp_ms)
+        _check_protocol(snap.protocol)
+        if snap.schema_string is None:
+            raise DeltaProtocolError("cannot clone a table with no schema")
+        from pulsar_io_delta_spark.sources.deletion_vectors import dv_relative_path
+
+        actions: list[dict] = [
+            {"protocol": dict(snap.protocol)},
+            {
+                "metaData": {
+                    "id": str(uuid.uuid4()),
+                    "schemaString": snap.schema_string,
+                    "partitionColumns": list(snap.partition_columns),
+                    "format": {"provider": "parquet", "options": {}},
+                    "configuration": dict(snap.configuration),
+                }
+            },
+        ]
+        for p in sorted(snap.files):
+            add = dict(snap.adds.get(p) or {})
+            add["path"] = (
+                p if os.path.isabs(p) else os.path.abspath(os.path.join(source.path, p))
+            )
+            dv = add.get("deletionVector")
+            if dv and dv.get("storageType") == "u":
+                add["deletionVector"] = {
+                    **dv,
+                    "storageType": "p",
+                    "pathOrInlineDv": os.path.abspath(
+                        os.path.join(
+                            source.path, dv_relative_path(dv["pathOrInlineDv"])
+                        )
+                    ),
+                }
+            add["dataChange"] = True
+            actions.append({"add": add})
+        return self._commit(
+            actions, operation="CLONE", configuration=snap.configuration
+        )
+
     def commit_external_adds(
         self,
         adds: list[dict],
@@ -2947,7 +3139,11 @@ class DeltaTable:
         for _v, actions in ((v, self.actions(v)) for v in self.json_versions()):
             for action in actions:
                 r = action.get("remove")
-                if r and r["path"] not in live:
+                # absolute-path removes reference ANOTHER table's files
+                # (shallow clone): dropping them from the clone is
+                # metadata-only — vacuum must never delete outside its
+                # own directory (spec CLONE semantics)
+                if r and r["path"] not in live and not os.path.isabs(r["path"]):
                     removed_at[r["path"]] = int(r.get("deletionTimestamp") or 0)
                 c = action.get("cdc")
                 if c:
