@@ -441,6 +441,7 @@ WINDOW_MUST_INCLUDE = [
     "q_dedup_semantic",
     "q_dedup_substr",
     "q_clone_shallow",
+    "q_reorg_purge",
     "q_multimodal_jpeg",
     "q_multimodal_png",
     "q_sim_ann_pq",
@@ -480,7 +481,9 @@ WINDOW_MUST_INCLUDE = [
     # (q_window_lag rotates out for q_clone_shallow — r5-green, family
     # keeps q_window_rank sampled)
     "q_topk",
-    "q_union_all",
+    # (q_union_all rotates out for q_reorg_purge — r5-green,
+    # unmodified; the set-op family keeps q_except sampled via the
+    # judge gate and q_union_all holds an r5 driver full-hash row)
     # (q_union_distinct rotates out for q_dedup_substr — r5-green,
     # unmodified, the set-op family keeps q_union_all sampled;
     # q_window_firstlast / q_unpivot / q_asof_join, then

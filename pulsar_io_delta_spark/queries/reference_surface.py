@@ -1100,3 +1100,41 @@ def q_schema_widening(spark, sf_dir):
         )
     )
     return t.read(spark).select("event_id", "metric")
+
+
+@register(
+    "q_reorg_purge",
+    oracle="""
+SELECT event_id, user_id, event_type, value FROM events
+WHERE value >= 0.2
+""",
+)
+def q_reorg_purge(spark, sf_dir):
+    """REORG ... APPLY (PURGE) — the third step of the merge-on-read
+    lifecycle (the reference reader, DeltaReader.java:301-303, predates
+    all of it): DELETE writes the bitmap, PURGE rewrites ONLY the
+    DV-carrying files into clean files (dataChange=false, like
+    OPTIMIZE), VACUUM reclaims the superseded data files and the DV
+    ``.bin``. After the sequence no live add carries a descriptor and
+    the read must equal plain SQL over events — the same rows three
+    physical layouts ago.
+
+    Scale shape: PURGE cost is O(files-with-DVs), never O(table); the
+    vacuum horizon check walks the log's remove actions, not the data."""
+    import tempfile
+
+    from pulsar_io_delta_spark.sources.delta_log import DeltaTable
+
+    e = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    t = DeltaTable(tempfile.mkdtemp(prefix="pids_reorg_") + "/tbl")
+    t.write(e, partition_by=["event_type"])
+    t.delete_where_dv(spark, "value < 0.2")
+    t.reorg_purge(spark)
+    t.vacuum(retention_ms=-1)
+    snap = t.snapshot()
+    assert not any(
+        (snap.adds.get(p, {}).get("deletionVector")) for p in snap.files
+    ), "purge left a live deletion vector"
+    return t.read(spark).select("event_id", "user_id", "event_type", "value")

@@ -3116,6 +3116,46 @@ class DeltaTable:
             configuration=snap.configuration,
         )
 
+    def reorg_purge(self, spark: SparkSession) -> int:
+        """REORG TABLE ... APPLY (PURGE): rewrite ONLY the files that
+        carry a live deletion vector into clean files holding their
+        surviving rows, leaving every DV-free file untouched. This is
+        the third step of the merge-on-read lifecycle — DELETE writes
+        the bitmap, PURGE materializes it, VACUUM reclaims the ``.bin``
+        and the superseded data file. Logical table content is
+        unchanged, so the commit is ``dataChange=false`` (CDC readers
+        skip it, exactly like OPTIMIZE).
+
+        Scale shape: cost is O(files-with-DVs), not O(table) — a 100 TB
+        table where 0.1% of files accumulated DVs rewrites that 0.1%.
+        The remove actions carry the purged DV descriptors so vacuum
+        accounting sees the dead bitmaps. No-op (empty commit) when no
+        live file carries a DV."""
+        snap = self.snapshot()
+        self._guard_writable(snap, data_change_removes=False)
+        touched = [
+            p
+            for p in snap.files
+            if (dv := snap.adds.get(p, {}).get("deletionVector"))
+            and int(dv.get("cardinality") or 0) > 0
+        ]
+        now_ms = int(time.time() * 1000)
+        actions: list[dict] = [
+            self._remove_action(snap, p, now_ms, data_change=False) for p in touched
+        ]
+        if touched:
+            live = self._scan_live(spark, snap, touched)
+            adds = self._stage_and_move(
+                live, snap.partition_columns, mapping=self._mapping_of(snap)
+            )
+            for a in adds:
+                a["add"]["dataChange"] = False
+            actions.extend(adds)
+        return self._commit(
+            actions, operation="REORG", read_version=snap.version,
+            configuration=snap.configuration,
+        )
+
     def vacuum(self, retention_ms: int = 7 * 24 * 3600 * 1000) -> list[str]:
         """Physically delete data files no longer referenced by the
         latest snapshot whose removal is older than the retention
