@@ -442,6 +442,7 @@ WINDOW_MUST_INCLUDE = [
     "q_dedup_substr",
     "q_clone_shallow",
     "q_reorg_purge",
+    "q_stream_rate_limit",
     "q_multimodal_jpeg",
     "q_multimodal_png",
     "q_sim_ann_pq",
@@ -480,7 +481,8 @@ WINDOW_MUST_INCLUDE = [
     "q_window_rank",
     # (q_window_lag rotates out for q_clone_shallow — r5-green, family
     # keeps q_window_rank sampled)
-    "q_topk",
+    # (q_topk rotates out for q_stream_rate_limit — r5-green,
+    # unmodified; ranking family keeps q_window_rank sampled)
     # (q_union_all rotates out for q_reorg_purge — r5-green,
     # unmodified; the set-op family keeps q_except sampled via the
     # judge gate and q_union_all holds an r5 driver full-hash row)

@@ -454,3 +454,75 @@ def q_stream_cdf(spark, sf_dir):
         s.select("event_id", "value", "_change_type", "_commit_version"),
         output_mode="append",
     )
+
+
+@register(
+    "q_stream_rate_limit",
+    oracle="""
+SELECT event_id, user_id, event_type, value,
+       CAST(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS BIGINT)
+         AS _commit_version
+FROM events
+""",
+)
+def q_stream_rate_limit(spark, sf_dir):
+    """Admission-controlled ingest: the same two-commit CDC stream as
+    q_stream_cdc, but drained under ``maxFilesPerTrigger=1`` with real
+    micro-batch triggers — every batch admits ONE file slice (the
+    sub-commit offset {"version", "index"} splits inside a commit), and
+    the accumulated result must still equal plain SQL over events:
+    throttling changes batch boundaries, never content, and the
+    checkpointed offsets make the split exactly-once.
+
+    Scale shape: this is the backpressure a 100 TB backfill needs — a
+    10k-file initial commit drains as 10k/N bounded batches sized by
+    log-recorded file counts/bytes, not one giant batch; planning reads
+    the log only (no filesystem stats) and rows never shuffle."""
+    import tempfile
+    import time as _t
+
+    from pulsar_io_delta_spark.sources.datasource import register_delta_cdc
+    from pulsar_io_delta_spark.sources.delta_log import DeltaTable
+    from pulsar_io_delta_spark.tables import table
+
+    e = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    expected = e.count()
+    path = tempfile.mkdtemp(prefix="pids_rate_") + "/tbl"
+    t = DeltaTable(path)
+    # two commits × two files each → exactly 4 rate-limited batches
+    t.write(e.where(F.col("event_type") != "click").repartition(2))
+    t.write(e.where(F.col("event_type") == "click").repartition(2))
+    register_delta_cdc(spark)
+    s = (
+        spark.readStream.format("pulsar_delta_cdc")
+        .option("tablePath", path)
+        .option("startingVersion", 0)
+        .option("maxFilesPerTrigger", 1)
+        .load()
+        .select("event_id", "user_id", "event_type", "value", "_commit_version")
+    )
+    import uuid as _uuid
+
+    name = f"pids_rate_{_uuid.uuid4().hex[:12]}"
+    q = (
+        s.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        deadline = _t.time() + 240
+        while _t.time() < deadline and spark.table(name).count() < expected:
+            _t.sleep(0.5)
+    finally:
+        q.stop()
+    n_batches = sum(
+        1 for pr in q.recentProgress if pr and pr["numInputRows"] > 0
+    )
+    out = spark.table(name)
+    assert out.count() == expected, "rate-limited drain lost or duplicated rows"
+    assert n_batches >= 4, f"expected >=4 one-file batches, saw {n_batches}"
+    return out

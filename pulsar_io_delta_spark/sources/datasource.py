@@ -82,6 +82,9 @@ class _FileSlice(InputPartition):
     version: int
     ts_ms: int
     partition_values: tuple[tuple[str, str], ...]
+    # log-recorded file size (bytes); drives maxBytesPerTrigger
+    # admission without touching the filesystem
+    size: int = 0
 
 
 def _plan_slices(
@@ -130,6 +133,7 @@ def _plan_slices(
                         partition_values=tuple(
                             sorted((c.get("partitionValues") or {}).items())
                         ),
+                        size=int(c.get("size") or 0),
                     )
                 )
             continue
@@ -160,6 +164,7 @@ def _plan_slices(
                     version=version,
                     ts_ms=int(a.get(ts_key) or 0),
                     partition_values=tuple(sorted((a.get("partitionValues") or {}).items())),
+                    size=int(a.get("size") or 0),
                 )
             )
     return slices
@@ -251,12 +256,27 @@ class _CdcBatchReader(DataSourceReader):
 
 
 class _CdcStreamReader(DataSourceStreamReader):
-    """Offsets are Delta versions: {"version": next_unread_version}.
+    """Offsets are (Delta version, file index):
+    ``{"version": v, "index": i}`` = commits ``< v`` fully consumed plus
+    the first ``i`` file slices of commit ``v`` (``index`` 0 — the
+    pre-round-8 checkpoint form — means none of ``v``).
 
-    ``maxVersionsPerTrigger`` bounds how many commits each micro-batch
-    admits, so a 10^4-version backfill drains as a sequence of bounded
-    batches instead of one giant one (the admission control the
-    reference gets from its cursor granularity, `DeltaReader.java:69-92`).
+    Admission control, composable, all soft-capped at ≥1 slice per
+    trigger so the stream always progresses:
+
+    - ``maxVersionsPerTrigger``: at most N commits per micro-batch — a
+      10^4-version backfill drains as bounded batches (the cursor
+      granularity of the reference, `DeltaReader.java:69-92`);
+    - ``maxFilesPerTrigger``: at most N file slices per micro-batch —
+      bounds task count when single commits are huge (one 10k-file
+      OVERWRITE at 100 TB must not become one 10k-task batch);
+    - ``maxBytesPerTrigger``: admits slices until the log-recorded
+      sizes reach N bytes — bounds executor input per batch regardless
+      of file-count skew. Sizes come from the log, so planning never
+      stats the filesystem.
+
+    File/byte caps split WITHIN a commit (sub-commit offsets); the
+    checkpoint keeps exactly-once across restarts mid-commit.
     """
 
     def __init__(self, schema: StructType, options):
@@ -265,6 +285,8 @@ class _CdcStreamReader(DataSourceStreamReader):
         self.start = int(options.get("startingVersion", 0))
         self.change_feed = _is_change_feed(options)
         self.max_versions = int(options.get("maxVersionsPerTrigger", 0)) or None
+        self.max_files = int(options.get("maxFilesPerTrigger", 0)) or None
+        self.max_bytes = int(options.get("maxBytesPerTrigger", 0)) or None
         # Inclusive ceiling: the stream never admits commits beyond this
         # version (schema-evolution epochs end here; -1 = unbounded).
         self.stop_after = int(options.get("stopAfterVersion", -1))
@@ -273,38 +295,89 @@ class _CdcStreamReader(DataSourceStreamReader):
         # stream, so None means "not seeded yet" and the cap falls back
         # to ``start``; partitions()/commit() re-seed it from the
         # checkpointed range after a restart.
-        self._next_unread: int | None = None
+        self._next_unread: tuple[int, int] | None = None
 
-    def _seed(self, version: int) -> None:
-        self._next_unread = max(self._next_unread or 0, version)
+    @staticmethod
+    def _pos(offset: dict) -> tuple[int, int]:
+        return (int(offset["version"]), int(offset.get("index", 0)))
+
+    def _seed(self, pos: tuple[int, int]) -> None:
+        self._next_unread = max(self._next_unread or (0, 0), pos)
+
+    def _version_slices(self, version: int) -> list[_FileSlice]:
+        return _plan_slices(
+            self.table_path, version, version, change_feed=self.change_feed
+        )
 
     def initialOffset(self) -> dict:
-        self._seed(self.start)
-        return {"version": self.start}
+        self._seed((self.start, 0))
+        return {"version": self.start, "index": 0}
 
     def latestOffset(self) -> dict:
         from pulsar_io_delta_spark.sources.delta_log import DeltaTable
 
-        base = self._next_unread if self._next_unread is not None else self.start
+        base_v, base_i = (
+            self._next_unread if self._next_unread is not None else (self.start, 0)
+        )
         latest_end = DeltaTable(self.table_path).latest_version() + 1
         if self.stop_after >= 0:
             latest_end = min(latest_end, self.stop_after + 1)
         if self.max_versions is not None:
-            latest_end = min(latest_end, base + self.max_versions)
-        latest_end = max(latest_end, base)  # never regress behind progress
-        self._seed(latest_end)
-        return {"version": latest_end}
+            # a partially-consumed base commit counts as the first of
+            # the N admitted versions
+            latest_end = min(latest_end, base_v + self.max_versions)
+        latest_end = max(latest_end, base_v)
+        if self.max_files is None and self.max_bytes is None:
+            end = max((latest_end, 0), (base_v, base_i))
+            self._seed(end)
+            return {"version": end[0], "index": end[1]}
+        # file/byte-capped walk: O(admitted versions) log-file reads,
+        # never a filesystem stat — sizes are log-recorded
+        v, i = base_v, base_i
+        files = bytes_ = 0
+        while v < latest_end:
+            slices = self._version_slices(v)
+            while i < len(slices):
+                s = slices[i]
+                over_files = self.max_files is not None and files + 1 > self.max_files
+                over_bytes = (
+                    self.max_bytes is not None and bytes_ + s.size > self.max_bytes
+                )
+                if (over_files or over_bytes) and files > 0:
+                    # soft cap: first slice always admitted
+                    self._seed((v, i))
+                    return {"version": v, "index": i}
+                files += 1
+                bytes_ += s.size
+                i += 1
+            v, i = v + 1, 0
+        end = max((v, 0), (base_v, base_i))
+        self._seed(end)
+        return {"version": end[0], "index": end[1]}
 
     def partitions(self, start: dict, end: dict):
-        self._seed(end["version"])
-        if end["version"] <= start["version"]:
+        sv, si = self._pos(start)
+        ev, ei = self._pos(end)
+        self._seed((ev, ei))
+        if (ev, ei) <= (sv, si):
             return []
-        return _plan_slices(
-            self.table_path,
-            start["version"],
-            end["version"] - 1,
-            change_feed=self.change_feed,
+        last = ev if ei > 0 else ev - 1
+        slices = _plan_slices(
+            self.table_path, sv, last, change_feed=self.change_feed
         )
+        # positional trim at both half-open ends (slice order within a
+        # version is the log's action order — deterministic)
+        seen: dict[int, int] = {}
+        out: list[_FileSlice] = []
+        for s in slices:
+            k = seen.get(s.version, 0)
+            seen[s.version] = k + 1
+            if s.version == sv and k < si:
+                continue
+            if s.version == ev and ei and k >= ei:
+                continue
+            out.append(s)
+        return out
 
     def read(self, partition: _FileSlice):
         yield from _read_slice(partition, self.schema_)
@@ -312,7 +385,7 @@ class _CdcStreamReader(DataSourceStreamReader):
     def commit(self, end: dict) -> None:
         # Progress is durable in the stream's checkpointLocation; keep the
         # local watermark in sync so the per-trigger cap resumes correctly.
-        self._seed(end["version"])
+        self._seed(self._pos(end))
 
 
 @dataclass

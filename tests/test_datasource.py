@@ -290,3 +290,122 @@ def test_mapped_table_refused_by_datasource(spark, tmp_path):
     register_delta_cdc(spark)
     with pytest.raises(Exception, match="column-mapped"):
         spark.read.format("pulsar_delta_cdc").option("tablePath", path).load().collect()
+
+
+# ---------------------------------------------------------------------------
+# File/byte-granular admission (maxFilesPerTrigger / maxBytesPerTrigger):
+# sub-commit offsets {"version": v, "index": i} split WITHIN a commit, so
+# one huge commit drains as bounded micro-batches. Offset math is pinned
+# by driving the planner directly (deterministic, no engine clock).
+
+
+def _stream_reader(path, **opts):
+    from pulsar_io_delta_spark.sources.datasource import _CdcStreamReader
+
+    return _CdcStreamReader(None, {"tablePath": path, **{k: str(v) for k, v in opts.items()}})
+
+
+@pytest.fixture()
+def two_commit_table(spark, tmp_path):
+    path = str(tmp_path / "mft")
+    t = DeltaTable(path)
+    ids = spark.range(8).select(F.col("id").alias("event_id"))
+    t.write(ids.repartition(4))            # v0: 4 files, 2 rows each
+    t.write(ids.limit(4).repartition(2))   # v1: 2 files
+    return path
+
+
+def test_max_files_splits_within_a_commit(two_commit_table):
+    r = _stream_reader(two_commit_table, maxFilesPerTrigger=3)
+    o0 = r.initialOffset()
+    assert o0 == {"version": 0, "index": 0}
+    o1 = r.latestOffset()
+    assert o1 == {"version": 0, "index": 3}  # mid-commit
+    p1 = r.partitions(o0, o1)
+    assert [s.version for s in p1] == [0, 0, 0]
+    o2 = r.latestOffset()  # 1 leftover of v0 + both of v1
+    assert o2 == {"version": 2, "index": 0}
+    p2 = r.partitions(o1, o2)
+    assert [s.version for s in p2] == [0, 1, 1]
+    # no new commits: offset holds, zero partitions
+    o3 = r.latestOffset()
+    assert o3 == o2 and r.partitions(o2, o3) == []
+    # exactly-once across the split: every file slice seen exactly once
+    seen = [(s.version, s.rel_path) for s in p1 + p2]
+    assert len(seen) == len(set(seen)) == 6
+
+
+def test_max_bytes_admits_at_least_one_slice(two_commit_table):
+    # every file is bigger than 1 byte → soft cap admits exactly one
+    # slice per trigger, and the stream still progresses
+    r = _stream_reader(two_commit_table, maxBytesPerTrigger=1)
+    offsets = [r.initialOffset()]
+    for _ in range(6):
+        offsets.append(r.latestOffset())
+    for a, b in zip(offsets, offsets[1:]):
+        assert len(r.partitions(a, b)) == 1
+    assert offsets[-1] == {"version": 2, "index": 0}
+
+
+def test_max_bytes_packs_by_log_size(two_commit_table):
+    from pulsar_io_delta_spark.sources.datasource import _plan_slices
+
+    sizes = [s.size for s in _plan_slices(two_commit_table, 0, 0)]
+    assert all(sz > 0 for sz in sizes)
+    # budget for exactly the first two v0 files
+    r = _stream_reader(two_commit_table, maxBytesPerTrigger=sizes[0] + sizes[1])
+    r.initialOffset()
+    assert r.latestOffset() == {"version": 0, "index": 2}
+
+
+def test_restart_resumes_mid_commit(two_commit_table):
+    # a fresh planner (post-restart) re-seeded from the checkpointed
+    # offset continues from the sub-commit position, no overlap
+    r = _stream_reader(two_commit_table, maxFilesPerTrigger=10)
+    r.commit({"version": 0, "index": 2})
+    o = r.latestOffset()
+    assert o == {"version": 2, "index": 0}
+    parts = r.partitions({"version": 0, "index": 2}, o)
+    assert [s.version for s in parts] == [0, 0, 1, 1]
+    # legacy checkpoint form (no index key) still resolves
+    assert len(r.partitions({"version": 0}, {"version": 2})) == 6
+
+
+def test_caps_compose_with_max_versions(two_commit_table):
+    # version cap bounds the walk even when the file budget is larger
+    r = _stream_reader(
+        two_commit_table, maxFilesPerTrigger=100, maxVersionsPerTrigger=1
+    )
+    r.initialOffset()
+    assert r.latestOffset() == {"version": 1, "index": 0}
+
+
+def test_stream_max_files_per_trigger_end_to_end(spark, two_commit_table, tmp_path):
+    register_delta_cdc(spark)
+    batches = []
+
+    def sink(b, _i):
+        rows = b.select("event_id", "_commit_version").collect()
+        if rows:
+            batches.append(rows)
+
+    q = (
+        spark.readStream.format("pulsar_delta_cdc")
+        .option("tablePath", two_commit_table)
+        .option("maxFilesPerTrigger", 1)
+        .load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck_mft"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    import time
+
+    deadline = time.time() + 180
+    while time.time() < deadline and sum(len(b) for b in batches) < 12:
+        time.sleep(1)
+    q.stop()
+    assert sum(len(b) for b in batches) == 12  # 8 (v0) + 4 (v1), exactly once
+    assert len(batches) == 6  # one file slice per micro-batch
+    for b in batches:
+        assert len({(r._commit_version) for r in b}) == 1
