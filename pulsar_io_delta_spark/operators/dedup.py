@@ -21,6 +21,7 @@ import random
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from pulsar_io_delta_spark.operators.par import fan_out
 from pulsar_io_delta_spark.operators.text import char_ngrams_col, tokens_col
 
 # 31-bit Mersenne prime: keeps a*x + b within int64 under ANSI mode
@@ -73,6 +74,8 @@ def minhash_signature(
     # Materialize the token array once per row before building shingles —
     # referencing tokens_col() three times inside the higher-order exprs
     # makes codegen re-split the text per reference (~3× the regex work).
+    # Shingle explosion amplifies ~15x; fan scan-starved inputs out first.
+    df = fan_out(df, [id_col])
     toks = df.select(
         F.col(id_col),
         F.filter(tokens_col(F.col(text_col)), lambda x: x != "").alias("toks"),
@@ -414,6 +417,11 @@ def duplicated_spans(
     dedup; this extends its dedup family (SURVEY §2 LLM-pipeline
     block) the way q_dedup_minhash extends whole-doc near-dup.
     """
+    # The explode amplifies each input byte into a ~20-byte window row,
+    # so scan partitions sized for RAW bytes (maxPartitionBytes) are
+    # 20x too heavy downstream of it — fan the RAW docs out first
+    # (measured locally: 5.3s -> 1.3s at sf0.1 on local[32]).
+    df = fan_out(df, [id_col])
     grams = (
         df.where(F.length(text_col) >= k)
         .select(

@@ -86,3 +86,6 @@ def sql_dsum(expr: str, prec: str) -> str:
 
 def sql_epoch(expr: str) -> str:
     return f"CAST(floor(epoch({expr})) AS BIGINT)"
+
+
+from pulsar_io_delta_spark.operators.par import fan_out  # noqa: E402,F401

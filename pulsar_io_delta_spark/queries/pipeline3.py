@@ -18,7 +18,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from pulsar_io_delta_spark.operators import pipeline as pl
-from pulsar_io_delta_spark.queries._util import epoch_s, sql_epoch
+from pulsar_io_delta_spark.queries._util import epoch_s, fan_out, sql_epoch
 from pulsar_io_delta_spark.registry import register
 from pulsar_io_delta_spark.tables import table
 
@@ -1363,7 +1363,8 @@ def q_multimodal_resize(spark, sf_dir):
     (id, payload) rows, zero shuffle."""
     from pulsar_io_delta_spark.operators import multimodal as mm
 
-    d = table(spark, sf_dir, "documents")
+    # fan out pre-payload: the resample+decode Python stages dominate
+    d = fan_out(table(spark, sf_dir, "documents"))
     payload = F.encode(
         F.concat(F.lit("P5\n6 6\n255\n"), F.substring("text", 1, 36)), "UTF-8"
     )
@@ -1505,7 +1506,9 @@ def q_multimodal_jpeg(spark, sf_dir):
     between them (narrow), payloads never touch the driver."""
     from pulsar_io_delta_spark.operators import multimodal as mm
 
-    d = table(spark, sf_dir, "documents").select("doc_id")
+    # single-file local scan = ONE partition; the two chained Python
+    # codec stages below are the CPU cost — fan the 8-byte ids out first
+    d = fan_out(table(spark, sf_dir, "documents").select("doc_id"))
 
     def plant(batches):
         import numpy as np
@@ -1570,7 +1573,9 @@ def q_multimodal_png(spark, sf_dir):
     shuffle, payloads never touch the driver."""
     from pulsar_io_delta_spark.operators import multimodal as mm
 
-    d = table(spark, sf_dir, "documents").select("doc_id")
+    # single-file local scan = ONE partition; the two chained Python
+    # codec stages below are the CPU cost — fan the 8-byte ids out first
+    d = fan_out(table(spark, sf_dir, "documents").select("doc_id"))
 
     def plant(batches):
         import numpy as np

@@ -203,14 +203,24 @@ def test_pq_code_scan_is_jvm_only(spark, sf_dir):
     assert "CartesianProduct" not in plan.replace("BroadcastNestedLoopJoin", ""), plan
 
 
-def test_multimodal_codec_pipeline_no_shuffle(spark, sf_dir):
-    """The planted-codec queries are two chained mapInPandas stages —
-    the executed plan must contain NO exchange (narrow end-to-end;
-    payloads never shuffle, never reach the driver)."""
+def test_multimodal_codec_pipeline_payloads_never_shuffle(spark, sf_dir):
+    """The planted-codec queries are two chained mapInPandas stages.
+    One exchange is allowed BELOW both stages — the fan-out of the
+    8-byte doc ids that un-starves a single-file scan (operators/par.py)
+    — but payload bytes must never shuffle: no exchange may sit between
+    or above the codec stages, and no exchange row may carry the
+    payload column."""
     for name in ("q_multimodal_jpeg", "q_multimodal_png"):
         plan = _plan(spark, sf_dir, name)
-        assert "Exchange" not in plan, (name, plan)
         assert plan.count("MapInPandas") >= 2, (name, plan)
+        # toString prints root-first: anything AFTER the last
+        # MapInPandas line is upstream (below) the codec stages
+        lines = plan.splitlines()
+        last_mip = max(i for i, l in enumerate(lines) if "MapInPandas" in l)
+        for i, l in enumerate(lines):
+            if "Exchange" in l:
+                assert i > last_mip, (name, l, plan)
+                assert "payload" not in l, (name, l)
 
 
 def test_table_changes_one_scan_per_epoch_broadcast_lookup(spark, tmp_path):
