@@ -104,6 +104,13 @@ HEADLINE = [
     # round 8: span-level exact-substring dedup (rolling-hash windows,
     # hash-only shuffle)
     "q_dedup_substr",
+    # round 8: PNG codec pipeline, shallow clone, DV purge, and the
+    # rate-limited stream drain (each includes its table-write fixture
+    # setup — the cost measured is the full lifecycle, not just a read)
+    "q_multimodal_png",
+    "q_clone_shallow",
+    "q_reorg_purge",
+    "q_stream_rate_limit",
 ]
 
 

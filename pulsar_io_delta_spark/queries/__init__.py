@@ -443,6 +443,7 @@ WINDOW_MUST_INCLUDE = [
     "q_clone_shallow",
     "q_reorg_purge",
     "q_stream_rate_limit",
+    "q_row_tracking",
     "q_multimodal_jpeg",
     "q_multimodal_png",
     "q_sim_ann_pq",
@@ -462,7 +463,9 @@ WINDOW_MUST_INCLUDE = [
     # q_math_funcs rotate out — the join family keeps
     # inner/semi/anti/range sampled, scalar funcs keep 2)
     "q_string_funcs",
-    "q_date_funcs",
+    # (q_date_funcs rotates out for q_row_tracking — r1-green,
+    # unmodified; scalar-func family keeps q_string_funcs sampled and
+    # q_date_funcs2 holds an r5 row)
     # r3 LLM block
     "q_dedup_exact",
     "q_sim_topk",

@@ -1138,3 +1138,48 @@ def q_reorg_purge(spark, sf_dir):
         (snap.adds.get(p, {}).get("deletionVector")) for p in snap.files
     ), "purge left a live deletion vector"
     return t.read(spark).select("event_id", "user_id", "event_type", "value")
+
+
+@register(
+    "q_row_tracking",
+    oracle="""
+WITH ranked AS (
+  SELECT event_id, value,
+         row_number() OVER (ORDER BY event_id) - 1 AS row_id
+  FROM events
+)
+SELECT event_id, value, CAST(row_id AS BIGINT) AS row_id,
+       CAST(0 AS BIGINT) AS row_commit_version
+FROM ranked
+WHERE value >= 0.3
+""",
+)
+def q_row_tracking(spark, sf_dir):
+    """Row tracking end-to-end (Delta PROTOCOL.md "Row Tracking"; the
+    reference predates it): events written sorted into a row-tracked
+    table (fresh ids = assignment order = event_id rank), a DV delete
+    (ids of survivors untouched — the file is untouched), then OPTIMIZE
+    (rewrite preserving identity through the spec's materialized
+    columns). The surviving (event_id, row_id, row_commit_version)
+    tuples must equal the rank computed by plain SQL — three physical
+    layouts later.
+
+    Scale shape: id derivation is baseRowId + parquet row_index (no
+    counting job), per-file bases broadcast from the log (O(live
+    files)), and the high-water mark advances from footer stats — zero
+    extra Spark jobs per commit."""
+    import tempfile
+
+    from pulsar_io_delta_spark.sources.delta_log import DeltaTable
+
+    e = table(spark, sf_dir, "events").select("event_id", "value")
+    t = DeltaTable(tempfile.mkdtemp(prefix="pids_rt_") + "/tbl")
+    t.write(
+        e.coalesce(1).sortWithinPartitions("event_id"),
+        configuration={"delta.enableRowTracking": "true"},
+    )
+    t.delete_where_dv(spark, "value < 0.3")
+    t.compact(spark)
+    return t.read_with_row_ids(spark).select(
+        "event_id", "value", "row_id", "row_commit_version"
+    )

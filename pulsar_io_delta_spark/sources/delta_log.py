@@ -211,7 +211,37 @@ _SUPPORTED_WRITER_FEATURES = {
     # compliant — so committing to a typeWidening table is safe
     "typeWidening",
     "typeWidening-preview",
+    # _commit assigns add.baseRowId/defaultRowCommitVersion and advances
+    # the delta.rowTracking rowIdHighWaterMark domain when
+    # delta.enableRowTracking is armed; rewrite paths preserve row ids
+    # through the spec's materialized columns (round 8)
+    "rowTracking",
 }
+
+
+def _rt_enabled(configuration: dict | None) -> bool:
+    return (configuration or {}).get("delta.enableRowTracking") == "true"
+
+
+def _rt_mat_cols(configuration: dict) -> tuple[str, str]:
+    """The spec's materialized row-id / row-commit-version PHYSICAL
+    column names (chosen at enable time, stored in table config) —
+    how rewrites (OPTIMIZE, PURGE, DELETE survivors) carry each row's
+    identity into its new file."""
+    return (
+        configuration["delta.rowTracking.materializedRowIdColumnName"],
+        configuration["delta.rowTracking.materializedRowCommitVersionColumnName"],
+    )
+
+
+def _rt_hwm(snap: "Snapshot | None") -> int:
+    """Current rowIdHighWaterMark (-1 before any assignment)."""
+    if snap is None:
+        return -1
+    dm = snap.domain_metadata.get("delta.rowTracking")
+    if not dm:
+        return -1
+    return int(json.loads(dm.get("configuration") or "{}").get("rowIdHighWaterMark", -1))
 
 
 # Features implied by each legacy minWriterVersion (Delta PROTOCOL.md
@@ -860,6 +890,11 @@ class DeltaTable:
                     "stats": snap.adds.get(path, {}).get("stats"),
                     # dropping this would resurrect deleted rows after expiry
                     "deletionVector": json.dumps(dv) if dv else None,
+                    # dropping these would renumber a row-tracked table
+                    "baseRowId": snap.adds.get(path, {}).get("baseRowId"),
+                    "defaultRowCommitVersion": snap.adds.get(path, {}).get(
+                        "defaultRowCommitVersion"
+                    ),
                 }
             )
         for app_id, txn_v in self._txns_through(v).items():
@@ -884,6 +919,8 @@ class DeltaTable:
             "readerFeatures",
             "writerFeatures",
             "deletionVector",
+            "baseRowId",
+            "defaultRowCommitVersion",
             "txn_appId",
             "txn_version",
             "domainMetadata",
@@ -943,6 +980,11 @@ class DeltaTable:
             dv = snap.adds.get(path, {}).get("deletionVector")
             if dv:
                 add["deletionVector"] = dv
+            # row-tracking identity must survive log expiry — a
+            # checkpoint that dropped baseRowId would renumber the table
+            for k in ("baseRowId", "defaultRowCommitVersion"):
+                if k in snap.adds.get(path, {}):
+                    add[k] = snap.adds[path][k]
             actions.append({"add": add})
         for app_id, txn_v in self._txns_through(v).items():
             actions.append({"txn": {"appId": app_id, "version": txn_v}})
@@ -1062,6 +1104,9 @@ class DeltaTable:
                 }
                 if r.get("deletionVector"):
                     add["deletionVector"] = json.loads(r["deletionVector"])
+                for k in ("baseRowId", "defaultRowCommitVersion"):
+                    if r.get(k) is not None:
+                        add[k] = int(r[k])
                 live[r["path"]] = add
             elif r["action_type"] == "metaData":
                 schema_string = r["schemaString"]
@@ -1305,6 +1350,140 @@ class DeltaTable:
         # the external (absolute-path) branch materializes _metadata as a
         # real column; it must not leak into the table's logical schema
         return df.drop("_metadata")
+
+    def _scan_live_rt(
+        self, spark: SparkSession, snap: Snapshot, rel_paths: list[str]
+    ) -> DataFrame:
+        """Live-row scan of a ROW-TRACKED table with each row's stable
+        identity attached: ``row_id`` / ``row_commit_version`` =
+        the file's materialized columns when present (rewritten files),
+        else ``add.baseRowId + parquet row_index`` /
+        ``add.defaultRowCommitVersion`` (fresh files) — Delta
+        PROTOCOL.md "Row Tracking". Per-file bases come from the log via
+        a BROADCAST join on the decoded file path (O(live files) rows);
+        the row_index is the parquet reader's, so nothing is counted or
+        shuffled to derive ids; DV-deleted rows drop AFTER id derivation
+        (surviving rows keep their physical ordinals)."""
+        if self._mapping_of(snap):
+            raise DeltaProtocolError(
+                "row-id reads on column-mapped tables are not supported"
+            )
+        if not _rt_enabled(snap.configuration):
+            raise DeltaProtocolError(
+                "row tracking is not enabled on this table "
+                "(delta.enableRowTracking)"
+            )
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        mat_id, mat_rcv = _rt_mat_cols(snap.configuration)
+        base = json.loads(snap.schema_string)
+        aug = {
+            **base,
+            "fields": list(base["fields"])
+            + [
+                {"name": c, "type": "long", "nullable": True, "metadata": {}}
+                for c in (mat_id, mat_rcv)
+            ],
+        }
+        df = self._read_files(spark, rel_paths, schema_string=json.dumps(aug))
+        df = df.withColumn(
+            "_fp", _posix_path_col(F.col("_metadata.file_path"))
+        ).withColumn("_ridx", F.col("_metadata.row_index"))
+        rows = []
+        for p in rel_paths:
+            a = snap.adds.get(p, {})
+            if a.get("baseRowId") is None:
+                raise DeltaProtocolError(
+                    f"row-tracked table has a file without baseRowId: {p}"
+                )
+            rows.append(
+                [
+                    os.path.abspath(os.path.join(self.path, p)),
+                    int(a["baseRowId"]),
+                    int(a.get("defaultRowCommitVersion") or 0),
+                ]
+            )
+        b = spark.createDataFrame(
+            rows,
+            StructType(
+                [
+                    StructField("_fp", df.schema["_fp"].dataType),
+                    StructField("_base", LongType()),
+                    StructField("_dcv", LongType()),
+                ]
+            ),
+        )
+        df = (
+            df.join(F.broadcast(b), "_fp")
+            .withColumn(
+                "row_id",
+                F.coalesce(F.col(mat_id), F.col("_base") + F.col("_ridx")).cast("long"),
+            )
+            .withColumn(
+                "row_commit_version",
+                F.coalesce(F.col(mat_rcv), F.col("_dcv")).cast("long"),
+            )
+        )
+        entries = [
+            (os.path.abspath(os.path.join(self.path, p)), json.dumps(dv))
+            for p in rel_paths
+            if (dv := snap.adds.get(p, {}).get("deletionVector"))
+            and int(dv.get("cardinality") or 0) > 0
+        ]
+        if entries:
+            deleted = self._expand_dv_df(spark, entries, with_key=False)
+            df = df.join(deleted, ["_fp", "_ridx"], "left_anti")
+        logical = [f["name"] for f in base["fields"]]
+        return df.select(*logical, "row_id", "row_commit_version")
+
+    def read_with_row_ids(
+        self,
+        spark: SparkSession,
+        version: int | None = None,
+        timestamp_ms: int | None = None,
+        filters: list[tuple[str, str, object]] | None = None,
+    ) -> DataFrame:
+        """:meth:`read` plus each row's stable ``row_id`` and
+        ``row_commit_version`` — the identity an incremental training
+        pipeline keys on (a row keeps its id across deletion-vector
+        deletes, OPTIMIZE, and PURGE). Same pruning semantics as read."""
+        snap = self.snapshot(version, timestamp_ms)
+        files = (
+            self.prune_files(snap, self._phys_filters(snap, filters))
+            if filters
+            else snap.files
+        )
+        if not files:
+            raise DeltaProtocolError("row-id read of an empty file set")
+        df = self._scan_live_rt(spark, snap, files)
+        ops = {
+            "=": Column.__eq__,
+            "<": Column.__lt__,
+            "<=": Column.__le__,
+            ">": Column.__gt__,
+            ">=": Column.__ge__,
+        }
+        for col, op, val in filters or []:
+            df = df.where(ops[op](F.col(col), F.lit(val)))
+        return df
+
+    def _rewrite_source(
+        self, spark: SparkSession, snap: Snapshot, rel_paths: list[str]
+    ) -> DataFrame:
+        """Rows of ``rel_paths`` with live visibility, shaped for a
+        REWRITE: on a row-tracked table the materialized row-id /
+        commit-version columns ride along into the staged files, so
+        OPTIMIZE / PURGE / DELETE survivors keep their row identity
+        (the spec's materialized-column mechanism). Plain tables get
+        the ordinary live scan."""
+        if _rt_enabled(snap.configuration):
+            mat_id, mat_rcv = _rt_mat_cols(snap.configuration)
+            return (
+                self._scan_live_rt(spark, snap, rel_paths)
+                .withColumnRenamed("row_id", mat_id)
+                .withColumnRenamed("row_commit_version", mat_rcv)
+            )
+        return self._scan_live(spark, snap, rel_paths)
 
     def _expand_dv_df(
         self, spark: SparkSession, entries: list[tuple[str, str]], with_key: bool
@@ -1808,27 +1987,76 @@ class DeltaTable:
             == "true"
             for a in actions
         )
+        # Row tracking (Delta PROTOCOL.md "Row Tracking"): when armed,
+        # every data add gets baseRowId (fresh ids = hwm+1 .. hwm+n,
+        # n from the add's own footer stats — zero extra jobs) and
+        # defaultRowCommitVersion (the version this commit lands at),
+        # and the delta.rowTracking domain's rowIdHighWaterMark
+        # advances. Stamped INSIDE the retry loop: a blind append that
+        # loses its race re-derives both against the racer's state, so
+        # row-id ranges never collide.
+        rt_cfg = dict(configuration or {})
+        for a in actions:
+            rt_cfg.update((a.get("metaData") or {}).get("configuration") or {})
+        rt_adds = (
+            [a["add"] for a in actions if "add" in a and "baseRowId" not in a["add"]]
+            if _rt_enabled(rt_cfg)
+            else []
+        )
+        rt_dm: dict | None = None
+        if rt_adds:
+            for a in actions:
+                dm = a.get("domainMetadata")
+                if dm and dm.get("domain") == "delta.rowTracking":
+                    rt_dm = dm
+            if rt_dm is None:
+                rt_dm = {"domain": "delta.rowTracking", "configuration": "{}",
+                         "removed": False}
+                actions = actions + [{"domainMetadata": rt_dm}]
+        def _rt_unstamp() -> None:
+            # a DeltaConcurrentCommit bubbles to the caller, who retries
+            # with a FRESH _commit call — strip our stamps so that call
+            # re-derives ids against the racer's high-water mark
+            for add in rt_adds:
+                add.pop("baseRowId", None)
+                add.pop("defaultRowCommitVersion", None)
+
         self.fs.makedirs(self.log_dir)
         for _attempt in range(max_retries):
             now_ms = int(time.time() * 1000)
             info: dict = {"timestamp": now_ms, "operation": operation}
             if ict_armed:
                 info["inCommitTimestamp"] = max(now_ms, self._last_ict() + 1)
-            body = "".join(
-                json.dumps(a) + "\n" for a in [{"commitInfo": info}] + actions
-            )
             version = (self.versions()[-1] + 1) if self.versions() else 0
             if read_version is not None and version != read_version + 1:
+                _rt_unstamp()
                 raise DeltaConcurrentCommit(
                     f"table advanced to v{version - 1} after {operation} read "
                     f"v{read_version}; recompute and retry"
                 )
+            if rt_adds:
+                hwm = _rt_hwm(self.snapshot() if version > 0 else None)
+                for add in rt_adds:
+                    stats = add.get("stats")
+                    n = (json.loads(stats) if isinstance(stats, str) else stats or {}).get("numRecords")
+                    if n is None:
+                        raise DeltaProtocolError(
+                            "row tracking requires numRecords stats on every add"
+                        )
+                    add["baseRowId"] = hwm + 1
+                    add["defaultRowCommitVersion"] = version
+                    hwm += int(n)
+                rt_dm["configuration"] = json.dumps({"rowIdHighWaterMark": hwm})
+            body = "".join(
+                json.dumps(a) + "\n" for a in [{"commitInfo": info}] + actions
+            )
             fp = os.path.join(self.log_dir, f"{version:020d}.json")
             try:
                 self.fs.create_exclusive(fp, body)
                 return version
             except FileExistsError:
                 if read_version is not None:
+                    _rt_unstamp()
                     raise DeltaConcurrentCommit(
                         f"lost commit race at v{version} for {operation}; "
                         "recompute against the current snapshot"
@@ -2098,6 +2326,17 @@ class DeltaTable:
         partition_by = partition_by or []
         actions: list[dict] = []
         first = not (self.exists() and self.versions())
+        if first and _rt_enabled(configuration):
+            # choose the materialized row-id/commit-version PHYSICAL
+            # column names once at enable time (spec: stored in table
+            # config; rewrites carry row identity through them)
+            configuration = {
+                **configuration,
+                "delta.rowTracking.materializedRowIdColumnName":
+                    f"_row_id_mat_{uuid.uuid4().hex[:8]}",
+                "delta.rowTracking.materializedRowCommitVersionColumnName":
+                    f"_rcv_mat_{uuid.uuid4().hex[:8]}",
+            }
         read_version: int | None = None  # blind append unless state-dependent
         state_dependent = False
         mapping = None  # set for non-first writes to name-mode mapped tables
@@ -2120,14 +2359,22 @@ class DeltaTable:
             # clobbering the racer's schema
             read_version = -1
             state_dependent = True
+            need_reader: tuple[str, ...] = ()
+            need_writer: tuple[str, ...] = ()
             if _schema_has_variant(df.schema.json()):
                 # variant columns demand the variantType table feature
                 # from creation (a featureless reader would mis-read the
                 # physical struct<metadata,value> as data)
+                need_reader += ("variantType",)
+                need_writer += ("variantType",)
+            if _rt_enabled(configuration):
+                # writer-only features: row-tracked files stay readable
+                # by any reader (spec) — but every writer must maintain
+                # baseRowId + the hwm domain
+                need_writer += ("rowTracking", "domainMetadata")
+            if need_reader or need_writer:
                 actions.append(
-                    {"protocol": _upgraded_protocol(
-                        {}, ("variantType",), ("variantType",)
-                    )}
+                    {"protocol": _upgraded_protocol({}, need_reader, need_writer)}
                 )
             else:
                 actions.append(
@@ -2708,9 +2955,13 @@ class DeltaTable:
         now_ms = int(time.time() * 1000)
         actions: list[dict] = [self._remove_action(snap, p, now_ms) for p in touched]
         if touched:
-            # _scan_live, not _read_files: rewriting a file that carries
-            # a DV must not resurrect its deleted rows
-            kept = self._scan_live(spark, snap, touched).where(f"NOT ({predicate})")
+            # live visibility (never _read_files: rewriting a file that
+            # carries a DV must not resurrect its deleted rows); on a
+            # row-tracked table survivors keep their ids via the
+            # materialized columns riding along
+            kept = self._rewrite_source(spark, snap, touched).where(
+                f"NOT ({predicate})"
+            )
             actions.extend(
                 self._stage_and_move(
                     kept, snap.partition_columns, mapping=self._mapping_of(snap)
@@ -2944,6 +3195,11 @@ class DeltaTable:
                 }
             },
         ]
+        # domain state rides along (spec: writers must preserve domains
+        # they don't own) — without it a row-tracked clone would restart
+        # the rowIdHighWaterMark and collide fresh ids with cloned ones
+        for dm in snap.domain_metadata.values():
+            actions.append({"domainMetadata": dict(dm)})
         for p in sorted(snap.files):
             add = dict(snap.adds.get(p) or {})
             add["path"] = (
@@ -3099,7 +3355,10 @@ class DeltaTable:
         snap = self.snapshot()
         # OPTIMIZE is legal even on appendOnly tables (dataChange=false)
         self._guard_writable(snap, data_change_removes=False)
-        df = self.read(spark).coalesce(target_files)
+        # row-tracked tables: the rewrite carries materialized row ids
+        df = self._rewrite_source(spark, snap, list(snap.files)).coalesce(
+            target_files
+        )
         now_ms = int(time.time() * 1000)
         actions: list[dict] = [
             self._remove_action(snap, p, now_ms, data_change=False)
@@ -3144,7 +3403,7 @@ class DeltaTable:
             self._remove_action(snap, p, now_ms, data_change=False) for p in touched
         ]
         if touched:
-            live = self._scan_live(spark, snap, touched)
+            live = self._rewrite_source(spark, snap, touched)
             adds = self._stage_and_move(
                 live, snap.partition_columns, mapping=self._mapping_of(snap)
             )

@@ -418,19 +418,20 @@ def test_handwritten_dv_table_read(spark, tmp_path, fs_kind):
 
 def test_writer_feature_gate_rejects_unknown(spark, tmp_path):
     """ADVICE r7 #3: a table advertising an unimplemented writerFeature
-    (e.g. rowTracking) must refuse DELETE/MERGE/overwrite commits."""
+    (e.g. icebergCompatV2 — rowTracking graduated to supported in
+    round 8) must refuse DELETE/MERGE/overwrite commits."""
     t = DeltaTable(str(tmp_path / "t"))
     t.write(_events(spark))
     with open(os.path.join(t.log_dir, f"{1:020d}.json"), "w") as f:
         f.write(json.dumps({"commitInfo": {"timestamp": 1, "operation": "UPGRADE"}}) + "\n")
         f.write(json.dumps({"protocol": {
             "minReaderVersion": 1, "minWriterVersion": 7,
-            "writerFeatures": ["rowTracking"]}}) + "\n")
-    with pytest.raises(DeltaProtocolError, match="rowTracking"):
+            "writerFeatures": ["icebergCompatV2"]}}) + "\n")
+    with pytest.raises(DeltaProtocolError, match="icebergCompatV2"):
         t.delete_where(spark, "event_id = 0")
-    with pytest.raises(DeltaProtocolError, match="rowTracking"):
+    with pytest.raises(DeltaProtocolError, match="icebergCompatV2"):
         t.delete_where_dv(spark, "event_id = 0")
-    with pytest.raises(DeltaProtocolError, match="rowTracking"):
+    with pytest.raises(DeltaProtocolError, match="icebergCompatV2"):
         t.write(_events(spark, 5), mode="overwrite")
     # reads are unaffected (reader protocol is fine)
     assert t.read(spark).count() == 40
