@@ -2554,22 +2554,52 @@ class DeltaTable:
             if c not in aligned_source.columns:
                 aligned_source = aligned_source.withColumn(c, F.lit(None))
         aligned_source = aligned_source.select(*table_cols)
+        rt = _rt_enabled(snap.configuration)
+        nul = F.lit(None).cast("long")
         if touched:
-            # _scan_live: survivors of a DV-carrying file are its LIVE
-            # rows only (touch-detection above may over-touch on deleted
-            # rows — harmless, just an extra rewrite; resurrecting them
-            # here would be a wrong answer)
-            survivors = (
-                self._scan_live(spark, snap, touched)
-                .join(keys, key_cols, "left_anti")
-                .select(*table_cols)
+            # live visibility: survivors of a DV-carrying file are its
+            # LIVE rows only (touch-detection above may over-touch on
+            # deleted rows — harmless, just an extra rewrite;
+            # resurrecting them here would be a wrong answer). On a
+            # row-tracked table survivors keep (row_id, commit version),
+            # UPDATED rows inherit the target row's row_id (one bounded
+            # equi-join on the merge keys) with a null commit version —
+            # "modified at this commit" — and inserts take fresh ids.
+            live = (
+                self._scan_live_rt(spark, snap, touched)
+                if rt
+                else self._scan_live(spark, snap, touched)
             )
-            rewritten = survivors.unionByName(aligned_source)
+            if rt:
+                survivors = live.join(keys, key_cols, "left_anti").select(
+                    *table_cols, "row_id", "row_commit_version"
+                )
+                old_ids = live.join(keys, key_cols, "left_semi").select(
+                    *key_cols, "row_id"
+                )
+                src = aligned_source.join(old_ids, key_cols, "left").withColumn(
+                    "row_commit_version", nul
+                )
+                rewritten = survivors.unionByName(
+                    src.select(*table_cols, "row_id", "row_commit_version")
+                )
+            else:
+                survivors = live.join(keys, key_cols, "left_anti").select(*table_cols)
+                rewritten = survivors.unionByName(aligned_source)
+        elif rt:
+            rewritten = aligned_source.withColumn("row_id", nul).withColumn(
+                "row_commit_version", nul
+            )
         else:
             rewritten = aligned_source
         now_ms = int(time.time() * 1000)
         actions: list[dict] = [self._remove_action(snap, p, now_ms) for p in touched]
         self._validate_constraints(rewritten, snap.configuration)
+        if rt:
+            mat_id, mat_rcv = _rt_mat_cols(snap.configuration)
+            rewritten = rewritten.withColumnRenamed(
+                "row_id", mat_id
+            ).withColumnRenamed("row_commit_version", mat_rcv)
         actions.extend(
             self._stage_and_move(
                 rewritten, snap.partition_columns, mapping=self._mapping_of(snap)
@@ -2885,7 +2915,18 @@ class DeltaTable:
                 [], operation="UPDATE", read_version=snap.version,
                 configuration=snap.configuration,
             )
-        live = self._scan_live(spark, snap, touched)
+        rt = _rt_enabled(snap.configuration)
+        # row-tracked tables: kept rows preserve (row_id, commit version)
+        # through the materialized columns; UPDATED rows keep their
+        # row_id but take a NULL materialized commit version, falling
+        # back to the new file's defaultRowCommitVersion — i.e. "row
+        # modified at this commit", the spec's semantics.
+        live = (
+            self._scan_live_rt(spark, snap, touched)
+            if rt
+            else self._scan_live(spark, snap, touched)
+        )
+        rt_keep = ["row_id", "row_commit_version"] if rt else []
         p = F.expr(predicate)
         matched = live.where(p)
         kept = live.where((~p) | p.isNull())
@@ -2894,28 +2935,38 @@ class DeltaTable:
                 F.expr(assignments[c]).alias(c) if c in assignments else F.col(c)
                 for c in table_cols
             ]
+            + ([F.col("row_id"),
+                F.lit(None).cast("long").alias("row_commit_version")] if rt else [])
         )
         if gen:
             # recompute generated columns over the post-assignment row
             # (their referenced base columns may have changed)
             updated = self._apply_generated(
                 updated.drop(*gen.keys()), snap.schema_string
-            ).select(*table_cols)
+            ).select(*table_cols, *rt_keep)
         self._validate_constraints(updated, snap.configuration)
         now_ms = int(time.time() * 1000)
         actions: list[dict] = [self._remove_action(snap, pth, now_ms) for pth in touched]
+        staged = kept.unionByName(updated)
+        if rt:
+            mat_id, mat_rcv = _rt_mat_cols(snap.configuration)
+            staged = staged.withColumnRenamed("row_id", mat_id).withColumnRenamed(
+                "row_commit_version", mat_rcv
+            )
         actions.extend(
             self._stage_and_move(
-                kept.unionByName(updated),
+                staged,
                 snap.partition_columns,
                 mapping=self._mapping_of(snap),
             )
         )
         if _cdf_enabled(snap.configuration):
-            change_rows = matched.withColumn(
+            change_rows = matched.select(*table_cols).withColumn(
                 "_change_type", F.lit("update_preimage")
             ).unionByName(
-                updated.withColumn("_change_type", F.lit("update_postimage"))
+                updated.select(*table_cols).withColumn(
+                    "_change_type", F.lit("update_postimage")
+                )
             )
             actions.extend(
                 self._stage_and_move(

@@ -2,9 +2,10 @@
 baseRowId + defaultRowCommitVersion, fresh ids never collide (the
 delta.rowTracking domain's rowIdHighWaterMark only advances), and a
 row keeps its id across DV deletes, OPTIMIZE, PURGE, and DELETE-rewrite
-survival — rewrites carry identity through the spec's materialized
-columns. v1 limits (documented in MIGRATION.md): merge/update assign
-fresh ids; column-mapped tables refuse row-id reads.
+survival, UPDATE, and MERGE — rewrites carry identity through the
+spec's materialized columns; modified rows take the mutating commit's
+version. v1 limits (MIGRATION.md): column-mapped tables refuse row-id
+reads; enablement is creating-write-only.
 """
 
 import json
@@ -115,3 +116,36 @@ def test_hwm_domain_matches_assignment(spark, tbl):
     tbl.write(_mk(spark, 7, lo=30).coalesce(1))
     dm = tbl.snapshot().domain_metadata["delta.rowTracking"]
     assert json.loads(dm["configuration"])["rowIdHighWaterMark"] == 16
+
+
+def test_update_where_preserves_ids_and_bumps_rcv(spark, tbl):
+    before = _ids(spark, tbl)
+    v = tbl.update_where(spark, "k % 2 = 0", {"v": "v + 1000"})
+    ids = _ids(spark, tbl)
+    assert {k: i for k, (i, _) in ids.items()} == {
+        k: i for k, (i, _) in before.items()
+    }
+    # modified rows carry THIS commit's version; untouched-by-predicate
+    # rows (same rewritten file) keep their original one
+    assert all(rcv == v for k, (_, rcv) in ids.items() if k % 2 == 0)
+    assert all(rcv == 0 for k, (_, rcv) in ids.items() if k % 2 == 1)
+    got = {r.k: r.v for r in tbl.read(spark).collect()}
+    assert got[2] == 1004.0 and got[3] == 6.0
+
+
+def test_merge_preserves_matched_ids_freshens_inserts(spark, tbl):
+    before = _ids(spark, tbl)
+    src = spark.createDataFrame(
+        [(4, 400.0), (7, 700.0), (1000, 1.0)], "k long, v double"
+    )
+    v = tbl.merge_upsert(spark, src, key_cols=["k"])
+    ids = _ids(spark, tbl)
+    # matched rows keep their ids, at the merge commit's version
+    assert ids[4] == (before[4][0], v) and ids[7] == (before[7][0], v)
+    # survivors in rewritten files keep id AND original version
+    assert ids[3] == before[3]
+    # the insert gets a FRESH id past every previously-assigned one
+    # (baseRowId + its position in the new file — above the old hwm)
+    assert ids[1000][0] > max(i for i, _ in before.values())
+    assert ids[1000][1] == v
+    assert len({i for i, _ in ids.values()}) == len(ids)

@@ -389,6 +389,40 @@ def main() -> None:
         rows = out.count()
         print(f"{'cdf_read':10s} {label:4s} rows={rows:>9,d} wall={dt:6.2f}s ns/row={dt/rows*1e9:7.1f} commits={n_commits}")
 
+    # Round-8 shape: substring-span dedup over the docs blow-up — the
+    # explode amplifies ~20× per char, so this is the shape the fan-out
+    # guard (operators/par.py) exists for; per-row cost must stay flat
+    # once the explode is spread.
+    from pulsar_io_delta_spark.operators.dedup import duplicated_spans
+
+    for label, df, rows in (("1x", docs, n_docs), (f"{kd}x", blow_docs(docs, kd), n_docs * kd)):
+        duplicated_spans(df, "doc_id", "text").write.mode("overwrite").format("noop").save()
+        t0 = time.time()
+        duplicated_spans(df, "doc_id", "text").write.mode("overwrite").format("noop").save()
+        dt = time.time() - t0
+        print(f"{'substr':10s} {label:4s} rows={rows:>9,d} wall={dt:6.2f}s ns/row={dt/rows*1e9:7.1f}")
+
+    # Round-8 shape: row-tracked table lifecycle at k× — write (id
+    # assignment is O(files) driver work from footer stats, rows never
+    # counted), DV delete, then a read_with_row_ids (per-file bases
+    # BROADCAST from the log, ids derived from parquet row_index with no
+    # counting job). Per-row cost of the id-bearing read must stay flat.
+    for label, mult in (("1x", 1), (f"{kd}x", kd)):
+        root = tempfile.mkdtemp(prefix="smoke_rt_") + "/tbl"
+        tt = DeltaTable(root)
+        src = blow_events(ev, mult) if mult > 1 else ev
+        src = src.select("event_id", "value")
+        tt.write(src.repartition(8 * mult),
+                 configuration={"delta.enableRowTracking": "true"})
+        tt.delete_where_dv(spark, "value < 0.1")
+        out = tt.read_with_row_ids(spark)
+        out.write.mode("overwrite").format("noop").save()  # warm
+        t0 = time.time()
+        out.write.mode("overwrite").format("noop").save()
+        dt = time.time() - t0
+        rows = n_ev * mult
+        print(f"{'rt_read':10s} {label:4s} rows={rows:>9,d} wall={dt:6.2f}s ns/row={dt/rows*1e9:7.1f}")
+
     spark.stop()
 
 
