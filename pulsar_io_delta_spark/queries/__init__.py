@@ -444,6 +444,7 @@ WINDOW_MUST_INCLUDE = [
     "q_reorg_purge",
     "q_stream_rate_limit",
     "q_row_tracking",
+    "q_log_compaction",
     "q_multimodal_jpeg",
     "q_multimodal_png",
     "q_sim_ann_pq",
@@ -470,7 +471,8 @@ WINDOW_MUST_INCLUDE = [
     "q_dedup_exact",
     "q_sim_topk",
     "q_text_tokens",
-    "q_text_stats",
+    # (q_text_stats rotates out for q_log_compaction — r3-green,
+    # unmodified; the text family keeps tokens/langid/quality sampled)
     "q_text_langid",
     "q_text_quality",
     "q_multimodal_project",

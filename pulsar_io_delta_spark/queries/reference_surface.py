@@ -1183,3 +1183,42 @@ def q_row_tracking(spark, sf_dir):
     return t.read_with_row_ids(spark).select(
         "event_id", "value", "row_id", "row_commit_version"
     )
+
+
+@register(
+    "q_log_compaction",
+    oracle="""
+SELECT event_id, user_id, event_type, value FROM events
+WHERE NOT (event_type = 'error' AND value < 0.5)
+""",
+)
+def q_log_compaction(spark, sf_dir):
+    """Minor log compaction under the gate (Delta PROTOCOL.md "Log
+    Compaction Files"): events lands across five commits (4 per-type
+    appends + a pruned DELETE), ``compact_log(1, 4)`` reconciles the
+    tail into one range file, and the read — whose snapshot replay now
+    reads ONE file for versions 1-4 — must equal plain SQL over events.
+
+    Scale shape: a streaming-fed table takes thousands of small commits
+    between checkpoints; compaction makes the replay tail O(ranges)
+    file reads instead of O(commits), with commit files untouched
+    (foreign readers ignore the range file). The reconciliation itself
+    is driver-side O(actions in range) — metadata, never data."""
+    import tempfile
+
+    from pulsar_io_delta_spark.sources.delta_log import DeltaTable
+
+    e = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    t = DeltaTable(tempfile.mkdtemp(prefix="pids_logc_") + "/tbl")
+    types = ["click", "view", "purchase", "error", "signup"]
+    t.write(e.where(F.col("event_type") == "click"), partition_by=["event_type"])
+    for et in types[1:]:
+        t.write(e.where(F.col("event_type") == et), partition_by=["event_type"])
+    t.delete_where(
+        spark, "event_type = 'error' AND value < 0.5",
+        filters=[("event_type", "=", "error")],
+    )  # v5
+    t.compact_log(1, 4)
+    return t.read(spark).select("event_id", "user_id", "event_type", "value")
