@@ -92,6 +92,7 @@ def _plan_slices(
     start_version: int,
     end_version: int,
     change_feed: bool = False,
+    filters: list[tuple[str, str, object]] | None = None,
 ) -> list[_FileSlice]:
     """File-level input partitions for commits in [start, end].
 
@@ -105,7 +106,19 @@ def _plan_slices(
     emit the file's DELETED rows too (this arrow path reads whole
     files) — refuse loudly instead of silently over-reporting; CDF
     tables never hit this because their DV deletes carry cdc actions."""
-    from pulsar_io_delta_spark.sources.delta_log import DeltaTable
+    from pulsar_io_delta_spark.sources.delta_log import DeltaTable, _stats_admit
+
+    def _admit(action: dict) -> bool:
+        """Data-skip a slice: partition values (exact on '=') + footer
+        min/max stats, conservative on anything missing — the same gate
+        DeltaTable.prune_files applies to batch reads."""
+        if not filters:
+            return True
+        pvals = action.get("partitionValues") or {}
+        for col, op, val in filters:
+            if col in pvals and op == "=" and pvals[col] != str(val):
+                return False
+        return _stats_admit(action, filters)
 
     t = DeltaTable(table_path)
     slices: list[_FileSlice] = []
@@ -123,6 +136,8 @@ def _plan_slices(
                 0,
             )
             for c in cdc_actions:
+                if not _admit(c):
+                    continue
                 slices.append(
                     _FileSlice(
                         table_path=table_path,
@@ -148,6 +163,8 @@ def _plan_slices(
                 # OPTIMIZE/compaction rewrites move bytes without changing
                 # data; mirroring DeltaTable.cdc(), they are invisible here.
                 continue
+            if not _admit(a):
+                continue
             dv = a.get("deletionVector")
             if dv and int(dv.get("cardinality") or 0) > 0:
                 raise ValueError(
@@ -170,12 +187,16 @@ def _plan_slices(
     return slices
 
 
-def _read_slice(slice_: _FileSlice, schema: StructType):
+def _read_slice(slice_: _FileSlice | None, schema: StructType):
     """Yield Arrow RecordBatches for one file slice with envelope +
     partition columns attached (runs on executors; pyarrow only)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    if slice_ is None:
+        # zero planned partitions (everything pruned): Spark still calls
+        # read() once with None — an empty iterator is the contract
+        return
     fp = os.path.join(slice_.table_path, slice_.rel_path)
     pvals = dict(slice_.partition_values)
     arrow_schema = pa.schema(
@@ -234,21 +255,79 @@ def _to_arrow(simple: str):
 
 
 class _CdcBatchReader(DataSourceReader):
+    """Batch reader with FILTER PUSHDOWN (Spark 4.1 Python DataSource
+    API): comparison filters prune whole file slices via the log's
+    partitionValues + footer stats BEFORE any parquet is opened, and
+    ``_commit_version`` bounds shrink the version walk itself. All
+    filters are returned to Spark for exact post-scan re-evaluation
+    (the parquet-PushedFilters contract) — pruning is planning-only, so
+    it can never change results. At 100 TB this is the difference
+    between planning one day's slices and planning the table."""
+
     def __init__(self, schema: StructType, options):
         self.schema_ = schema
         self.table_path = options["tablePath"]
         self.start = int(options.get("startingVersion", 0))
         self.end = int(options["endingVersion"]) if "endingVersion" in options else None
         self.change_feed = _is_change_feed(options)
+        self._pruning: list[tuple[str, str, object]] = []
+
+    def pushFilters(self, filters):
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        ops = {
+            EqualTo: "=",
+            GreaterThan: ">",
+            GreaterThanOrEqual: ">=",
+            LessThan: "<",
+            LessThanOrEqual: "<=",
+        }
+        for f in filters:
+            op = ops.get(type(f))
+            if op is not None and len(f.attribute) == 1:
+                self._pruning.append((f.attribute[0], op, f.value))
+        # everything re-evaluates post-scan: pruning is advisory
+        return filters
 
     def partitions(self):
-        end = self.end
+        start, end = self.start, self.end
         if end is None:
             from pulsar_io_delta_spark.sources.delta_log import DeltaTable
 
             end = DeltaTable(self.table_path).latest_version()
+        # _commit_version comparisons bound the LOG WALK: a feed query
+        # for one commit range reads that range's log files only
+        for col, op, val in self._pruning:
+            if col != "_commit_version":
+                continue
+            v = int(val)
+            if op == "=":
+                start, end = max(start, v), min(end, v)
+            elif op == ">":
+                start = max(start, v + 1)
+            elif op == ">=":
+                start = max(start, v)
+            elif op == "<":
+                end = min(end, v - 1)
+            elif op == "<=":
+                end = min(end, v)
+        if end < start:
+            return []
+        data_filters = [
+            (c, op, v) for c, op, v in self._pruning if c != "_commit_version"
+        ]
         return _plan_slices(
-            self.table_path, self.start, end, change_feed=self.change_feed
+            self.table_path,
+            start,
+            end,
+            change_feed=self.change_feed,
+            filters=data_filters or None,
         )
 
     def read(self, partition: _FileSlice):
@@ -528,3 +607,8 @@ class DeltaCdcDataSource(DataSource):
 
 def register_delta_cdc(spark) -> None:
     spark.dataSource.register(DeltaCdcDataSource)
+    # the batch reader implements pushFilters(); Spark REFUSES to plan a
+    # pushdown-capable Python source while this flag is off, so arm it
+    # here — registration is the one choke point every consumer passes
+    # (runtime-settable SQL conf; foreign sessions don't carry it)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")

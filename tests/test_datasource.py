@@ -409,3 +409,80 @@ def test_stream_max_files_per_trigger_end_to_end(spark, two_commit_table, tmp_pa
     assert len(batches) == 6  # one file slice per micro-batch
     for b in batches:
         assert len({(r._commit_version) for r in b}) == 1
+
+
+# ---------------------------------------------------------------------------
+# Batch filter pushdown (Spark 4.1 Python DataSource API): comparison
+# filters prune file slices via log partitionValues + footer stats before
+# any parquet opens; _commit_version bounds shrink the version walk. All
+# filters are returned for post-scan re-evaluation, so results are exact.
+
+
+def _batch_reader(path, **opts):
+    from pulsar_io_delta_spark.sources.datasource import _CdcBatchReader
+
+    return _CdcBatchReader(
+        None, {"tablePath": path, **{k: str(v) for k, v in opts.items()}}
+    )
+
+
+@pytest.fixture()
+def pruned_table(spark, tmp_path):
+    path = str(tmp_path / "pr")
+    t = DeltaTable(path)
+    df = spark.range(100).select(
+        F.col("id").alias("event_id"),
+        F.when(F.col("id") % 2 == 0, "click").otherwise("view").alias("event_type"),
+    )
+    t.write(df.coalesce(1), partition_by=["event_type"])            # v0: 2 files
+    t.write(df.limit(10).coalesce(1), partition_by=["event_type"])  # v1: 2 files
+    return path
+
+
+def test_pushdown_prunes_by_partition_value(spark, pruned_table):
+    from pyspark.sql.datasource import EqualTo
+
+    r = _batch_reader(pruned_table)
+    remaining = list(r.pushFilters([EqualTo(("event_type",), "click")]))
+    assert len(remaining) == 1  # everything re-evaluated by Spark
+    parts = r.partitions()
+    assert len(parts) == 2  # click file per commit; view files pruned
+    assert all(dict(p.partition_values)["event_type"] == "click" for p in parts)
+
+
+def test_pushdown_prunes_by_footer_stats(spark, pruned_table):
+    from pyspark.sql.datasource import GreaterThan
+
+    r = _batch_reader(pruned_table)
+    list(r.pushFilters([GreaterThan(("event_id",), 50)]))
+    parts = r.partitions()
+    # v1's files hold event_id 0..9 only — their max stats exclude them
+    assert all(p.version == 0 for p in parts)
+
+
+def test_pushdown_bounds_version_walk(spark, pruned_table):
+    from pyspark.sql.datasource import EqualTo, LessThanOrEqual
+
+    r = _batch_reader(pruned_table)
+    list(r.pushFilters([EqualTo(("_commit_version",), 1)]))
+    assert {p.version for p in r.partitions()} == {1}
+    r2 = _batch_reader(pruned_table)
+    list(r2.pushFilters([LessThanOrEqual(("_commit_version",), 0)]))
+    assert {p.version for p in r2.partitions()} == {0}
+    r3 = _batch_reader(pruned_table)
+    list(r3.pushFilters([EqualTo(("_commit_version",), 7)]))
+    assert r3.partitions() == []
+
+
+def test_pushdown_end_to_end_exact(spark, pruned_table):
+    register_delta_cdc(spark)
+    ds = spark.read.format("pulsar_delta_cdc").option("tablePath", pruned_table).load()
+    full = {(r.event_id, r._commit_version) for r in ds.collect()
+            if r.event_type == "click" and r.event_id > 10}
+    got = {
+        (r.event_id, r._commit_version)
+        for r in ds.where(
+            (F.col("event_type") == "click") & (F.col("event_id") > 10)
+        ).collect()
+    }
+    assert got == full and got  # identical results through the pruned plan
