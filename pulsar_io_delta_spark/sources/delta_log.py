@@ -165,6 +165,10 @@ _SUPPORTED_READER_FEATURES = {
     "typeWidening",
     "typeWidening-preview",
     "v2Checkpoint",
+    # vacuum() re-checks the FULL protocol before touching any file
+    # (the exact guard this feature mandates) — common on 2023+
+    # delta-spark tables alongside deletionVectors/v2Checkpoint
+    "vacuumProtocolCheck",
 }
 
 # Writer features this engine implements (write paths consult these via
@@ -216,6 +220,9 @@ _SUPPORTED_WRITER_FEATURES = {
     # delta.enableRowTracking is armed; rewrite paths preserve row ids
     # through the spec's materialized columns (round 8)
     "rowTracking",
+    # vacuum() re-checks the full protocol before deleting — the guard
+    # this feature exists to mandate
+    "vacuumProtocolCheck",
 }
 
 
@@ -3571,6 +3578,19 @@ class DeltaTable:
         referenced by a surviving commit → kept, orphaned by log expiry
         → mtime-aged."""
         snap = self.snapshot()
+        # vacuumProtocolCheck: the FULL protocol (reader and writer
+        # sides) must pass before any file is touched — an unsupported
+        # feature could make the live-set computation wrong, and a
+        # wrong live set here deletes data
+        _check_protocol(snap.protocol)
+        unsupported_wf = (
+            set(snap.protocol.get("writerFeatures") or ())
+            - _SUPPORTED_WRITER_FEATURES
+        )
+        if int(snap.protocol.get("minWriterVersion") or 2) > 6 and unsupported_wf:
+            raise DeltaProtocolError(
+                f"vacuum refused: unsupported writer features {sorted(unsupported_wf)}"
+            )
         live = set(snap.files)
         horizon = int(time.time() * 1000) - retention_ms
         deleted: list[str] = []

@@ -544,3 +544,29 @@ def test_vacuum_reclaims_superseded_dv_files(spark, tmp_path):
     assert {r.event_id for r in out.collect()} == set(range(5, 25))
     # another vacuum is a no-op (the live DV is referenced)
     assert t.vacuum(retention_ms=0) == []
+
+
+def test_vacuum_protocol_check_feature(spark, tmp_path):
+    """vacuumProtocolCheck (2023+ delta-spark tables carry it alongside
+    deletionVectors): the table reads and vacuums normally — the
+    feature's mandate is the full protocol gate BEFORE vacuum touches a
+    file, which refuses when an unsupported writer feature appears."""
+    t = DeltaTable(str(tmp_path / "t"))
+    t.write(_events(spark))
+    with open(os.path.join(t.log_dir, f"{1:020d}.json"), "w") as f:
+        f.write(json.dumps({"commitInfo": {"timestamp": 1, "operation": "UPGRADE"}}) + "\n")
+        f.write(json.dumps({"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["vacuumProtocolCheck"],
+            "writerFeatures": ["vacuumProtocolCheck"]}}) + "\n")
+    assert t.read(spark).count() == 40
+    assert t.vacuum(retention_ms=-1) == []  # nothing unreferenced; gate passes
+    # an unsupported writer feature makes vacuum refuse BEFORE deleting
+    with open(os.path.join(t.log_dir, f"{2:020d}.json"), "w") as f:
+        f.write(json.dumps({"commitInfo": {"timestamp": 2, "operation": "UPGRADE"}}) + "\n")
+        f.write(json.dumps({"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["vacuumProtocolCheck"],
+            "writerFeatures": ["vacuumProtocolCheck", "icebergCompatV2"]}}) + "\n")
+    with pytest.raises(DeltaProtocolError, match="vacuum refused"):
+        t.vacuum(retention_ms=-1)
