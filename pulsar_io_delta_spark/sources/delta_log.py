@@ -1564,6 +1564,68 @@ class DeltaTable:
             df = df.where(ops[op](F.col(col), F.lit(val)))
         return df
 
+    def enable_row_tracking(self, spark: SparkSession) -> int:
+        """In-place row-tracking upgrade of an EXISTING table: one
+        metadata commit that (a) upgrades the protocol
+        (rowTracking + domainMetadata writer features), (b) arms
+        ``delta.enableRowTracking`` and picks the materialized column
+        names, and (c) re-adds every live file WITHOUT a baseRowId so
+        :meth:`_commit`'s row-tracking path backfills ids from each
+        file's footer-stats record count and seeds the high-water-mark
+        domain — O(live files) metadata, zero data rewritten. Files
+        missing stats get them read from the footer here (footer-only,
+        no data pages). Idempotent: enabling twice is a no-op."""
+        snap = self.snapshot()
+        self._guard_writable(snap, data_change_removes=False)
+        if _rt_enabled(snap.configuration):
+            return snap.version
+        if self._mapping_of(snap):
+            raise DeltaProtocolError(
+                "row tracking on column-mapped tables is not supported"
+            )
+        if snap.schema_string is None:
+            raise DeltaProtocolError("cannot enable row tracking without a schema")
+        config = {
+            **snap.configuration,
+            "delta.enableRowTracking": "true",
+            "delta.rowTracking.materializedRowIdColumnName":
+                f"_row_id_mat_{uuid.uuid4().hex[:8]}",
+            "delta.rowTracking.materializedRowCommitVersionColumnName":
+                f"_rcv_mat_{uuid.uuid4().hex[:8]}",
+        }
+        actions: list[dict] = [
+            {"protocol": _upgraded_protocol(
+                snap.protocol, (), ("rowTracking", "domainMetadata")
+            )},
+            {
+                "metaData": {
+                    "id": str(uuid.uuid4()),
+                    "schemaString": snap.schema_string,
+                    "partitionColumns": list(snap.partition_columns),
+                    "format": {"provider": "parquet", "options": {}},
+                    "configuration": config,
+                }
+            },
+        ]
+        for p in sorted(snap.files):
+            add = dict(snap.adds[p])
+            add.pop("baseRowId", None)
+            add.pop("defaultRowCommitVersion", None)
+            stats = add.get("stats")
+            n = (json.loads(stats) if isinstance(stats, str) else stats or {}).get(
+                "numRecords"
+            )
+            if n is None:
+                add["stats"] = json.dumps(
+                    self._stats_for(os.path.join(self.path, p))
+                )
+            add["dataChange"] = False
+            actions.append({"add": add})
+        return self._commit(
+            actions, operation="UPGRADE ROW TRACKING",
+            read_version=snap.version, configuration=config,
+        )
+
     def _rewrite_source(
         self, spark: SparkSession, snap: Snapshot, rel_paths: list[str]
     ) -> DataFrame:

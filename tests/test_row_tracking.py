@@ -149,3 +149,32 @@ def test_merge_preserves_matched_ids_freshens_inserts(spark, tbl):
     assert ids[1000][0] > max(i for i, _ in before.values())
     assert ids[1000][1] == v
     assert len({i for i, _ in ids.values()}) == len(ids)
+
+
+def test_in_place_enablement_backfills_existing_files(spark, tmp_path):
+    t = DeltaTable(str(tmp_path / "up"))
+    t.write(_mk(spark, 10).coalesce(1).sortWithinPartitions("k"))   # plain v0
+    t.write(_mk(spark, 5, lo=50).coalesce(1).sortWithinPartitions("k"))  # v1
+    v = t.enable_row_tracking(spark)
+    ids = _ids(spark, t)
+    # every existing row got a unique id; ids cover 0..14
+    assert sorted(i for i, _ in ids.values()) == list(range(15))
+    # backfilled rows carry the UPGRADE commit's version
+    assert {rcv for _i, rcv in ids.values()} == {v}
+    assert json.loads(
+        t.snapshot().domain_metadata["delta.rowTracking"]["configuration"]
+    )["rowIdHighWaterMark"] == 14
+    # idempotent; later lifecycle behaves like a born-tracked table
+    assert t.enable_row_tracking(spark) == v
+    t.delete_where_dv(spark, "k % 5 = 0")
+    t.compact(spark)
+    after = _ids(spark, t)
+    assert after == {k: i for k, i in ids.items() if k % 5 != 0}
+    t.write(_mk(spark, 3, lo=200).coalesce(1))
+    final = _ids(spark, t)
+    # appended rows take fresh ids ABOVE the hwm (which also advanced
+    # through the compact rewrite — ids are never reused), old rows
+    # keep theirs, and everything stays unique
+    assert {k: v for k, v in final.items() if k < 200} == after
+    assert all(i > 14 for k, (i, _) in final.items() if k >= 200)
+    assert len({i for i, _ in final.values()}) == len(final)
