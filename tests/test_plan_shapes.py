@@ -254,3 +254,43 @@ def test_dedup_semantic_within_cluster_equijoin_only(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q_dedup_semantic")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
+
+
+def test_clone_read_broadcasts_partition_values(spark, tmp_path):
+    """A shallow-clone read attaches partition values from the log via
+    a BROADCAST join keyed on file path — O(live files) rows — never a
+    shuffle of the data side and never a nested-loop join."""
+    from pulsar_io_delta_spark.sources.delta_log import DeltaTable
+
+    src = DeltaTable(str(tmp_path / "s"))
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b") for i in range(40)], "k long, g string"
+    )
+    src.write(df.coalesce(1), partition_by=["g"])
+    clone = DeltaTable(str(tmp_path / "c"))
+    clone.clone_from(src)
+    plan = clone.read(spark)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
+
+
+def test_row_id_read_broadcasts_file_bases(spark, tmp_path):
+    """read_with_row_ids derives ids from baseRowId + parquet row_index
+    with per-file bases BROADCAST from the log — no counting job, no
+    shuffle of the data side, no Python eval in the row path."""
+    import pyspark.sql.functions as F
+
+    from pulsar_io_delta_spark.sources.delta_log import DeltaTable
+
+    t = DeltaTable(str(tmp_path / "rt"))
+    t.write(
+        spark.range(50).select(F.col("id").alias("k")).coalesce(2),
+        configuration={"delta.enableRowTracking": "true"},
+    )
+    plan = (
+        t.read_with_row_ids(spark)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
