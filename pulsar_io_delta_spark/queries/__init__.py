@@ -445,6 +445,7 @@ WINDOW_MUST_INCLUDE = [
     "q_stream_rate_limit",
     "q_row_tracking",
     "q_log_compaction",
+    "q_column_rename_drop",
     "q_multimodal_jpeg",
     "q_multimodal_png",
     "q_sim_ann_pq",
@@ -469,7 +470,8 @@ WINDOW_MUST_INCLUDE = [
     # q_date_funcs2 holds an r5 row)
     # r3 LLM block
     "q_dedup_exact",
-    "q_sim_topk",
+    # (q_sim_topk rotates out for q_column_rename_drop — r3-green,
+    # unmodified; the similarity family keeps q_sim_ann_pq sampled)
     "q_text_tokens",
     # (q_text_stats rotates out for q_log_compaction — r3-green,
     # unmodified; the text family keeps tokens/langid/quality sampled)

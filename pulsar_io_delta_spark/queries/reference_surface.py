@@ -1222,3 +1222,36 @@ def q_log_compaction(spark, sf_dir):
     )  # v5
     t.compact_log(1, 4)
     return t.read(spark).select("event_id", "user_id", "event_type", "value")
+
+
+@register(
+    "q_column_rename_drop",
+    oracle="""
+SELECT event_id, event_type, value AS score FROM events
+""",
+)
+def q_column_rename_drop(spark, sf_dir):
+    """Metadata-only schema surgery on a mapped table (the operation
+    column mapping exists for; the reference reader,
+    DeltaReader.java:301-303, predates mapping entirely): events →
+    mapped table → RENAME value→score + DROP user_id — two O(1)
+    metadata commits, zero files touched — then the read (physical
+    names in files, new logical names out) must equal plain SQL with
+    the rename applied and the dropped column gone.
+
+    Scale shape: at 100 TB a rename/drop is two log writes; the scan
+    plan afterwards is byte-identical to the pre-surgery plan minus the
+    dropped column's ReadSchema entry."""
+    import tempfile
+
+    from pulsar_io_delta_spark.sources.delta_log import DeltaTable
+
+    e = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    t = DeltaTable(tempfile.mkdtemp(prefix="pids_ren_") + "/tbl")
+    t.write(e)
+    t.enable_column_mapping()
+    t.rename_column("value", "score")
+    t.drop_column("user_id")
+    return t.read(spark).select("event_id", "event_type", "score")

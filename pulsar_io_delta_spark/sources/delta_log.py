@@ -3556,6 +3556,97 @@ class DeltaTable:
             actions, operation="UPGRADE", read_version=snap.version
         )
 
+    def _mapped_metadata_commit(
+        self, snap: Snapshot, schema: dict, operation: str
+    ) -> int:
+        md = {
+            "metaData": {
+                "id": str(uuid.uuid4()),
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": json.dumps(schema),
+                "partitionColumns": snap.partition_columns,
+                "configuration": dict(snap.configuration or {}),
+            }
+        }
+        return self._commit(
+            [md], operation=operation, read_version=snap.version,
+            configuration=snap.configuration,
+        )
+
+    def _guard_column_referenced(self, snap: Snapshot, name: str) -> None:
+        """A rename/drop must not silently break expressions that
+        reference the column by its LOGICAL name."""
+        for c, expr in _generation_exprs(snap.schema_string).items():
+            if name in expr:
+                raise DeltaProtocolError(
+                    f"column {name!r} is referenced by generated column "
+                    f"{c!r} ({expr!r}); drop or redefine it first"
+                )
+        for k, v in (snap.configuration or {}).items():
+            if k.startswith("delta.constraints.") and name in v:
+                raise DeltaProtocolError(
+                    f"column {name!r} is referenced by constraint {k} ({v!r})"
+                )
+
+    def rename_column(self, old: str, new: str) -> int:
+        """ALTER TABLE ... RENAME COLUMN — METADATA-ONLY on a name-mode
+        column-mapped table (the entire point of mapping): the logical
+        name changes in the schemaString while physicalName and
+        columnMapping.id stay, so every file on disk — and every future
+        scan plan — is untouched. O(1) log work at any table size.
+        Unmapped tables refuse (there a rename would need a full
+        rewrite; run enable_column_mapping() first)."""
+        snap = self.snapshot()
+        self._guard_writable(snap, data_change_removes=False)
+        if not self._mapping_of(snap):
+            raise DeltaProtocolError(
+                "RENAME COLUMN needs column mapping (metadata-only rename); "
+                "call enable_column_mapping() first"
+            )
+        s = json.loads(snap.schema_string)
+        names = [f["name"] for f in s["fields"]]
+        if old not in names:
+            raise DeltaProtocolError(f"no such column: {old!r}")
+        if new in names:
+            raise DeltaProtocolError(f"column {new!r} already exists")
+        if old in snap.partition_columns:
+            # partition dirs are physically named; renaming the logical
+            # name is still metadata-only, but partitionColumns lists
+            # LOGICAL names — keep them in sync
+            raise DeltaProtocolError(
+                "renaming a partition column is not supported"
+            )
+        self._guard_column_referenced(snap, old)
+        for f in s["fields"]:
+            if f["name"] == old:
+                f["name"] = new
+        return self._mapped_metadata_commit(snap, s, "RENAME COLUMN")
+
+    def drop_column(self, name: str) -> int:
+        """ALTER TABLE ... DROP COLUMN — metadata-only on a mapped
+        table: the field leaves the logical schema; the physical data
+        stays in the files, simply never read again (the spec's drop
+        semantics — REORG/rewrite reclaims the bytes later if wanted).
+        O(1) log work at any table size."""
+        snap = self.snapshot()
+        self._guard_writable(snap, data_change_removes=False)
+        if not self._mapping_of(snap):
+            raise DeltaProtocolError(
+                "DROP COLUMN needs column mapping (metadata-only drop); "
+                "call enable_column_mapping() first"
+            )
+        s = json.loads(snap.schema_string)
+        names = [f["name"] for f in s["fields"]]
+        if name not in names:
+            raise DeltaProtocolError(f"no such column: {name!r}")
+        if name in snap.partition_columns:
+            raise DeltaProtocolError("dropping a partition column is not supported")
+        if len(names) == 1:
+            raise DeltaProtocolError("cannot drop the only column")
+        self._guard_column_referenced(snap, name)
+        s["fields"] = [f for f in s["fields"] if f["name"] != name]
+        return self._mapped_metadata_commit(snap, s, "DROP COLUMN")
+
     def compact(self, spark: SparkSession, target_files: int = 1) -> int:
         """OPTIMIZE-style bin-packing: rewrite the current snapshot's
         files into ``target_files`` per partition, committing
