@@ -196,7 +196,10 @@ def simhash_col_aggs(token_hash: Column) -> list[Column]:
 
 
 def simhash_signature(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, simhash BIGINT): 64-bit SimHash over token xxhash64 values."""
+    """(id, simhash BIGINT): 64-bit SimHash over token xxhash64 values.
+    Token explosion + 64 per-bit aggregates amplify per-byte work; fan
+    a scan-starved input out first (no-op on well-split inputs)."""
+    df = fan_out(df, [id_col])
     toks = df.select(
         F.col(id_col),
         F.explode(F.filter(tokens_col(F.col(text_col)), lambda x: x != "")).alias("tok"),
