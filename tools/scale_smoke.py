@@ -31,7 +31,159 @@ def blow_up(df, k: int):
     ).drop("_rep")
 
 
+def metadata_axis(n_files: int) -> None:
+    """FILE-COUNT axis (round 9, VERDICT r8 #1): the data-plane smokes
+    scale rows; this scales the number of LIVE FILES the driver-side
+    metadata plane must replay and prune. A synthetic compact
+    checkpoint with ``n_files`` add actions (realistic per-file stats)
+    plus a 10-commit tail is planned end-to-end: snapshot() (columnar
+    checkpoint load), first pruned read (stats index build + mask),
+    then steady-state prunes. A real 100 TB table is ~10^5-10^6 files
+    at 128-1024 MB each — planning must stay in seconds there."""
+    import json
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pulsar_io_delta_spark.sources.delta_log import DeltaTable
+
+    root = tempfile.mkdtemp(prefix="meta_axis_") + "/tbl"
+    log = root + "/_delta_log"
+    import os
+
+    os.makedirs(log)
+    schema_string = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "id", "type": "long", "nullable": False, "metadata": {}},
+                {"name": "ts", "type": "long", "nullable": True, "metadata": {}},
+                {"name": "cat", "type": "string", "nullable": True, "metadata": {}},
+                {"name": "p", "type": "string", "nullable": True, "metadata": {}},
+            ],
+        }
+    )
+    with open(os.path.join(log, f"{0:020d}.json"), "w") as f:
+        f.write(json.dumps({"commitInfo": {"timestamp": 1700000000000}}) + "\n")
+        f.write(
+            json.dumps(
+                {
+                    "metaData": {
+                        "id": "t",
+                        "schemaString": schema_string,
+                        "partitionColumns": ["p"],
+                        "configuration": {},
+                        "format": {"provider": "parquet", "options": {}},
+                    }
+                }
+            )
+            + "\n"
+        )
+        f.write(
+            json.dumps({"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}})
+            + "\n"
+        )
+    rpf = 1000
+    n = n_files
+    pad = [None, None]
+    cols = {
+        "action_type": ["metaData", "protocol"] + ["add"] * n,
+        "path": pad + [f"p={i%64}/part-{i:08d}.parquet" for i in range(n)],
+        "partitionValues": pad + [json.dumps({"p": str(i % 64)}) for i in range(n)],
+        "modificationTime": pad + [1700000000000 + i for i in range(n)],
+        "stats": pad
+        + [
+            json.dumps(
+                {
+                    "numRecords": rpf,
+                    "minValues": {"id": i * rpf, "ts": 1700000000 + i, "cat": "a"},
+                    "maxValues": {
+                        "id": (i + 1) * rpf - 1,
+                        "ts": 1700000500 + i,
+                        "cat": "z",
+                    },
+                }
+            )
+            for i in range(n)
+        ],
+        "schemaString": [schema_string, None] + [None] * n,
+        "partitionColumns": [json.dumps(["p"]), None] + [None] * n,
+        "configuration": [json.dumps({}), None] + [None] * n,
+        "minReaderVersion": [None, 1] + [None] * n,
+        "minWriterVersion": [None, 2] + [None] * n,
+        "readerFeatures": [None] * (n + 2),
+        "writerFeatures": [None] * (n + 2),
+        "deletionVector": [None] * (n + 2),
+        "baseRowId": [None] * (n + 2),
+        "defaultRowCommitVersion": [None] * (n + 2),
+        "txn_appId": [None] * (n + 2),
+        "txn_version": [None] * (n + 2),
+        "domainMetadata": [None] * (n + 2),
+        "commit_timestamp": [1700000000000] * (n + 2),
+    }
+    pq.write_table(pa.table(cols), os.path.join(log, f"{0:020d}.checkpoint.parquet"))
+    with open(os.path.join(log, "_last_checkpoint"), "w") as f:
+        f.write(json.dumps({"version": 0, "parts": 1}))
+    for v in range(1, 11):
+        with open(os.path.join(log, f"{v:020d}.json"), "w") as f:
+            f.write(json.dumps({"commitInfo": {"timestamp": 1700000001000 + v}}) + "\n")
+            for j in range(5):
+                i = n + v * 5 + j
+                f.write(
+                    json.dumps(
+                        {
+                            "add": {
+                                "path": f"p={i%64}/part-{i:08d}.parquet",
+                                "partitionValues": {"p": str(i % 64)},
+                                "modificationTime": 1700000000000 + i,
+                                "dataChange": True,
+                                "stats": json.dumps(
+                                    {
+                                        "numRecords": rpf,
+                                        "minValues": {"id": i * rpf},
+                                        "maxValues": {"id": (i + 1) * rpf - 1},
+                                    }
+                                ),
+                            }
+                        }
+                    )
+                    + "\n"
+                )
+    tbl = DeltaTable(root)
+    t0 = time.time()
+    snap = tbl.snapshot()
+    t_snap = time.time() - t0
+    t0 = time.time()
+    kept = tbl.prune_files(snap, [("id", ">", (n - 100) * rpf)])
+    t_first = time.time() - t0  # includes the one-time stats index build
+    t0 = time.time()
+    kept2 = tbl.prune_files(snap, [("id", "<", 50 * rpf)])
+    t_steady = time.time() - t0
+    t0 = time.time()
+    kept3 = tbl.prune_files(snap, [("p", "=", 3)])
+    t_pv = time.time() - t0
+    t0 = time.time()
+    scal = tbl._prune_files_scalar(snap, [("id", "<", 50 * rpf)])
+    t_scalar = time.time() - t0
+    assert scal == kept2
+    print(
+        f"{'metadata':10s} n_files={n:>9,d} snapshot={t_snap:6.3f}s "
+        f"first_prune={t_first:6.3f}s steady_prune={t_steady*1000:7.1f}ms "
+        f"pv_prune={t_pv*1000:7.1f}ms scalar_ref={t_scalar:6.3f}s "
+        f"kept={len(kept)}/{len(kept2)}/{len(kept3)}"
+    )
+    shutil.rmtree(os.path.dirname(root), ignore_errors=True)
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "metadata":
+        for n in (
+            [int(x) for x in sys.argv[2:]] if len(sys.argv) > 2 else [10_000, 100_000, 1_000_000]
+        ):
+            metadata_axis(n)
+        return
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 16
     sf = "/root/testdata/sf0.1"
     spark = get_spark(app_name="scale-smoke")
