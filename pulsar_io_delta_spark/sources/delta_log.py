@@ -63,6 +63,13 @@ class DeltaProtocolError(Exception):
     """Raised on protocol features outside this reader's scope."""
 
 
+# The non-local-FS delete_where_dv shim groups matched ROW INDEXES on
+# the driver (the in-memory fs fake is not executor-visible). Beyond
+# this many matched rows it refuses loudly rather than becoming a
+# hidden driver-side collect (VERDICT r8 watch item #2).
+_DV_DRIVER_SHIM_MAX_ROWS = 2_000_000
+
+
 class DeltaConstraintViolation(Exception):
     """A write's rows violate a CHECK constraint stored in table
     metadata — the commit is refused before any action is published."""
@@ -3563,10 +3570,23 @@ class DeltaTable:
                 .collect()
             )
         else:
-            # non-local FS shim: not executor-visible — group on driver
-            # (test-scale only; the production FS is the local/shared path)
+            # non-local FS shim: the in-memory fs fake is not
+            # executor-visible, so matched row indexes are grouped on
+            # the DRIVER. That is only sane at fixture scale — guard it
+            # loudly instead of silently collecting a data-sized result
+            # (VERDICT r8 #8; the production local/shared-FS path above
+            # never moves row indexes to the driver).
             import pandas as pd
 
+            n_matched = matched.count()
+            if n_matched > _DV_DRIVER_SHIM_MAX_ROWS:
+                raise DeltaProtocolError(
+                    f"delete_where_dv on a non-local FileSystem matched "
+                    f"{n_matched} rows (> {_DV_DRIVER_SHIM_MAX_ROWS}): the "
+                    "driver-side grouping shim is fixture-scale only. Use a "
+                    "local/shared filesystem (executor-visible) for "
+                    "production DV deletes."
+                )
             by_file: dict[str, list[int]] = {}
             for r in matched.collect():
                 by_file.setdefault(r._fp, []).append(r._ridx)
