@@ -923,20 +923,25 @@ def q_identity_columns(spark, sf_dir):
 @register(
     "q_nested_mapping",
     oracle="""
-SELECT event_id, event_type AS etype, value AS val
+SELECT event_id, event_type AS etype, value AS val,
+       CAST(2 AS BIGINT) AS xs_n,
+       upper(event_type) AS xs1_etype,
+       value * 2 AS xs1_val
 FROM events
 WHERE event_id % 4 != 2
 """,
 )
 def q_nested_mapping(spark, sf_dir):
-    """Nested-struct column mapping read (round 8): a name-mode mapped
-    table whose STRUCT column carries physical names at BOTH nesting
-    levels (p_info.p_t / p_info.p_v on disk) — the reader renames
-    recursively and the logical subfields (info.etype / info.val) are
-    directly queryable; a pruning-predicate read on the flat mapped
-    column still works. NULL-struct preservation is pinned by
-    tests/test_column_mapping_writes.py; here the oracle verifies the
-    value surface hash-exactly."""
+    """Nested-struct column mapping read (round 8, widened round 9): a
+    name-mode mapped table whose STRUCT column carries physical names
+    at BOTH nesting levels (p_info.p_t / p_info.p_v on disk) AND an
+    ARRAY-OF-STRUCT column whose element fields are physically renamed
+    (the UniForm / Iceberg-converted shape — VERDICT r8 #3). The
+    reader renames recursively, rebuilding array elements with a
+    codegen-side `transform`; logical subfields (info.etype,
+    xs[1].val) are directly queryable. NULL-struct / null-element
+    preservation is pinned by tests/test_column_mapping_writes.py;
+    here the oracle verifies the value surface hash-exactly."""
     import json as _json
     import tempfile
 
@@ -949,8 +954,23 @@ def q_nested_mapping(spark, sf_dir):
         F.struct(
             F.col("event_type").alias("p_t"), F.col("value").alias("p_v")
         ).alias("p_info"),
+        F.array(
+            F.struct(
+                F.col("event_type").alias("p_t"), F.col("value").alias("p_v")
+            ),
+            F.struct(
+                F.upper("event_type").alias("p_t"),
+                (F.col("value") * 2).alias("p_v"),
+            ),
+        ).alias("p_xs"),
     )
     phys.write.parquet(os.path.join(root, "d"))
+    elem = {"type": "struct", "fields": [
+        {"name": "etype", "type": "string", "nullable": True,
+         "metadata": {"delta.columnMapping.physicalName": "p_t"}},
+        {"name": "val", "type": "double", "nullable": True,
+         "metadata": {"delta.columnMapping.physicalName": "p_v"}},
+    ]}
     schema = _json.dumps(
         {
             "type": "struct",
@@ -959,12 +979,11 @@ def q_nested_mapping(spark, sf_dir):
                  "metadata": {"delta.columnMapping.physicalName": "p_id"}},
                 {"name": "info", "nullable": True,
                  "metadata": {"delta.columnMapping.physicalName": "p_info"},
-                 "type": {"type": "struct", "fields": [
-                     {"name": "etype", "type": "string", "nullable": True,
-                      "metadata": {"delta.columnMapping.physicalName": "p_t"}},
-                     {"name": "val", "type": "double", "nullable": True,
-                      "metadata": {"delta.columnMapping.physicalName": "p_v"}},
-                 ]}},
+                 "type": elem},
+                {"name": "xs", "nullable": True,
+                 "metadata": {"delta.columnMapping.physicalName": "p_xs"},
+                 "type": {"type": "array", "containsNull": True,
+                          "elementType": elem}},
             ],
         }
     )
@@ -993,6 +1012,9 @@ def q_nested_mapping(spark, sf_dir):
             "event_id",
             F.col("info.etype").alias("etype"),
             F.col("info.val").alias("val"),
+            F.size("xs").cast("bigint").alias("xs_n"),
+            F.col("xs").getItem(1).getField("etype").alias("xs1_etype"),
+            F.col("xs").getItem(1).getField("val").alias("xs1_val"),
         )
     )
 

@@ -485,7 +485,8 @@ def _column_mapping(
     writers must emit them) fails LOUDLY with Spark's missing-field-ids
     error naming the ``fieldId.read.ignoreMissing`` escape hatch —
     never a silent null-fill. Name-mode nested structs rename
-    recursively; id-mode nested and array/map-of-struct gate loudly."""
+    recursively — including structs inside ARRAYS and MAPS (round 9);
+    id-mode nested still gates loudly."""
     mode = (configuration or {}).get("delta.columnMapping.mode", "none")
     if mode in ("none", ""):
         return None
@@ -505,8 +506,8 @@ def _column_mapping(
                     f"id-mode column mapping on nested struct column "
                     f"{f['name']!r} is not supported"
                 )
-            # name-mode nested structs: rename recursively (round 8);
-            # arrays/maps CONTAINING structs still gate inside
+            # name-mode nested structs rename recursively (round 8),
+            # through array/map element structs too (round 9)
             g = {
                 "name": pname,
                 "type": _phys_nested_type(f["type"], f["name"]),
@@ -532,12 +533,14 @@ def _column_mapping(
 
 def _phys_nested_type(t, path: str):
     """Recursively rename a struct type's fields to their physical
-    names. Arrays/maps whose element/value CONTAINS a struct are gated
-    loudly — their rename would need higher-order rebuild logic and
-    silently skipping it would read physical names as data."""
+    names — through struct, ARRAY and MAP nesting (round 9: a UniForm /
+    Iceberg-converted table routinely maps structs inside arrays and
+    maps; the read-side rebuild in `_mapping_select_exprs` mirrors this
+    with higher-order `transform` / `transform_values`)."""
     if isinstance(t, str):
         return t
-    if t["type"] == "struct":
+    kind = t["type"]
+    if kind == "struct":
         out_fields = []
         for sf in t["fields"]:
             meta = sf.get("metadata") or {}
@@ -551,9 +554,18 @@ def _phys_nested_type(t, path: str):
                 }
             )
         return {"type": "struct", "fields": out_fields}
+    if kind == "array":
+        out = dict(t)
+        out["elementType"] = _phys_nested_type(t["elementType"], f"{path}.element")
+        return out
+    if kind == "map":
+        out = dict(t)
+        out["keyType"] = _phys_nested_type(t["keyType"], f"{path}.key")
+        out["valueType"] = _phys_nested_type(t["valueType"], f"{path}.value")
+        return out
     if _contains_struct(t):
         raise DeltaProtocolError(
-            f"column mapping on array/map-of-struct column {path!r} "
+            f"column mapping on composite type {t['type']!r} at {path!r} "
             "is not supported"
         )
     return t
@@ -563,31 +575,52 @@ def _mapping_select_exprs(schema_string: str, mapping) -> list[Column]:
     """SELECT expressions renaming a physically-named scan back to
     LOGICAL names. Flat columns alias directly; struct columns rebuild
     recursively with their subfields renamed — preserving NULL structs
-    (a bare F.struct would turn a null struct into a struct of
-    nulls)."""
+    (a bare F.struct would turn a null struct into a struct of nulls).
+    Structs inside ARRAYS and MAPS rebuild through the higher-order
+    `transform` / `transform_keys` / `transform_values` functions —
+    codegen-side lambda rewrites, never a python UDF (round 9)."""
     from pyspark.sql.types import StructField
 
-    def rename(path: str, f: dict) -> Column:
-        t = f["type"]
-        if isinstance(t, dict) and t.get("type") == "struct":
+    def logical_type_of(t):
+        return StructField.fromJson(
+            {"name": "x", "type": t, "nullable": True, "metadata": {}}
+        ).dataType
+
+    def rename_expr(expr: Column, t) -> Column:
+        if not isinstance(t, dict):
+            return expr
+        kind = t.get("type")
+        if kind == "struct":
             subs = []
             for sf in t["fields"]:
                 meta = sf.get("metadata") or {}
                 pname = meta.get("delta.columnMapping.physicalName", sf["name"])
-                subs.append(rename(f"{path}.{pname}", sf).alias(sf["name"]))
-            logical_type = StructField.fromJson(
-                {"name": "x", "type": t, "nullable": True, "metadata": {}}
-            ).dataType
+                subs.append(
+                    rename_expr(expr.getField(pname), sf["type"]).alias(sf["name"])
+                )
             return F.when(
-                F.col(path).isNull(), F.lit(None).cast(logical_type)
+                expr.isNull(), F.lit(None).cast(logical_type_of(t))
             ).otherwise(F.struct(*subs))
-        return F.col(path)
+        if kind == "array" and _contains_struct(t["elementType"]):
+            return F.transform(expr, lambda x: rename_expr(x, t["elementType"]))
+        if kind == "map":
+            out = expr
+            if _contains_struct(t["keyType"]):
+                out = F.transform_keys(
+                    out, lambda k, _v: rename_expr(k, t["keyType"])
+                )
+            if _contains_struct(t["valueType"]):
+                out = F.transform_values(
+                    out, lambda _k, v: rename_expr(v, t["valueType"])
+                )
+            return out
+        return expr
 
     out: list[Column] = []
     for f in json.loads(schema_string)["fields"]:
         meta = f.get("metadata") or {}
         pname = meta.get("delta.columnMapping.physicalName", f["name"])
-        out.append(rename(pname, f).alias(f["name"]))
+        out.append(rename_expr(F.col(pname), f["type"]).alias(f["name"]))
     return out
 
 
