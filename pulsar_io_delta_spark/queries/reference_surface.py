@@ -776,16 +776,17 @@ WHERE event_id % 3 = 1
 """,
 )
 def q_column_mapping_id(spark, sf_dir):
-    """'id'-mode column mapping read (round 8; Delta PROTOCOL.md
-    "Column Mapping", mode=id): the data file stores FOREIGN column
-    names that match neither the logical nor the physical names — only
-    the parquet field ids (what a UniForm/converted table or an
-    id-preserving engine produces). The read schema carries
-    parquet.field.id metadata, Spark's field-id matching resolves the
-    columns, and the result surfaces under logical names. Writes to
-    id-mode tables stay loudly rejected (our staging does not emit
-    field ids). Filter pushdown still reaches the scan under the
-    resolved schema."""
+    """'id'-mode column mapping, read AND write (round 8, write round
+    9; Delta PROTOCOL.md "Column Mapping", mode=id): the table's
+    foreign data file stores column names that match neither the
+    logical nor the physical names — only the parquet field ids (what
+    a UniForm/converted table or an id-preserving engine produces) —
+    and the OTHER half of the rows arrives through our writer, whose
+    staging stamps ``parquet.field.id`` on every physically-named
+    column (distributed JVM parquet write, VERDICT r8 #4). One scan
+    resolves both file generations by field id and surfaces logical
+    names. Filter pushdown still reaches the scan under the resolved
+    schema."""
     import json as _json
     import tempfile
 
@@ -803,7 +804,9 @@ def q_column_mapping_id(spark, sf_dir):
         StructField("fx_2", LongType(), True, {"parquet.field.id": 2}),
         StructField("fx_3", DoubleType(), True, {"parquet.field.id": 3}),
     ])
-    foreign = spark.createDataFrame(e.rdd, schema=w_schema)
+    foreign = spark.createDataFrame(
+        e.where(F.col("event_id") % 2 == 0).rdd, schema=w_schema
+    )
     foreign.write.parquet(os.path.join(root, "d"))
     schema = _json.dumps(
         {
@@ -838,6 +841,8 @@ def q_column_mapping_id(spark, sf_dir):
         for a in actions:
             f.write(_json.dumps(a) + "\n")
     t = DeltaTable(root)
+    # round 9: the odd half goes through OUR id-mode writer
+    t.write(e.where(F.col("event_id") % 2 == 1))
     return t.read(spark).where(F.col("event_id") % 3 == 1).select(
         "event_id", "user_id", "value"
     )

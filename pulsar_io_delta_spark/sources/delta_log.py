@@ -26,8 +26,9 @@ Checkpoint parquet files are supported in both layouts:
 start from the newest COMPLETE checkpoint ≤ the target version instead
 of replaying every JSON commit — the O(1) snapshot path a 10⁶-commit
 table needs. Deletion vectors (read + merge-on-read delete_where_dv)
-and name-mode column mapping (read-only) are implemented; 'id'-mode
-mapping and other protocol features fail loudly.
+and column mapping are implemented — name + id mode, reads AND
+writes (round 9: id-mode staging stamps parquet field ids) — with
+other protocol features failing loudly.
 
 All control-plane I/O goes through the ``FileSystem`` shim
 (``sources/fs.py``): local POSIX today, with the S3 commit protocol
@@ -248,8 +249,8 @@ _SUPPORTED_READER_FEATURES = {
 # or checkConstraints must not be mutated by a writer that would
 # silently violate them). appendOnly is enforced through its
 # delta.appendOnly config switch; invariants through a loud gate on
-# delta.invariants schema metadata; columnMapping (name mode) through
-# physical-name staging in _stage_and_move ('id' mode stays loud).
+# delta.invariants schema metadata; columnMapping through physical-name
+# staging in _stage_and_move (id mode additionally stamps field ids).
 _SUPPORTED_WRITER_FEATURES = {
     "deletionVectors",
     "timestampNtz",
@@ -368,8 +369,8 @@ def _dv_upgraded_protocol(prior: dict) -> dict:
 
 def _check_protocol(p: dict) -> None:
     """Gate on the protocol action. minReaderVersion 1 is the legacy
-    reader; 2 is the column-mapping era (the mode itself is validated at
-    scan time — 'name' supported, 'id' loud); 3 uses the table-features
+    reader; 2 is the column-mapping era (the mode itself is validated
+    at scan time — name + id both supported); 3 uses the table-features
     list, checked against what we implement."""
     mrv = int(p.get("minReaderVersion") or 1)
     if mrv <= 2:
@@ -2976,9 +2977,26 @@ class DeltaTable:
         if not mapping:
             return df
         to_phys = {logical: phys for phys, logical in mapping[1]}
-        return df.select(
-            [F.col(c).alias(to_phys.get(c, c)) for c in df.columns]
-        )
+        ids = {
+            f["name"]: int(f["metadata"]["parquet.field.id"])
+            for f in json.loads(mapping[0])["fields"]
+            if "parquet.field.id" in (f.get("metadata") or {})
+        }
+        cols = []
+        for c in df.columns:
+            p = to_phys.get(c, c)
+            if p in ids:
+                # id-mode staging: stamp parquet field ids so an
+                # id-matching reader resolves our files regardless of
+                # column names (JVM parquet writes the ids from column
+                # metadata under fieldId.write.enabled, default on —
+                # distributed, no driver-side pyarrow detour)
+                cols.append(
+                    F.col(c).alias(p, metadata={"parquet.field.id": ids[p]})
+                )
+            else:
+                cols.append(F.col(c).alias(p))
+        return df.select(cols)
 
     @staticmethod
     def _physical_pcols(mapping, pcols: list[str]) -> list[str]:
@@ -3446,9 +3464,12 @@ class DeltaTable:
     def _guard_writable(snap: Snapshot, data_change_removes: bool = True) -> None:
         """Writer-side gates, mirroring _check_protocol (ADVICE r7 #3).
 
-        - 'id'-mode column mapping is read-only (our staging does not
-          emit parquet field ids); name-mode tables are WRITABLE since
-          round 8 via logical → physical staging renames.
+        - column-mapped tables are WRITABLE: name mode since round 8
+          via logical → physical staging renames, id mode since round 9
+          (staging stamps ``parquet.field.id`` on every column — JVM
+          parquet writes them under fieldId.write.enabled, default on).
+          Nested-struct mapped columns stay read-only in BOTH modes
+          (top-level staging renames cannot reach mapped subfields).
         - legacy minWriterVersion 3-6: every implied feature
           (_LEGACY_WRITER_IMPLIED — checkConstraints, changeDataFeed,
           generatedColumns, columnMapping, identityColumns) is
@@ -3463,16 +3484,9 @@ class DeltaTable:
           column invariants (schema-metadata-armed) refuse all writes —
           we do not evaluate them, so committing would skip enforcement.
         """
-        if (snap.configuration or {}).get("delta.columnMapping.mode") == "id":
-            # id-mode files must carry parquet field ids; our staging
-            # writes physical names only — refusing beats emitting files
-            # an id-matching reader cannot resolve. Reads ARE supported.
-            raise DeltaProtocolError(
-                "writes to id-mode column-mapped tables are not supported "
-                "(read-only); name-mode tables are writable"
-            )
         if (
-            (snap.configuration or {}).get("delta.columnMapping.mode") == "name"
+            (snap.configuration or {}).get("delta.columnMapping.mode")
+            in ("name", "id")
             and snap.schema_string
             and any(
                 _contains_struct(f["type"])

@@ -306,12 +306,91 @@ def test_id_mode_read_delta_written_physical_names(spark, tmp_path):
     }
 
 
-def test_id_mode_writes_still_rejected(spark, tmp_path):
-    t = _write_id_mode_table(spark, str(tmp_path / "idm3"), ("p_1", "p_2"))
-    with pytest.raises(DeltaProtocolError, match="id-mode"):
-        t.write(spark.createDataFrame(
-            [(9, 9.0)], "event_id long, value double"
-        ))
+@pytest.mark.parametrize("fs_kind", ["local", "memory"])
+def test_id_mode_write_read_round_trip(spark, tmp_path, fs_kind):
+    """Round 9 (VERDICT r8 #4): writes to id-mode tables. The table's
+    existing FOREIGN file stores column names that match NEITHER
+    logical nor physical names (id-matching only); our append stages
+    physical names WITH stamped parquet field ids — both files resolve
+    by id in one scan, on both FS backends."""
+    import pyarrow.parquet as pq_mod
+
+    from pulsar_io_delta_spark.sources.fs import InMemoryFileSystem
+
+    root = str(tmp_path / "idm3")
+    t = _write_id_mode_table(spark, root, ("alien_a", "alien_b"))
+    v = t.write(spark.createDataFrame(
+        [(9, 9.0), (10, 10.5)], "event_id long, value double"
+    ).coalesce(1))
+    assert v == 1
+    if fs_kind == "memory":
+        # data staging is a local/shared-FS concern; the object-store
+        # backend takes CONTROL-plane commits — mirror the log into the
+        # shim and resolve the id-mode table through it
+        mem = InMemoryFileSystem()
+        mem.makedirs(os.path.join(root, "_delta_log"))
+        for fn in os.listdir(os.path.join(root, "_delta_log")):
+            with open(os.path.join(root, "_delta_log", fn)) as f:
+                mem.write_text(os.path.join(root, "_delta_log", fn), f.read())
+        t = DeltaTable(root, fs=mem)
+    got = {(r.event_id, r.value) for r in t.read(spark).collect()}
+    assert got == {(i, float(i)) for i in range(6)} | {(9, 9.0), (10, 10.5)}
+    # the staged file carries PHYSICAL names AND parquet field ids
+    new_rel = [p for p in t.snapshot().files if not p.startswith("d/")]
+    assert len(new_rel) == 1
+    sch = pq_mod.ParquetFile(os.path.join(root, new_rel[0])).schema_arrow
+    names = {f.name for f in sch}
+    assert names == {"p_1", "p_2"}
+    ids = {
+        f.name: f.metadata.get(b"PARQUET:field_id") for f in sch
+    }
+    assert ids == {"p_1": b"1", "p_2": b"2"}
+    # a third engine matching PURELY by id (different names again)
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    alien = StructType([
+        StructField("x_1", LongType(), True, {"parquet.field.id": 1}),
+        StructField("x_2", DoubleType(), True, {"parquet.field.id": 2}),
+    ])
+    by_id = spark.read.schema(alien).parquet(os.path.join(root, new_rel[0]))
+    assert {(r.x_1, r.x_2) for r in by_id.collect()} == {(9, 9.0), (10, 10.5)}
+
+
+def test_id_mode_nested_writes_still_rejected(spark, tmp_path):
+    """id-mode tables with mapped NESTED struct columns stay read-only
+    (the staging rename cannot reach subfields) — loud, not silent."""
+    root = str(tmp_path / "idn")
+    nested_schema = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "event_id", "type": "long", "nullable": True,
+                 "metadata": {"delta.columnMapping.id": 1,
+                              "delta.columnMapping.physicalName": "p_1"}},
+                {"name": "info", "nullable": True,
+                 "metadata": {"delta.columnMapping.id": 2,
+                              "delta.columnMapping.physicalName": "p_2"},
+                 "type": {"type": "struct", "fields": [
+                     {"name": "a", "type": "long", "nullable": True,
+                      "metadata": {"delta.columnMapping.id": 3,
+                                   "delta.columnMapping.physicalName": "p_3"}},
+                 ]}},
+            ],
+        }
+    )
+    os.makedirs(os.path.join(root, "_delta_log"))
+    actions = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {"id": "idn", "schemaString": nested_schema,
+                      "partitionColumns": [],
+                      "configuration": {"delta.columnMapping.mode": "id"}}},
+    ]
+    with open(os.path.join(root, "_delta_log", f"{0:020d}.json"), "w") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+    t = DeltaTable(root)
+    with pytest.raises(DeltaProtocolError, match="nested"):
+        t.write(spark.createDataFrame([(1, (2,))], "event_id long, info struct<a:long>"))
 
 
 def test_nested_struct_mapping_read(spark, tmp_path):
