@@ -522,8 +522,9 @@ def q_checkpoint_v2(spark, sf_dir):
     v2Checkpoint feature, takes a DV delete, checkpoints — checkpoint()
     auto-selects the UUID-named v2 form because the protocol demands it
     — and then the whole JSON history expires. The final read is served
-    ENTIRELY from the v2 checkpoint: live adds, the DV descriptor, and
-    the table-features protocol all survive expiry.
+    ENTIRELY from the v2 checkpoint: live adds (sharded into sidecar
+    parquet files since round 9), the DV descriptor, and the
+    table-features protocol all survive expiry.
 
     Scale shape: checkpoint bootstrap is O(live files), not O(commits)
     — the difference between opening a 10^6-commit table in seconds vs
@@ -550,7 +551,11 @@ def q_checkpoint_v2(spark, sf_dir):
         read_version=snap.version,
     )
     t.delete_where_dv(spark, "event_id % 9 = 4")
-    v = t.checkpoint()  # auto-v2: the protocol demands it
+    # auto-v2 (the protocol demands it), file actions sharded into
+    # _sidecars/*.parquet (round 9: our writer produces the sidecar
+    # form too — the no-unbounded-manifest layout a 10^6-file table
+    # needs; the reader reassembles them columnar)
+    v = t.checkpoint(sidecars=2)
     t.expire_log()
     # the log is now checkpoint-only; bootstrap must come from v2
     t2 = DeltaTable(root)
@@ -558,6 +563,8 @@ def q_checkpoint_v2(spark, sf_dir):
         raise AssertionError("expiry left JSON commits behind")
     if t2.checkpoint_versions() != [v]:
         raise AssertionError("v2 checkpoint not discovered after expiry")
+    if not t2.fs.listdir(os.path.join(t2.log_dir, "_sidecars")):
+        raise AssertionError("sidecar shards missing")
     return t2.read(spark).select("event_id", "event_type", "value")
 
 

@@ -70,6 +70,12 @@ class DeltaProtocolError(Exception):
 # hidden driver-side collect (VERDICT r8 watch item #2).
 _DV_DRIVER_SHIM_MAX_ROWS = 2_000_000
 
+# V2 checkpoints shard their file actions into _sidecars/*.parquet once
+# the live-file count passes this bound (and aim for about this many
+# adds per sidecar) — no single manifest grows unboundedly on a
+# 10^5-10^6-file table (Delta PROTOCOL.md "V2 Spec Checkpoints").
+_V2_SIDECAR_AUTO_ROWS = 50_000
+
 
 class DeltaConstraintViolation(Exception):
     """A write's rows violate a CHECK constraint stored in table
@@ -1545,7 +1551,11 @@ class DeltaTable:
     # ---------- checkpoints (O(1) snapshot for long logs) ----------
 
     def checkpoint(
-        self, version: int | None = None, parts: int = 1, v2: bool = False
+        self,
+        version: int | None = None,
+        parts: int = 1,
+        v2: bool = False,
+        sidecars: int | None = None,
     ) -> int:
         """Collapse replay state through ``version`` (default latest)
         into a parquet checkpoint + ``_last_checkpoint``. Carries live
@@ -1566,7 +1576,7 @@ class DeltaTable:
         if v2 or "v2Checkpoint" in (snap.protocol.get("writerFeatures") or ()):
             # a table whose protocol demands v2Checkpoint MUST get v2
             # checkpoints (spec: classic checkpoints are forbidden there)
-            return self._checkpoint_v2(v, snap)
+            return self._checkpoint_v2(v, snap, sidecars=sidecars)
         rows: list[dict] = [
             {
                 "action_type": "metaData",
@@ -1654,14 +1664,17 @@ class DeltaTable:
         )
         return v
 
-    def _checkpoint_v2(self, v: int, snap: Snapshot) -> int:
+    def _checkpoint_v2(self, v: int, snap: Snapshot, sidecars: int | None = None) -> int:
         """V2 spec checkpoint (Delta PROTOCOL.md "V2 Spec Checkpoints"):
-        a UUID-named ``<v>.checkpoint.<uuid>.json`` file carrying
-        checkpointMetadata + protocol + metaData + txns + file actions
-        INLINE (the spec's sidecar indirection is an option, not a
-        requirement, for the json form). The reader side also accepts
-        parquet v2 checkpoints with ``_sidecars/`` files — see
-        _load_checkpoint."""
+        a UUID-named ``<v>.checkpoint.<uuid>.json`` manifest carrying
+        checkpointMetadata + protocol + metaData + txns, with file
+        actions either INLINE or sharded into ``_sidecars/*.parquet``
+        (spec-layout ``add`` struct rows) referenced by ``sidecar``
+        actions. ``sidecars`` forces a shard count; by default the
+        writer shards automatically once the live-file count exceeds
+        `_V2_SIDECAR_AUTO_ROWS` — the layout a real large-file-count
+        table needs so no single manifest grows unboundedly (round 9,
+        VERDICT r8 #9; the reader has consumed both forms since r8)."""
         actions: list[dict] = [
             {"checkpointMetadata": {"version": v}},
             {"protocol": dict(snap.protocol)},
@@ -1675,25 +1688,35 @@ class DeltaTable:
                 }
             },
         ]
+        file_actions: list[dict] = []
         for path in snap.files:
+            a = snap.adds.get(path, {})
             add = {
                 "path": path,
-                "partitionValues": snap.partition_values.get(path, {}),
-                "size": int(snap.adds.get(path, {}).get("size") or 0),
-                "modificationTime": snap.add_times.get(path, 0),
+                "partitionValues": a.get("partitionValues", {}),
+                "size": int(a.get("size") or 0),
+                "modificationTime": int(a.get("modificationTime", 0) or 0),
                 "dataChange": False,
             }
-            if snap.adds.get(path, {}).get("stats"):
-                add["stats"] = snap.adds[path]["stats"]
-            dv = snap.adds.get(path, {}).get("deletionVector")
+            if a.get("stats"):
+                add["stats"] = a["stats"]
+            dv = a.get("deletionVector")
             if dv:
                 add["deletionVector"] = dv
             # row-tracking identity must survive log expiry — a
             # checkpoint that dropped baseRowId would renumber the table
             for k in ("baseRowId", "defaultRowCommitVersion"):
-                if k in snap.adds.get(path, {}):
-                    add[k] = snap.adds[path][k]
-            actions.append({"add": add})
+                if k in a:
+                    add[k] = a[k]
+            file_actions.append(add)
+        if sidecars is None and len(file_actions) > _V2_SIDECAR_AUTO_ROWS:
+            sidecars = -(-len(file_actions) // _V2_SIDECAR_AUTO_ROWS)
+        if sidecars and sidecars > 0 and file_actions:
+            actions.extend(
+                self._write_sidecars(file_actions, sidecars)
+            )
+        else:
+            actions.extend({"add": add} for add in file_actions)
         for app_id, txn_v in self._txns_through(v).items():
             actions.append({"txn": {"appId": app_id, "version": txn_v}})
         for dm in snap.domain_metadata.values():
@@ -1708,6 +1731,82 @@ class DeltaTable:
             json.dumps({"version": v, "parts": 1}),
         )
         return v
+
+    def _write_sidecars(self, adds: list[dict], k: int) -> list[dict]:
+        """Shard ``adds`` into ``k`` spec-layout sidecar parquet files
+        under ``_delta_log/_sidecars/`` and return the ``sidecar``
+        actions referencing them. Each sidecar holds one nested ``add``
+        struct column — exactly the shape delta-spark writes and our
+        reader's ``split_spec`` already consumes columnar."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        dv_type = pa.struct(
+            [
+                ("storageType", pa.string()),
+                ("pathOrInlineDv", pa.string()),
+                ("offset", pa.int32()),
+                ("sizeInBytes", pa.int32()),
+                ("cardinality", pa.int64()),
+                ("maxRowIndex", pa.int64()),
+            ]
+        )
+        add_type = pa.struct(
+            [
+                ("path", pa.string()),
+                ("partitionValues", pa.map_(pa.string(), pa.string())),
+                ("size", pa.int64()),
+                ("modificationTime", pa.int64()),
+                ("dataChange", pa.bool_()),
+                ("stats", pa.string()),
+                ("deletionVector", dv_type),
+                ("baseRowId", pa.int64()),
+                ("defaultRowCommitVersion", pa.int64()),
+            ]
+        )
+        side_dir = os.path.join(self.log_dir, "_sidecars")
+        self.fs.makedirs(side_dir)
+        out: list[dict] = []
+        k = min(k, len(adds))
+        for i in range(k):
+            chunk = adds[i::k]
+            rows = []
+            for a in chunk:
+                dv = a.get("deletionVector")
+                rows.append(
+                    {
+                        "path": a["path"],
+                        "partitionValues": list(
+                            (a.get("partitionValues") or {}).items()
+                        ),
+                        "size": int(a.get("size") or 0),
+                        "modificationTime": int(a.get("modificationTime") or 0),
+                        "dataChange": False,
+                        "stats": a.get("stats"),
+                        "deletionVector": {
+                            f.name: dv.get(f.name) for f in dv_type
+                        }
+                        if dv
+                        else None,
+                        "baseRowId": a.get("baseRowId"),
+                        "defaultRowCommitVersion": a.get("defaultRowCommitVersion"),
+                    }
+                )
+            tbl = pa.table({"add": pa.array(rows, type=add_type)})
+            sname = f"{uuid.uuid4()}.parquet"
+            spath = os.path.join(side_dir, sname)
+            with self.fs.open_write(spath) as f:
+                pq.write_table(tbl, f)
+            out.append(
+                {
+                    "sidecar": {
+                        "path": sname,
+                        "sizeInBytes": self.fs.size(spath),
+                        "modificationTime": self.fs.mtime_ms(spath),
+                    }
+                }
+            )
+        return out
 
     def _load_checkpoint(self, version: int) -> dict:
         """Parse the checkpoint at ``version`` into replay-base state.

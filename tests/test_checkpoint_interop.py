@@ -289,6 +289,72 @@ def test_v2_auto_selected_when_protocol_demands(spark, tmp_path):
     assert DeltaTable(t.path).read(spark).count() == 6
 
 
+def test_v2_sidecar_writing_roundtrip(spark, tmp_path):
+    """Round 9 (VERDICT r8 #9): OUR writer shards V2 checkpoint file
+    actions into _sidecars/*.parquet. The manifest carries sidecar refs
+    and NO inline adds; the reader reassembles the snapshot (stats, DV
+    descriptors, txns included) after full log expiry."""
+    t = DeltaTable(str(tmp_path / "t"))
+    for s in (0, 20, 40):
+        t.write(_events(spark, 20, start=s).coalesce(1), txn=("app-1", s))
+    t.delete_where_dv(spark, "event_id < 4")
+    pre = t.snapshot()
+    v = t.checkpoint(v2=True, sidecars=2)
+    (name,) = [n for n in os.listdir(t.log_dir) if _parse_v2_checkpoint_name(n)]
+    manifest = [
+        json.loads(line)
+        for line in open(os.path.join(t.log_dir, name))
+        if line.strip()
+    ]
+    side_refs = [a for a in manifest if "sidecar" in a]
+    assert len(side_refs) == 2
+    assert not any("add" in a for a in manifest)  # nothing inline
+    side_files = os.listdir(os.path.join(t.log_dir, "_sidecars"))
+    assert {r["sidecar"]["path"] for r in side_refs} <= set(side_files)
+    # sidecars are spec-layout parquet our own split_spec consumes
+    st = pq.read_table(
+        os.path.join(t.log_dir, "_sidecars", side_refs[0]["sidecar"]["path"])
+    )
+    assert "add" in st.column_names
+    _expire_json_le(t, v)
+    t2 = DeltaTable(t.path)
+    snap2 = t2.snapshot()
+    assert snap2.files == pre.files
+    for p in pre.files:
+        assert snap2.adds[p].get("stats") == pre.adds[p].get("stats")
+        assert snap2.adds[p].get("deletionVector") == pre.adds[p].get(
+            "deletionVector"
+        )
+    assert {r.event_id for r in t2.read(spark).collect()} == set(range(4, 60))
+    assert t2.last_txn_version("app-1") == 40
+    # data skipping works off the sidecar-fed columnar index
+    kept = t2.prune_files(snap2, [("event_id", ">=", 40)])
+    assert kept == t2._prune_files_scalar(snap2, [("event_id", ">=", 40)])
+    assert 0 < len(kept) < len(snap2.files)
+
+
+def test_v2_sidecar_auto_sharding(spark, tmp_path, monkeypatch):
+    """Above the auto threshold checkpoint(v2=True) shards without
+    being asked — the no-unbounded-manifest guarantee."""
+    import pulsar_io_delta_spark.sources.delta_log as dl
+
+    monkeypatch.setattr(dl, "_V2_SIDECAR_AUTO_ROWS", 2)
+    t = DeltaTable(str(tmp_path / "t"))
+    for s in (0, 10, 20, 30, 40):
+        t.write(_events(spark, 10, start=s).coalesce(1))
+    v = t.checkpoint(v2=True)
+    (name,) = [n for n in os.listdir(t.log_dir) if _parse_v2_checkpoint_name(n)]
+    manifest = [
+        json.loads(line)
+        for line in open(os.path.join(t.log_dir, name))
+        if line.strip()
+    ]
+    assert not any("add" in a for a in manifest)
+    assert len([a for a in manifest if "sidecar" in a]) == 3  # ceil(5/2)
+    _expire_json_le(t, v)
+    assert DeltaTable(t.path).read(spark).count() == 50
+
+
 def test_v2_checkpoint_name_parser_rejects_non_uuid():
     assert _parse_v2_checkpoint_name("00000000000000000001.checkpoint.parquet") is None
     assert _parse_v2_checkpoint_name(
