@@ -465,11 +465,15 @@ def _encode_component_blocks(writer, blocks_q, dc_table, ac_table):
             writer.write(hc, hl)  # EOB
 
 
-def _blocks_of(plane: np.ndarray) -> np.ndarray:
-    """(h, w) image plane (multiple-of-8 padded) → (n, 8, 8) blocks in
-    raster order."""
+def _blocks_of(plane: np.ndarray, ph: int | None = None, pw: int | None = None) -> np.ndarray:
+    """(h, w) image plane → (n, 8, 8) blocks in raster order, edge-
+    replicate padded to (ph, pw) (default: next multiple of 8 — pass
+    MCU-aligned dims for a subsampled frame's luma grid)."""
     h, w = plane.shape
-    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    if ph is None:
+        ph = -(-h // 8) * 8
+    if pw is None:
+        pw = -(-w // 8) * 8
     padded = np.empty((ph, pw), dtype=np.float64)
     padded[:h, :w] = plane
     padded[h:, :w] = plane[-1:, :]
@@ -479,16 +483,48 @@ def _blocks_of(plane: np.ndarray) -> np.ndarray:
     )
 
 
-def encode_jpeg(img: np.ndarray) -> bytes:
+def _box_downsample(plane: np.ndarray, fx: int, fy: int) -> np.ndarray:
+    """fx×fy box-average chroma downsample with edge replication for
+    odd dimensions (the standard 4:2:0 / 4:2:2 subsampling filter)."""
+    h, w = plane.shape
+    ph, pw = -(-h // fy) * fy, -(-w // fx) * fx
+    padded = np.empty((ph, pw), dtype=np.float64)
+    padded[:h, :w] = plane
+    padded[h:, :w] = plane[-1:, :]
+    padded[:, w:] = padded[:, w - 1 : w]
+    return padded.reshape(ph // fy, fy, pw // fx, fx).mean(axis=(1, 3))
+
+
+def _quantize_plane(plane: np.ndarray, qt: np.ndarray, ph=None, pw=None) -> np.ndarray:
+    coefs = dct_blocks(_blocks_of(plane, ph, pw) - 128.0)
+    # quantization table arrives in zigzag order (as stored in DQT);
+    # place it in natural order for the divide, zigzag the result
+    natural_qt = np.empty(64, dtype=np.int64)
+    natural_qt[ZIGZAG] = qt
+    qblocks = np.round(coefs.reshape(-1, 64) / natural_qt).astype(np.int64)
+    return qblocks[:, ZIGZAG]  # to zigzag order
+
+
+_SUBSAMPLING = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}
+
+
+def encode_jpeg(img: np.ndarray, subsampling: str = "444") -> bytes:
     """Encode (h, w) grayscale or (h, w, 3) RGB uint8 as baseline JPEG
-    (4:4:4, Annex K quantization + typical Huffman tables)."""
+    (Annex K quantization + typical Huffman tables). ``subsampling``:
+    '444' (full chroma), '422' (2×1), or '420' (2×2 — the most common
+    real-world layout; round 9, VERDICT r8 #10). Grayscale ignores it."""
     img = np.asarray(img)
     gray = img.ndim == 2
     h, w = img.shape[:2]
     if h == 0 or w == 0 or h > 65535 or w > 65535:
         raise JpegFormatError(f"unencodable dimensions {h}x{w}")
+    if subsampling not in _SUBSAMPLING:
+        raise JpegFormatError(f"unsupported subsampling {subsampling!r}")
+    sh, sv = (1, 1) if gray else _SUBSAMPLING[subsampling]
+    mcux = -(-w // (8 * sh))
+    mcuy = -(-h // (8 * sv))
     if gray:
-        planes = [img.astype(np.float64)]
+        quantized = [_quantize_plane(img.astype(np.float64), QUANT_LUMA)]
     else:
         rf = img[:, :, 0].astype(np.float64)
         gf = img[:, :, 1].astype(np.float64)
@@ -496,17 +532,15 @@ def encode_jpeg(img: np.ndarray) -> bytes:
         y = 0.299 * rf + 0.587 * gf + 0.114 * bf
         cb = 128.0 - 0.168736 * rf - 0.331264 * gf + 0.5 * bf
         cr = 128.0 + 0.5 * rf - 0.418688 * gf - 0.081312 * bf
-        planes = [y, cb, cr]
-    qts = [QUANT_LUMA] + ([] if gray else [QUANT_CHROMA, QUANT_CHROMA])
-    quantized = []
-    for plane, qt in zip(planes, qts):
-        coefs = dct_blocks(_blocks_of(plane) - 128.0)
-        # quantization table arrives in zigzag order (as stored in DQT);
-        # place it in natural order for the divide, zigzag the result
-        natural_qt = np.empty(64, dtype=np.int64)
-        natural_qt[ZIGZAG] = qt
-        qblocks = np.round(coefs.reshape(-1, 64) / natural_qt).astype(np.int64)
-        quantized.append(qblocks[:, ZIGZAG])  # to zigzag order
+        if (sh, sv) != (1, 1):
+            cb = _box_downsample(cb, sh, sv)
+            cr = _box_downsample(cr, sh, sv)
+        # luma pads to the MCU grid; chroma to its own 8-multiple grid
+        quantized = [
+            _quantize_plane(y, QUANT_LUMA, mcuy * 8 * sv, mcux * 8 * sh),
+            _quantize_plane(cb, QUANT_CHROMA, mcuy * 8, mcux * 8),
+            _quantize_plane(cr, QUANT_CHROMA, mcuy * 8, mcux * 8),
+        ]
     out = bytearray(b"\xff\xd8")  # SOI
 
     def seg(marker: int, body: bytes) -> None:
@@ -521,7 +555,8 @@ def encode_jpeg(img: np.ndarray) -> bytes:
     ncomp = 1 if gray else 3
     sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([ncomp])
     for i in range(ncomp):
-        sof += bytes([i + 1, 0x11, 0 if i == 0 else 1])  # 4:4:4
+        hv = (sh << 4) | sv if i == 0 else 0x11
+        sof += bytes([i + 1, hv, 0 if i == 0 else 1])
     seg(0xC0, sof)
 
     def dht(tc: int, th: int, bits: list[int], vals: list[int]) -> None:
@@ -547,48 +582,51 @@ def encode_jpeg(img: np.ndarray) -> bytes:
         _build_encode_table(_AC_LUMA_BITS, _AC_LUMA_VALS),
         _build_encode_table(_AC_CHROMA_BITS, _AC_CHROMA_VALS),
     ]
-    # 4:4:4 ⇒ every component has the same block grid; MCU interleave is
-    # one block per component in raster order
-    n_blocks = quantized[0].shape[0]
-    if any(qb.shape[0] != n_blocks for qb in quantized):
-        raise JpegFormatError("component block grids diverged")
+    def write_block(zz, pred: int, t: int) -> int:
+        diff = int(zz[0]) - pred
+        size, code = _magnitude(diff)
+        hc, hl = dc_enc[t][size]
+        writer.write(hc, hl)
+        writer.write(code, size)
+        run = 0
+        last_nz = 0
+        for k in range(63, 0, -1):
+            if zz[k] != 0:
+                last_nz = k
+                break
+        for k in range(1, last_nz + 1):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                hc, hl = ac_enc[t][0xF0]
+                writer.write(hc, hl)
+                run -= 16
+            size, code = _magnitude(v)
+            hc, hl = ac_enc[t][(run << 4) | size]
+            writer.write(hc, hl)
+            writer.write(code, size)
+            run = 0
+        if last_nz < 63:
+            hc, hl = ac_enc[t][0x00]
+            writer.write(hc, hl)
+        return int(zz[0])
+
     if gray:
         _encode_component_blocks(writer, quantized[0], dc_enc[0], ac_enc[0])
     else:
+        # MCU interleave: sh×sv luma blocks then one block per chroma
+        # component, raster MCU order (T.81 A.2.3)
+        comps = [(0, sh, sv, mcux * sh), (1, 1, 1, mcux), (1, 1, 1, mcux)]
         preds = [0, 0, 0]
-        for bi in range(n_blocks):
-            for ci in range(3):
-                zz = quantized[ci][bi]
-                t = 0 if ci == 0 else 1
-                diff = int(zz[0]) - preds[ci]
-                preds[ci] = int(zz[0])
-                size, code = _magnitude(diff)
-                hc, hl = dc_enc[t][size]
-                writer.write(hc, hl)
-                writer.write(code, size)
-                run = 0
-                last_nz = 0
-                for k in range(63, 0, -1):
-                    if zz[k] != 0:
-                        last_nz = k
-                        break
-                for k in range(1, last_nz + 1):
-                    v = int(zz[k])
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        hc, hl = ac_enc[t][0xF0]
-                        writer.write(hc, hl)
-                        run -= 16
-                    size, code = _magnitude(v)
-                    hc, hl = ac_enc[t][(run << 4) | size]
-                    writer.write(hc, hl)
-                    writer.write(code, size)
-                    run = 0
-                if last_nz < 63:
-                    hc, hl = ac_enc[t][0x00]
-                    writer.write(hc, hl)
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci, (t, ch, cv, bw) in enumerate(comps):
+                    for by in range(cv):
+                        for bx in range(ch):
+                            bi = (my * cv + by) * bw + mx * ch + bx
+                            preds[ci] = write_block(quantized[ci][bi], preds[ci], t)
     writer.flush()
     out.extend(writer.out)
     out.extend(b"\xff\xd9")  # EOI

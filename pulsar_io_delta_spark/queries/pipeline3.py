@@ -1497,8 +1497,16 @@ def q_multimodal_jpeg(spark, sf_dir):
     path resize_images uses for JPEG) plants a solid grayscale JPEG per
     document with level/width/height derived from doc_id; the pure-numpy
     DECODER (operators/jpeg.py: marker parse, Huffman entropy decode,
-    dequant, IDCT, 4:4:4 assembly) inside decode_images(fake=False)
-    recovers the gray level exactly from the channel-mean feature.
+    dequant, IDCT, chroma upsample + assembly) inside
+    decode_images(fake=False) recovers the gray level exactly from the
+    channel-mean feature.
+
+    Round 9 (VERDICT r8 #10): ODD doc_ids plant the same level as a
+    3-component 4:2:0 CHROMA-SUBSAMPLED JPEG (R=G=B ⇒ Y=level, chroma
+    ≡ 128 whose DC quantizes to exactly 0 — so the decode stays
+    hash-exact while exercising the real 2×2 MCU interleave, box
+    downsample, and nearest-neighbor upsample paths under the SAME
+    oracle). Even doc_ids keep the single-component grayscale form.
 
     Closes the last environment-bound multimodal waiver (VERDICT r6 #7 /
     r7 #8: compressed-codec decode previously gated on PIL). Scale
@@ -1522,9 +1530,13 @@ def q_multimodal_jpeg(spark, sf_dir):
                 i = int(doc_id)
                 w, h = 9 + i % 9, 9 + (i * 3) % 9
                 level = 128 + 2 * ((i % 48) - 24)
-                payloads.append(
-                    encode_jpeg(np.full((h, w), level, dtype=np.uint8))
-                )
+                if i % 2:
+                    img = np.full((h, w, 3), level, dtype=np.uint8)
+                    payloads.append(encode_jpeg(img, subsampling="420"))
+                else:
+                    payloads.append(
+                        encode_jpeg(np.full((h, w), level, dtype=np.uint8))
+                    )
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].values,
