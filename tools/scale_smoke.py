@@ -177,7 +177,67 @@ def metadata_axis(n_files: int) -> None:
     shutil.rmtree(os.path.dirname(root), ignore_errors=True)
 
 
+def fuzzy_axis(multipliers: list[int]) -> None:
+    """Targeted fuzzy_pairs re-measure (round 9, VERDICT r8 #6 /
+    PERF.md's own commitment): the 10× point rose ~1.9× in per-row
+    cost, explained as a one-time broadcast→shuffle strategy step —
+    this runs the same shape at 1×/10×/20× so the step hypothesis is
+    testable (flat 10×→20× = step; rising = real superlinearity)."""
+    from pulsar_io_delta_spark.session import get_spark
+    from pulsar_io_delta_spark.tables import table
+
+    spark = get_spark(app_name="fuzzy-axis")
+    spark.sparkContext.setLogLevel("ERROR")
+    sf = "/root/testdata/sf0.1"
+    docs = table(spark, sf, "documents").select("doc_id", "text")
+    n_docs = docs.count()
+
+    def blow_docs(df, n):
+        reps = F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias("_rep")
+        return df.select("*", reps).select(
+            (F.col("doc_id") + F.col("_rep") * 100_000_000).alias("doc_id"),
+            F.concat(
+                F.lit("v"), F.col("_rep").cast("string"), F.lit(" "), F.col("text")
+            ).alias("text"),
+        )
+
+    def fuzzy(df):
+        b = df.select(
+            "doc_id",
+            F.concat_ws(" ", F.slice(F.split("text", " "), 1, 3)).alias("blk"),
+            F.substring("text", 1, 40).alias("probe"),
+        )
+        a, c = b.alias("a"), b.alias("c")
+        return (
+            a.join(
+                c,
+                (F.col("a.blk") == F.col("c.blk"))
+                & (F.col("a.doc_id") < F.col("c.doc_id")),
+            )
+            .where(F.levenshtein(F.col("a.probe"), F.col("c.probe")) <= 10)
+            .select(F.col("a.doc_id").alias("id_a"), F.col("c.doc_id").alias("id_b"))
+        )
+
+    for mult in multipliers:
+        df = docs if mult == 1 else blow_docs(docs, mult)
+        rows = n_docs * mult
+        fuzzy(df).write.mode("overwrite").format("noop").save()  # warm
+        t0 = time.time()
+        fuzzy(df).write.mode("overwrite").format("noop").save()
+        dt = time.time() - t0
+        print(
+            f"{'fuzzy_pairs':11s} {mult}x rows={rows:>9,d} wall={dt:6.2f}s "
+            f"ns/row={dt/rows*1e9:8.1f}"
+        )
+    spark.stop()
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "fuzzy":
+        fuzzy_axis(
+            [int(x) for x in sys.argv[2:]] if len(sys.argv) > 2 else [1, 10, 20]
+        )
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "metadata":
         for n in (
             [int(x) for x in sys.argv[2:]] if len(sys.argv) > 2 else [10_000, 100_000, 1_000_000]
