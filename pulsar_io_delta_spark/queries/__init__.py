@@ -421,7 +421,7 @@ promote(
 #     and the r4/r5-green relational singles.
 # Rotating behind: the r6/r7-green blocks — freshly hard-verified,
 # unmodified this round.
-WINDOW_MUST_INCLUDE = [
+_R8_WINDOW = [
     # (a) new this round
     "q_dv_read",
     "q_column_mapping_read",
@@ -500,5 +500,84 @@ WINDOW_MUST_INCLUDE = [
     # q_struct_funcs / q_regex_funcs / q_except / q_intersect rotate
     # out to make room for the ten new round-8 queries — r5-green,
     # unmodified, judge-gate green on current fixtures)
+]
+promote(_R8_WINDOW, after="q_stream_tumbling")
+
+# Round-9 window (slots 1-49 after the q_stream_tumbling canary),
+# composed per the r8 verdict's rotation policy — changed-in-r9 first,
+# then oldest-latest-driver-row ascending:
+# (a) the four queries whose SEMANTICS/fixtures changed this round:
+#     q_nested_mapping (array-of-struct mapping), q_column_mapping_id
+#     (id-mode writes), q_checkpoint_v2 (sidecar writing),
+#     q_multimodal_jpeg (4:2:0 mix);
+# (b) ten representatives of the COLUMNAR METADATA PLANE rewrite
+#     (snapshot replay + data skipping are new code under every delta
+#     read — behavior parity-tested, but these earn fresh hard rows
+#     across the distinct consumer shapes: plain scan, stats prune,
+#     z-order prune, DV store, multi-part checkpoint + expiry,
+#     checkpoint writer, log compaction replay, clone's absolute-path
+#     adds, row-tracking fields, mapped writes);
+# (c) the stalest driver rows: the whole r1 block (9), the whole r3
+#     block (21), and the five highest-traffic r4 singles that fit.
+# Rotating behind: the r7/r8-green blocks (fresh hard rows,
+# unmodified semantics) and the rest of the r4/r5 blocks — next
+# round's (c) pool. 62 queries currently hold rows older than 4
+# rounds; 35 rotate in now, the remainder (r4 TPC-H singles) lead the
+# r10 (c) pool.
+WINDOW_MUST_INCLUDE = [
+    # (a) changed this round
+    "q_nested_mapping",
+    "q_column_mapping_id",
+    "q_checkpoint_v2",
+    "q_multimodal_jpeg",
+    # (b) columnar-metadata-plane representatives
+    "q_snapshot_scan",
+    "q_time_travel_filter",
+    "q_zorder_scan",
+    "q_dv_read",
+    "q_log_lifecycle",
+    "q_compact_roundtrip",
+    "q_log_compaction",
+    "q_clone_shallow",
+    "q_row_tracking",
+    "q_column_mapping_write",
+    # (c) r1 block — the oldest rows in the registry
+    "q_agg_variance",
+    "q_array_funcs",
+    "q_date_funcs",
+    "q_join_cross",
+    "q_join_full",
+    "q_join_left",
+    "q_join_right",
+    "q_math_funcs",
+    "q_null_funcs",
+    # (c) r3 block
+    "q_date_funcs2",
+    "q_decontaminate",
+    "q_dedup_hash",
+    "q_domain_cap",
+    "q_minmax_scale",
+    "q_pack_sequences",
+    "q_pivot",
+    "q_quality_filter",
+    "q_repetition_metrics",
+    "q_sample_hash",
+    "q_sim_topk",
+    "q_split_assign",
+    "q_sql_conditional_agg",
+    "q_sql_in_subquery",
+    "q_stream_stateful_count",
+    "q_string_funcs2",
+    "q_text_redact",
+    "q_text_stats",
+    "q_text_token_count",
+    "q_udtf_tokens",
+    "q_window_variants",
+    # (c) highest-traffic r4 singles that fit
+    "q_agg_groupby",
+    "q_agg_distinct",
+    "q_dedup_near",
+    "q_dedup_minhash",
+    "q_join_broadcast",
 ]
 promote(WINDOW_MUST_INCLUDE, after="q_stream_tumbling")
