@@ -7,9 +7,14 @@ this environment. Baseline-sequential JPEG (ITU-T T.81 / ISO 10918-1,
 the overwhelming majority of real-world JPEG files) is implemented here
 from the public spec:
 
-- marker parse: SOI / APPn / COM / DQT / SOF0-SOF1 / DHT / DRI / SOS /
-  EOI; progressive (SOF2) and arithmetic-coded (SOF9+) files fail
+- marker parse: SOI / APPn / COM / DQT / SOF0-SOF2 / DHT / DRI / SOS /
+  EOI; arithmetic-coded (SOF9+) / hierarchical / 12-bit files fail
   loudly — a silently wrong decode would poison image features;
+- PROGRESSIVE (SOF2) decode (round 9): all four scan kinds of T.81
+  Annex G — DC first / DC successive-approximation refine (raw bits),
+  AC spectral-selection first and AC refine with EOB-run accumulation
+  and correction bits — over persistent per-component coefficient
+  stores, dequantized + IDCT'd once at EOI;
 - canonical Huffman decode of the entropy stream (0xFF00 unstuffing,
   RSTn restart handling with DC-predictor reset);
 - dequantization, zigzag inverse, exact float 8×8 IDCT (separable
@@ -18,9 +23,12 @@ from the public spec:
 - nearest-neighbor chroma upsampling for 4:2:0 / 4:2:2 / 4:4:4, BT.601
   YCbCr→RGB.
 
-The encoder (baseline, 4:4:4, Annex K example quantization + typical
-Huffman tables) exists so the pipeline can RE-EMIT images (resize →
-re-encode) and so tests can plant JPEG fixtures without PIL: a
+The encoder (baseline or progressive, Annex K example quantization;
+baseline uses the typical Huffman tables, progressive generates
+OPTIMIZED per-scan Huffman tables via the T.81 K.2 two-pass algorithm
+— the typical AC tables lack the EOBn run symbols progressive needs)
+exists so the pipeline can RE-EMIT images (resize → re-encode) and so
+tests can plant JPEG fixtures without PIL: a
 grayscale solid-color block whose level-shifted DC is a multiple of the
 DC quantization step round-trips EXACTLY, which is what makes a
 hash-exact DuckDB oracle over real JPEG decode possible
@@ -235,8 +243,8 @@ def _extend(v: int, size: int) -> int:
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline-sequential JPEG → (h, w, 3) uint8 RGB (grayscale input
-    is replicated to 3 channels). Loud on progressive / arithmetic /
+    """Baseline-sequential or progressive JPEG → (h, w, 3) uint8 RGB
+    (grayscale input is replicated to 3 channels). Loud on arithmetic /
     12-bit / hierarchical modes."""
     if payload[:2] != b"\xff\xd8":
         raise JpegFormatError("not a JPEG (missing SOI)")
@@ -245,6 +253,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     htables: dict[tuple[int, int], dict] = {}  # (class, id) -> decode table
     frame = None
     restart_interval = 0
+    coef_store: dict[int, np.ndarray] = {}  # cid -> (nblocks, 64) zigzag
     n = len(payload)
     while pos < n:
         if payload[pos] != 0xFF:
@@ -277,7 +286,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 vals = list(seg[p + 17 : p + 17 + nsym])
                 htables[(tc, th)] = _build_decode_table(bits, vals)
                 p += 17 + nsym
-        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext. sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
             precision = seg[0]
             if precision != 8:
                 raise NotImplementedError(f"JPEG precision {precision} (only 8-bit)")
@@ -288,9 +297,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             for i in range(ncomp):
                 cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker == 0xC2:
-            raise NotImplementedError("progressive JPEG (SOF2) is not supported")
+            frame = {"h": h, "w": w, "comps": comps, "prog": marker == 0xC2}
+            _frame_grid(frame)
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(f"JPEG SOF 0x{marker:02X} mode is not supported")
         elif marker == 0xDD:  # DRI
@@ -305,11 +313,45 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 comp = next(c for c in frame["comps"] if c["id"] == cid)
                 scan.append({"comp": comp, "dc": tt >> 4, "ac": tt & 0x0F})
             data_start = pos + seglen
-            return _decode_scan(
-                payload, data_start, frame, scan, qtables, htables, restart_interval
+            if not frame["prog"]:
+                return _decode_scan(
+                    payload, data_start, frame, scan, qtables, htables, restart_interval
+                )
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 0x0F
+            for c in frame["comps"]:
+                if c["id"] not in coef_store:
+                    coef_store[c["id"]] = np.zeros(
+                        (c["_bh_full"] * c["_bw_full"], 64), dtype=np.int32
+                    )
+            pos = _decode_progressive_scan(
+                payload, data_start, frame, scan, ss, se, ah, al,
+                htables, coef_store, restart_interval,
             )
+            continue
         pos += seglen
+    if frame is not None and frame["prog"] and coef_store:
+        return _assemble_progressive(frame, coef_store, qtables)
     raise JpegFormatError("no SOS marker found")
+
+
+def _frame_grid(frame: dict) -> None:
+    """Annotate the frame with MCU-grid and per-component block dims:
+    ``_bw_full``/``_bh_full`` are the interleaved (MCU-padded) grid,
+    ``_bw_n``/``_bh_n`` the NON-interleaved grid a single-component
+    progressive scan covers (T.81 A.2.2 — ceil of the component's own
+    sample dimensions, which can be smaller than the MCU grid)."""
+    h, w = frame["h"], frame["w"]
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    frame["_hmax"], frame["_vmax"] = hmax, vmax
+    frame["_mcux"] = -(-w // (8 * hmax))
+    frame["_mcuy"] = -(-h // (8 * vmax))
+    for c in frame["comps"]:
+        c["_bw_full"] = frame["_mcux"] * c["h"]
+        c["_bh_full"] = frame["_mcuy"] * c["v"]
+        c["_bw_n"] = -(-(-(-w * c["h"] // hmax)) // 8)
+        c["_bh_n"] = -(-(-(-h * c["v"] // vmax)) // 8)
 
 
 def _decode_scan(data, pos, frame, scan, qtables, htables, restart_interval):
@@ -366,11 +408,17 @@ def _decode_scan(data, pos, frame, scan, qtables, htables, restart_interval):
                         col = mx * c["h"] + bx
                         planes[c["id"]][row * c["_bw"] + col] = block.reshape(8, 8)
             mcu_count += 1
-    # IDCT + assemble each component at its natural resolution
+    comps_order = [s["comp"] for s in scan]
+    return _assemble(h, w, hmax, vmax, comps_order, planes, bw_key="_bw")
+
+
+def _assemble(h, w, hmax, vmax, comps, planes, bw_key="_bw_full"):
+    """IDCT + per-component grid assembly + chroma upsample + crop +
+    (for 3 components) BT.601 YCbCr→RGB. ``planes``: cid -> (n, 8, 8)
+    DEQUANTIZED natural-order frequency blocks."""
     out_planes = []
-    for s in scan:
-        c = s["comp"]
-        bw = c["_bw"]
+    for c in comps:
+        bw = c[bw_key]
         spatial = idct_blocks(planes[c["id"]]) + 128.0
         bh = spatial.shape[0] // bw
         grid = (
@@ -390,6 +438,207 @@ def _decode_scan(data, pos, frame, scan, qtables, htables, restart_interval):
     b = y + 1.772 * (cb - 128.0)
     rgb = np.stack([r, g, b], axis=2)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# --------------------------------------------------------------------------
+# Progressive decoder (T.81 Annex G.2, Huffman entropy coding)
+
+
+def _next_marker_pos(data: bytes, pos: int) -> int:
+    """First non-stuffed, non-restart marker at or after ``pos`` (every
+    0xFF inside entropy data is 0xFF00-stuffed or a RSTn)."""
+    n = len(data)
+    while pos < n - 1:
+        if data[pos] == 0xFF and data[pos + 1] != 0x00 and not (
+            0xD0 <= data[pos + 1] <= 0xD7
+        ):
+            return pos
+        pos += 1
+    raise JpegFormatError("unterminated entropy-coded segment")
+
+
+def _decode_progressive_scan(
+    data, pos, frame, scan, ss, se, ah, al, htables, coef_store, restart_interval
+):
+    """Decode one progressive scan into the persistent per-component
+    zigzag coefficient stores. Returns the position of the marker that
+    follows the scan's entropy data."""
+    reader = _BitReader(data, pos)
+    if ss == 0 and se != 0:
+        raise JpegFormatError("progressive scan mixes DC and AC (Ss=0, Se>0)")
+    if ss > 0 and len(scan) != 1:
+        raise JpegFormatError("progressive AC scan must be single-component")
+    if ss == 0:
+        _prog_dc_scan(reader, frame, scan, ah, al, htables, coef_store, restart_interval)
+    else:
+        s = scan[0]
+        c = s["comp"]
+        coefs = coef_store[c["id"]]
+        if ah == 0:
+            _prog_ac_first(
+                reader, c, htables[(1, s["ac"])], ss, se, al, coefs, restart_interval
+            )
+        else:
+            _prog_ac_refine(
+                reader, c, htables[(1, s["ac"])], ss, se, al, coefs, restart_interval
+            )
+    return _next_marker_pos(data, reader.pos)
+
+
+def _prog_dc_scan(reader, frame, scan, ah, al, htables, coef_store, restart_interval):
+    """DC first (Huffman-coded diffs of the point-transformed DC) or DC
+    refine (one raw bit per block), interleaved MCU order when the scan
+    has >1 component, non-interleaved block order otherwise."""
+    interleaved = len(scan) > 1
+    dc_pred = {s["comp"]["id"]: 0 for s in scan}
+    dc_tabs = {s["comp"]["id"]: htables[(0, s["dc"])] if ah == 0 else None
+               for s in scan}
+    units = 0  # MCUs (interleaved) or blocks (single-component)
+
+    def do_block(s, bi):
+        c = s["comp"]
+        coefs = coef_store[c["id"]]
+        if ah == 0:
+            t = reader.decode_symbol(dc_tabs[c["id"]])
+            diff = _extend(reader.read_bits(t), t)
+            dc_pred[c["id"]] += diff
+            coefs[bi, 0] = dc_pred[c["id"]] << al
+        else:
+            if reader.read_bit():
+                coefs[bi, 0] |= 1 << al
+
+    if interleaved:
+        mcux, mcuy = frame["_mcux"], frame["_mcuy"]
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart_interval and units and units % restart_interval == 0:
+                    reader.restart()
+                    for k in dc_pred:
+                        dc_pred[k] = 0
+                for s in scan:
+                    c = s["comp"]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            bi = (my * c["v"] + by) * c["_bw_full"] + mx * c["h"] + bx
+                            do_block(s, bi)
+                units += 1
+    else:
+        s = scan[0]
+        c = s["comp"]
+        for row in range(c["_bh_n"]):
+            for col in range(c["_bw_n"]):
+                if restart_interval and units and units % restart_interval == 0:
+                    reader.restart()
+                    dc_pred[c["id"]] = 0
+                do_block(s, row * c["_bw_full"] + col)
+                units += 1
+
+
+def _prog_ac_first(reader, c, ac_tab, ss, se, al, coefs, restart_interval):
+    """AC spectral-selection first scan (Ah=0): band Ss..Se coefficients
+    at precision Al, with EOBn run-length codes spanning blocks."""
+    eobrun = 0
+    units = 0
+    for row in range(c["_bh_n"]):
+        for col in range(c["_bw_n"]):
+            if restart_interval and units and units % restart_interval == 0:
+                reader.restart()
+                eobrun = 0
+            units += 1
+            bi = row * c["_bw_full"] + col
+            if eobrun > 0:
+                eobrun -= 1
+                continue
+            k = ss
+            while k <= se:
+                rs = reader.decode_symbol(ac_tab)
+                r, size = rs >> 4, rs & 0x0F
+                if size == 0:
+                    if r == 15:
+                        k += 16  # ZRL
+                        continue
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += reader.read_bits(r)
+                    break  # EOBn ends this block and skips eobrun more
+                k += r
+                if k > se:
+                    raise JpegFormatError("AC run past band end")
+                coefs[bi, k] = _extend(reader.read_bits(size), size) << al
+                k += 1
+
+
+def _prog_ac_refine(reader, c, ac_tab, ss, se, al, coefs, restart_interval):
+    """AC successive-approximation refinement (Ah=Al+1): one correction
+    bit per already-nonzero coefficient in the band, new ±1<<Al
+    insertions positioned by zero-history run lengths (T.81 G.2.2)."""
+    p1 = 1 << al
+    eobrun = 0
+    units = 0
+
+    def refine_nonzero(block, k):
+        if reader.read_bit() and (abs(int(block[k])) & p1) == 0:
+            block[k] += p1 if block[k] > 0 else -p1
+
+    for row in range(c["_bh_n"]):
+        for col in range(c["_bw_n"]):
+            if restart_interval and units and units % restart_interval == 0:
+                reader.restart()
+                eobrun = 0
+            units += 1
+            block = coefs[row * c["_bw_full"] + col]
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rs = reader.decode_symbol(ac_tab)
+                    r, size = rs >> 4, rs & 0x0F
+                    newval = 0
+                    if size != 0:
+                        if size != 1:
+                            raise JpegFormatError("AC refine size != 1")
+                        newval = p1 if reader.read_bit() else -p1
+                    elif r != 15:
+                        # EOB run INCLUDING this block (its remaining
+                        # correction bits are consumed below, then the
+                        # counter decrements — T.81 G.2.2 / the libjpeg
+                        # AC-refine convention)
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += reader.read_bits(r)
+                        break
+                    # advance over r zero-history coefficients, reading a
+                    # correction bit at each nonzero passed (ZRL: r=15,
+                    # newval=0 -> skips 16 zero-history positions)
+                    while k <= se:
+                        if block[k] != 0:
+                            refine_nonzero(block, k)
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if newval and k <= se:
+                        block[k] = newval
+                    k += 1
+            if eobrun > 0:
+                while k <= se:
+                    if block[k] != 0:
+                        refine_nonzero(block, k)
+                    k += 1
+                eobrun -= 1
+
+
+def _assemble_progressive(frame, coef_store, qtables):
+    out = {}
+    for c in frame["comps"]:
+        qt = qtables[c["tq"]]
+        zz = coef_store[c["id"]].astype(np.int64) * qt[None, :]
+        nat = np.zeros((zz.shape[0], 64), dtype=np.float64)
+        nat[:, ZIGZAG] = zz
+        out[c["id"]] = nat.reshape(-1, 8, 8)
+    return _assemble(
+        frame["h"], frame["w"], frame["_hmax"], frame["_vmax"], frame["comps"], out
+    )
 
 
 # --------------------------------------------------------------------------
@@ -505,14 +754,233 @@ def _quantize_plane(plane: np.ndarray, qt: np.ndarray, ph=None, pw=None) -> np.n
     return qblocks[:, ZIGZAG]  # to zigzag order
 
 
+# --------------------------------------------------------------------------
+# Progressive encoder helpers (T.81 Annex G.1 + K.2 optimal tables)
+
+
+def _gen_huffman(freq256: list[int]) -> tuple[list[int], list[int]]:
+    """T.81 Annex K.2 optimal Huffman generation: symbol frequencies →
+    (bits[1..16], huffval). Progressive scans NEED generated tables —
+    the Annex K 'typical' AC tables lack the EOBn (n≥1) run symbols."""
+    freq = list(freq256) + [1]  # reserved codepoint 256: no all-ones code
+    others = [-1] * 257
+    codesize = [0] * 257
+    while True:
+        v1 = v2 = -1
+        m = None
+        for i in range(257):  # least freq; ties -> largest symbol (K.2)
+            if freq[i] > 0 and (m is None or freq[i] <= m):
+                m, v1 = freq[i], i
+        m = None
+        for i in range(257):
+            if freq[i] > 0 and i != v1 and (m is None or freq[i] <= m):
+                m, v2 = freq[i], i
+        if v2 == -1:
+            break
+        freq[v1] += freq[v2]
+        freq[v2] = 0
+        codesize[v1] += 1
+        while others[v1] != -1:
+            v1 = others[v1]
+            codesize[v1] += 1
+        others[v1] = v2
+        codesize[v2] += 1
+        while others[v2] != -1:
+            v2 = others[v2]
+            codesize[v2] += 1
+    bits = [0] * 33
+    for i in range(257):
+        if codesize[i]:
+            bits[codesize[i]] += 1
+    i = 32
+    while i > 16:  # K.2 Adjust_BITS: fold codes longer than 16
+        while bits[i] > 0:
+            j = i - 2
+            while bits[j] == 0:
+                j -= 1
+            bits[i] -= 2
+            bits[i - 1] += 1
+            bits[j + 1] += 2
+            bits[j] -= 1
+        i -= 1
+    while bits[i] == 0:
+        i -= 1
+    bits[i] -= 1  # remove the reserved codepoint
+    huffval = [s for size in range(1, 33) for s in range(256) if codesize[s] == size]
+    return bits[1:17], huffval
+
+
+class _FreqCount:
+    """Pass-1 sink: counts Huffman symbols per table slot."""
+
+    def __init__(self):
+        self.freq: dict[int, list[int]] = {}
+
+    def sym(self, slot: int, s: int) -> None:
+        self.freq.setdefault(slot, [0] * 256)[s] += 1
+
+    def bits(self, v: int, n: int) -> None:
+        pass
+
+
+class _ScanSink:
+    """Pass-2 sink: Huffman-encodes symbols via per-slot tables."""
+
+    def __init__(self, writer: "_BitWriter", enc: dict[int, dict]):
+        self.w = writer
+        self.enc = enc
+
+    def sym(self, slot: int, s: int) -> None:
+        c, l = self.enc[slot][s]
+        self.w.write(c, l)
+
+    def bits(self, v: int, n: int) -> None:
+        if n:
+            self.w.write(v, n)
+
+
+def _p_dc_scan(out, comps, ah, al, mcux, mcuy):
+    """Progressive DC scan emit: first (Huffman diffs of dc >> Al) or
+    refine (raw bit Al of each DC), interleaved iff len(comps) > 1."""
+    preds = [0] * len(comps)
+
+    def one(ci, bi):
+        dc = int(comps[ci]["q"][bi][0])
+        if ah == 0:
+            v = dc >> al
+            diff = v - preds[ci]
+            preds[ci] = v
+            size, code = _magnitude(diff)
+            out.sym(comps[ci]["slot"], size)
+            out.bits(code, size)
+        else:
+            out.bits((dc >> al) & 1, 1)
+
+    if len(comps) > 1:
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci, c in enumerate(comps):
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            one(ci, (my * c["v"] + by) * c["bw_full"] + mx * c["h"] + bx)
+    else:
+        c = comps[0]
+        for row in range(c["bh_n"]):
+            for col in range(c["bw_n"]):
+                one(0, row * c["bw_full"] + col)
+
+
+def _p_ac_first(out, c, ss, se, al, slot):
+    """AC spectral-selection first scan with EOB-run accumulation."""
+    eobrun = 0
+
+    def flush_eob():
+        nonlocal eobrun
+        if eobrun:
+            nbits = eobrun.bit_length() - 1
+            out.sym(slot, nbits << 4)
+            out.bits(eobrun - (1 << nbits), nbits)
+            eobrun = 0
+
+    for row in range(c["bh_n"]):
+        for col in range(c["bw_n"]):
+            zz = c["q"][row * c["bw_full"] + col]
+            run = 0
+            for k in range(ss, se + 1):
+                t = int(zz[k])
+                av = (-t if t < 0 else t) >> al
+                if av == 0:
+                    run += 1
+                    continue
+                flush_eob()
+                while run > 15:
+                    out.sym(slot, 0xF0)  # ZRL
+                    run -= 16
+                v = av if t >= 0 else -av
+                size, code = _magnitude(v)
+                out.sym(slot, (run << 4) | size)
+                out.bits(code, size)
+                run = 0
+            if run > 0:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eob()
+    flush_eob()
+
+
+def _p_ac_refine(out, c, ss, se, al, slot):
+    """AC successive-approximation refinement scan: correction bits for
+    already-nonzero coefficients, run-positioned ±1 insertions, EOB runs
+    carrying their buffered correction bits (T.81 G.1.2.3)."""
+    eobrun = 0
+    pending: list[int] = []
+
+    def flush_eob():
+        nonlocal eobrun, pending
+        if eobrun:
+            nbits = eobrun.bit_length() - 1
+            out.sym(slot, nbits << 4)
+            out.bits(eobrun - (1 << nbits), nbits)
+            for b in pending:
+                out.bits(b, 1)
+            pending = []
+            eobrun = 0
+
+    for row in range(c["bh_n"]):
+        for col in range(c["bw_n"]):
+            zz = c["q"][row * c["bw_full"] + col]
+            absv = [(-int(zz[k]) if zz[k] < 0 else int(zz[k])) >> al
+                    for k in range(ss, se + 1)]
+            eob_idx = -1  # index after which everything folds into EOB
+            for i in range(len(absv) - 1, -1, -1):
+                if absv[i] == 1:
+                    eob_idx = i
+                    break
+            run = 0
+            br: list[int] = []
+            for i, t in enumerate(absv):
+                if t == 0:
+                    run += 1
+                    continue
+                while run > 15 and i <= eob_idx:
+                    flush_eob()
+                    out.sym(slot, 0xF0)
+                    run -= 16
+                    for b in br:
+                        out.bits(b, 1)
+                    br = []
+                if t > 1:  # history coefficient: buffer its correction bit
+                    br.append(t & 1)
+                    continue
+                flush_eob()
+                out.sym(slot, (run << 4) | 1)
+                out.bits(1 if int(zz[ss + i]) >= 0 else 0, 1)
+                for b in br:
+                    out.bits(b, 1)
+                br = []
+                run = 0
+            if run > 0 or br:
+                eobrun += 1
+                pending.extend(br)
+                if eobrun == 0x7FFF:
+                    flush_eob()
+    flush_eob()
+
+
 _SUBSAMPLING = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}
 
 
-def encode_jpeg(img: np.ndarray, subsampling: str = "444") -> bytes:
-    """Encode (h, w) grayscale or (h, w, 3) RGB uint8 as baseline JPEG
-    (Annex K quantization + typical Huffman tables). ``subsampling``:
-    '444' (full chroma), '422' (2×1), or '420' (2×2 — the most common
-    real-world layout; round 9, VERDICT r8 #10). Grayscale ignores it."""
+def encode_jpeg(
+    img: np.ndarray, subsampling: str = "444", progressive: bool = False
+) -> bytes:
+    """Encode (h, w) grayscale or (h, w, 3) RGB uint8 as JPEG (Annex K
+    quantization). ``subsampling``: '444' (full chroma), '422' (2×1),
+    or '420' (2×2 — the most common real-world layout; round 9, VERDICT
+    r8 #10). Grayscale ignores it. ``progressive=True`` emits SOF2 with
+    the libjpeg default scan script (DC Al=1 + refine, AC spectral
+    bands with successive approximation) and PER-SCAN optimized Huffman
+    tables; the quantized coefficients are identical to the baseline
+    form, so both decode to the same pixels."""
     img = np.asarray(img)
     gray = img.ndim == 2
     h, w = img.shape[:2]
@@ -557,10 +1025,15 @@ def encode_jpeg(img: np.ndarray, subsampling: str = "444") -> bytes:
     for i in range(ncomp):
         hv = (sh << 4) | sv if i == 0 else 0x11
         sof += bytes([i + 1, hv, 0 if i == 0 else 1])
-    seg(0xC0, sof)
+    seg(0xC2 if progressive else 0xC0, sof)
 
     def dht(tc: int, th: int, bits: list[int], vals: list[int]) -> None:
         seg(0xC4, bytes([tc << 4 | th]) + bytes(bits) + bytes(vals))
+
+    if progressive:
+        _emit_progressive(seg, out, quantized, gray, sh, sv, mcux, mcuy, h, w)
+        out.extend(b"\xff\xd9")  # EOI
+        return bytes(out)
 
     dht(0, 0, _DC_LUMA_BITS, _DC_LUMA_VALS)
     dht(1, 0, _AC_LUMA_BITS, _AC_LUMA_VALS)
@@ -631,3 +1104,80 @@ def encode_jpeg(img: np.ndarray, subsampling: str = "444") -> bytes:
     out.extend(writer.out)
     out.extend(b"\xff\xd9")  # EOI
     return bytes(out)
+
+
+def _emit_progressive(seg, out, quantized, gray, sh, sv, mcux, mcuy, h, w):
+    """Emit the progressive scan sequence: the libjpeg default script
+    (jpeg_simple_progression) — interleaved DC at Al=1, luma AC bands
+    1-5 / 6-63 at Al=2, full-band chroma AC at Al=1, then one refinement
+    scan per band down to Al=0 — each scan preceded by its own DHT
+    segments built from a counting pass (K.2 optimal tables)."""
+    hmax, vmax = sh, sv
+    comps = []
+    for ci, q in enumerate(quantized):
+        ch, cv = (sh, sv) if ci == 0 else (1, 1)
+        cw = -(-w * ch // hmax)
+        chh = -(-h * cv // vmax)
+        comps.append({
+            "q": q,
+            "h": ch,
+            "v": cv,
+            "bw_full": mcux * ch,
+            "bw_n": -(-cw // 8),
+            "bh_n": -(-chh // 8),
+            "slot": 0 if ci == 0 else 1,
+            "cid": ci + 1,
+        })
+    if gray:
+        script = [
+            ("dc", None, 0, 0, 0, 1),
+            ("ac", 0, 1, 5, 0, 2),
+            ("ac", 0, 6, 63, 0, 2),
+            ("ac", 0, 1, 63, 2, 1),
+            ("dc", None, 0, 0, 1, 0),
+            ("ac", 0, 1, 63, 1, 0),
+        ]
+    else:
+        script = [
+            ("dc", None, 0, 0, 0, 1),
+            ("ac", 0, 1, 5, 0, 2),
+            ("ac", 2, 1, 63, 0, 1),
+            ("ac", 1, 1, 63, 0, 1),
+            ("ac", 0, 6, 63, 0, 2),
+            ("ac", 0, 1, 63, 2, 1),
+            ("dc", None, 0, 0, 1, 0),
+            ("ac", 2, 1, 63, 1, 0),
+            ("ac", 1, 1, 63, 1, 0),
+            ("ac", 0, 1, 63, 1, 0),
+        ]
+    for kind, ci, ss, se, ah, al in script:
+
+        def run(sink):
+            if kind == "dc":
+                _p_dc_scan(sink, comps, ah, al, mcux, mcuy)
+            elif ah == 0:
+                _p_ac_first(sink, comps[ci], ss, se, al, comps[ci]["slot"])
+            else:
+                _p_ac_refine(sink, comps[ci], ss, se, al, comps[ci]["slot"])
+
+        counter = _FreqCount()
+        run(counter)
+        enc: dict[int, dict] = {}
+        tc = 0 if kind == "dc" else 1
+        for slot in sorted(counter.freq):
+            bits, vals = _gen_huffman(counter.freq[slot])
+            seg(0xC4, bytes([tc << 4 | slot]) + bytes(bits) + bytes(vals))
+            enc[slot] = _build_encode_table(bits, vals)
+        if kind == "dc":
+            body = bytes([len(comps)])
+            for c in comps:
+                body += bytes([c["cid"], c["slot"] << 4])
+        else:
+            c = comps[ci]
+            body = bytes([1, c["cid"], c["slot"]])
+        body += bytes([ss, se, (ah << 4) | al])
+        seg(0xDA, body)
+        writer = _BitWriter()
+        run(_ScanSink(writer, enc))
+        writer.flush()
+        out.extend(writer.out)

@@ -130,8 +130,8 @@ def _real_decode(payload: bytes) -> tuple[int, int, int, list[float]]:
     elif payload[:2] == b"BM":
         arr = _parse_bmp(payload)
     elif payload[:2] == b"\xff\xd8":
-        # baseline-sequential JPEG, pure-numpy codec (operators/jpeg.py);
-        # progressive/arithmetic modes still fail loudly inside
+        # baseline-sequential or progressive JPEG, pure-numpy codec
+        # (operators/jpeg.py); arithmetic/hierarchical fail loudly inside
         from pulsar_io_delta_spark.operators.jpeg import decode_jpeg
 
         arr = decode_jpeg(payload)

@@ -1507,6 +1507,12 @@ def q_multimodal_jpeg(spark, sf_dir):
     hash-exact while exercising the real 2×2 MCU interleave, box
     downsample, and nearest-neighbor upsample paths under the SAME
     oracle). Even doc_ids keep the single-component grayscale form.
+    doc_id % 4 == 3 additionally emits the 4:2:0 form as PROGRESSIVE
+    (SOF2) — DC first/refine + AC band scans with successive
+    approximation and per-scan optimized Huffman tables — so the
+    multi-scan decode path is driver-verified under the same
+    hash-exact oracle (quantized coefficients are identical across
+    the baseline and progressive forms).
 
     Closes the last environment-bound multimodal waiver (VERDICT r6 #7 /
     r7 #8: compressed-codec decode previously gated on PIL). Scale
@@ -1532,7 +1538,9 @@ def q_multimodal_jpeg(spark, sf_dir):
                 level = 128 + 2 * ((i % 48) - 24)
                 if i % 2:
                     img = np.full((h, w, 3), level, dtype=np.uint8)
-                    payloads.append(encode_jpeg(img, subsampling="420"))
+                    payloads.append(
+                        encode_jpeg(img, subsampling="420", progressive=i % 4 == 3)
+                    )
                 else:
                     payloads.append(
                         encode_jpeg(np.full((h, w), level, dtype=np.uint8))

@@ -1,6 +1,6 @@
-"""Pure-numpy baseline JPEG codec tests (VERDICT r6 #7 / r7 #8 stretch:
-the compressed-codec waiver closes — baseline-sequential JPEG now
-decodes natively; progressive/arithmetic stay loud).
+"""Pure-numpy JPEG codec tests (VERDICT r6 #7 / r7 #8 stretch: the
+compressed-codec waiver closes — baseline-sequential AND progressive
+(round 9) JPEG now decode natively; arithmetic/hierarchical stay loud).
 
 Spec authority: ITU-T T.81 (public). The round-trip contracts lean on
 two exactness properties: (a) a solid grayscale block whose
@@ -48,13 +48,18 @@ def test_gradient_rgb_round_trip_tolerance():
     assert err.max() <= 12 and err.mean() < 3
 
 
-def test_decoder_rejects_progressive_and_garbage():
+def test_decoder_rejects_malformed_modes_and_garbage():
     img = np.full((8, 8), 100, dtype=np.uint8)
     blob = bytearray(encode_jpeg(img))
-    # flip SOF0 (0xFFC0) into SOF2 (progressive)
+    # flip SOF0 (0xFFC0) into SOF2: the frame becomes progressive but the
+    # baseline full-band scan (Ss=0, Se=63) is illegal in that mode
     i = blob.find(b"\xff\xc0")
     blob[i + 1] = 0xC2
-    with pytest.raises(NotImplementedError, match="progressive"):
+    with pytest.raises(JpegFormatError, match="mixes DC and AC"):
+        decode_jpeg(bytes(blob))
+    # arithmetic-coded SOF stays a loud gate
+    blob[i + 1] = 0xC9
+    with pytest.raises(NotImplementedError, match="SOF 0xC9"):
         decode_jpeg(bytes(blob))
     with pytest.raises(JpegFormatError, match="SOI"):
         decode_jpeg(b"\x89PNG\r\n")
@@ -238,3 +243,75 @@ def test_subsampled_block_color_regions():
 def test_subsampling_rejects_unknown():
     with pytest.raises(JpegFormatError, match="subsampling"):
         encode_jpeg(np.zeros((8, 8, 3), dtype=np.uint8), subsampling="411")
+
+# ---------------------------------------------------------------------------
+# Progressive (SOF2) decode + encode (round 9)
+
+
+def test_progressive_matches_baseline_pixels():
+    """The progressive encoder quantizes identically to baseline, so the
+    two decodes must agree PIXEL-EXACTLY — this one assertion covers DC
+    first/refine, AC spectral-selection first (EOB runs), and AC
+    refinement (correction bits) against the baseline path."""
+    rng = np.random.default_rng(42)
+    for h, w, gray, ss in (
+        (37, 29, True, "444"),
+        (24, 31, False, "444"),
+        (24, 31, False, "422"),
+        (41, 53, False, "420"),
+        (8, 8, True, "444"),
+        (1, 1, True, "444"),
+        (9, 70, False, "420"),
+    ):
+        shape = (h, w) if gray else (h, w, 3)
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        base = decode_jpeg(encode_jpeg(img, subsampling=ss))
+        blob = encode_jpeg(img, subsampling=ss, progressive=True)
+        assert blob[2:4] != b"\xff\xc0"
+        assert b"\xff\xc2" in blob  # SOF2 frame
+        prog = decode_jpeg(blob)
+        assert np.array_equal(base, prog), (h, w, gray, ss)
+
+
+def test_progressive_solid_gray_exact():
+    """The hash-exact oracle device survives the progressive path: solid
+    grayscale with even level offset decodes EXACTLY."""
+    for level in (80, 128, 130, 176, 254, 2):
+        img = np.full((9, 14), level, dtype=np.uint8)
+        out = decode_jpeg(encode_jpeg(img, progressive=True))
+        assert out.shape == (9, 14, 3)
+        assert np.all(out == level), level
+
+
+def test_progressive_solid_color_420_exact():
+    """R=G=B solid through progressive 4:2:0: chroma DC quantizes to 0,
+    luma DC is exact for even offsets — same contract as baseline."""
+    for level in (80, 130, 254):
+        img = np.full((21, 13, 3), level, dtype=np.uint8)
+        out = decode_jpeg(encode_jpeg(img, subsampling="420", progressive=True))
+        assert np.all(out == level), level
+
+
+def test_progressive_multi_block_eob_runs():
+    """A large solid image forces EOBn (n>0) run symbols spanning many
+    blocks in the AC-first scans and EOB-run correction-bit paths in the
+    refinement scans; the optimized per-scan Huffman tables must carry
+    the EOBn symbols the typical tables lack."""
+    img = np.full((64, 64, 3), 100, dtype=np.uint8)
+    blob = encode_jpeg(img, subsampling="420", progressive=True)
+    base = decode_jpeg(encode_jpeg(img, subsampling="420"))
+    assert np.array_equal(decode_jpeg(blob), base)
+    # progressive-of-solid compresses far better than one-EOB-per-block
+    assert len(blob) < len(encode_jpeg(img, subsampling="420"))
+
+
+def test_progressive_scan_structure():
+    """Marker-level shape: one SOF2, the 10-scan libjpeg script for
+    color (6 for grayscale), per-scan DHTs."""
+    img = np.add.outer(np.arange(16), np.arange(16)).astype(np.uint8) * 7
+    blob = encode_jpeg(img, progressive=True)
+    assert blob.count(b"\xff\xc2") == 1
+    assert blob.count(b"\xff\xda") == 6
+    color = np.stack([img, img.T, img], axis=2).astype(np.uint8)
+    blob3 = encode_jpeg(color, progressive=True)
+    assert blob3.count(b"\xff\xda") == 10
