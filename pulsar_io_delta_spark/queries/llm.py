@@ -818,11 +818,21 @@ def q_sim_ann_pq(spark, sf_dir):
 
 @register(
     "q_dedup_semantic",
+    # The oracle groups by the EXACT vector bytes, so it stays valid at
+    # any exact-duplicate density (a fixture with replicated vectors —
+    # the round-9 sf1 gate's first synthesizer draft — would break a
+    # "plants are the only dups" formulation; random non-identical
+    # vectors still never reach the 0.999 cosine threshold).
     oracle="""
-SELECT vec_id, CAST(1 AS BOOLEAN) AS kept FROM embeddings
-UNION ALL
-SELECT vec_id + 1000000 AS vec_id, CAST(0 AS BOOLEAN) AS kept
-FROM embeddings WHERE vec_id % 10 = 0
+WITH allv AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, embedding
+  FROM embeddings WHERE vec_id % 10 = 0
+)
+SELECT vec_id,
+       vec_id = MIN(vec_id) OVER (PARTITION BY embedding) AS kept
+FROM allv
 """,
 )
 def q_dedup_semantic(spark, sf_dir):

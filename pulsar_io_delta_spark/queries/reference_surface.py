@@ -578,7 +578,7 @@ SELECT event_id, event_type, value, _change_type FROM (
   SELECT event_id, event_type, value * 2 AS value, 'update_postimage'
   FROM events WHERE event_id % 10 = 0
   UNION ALL
-  SELECT event_id + 10000000 AS event_id, event_type, value + 0.5 AS value,
+  SELECT -event_id - 1 AS event_id, event_type, value + 0.5 AS value,
          'insert'
   FROM events WHERE event_id % 13 = 0
 )
@@ -611,8 +611,11 @@ def q_cdf_merge(spark, sf_dir):
     updates = e.where(F.col("event_id") % 10 == 0).withColumn(
         "value", F.col("value") * 2
     )
+    # negative-id inserts are disjoint from the fixture's non-negative
+    # id domain at ANY scale factor (a fixed +1e7 offset would collide
+    # once events outgrows 10M rows — caught by the round-9 sf1 gate)
     inserts = e.where(F.col("event_id") % 13 == 0).select(
-        (F.col("event_id") + 10000000).alias("event_id"),
+        (-F.col("event_id") - 1).alias("event_id"),
         "event_type",
         (F.col("value") + 0.5).alias("value"),
     )

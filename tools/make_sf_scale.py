@@ -7,10 +7,20 @@ Replication keeps cross-table join keys consistent: each replica rep
 offsets orderkeys by rep*10M in orders AND lineitem, custkeys by
 rep*1M in customer AND orders, part/supp keys likewise; dimension
 tables region/nation are shared (unscaled), exactly like TPC-H scale
-factors. Text/embedding payloads are left byte-identical — duplicate
-density rises, which is the HARSHER direction for dedup/ANN contracts
-(denser LSH buckets, bigger candidate sets), and both engines see the
-same bytes so the gate's hash comparison stays meaningful.
+factors. documents/embeddings/events replicate with DENSE id offsets
+(rep * source row count) — the driver's own generator produces dense
+ids at every sf, so a sparse 1e7/1e8 offset would test an id domain
+no real fixture has (and collide with the planted-pair id encodings,
+which are contracts on the FIXTURE domain, like TPC-H key ranges).
+Text payloads stay byte-identical (duplicate density rises — the
+HARSHER direction for dedup: denser LSH buckets, bigger candidate
+sets — and oracles over text RECOMPUTE from the same bytes, so the
+comparison stays meaningful). Embedding replicas are circularly
+SHIFTED by rep positions: real scaled data has fresh random vectors,
+and byte-identical vector replicas would create cos=1.0 groups and
+top-k ties that no plausible fixture contains; shifted random vectors
+are uncorrelated, restoring the documented fixture property that
+cross-id cosine stays far below the 0.999 dup threshold.
 
 Usage: python tools/make_sf_scale.py <src_sf_dir> <dst_dir> [k=10]
 """
@@ -42,9 +52,10 @@ def main() -> None:
         "customer": {"c_custkey": 1_000_000},
         "part": {"p_partkey": 1_000_000},
         "supplier": {"s_suppkey": 1_000_000},
-        "events": {"event_id": 10_000_000, "user_id": 1_000_000},
-        "documents": {"doc_id": 100_000_000},
-        "embeddings": {"vec_id": 10_000_000},
+        # dense ids (offset = source row count), like the real generator
+        "events": {"event_id": "count", "user_id": 1_000_000},
+        "documents": {"doc_id": "count"},
+        "embeddings": {"vec_id": "count"},
     }
     shared = ["region", "nation"]
 
@@ -61,9 +72,28 @@ def main() -> None:
                 f"DESCRIBE SELECT * FROM read_parquet('{src}/{t}.parquet')"
             ).fetchall()
         ]
-        sel = ", ".join(
-            f"{c} + rep * {off[c]} AS {c}" if c in off else c for c in cols
-        )
+        nrows = con.execute(
+            f"SELECT count(*) FROM read_parquet('{src}/{t}.parquet')"
+        ).fetchone()[0]
+
+        def expr(c: str) -> str:
+            if c in off:
+                unit = nrows if off[c] == "count" else off[c]
+                return f"{c} + rep * {unit} AS {c}"
+            if t == "embeddings" and c == "embedding":
+                # circular shift by rep: replicas decorrelate like real
+                # fresh random vectors (cos ~ 0, never near the 0.999
+                # dup threshold), killing the cos=1.0 groups / top-k
+                # ties byte-identical replication would fabricate
+                return (
+                    "CASE WHEN rep = 0 THEN embedding ELSE "
+                    "embedding[(CAST(rep AS INT) % len(embedding)) + 1 :] "
+                    "|| embedding[: CAST(rep AS INT) % len(embedding)] "
+                    f"END AS {c}"
+                )
+            return c
+
+        sel = ", ".join(expr(c) for c in cols)
         con.execute(
             f"COPY (SELECT {sel} FROM read_parquet('{src}/{t}.parquet'), "
             f"range(0, {k}) t(rep)) TO '{dst}/{t}.parquet' (FORMAT PARQUET)"
