@@ -137,6 +137,118 @@ def skipping_ratio(table: DeltaTable, filters: list[tuple[str, str, object]]) ->
     return 1.0 - len(kept) / len(snap.files)
 
 
+# --------------------------------------------------------------------------
+# Hilbert curve (liquid clustering's space-filling order; round 9)
+
+
+def hilbert_index(coords, bits: int = 16):
+    """d-dimensional Hilbert index of (n, d) non-negative integer
+    coordinates in [0, 2^bits) — vectorized Skilling AxesToTranspose
+    ("Programming the Hilbert curve", AIP Conf. Proc. 707, 2004; the
+    public-domain transpose formulation) followed by the MSB-first bit
+    interleave of the transpose.
+
+    The Hilbert order is what liquid clustering sorts by instead of the
+    Z-order: consecutive index values are always GRID NEIGHBORS (no
+    Z-curve jumps), so every file covers one compact blob of key space
+    and per-file min/max stays tight on every clustering column. numpy
+    uint64 kernels over the whole batch — executed inside an
+    Arrow-batched pandas UDF, cost O(bits × d) vector ops per batch."""
+    import numpy as np
+
+    x = np.ascontiguousarray(coords, dtype=np.uint64).copy()
+    n, d = x.shape
+    if bits * d > 63:
+        raise ValueError(f"hilbert_index: bits({bits}) * dims({d}) must be <= 63")
+    one = np.uint64(1)
+    # AxesToTranspose: inverse-undo excess work, then Gray decode
+    q = one << np.uint64(bits - 1)
+    while q > one:
+        p = q - one
+        for i in range(d):
+            hot = (x[:, i] & q) != 0
+            x[hot, 0] ^= p  # invert low bits of dim 0
+            t = (x[~hot, 0] ^ x[~hot, i]) & p  # exchange low bits 0<->i
+            x[~hot, 0] ^= t
+            x[~hot, i] ^= t
+        q >>= one
+    for i in range(1, d):
+        x[:, i] ^= x[:, i - 1]
+    t = np.zeros(n, dtype=np.uint64)
+    q = one << np.uint64(bits - 1)
+    while q > one:
+        hot = (x[:, d - 1] & q) != 0
+        t[hot] ^= q - one
+        q >>= one
+    for i in range(d):
+        x[:, i] ^= t
+    # transpose -> index: bit b of dim i lands at position b*d + (d-1-i)
+    h = np.zeros(n, dtype=np.uint64)
+    for b in range(bits - 1, -1, -1):
+        for i in range(d):
+            h = (h << one) | ((x[:, i] >> np.uint64(b)) & one)
+    return h.astype(np.int64)
+
+
+def hilbert_col(cols: list, ranges: list[tuple[float, float]], bits: int = 16):
+    """Column expression: Hilbert index of d numeric columns, each
+    equi-width bucketed to ``bits`` bits over its global [lo, hi]
+    range. The bucketing is plain built-in arithmetic (codegen'd); only
+    the O(bits·d) bit-twiddle runs in an Arrow-batched pandas UDF over
+    already-bucketed longs — the narrow slow-path surface."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    def _kernel(*buckets):  # no hints: variadic scalar pandas UDF
+        import numpy as np
+        import pandas as pd
+
+        arr = np.column_stack([b.to_numpy(dtype=np.int64) for b in buckets])
+        return pd.Series(hilbert_index(arr, bits=bits))
+
+    _hilbert = pandas_udf(_kernel, "long")
+
+    n = 1 << bits
+    bucketed = []
+    for c, (lo, hi) in zip(cols, ranges):
+        col = F.col(c) if isinstance(c, str) else c
+        b = (
+            F.width_bucket(col.cast("double"), F.lit(float(lo)),
+                           F.lit(float(hi) + 1e-9), F.lit(n)) - 1
+        ).cast("long")
+        bucketed.append(F.greatest(F.lit(0), F.least(b, F.lit(n - 1))))
+    return _hilbert(*bucketed)
+
+
+def write_hilbert_clustered(
+    table: DeltaTable,
+    df: DataFrame,
+    cols: list[str],
+    num_files: int = 16,
+    mode: str = "append",
+    bits: int = 16,
+) -> int:
+    """Commit ``df`` Hilbert-ordered on ``cols``: the d-dimensional
+    generalization of write_zordered with strictly better locality
+    (liquid clustering's layout). One agg for global ranges + one range
+    shuffle on the index."""
+    from pyspark.sql import functions as F
+
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c), F.max(c)]
+    row = df.agg(*aggs).first()
+    ranges = [(float(row[2 * i]), float(row[2 * i + 1])) for i in range(len(cols))]
+    h = hilbert_col([F.col(c) for c in cols], ranges, bits=bits)
+    ordered = (
+        df.withColumn("_h", h)
+        .repartitionByRange(num_files, "_h")
+        .sortWithinPartitions("_h")
+        .drop("_h")
+    )
+    return table.write(ordered, mode=mode)
+
+
 GEOHASH_BASE32 = "0123456789bcdefghjkmnpqrstuvwxyz"
 
 

@@ -286,6 +286,48 @@ def q_zorder_scan(spark, sf_dir):
     )
 
 
+@register(
+    "q_liquid_cluster",
+    oracle="""
+SELECT l_orderkey, l_partkey, l_suppkey,
+       CAST(l_quantity AS DOUBLE) AS l_quantity
+FROM lineitem WHERE l_partkey <= 200 AND l_suppkey <= 20
+""",
+)
+def q_liquid_cluster(spark, sf_dir):
+    """Liquid clustering end-to-end (round 9; Delta PROTOCOL.md
+    "Clustered Table"): CREATE with cluster_by=[l_partkey, l_suppkey]
+    (clusteredTable writer feature + delta.clustering metadata domain),
+    write a deliberately shuffle-random layout, OPTIMIZE in HILBERT
+    order over the clustering columns (operators/layout.py
+    hilbert_index — Skilling's transpose algorithm, d-dimensional), and
+    read back through a 2-D box predicate. The oracle is the plain
+    filter over the source parquet: the clustered rewrite must be
+    content-preserving and the filtered read exact.
+
+    Scale shape: the optimize is ONE range exchange on the Hilbert
+    index (same cost class as bin-packing OPTIMIZE); after it, every
+    file covers a compact blob of (l_partkey, l_suppkey) space, so the
+    box predicate prunes to O(selectivity) of the files via footer
+    min/max — tests/test_layout.py pins the skipping ratio and the
+    domain-metadata round trip, including through a checkpoint."""
+    import tempfile
+
+    from pulsar_io_delta_spark.sources.delta_log import DeltaTable
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        F.col("l_quantity").cast("double").alias("l_quantity"),
+    )
+    root = tempfile.mkdtemp(prefix="pids_liquid_") + "/tbl"
+    t = DeltaTable(root)
+    t.write(li.repartition(8), cluster_by=["l_partkey", "l_suppkey"])
+    t.optimize_clustered(spark, target_files=8)
+    return t.read(
+        spark, filters=[("l_partkey", "<=", 200), ("l_suppkey", "<=", 20)]
+    ).select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+
+
 # ---------------------------------------------------------------------------
 # winsorization via distributed histogram quantiles
 

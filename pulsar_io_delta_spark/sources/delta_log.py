@@ -302,6 +302,12 @@ _SUPPORTED_WRITER_FEATURES = {
     # vacuum() re-checks the full protocol before deleting — the guard
     # this feature exists to mandate
     "vacuumProtocolCheck",
+    # liquid clustering (round 9): clustering columns live in the
+    # delta.clustering metadata domain; optimize_clustered() rewrites
+    # in Hilbert order over them. The spec makes maintaining the
+    # clustered layout best-effort for writers, so plain appends to a
+    # clustered table are compliant.
+    "clusteredTable",
 }
 
 
@@ -3232,14 +3238,39 @@ class DeltaTable:
         partition_by: list[str] | None = None,
         txn: tuple[str, int] | None = None,
         configuration: dict | None = None,
+        cluster_by: list[str] | None = None,
     ) -> int:
         """Append/overwrite commit. ``txn=(app_id, txn_version)`` makes
         the commit idempotent (streaming sink exactly-once).
         ``configuration`` sets table properties (e.g.
         ``delta.enableChangeDataFeed``) on the CREATING write only —
         altering properties of an existing table is a separate metaData
-        commit, not a side effect of a data write."""
+        commit, not a side effect of a data write. ``cluster_by``
+        (creating write only, round 9) declares liquid-clustering
+        columns: the clusteredTable feature is armed and the column
+        list recorded in the delta.clustering metadata domain —
+        optimize_clustered() then rewrites in Hilbert order over them
+        (the spec makes maintaining the layout best-effort, so plain
+        appends remain legal)."""
         partition_by = partition_by or []
+        first_probe = not (self.exists() and self.versions())
+        if cluster_by:
+            if partition_by:
+                raise DeltaProtocolError(
+                    "clustered tables are unpartitioned (spec): "
+                    "cluster_by and partition_by are mutually exclusive"
+                )
+            if not first_probe:
+                raise DeltaProtocolError(
+                    "cluster_by is set on the CREATING write; altering "
+                    "clustering columns of an existing table is a "
+                    "separate metadata commit"
+                )
+            missing = [c for c in cluster_by if c not in df.columns]
+            if missing:
+                raise DeltaProtocolError(
+                    f"clustering columns not in schema: {missing}"
+                )
         actions: list[dict] = []
         first = not (self.exists() and self.versions())
         if first and _rt_enabled(configuration):
@@ -3288,6 +3319,8 @@ class DeltaTable:
                 # by any reader (spec) — but every writer must maintain
                 # baseRowId + the hwm domain
                 need_writer += ("rowTracking", "domainMetadata")
+            if cluster_by:
+                need_writer += ("clusteredTable", "domainMetadata")
             if need_reader or need_writer:
                 actions.append(
                     {"protocol": _upgraded_protocol({}, need_reader, need_writer)}
@@ -3299,6 +3332,14 @@ class DeltaTable:
             actions.append(
                 self._metadata_action(df, partition_by, configuration)
             )
+            if cluster_by:
+                actions.append({"domainMetadata": {
+                    "domain": "delta.clustering",
+                    "configuration": json.dumps(
+                        {"clusteringColumns": [[c] for c in cluster_by]}
+                    ),
+                    "removed": False,
+                }})
         else:
             # Additive schema evolution: appending a frame with new
             # columns emits the op='m' boundary (merged schemaString);
@@ -4433,6 +4474,87 @@ class DeltaTable:
         ]
         adds = self._stage_and_move(
             df, snap.partition_columns, mapping=self._mapping_of(snap)
+        )
+        for a in adds:
+            a["add"]["dataChange"] = False
+        actions.extend(adds)
+        return self._commit(
+            actions, operation="OPTIMIZE", read_version=snap.version,
+            configuration=snap.configuration,
+        )
+
+    def clustering_columns(self, snap: "Snapshot | None" = None) -> list[str]:
+        """Liquid-clustering column names from the delta.clustering
+        metadata domain (empty for unclustered tables). We store
+        logical top-level names; nested clustering columns would arrive
+        as multi-part paths and refuse loudly."""
+        snap = snap or self.snapshot()
+        dm = snap.domain_metadata.get("delta.clustering")
+        if not dm:
+            return []
+        cols = json.loads(dm.get("configuration") or "{}").get(
+            "clusteringColumns", []
+        )
+        out = []
+        for path in cols:
+            if len(path) != 1:
+                raise NotImplementedError(
+                    f"nested clustering column {'.'.join(path)} is not supported"
+                )
+            out.append(path[0])
+        return out
+
+    def optimize_clustered(
+        self, spark: SparkSession, target_files: int = 8, bits: int = 16
+    ) -> int:
+        """OPTIMIZE on a liquid-clustered table: rewrite the snapshot in
+        HILBERT order over the delta.clustering columns into
+        ``target_files`` range-disjoint files, dataChange=false (CDC
+        readers skip it, exactly like bin-packing compact()).
+
+        Why Hilbert and not Z-order: consecutive Hilbert index values
+        are always grid neighbors, so each output file covers one
+        compact blob of the d-dimensional key space and its footer
+        min/max stays tight on EVERY clustering column — a box
+        predicate on any subset of them prunes to O(selectivity) of the
+        files. At 100 TB this rewrite is the same repartition-and-sort
+        shape as compact(): one range exchange on the index, stats
+        gathered from staged footers, and the clustering key costs
+        O(bits·d) vectorized bit-ops per Arrow batch (the bucketing is
+        codegen'd; only the bit-twiddle runs in a pandas UDF)."""
+        from pulsar_io_delta_spark.operators.layout import hilbert_col
+
+        snap = self.snapshot()
+        cols = self.clustering_columns(snap)
+        if not cols:
+            raise DeltaProtocolError(
+                "optimize_clustered on a table without delta.clustering "
+                "domain metadata — use compact() for bin-packing"
+            )
+        self._guard_writable(snap, data_change_removes=False)
+        df = self._rewrite_source(spark, snap, list(snap.files))
+        aggs = []
+        for c in cols:
+            aggs += [F.min(c), F.max(c)]
+        row = df.agg(*aggs).first()
+        if row[0] is None:  # empty table: nothing to rewrite
+            return snap.version
+        ranges = [
+            (float(row[2 * i]), float(row[2 * i + 1])) for i in range(len(cols))
+        ]
+        ordered = (
+            df.withColumn("_h", hilbert_col([F.col(c) for c in cols], ranges, bits))
+            .repartitionByRange(target_files, "_h")
+            .sortWithinPartitions("_h")
+            .drop("_h")
+        )
+        now_ms = int(time.time() * 1000)
+        actions: list[dict] = [
+            self._remove_action(snap, p, now_ms, data_change=False)
+            for p in snap.files
+        ]
+        adds = self._stage_and_move(
+            ordered, snap.partition_columns, mapping=self._mapping_of(snap)
         )
         for a in adds:
             a["add"]["dataChange"] = False

@@ -90,3 +90,114 @@ def test_bucketed_join_plans_no_exchange(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
         spark.sql("DROP TABLE IF EXISTS bkt_orders")
+
+
+# ---------------------------------------------------------------------------
+# Liquid clustering: Hilbert index + clusteredTable lifecycle (round 9)
+
+
+def test_hilbert_index_matches_classic_2d():
+    """The vectorized Skilling transpose kernel reproduces the classic
+    rotation-based 2-D Hilbert mapping bit for bit."""
+    import numpy as np
+
+    from pulsar_io_delta_spark.operators.layout import hilbert_index
+
+    def xy2d(order, x, y):  # Wikipedia's reference formulation
+        d = 0
+        s = order // 2
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = s - 1 - x, s - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    bits, n = 4, 16
+    pts = np.array([(x, y) for x in range(n) for y in range(n)], dtype=np.uint64)
+    h = hilbert_index(pts, bits=bits)
+    ref = np.array([xy2d(n, int(x), int(y)) for x, y in pts])
+    assert np.array_equal(h, ref)
+
+
+def test_hilbert_index_bijective_and_adjacent():
+    """THE Hilbert property, in d=2..4: the index is a bijection on the
+    grid and consecutive index values are always L1-distance-1 grid
+    neighbors (a Z-curve fails the adjacency check at every tile seam —
+    this is what makes Hilbert the liquid-clustering order)."""
+    import numpy as np
+
+    from pulsar_io_delta_spark.operators.layout import hilbert_index
+
+    for d, b in ((2, 5), (3, 4), (4, 3)):
+        n = 1 << b
+        grid = (
+            np.stack(np.meshgrid(*[np.arange(n)] * d, indexing="ij"), axis=-1)
+            .reshape(-1, d)
+            .astype(np.uint64)
+        )
+        h = hilbert_index(grid, bits=b)
+        assert len(set(h.tolist())) == len(h), (d, b)
+        order = np.argsort(h)
+        steps = np.abs(np.diff(grid[order].astype(int), axis=0)).sum(axis=1)
+        assert (steps == 1).all(), (d, b)
+
+
+def test_liquid_cluster_lifecycle(spark, sf_dir, tmp_path):
+    """cluster_by create → protocol carries clusteredTable +
+    domainMetadata → Hilbert OPTIMIZE makes a 2-D box predicate skip
+    most files → content identical → the clustering domain survives a
+    checkpoint round trip."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    t = DeltaTable(str(tmp_path / "liq"))
+    t.write(li.repartition(8), cluster_by=["l_partkey", "l_suppkey"])
+    assert t.clustering_columns() == ["l_partkey", "l_suppkey"]
+    feats = set(t.snapshot().protocol.get("writerFeatures") or ())
+    assert {"clusteredTable", "domainMetadata"} <= feats
+
+    # scale-relative box (~25% of each key range) so the predicate is
+    # selective at every sf the suite runs at
+    mp, ms = li.agg(F.max("l_partkey"), F.max("l_suppkey")).first()
+    box = [("l_partkey", "<=", mp // 4), ("l_suppkey", "<=", ms // 4)]
+    assert skipping_ratio(t, box) == 0.0  # shuffle-random: nothing skips
+    t.optimize_clustered(spark, target_files=8)
+    assert skipping_ratio(t, box) >= 0.5
+    expected = li.where(
+        (F.col("l_partkey") <= mp // 4) & (F.col("l_suppkey") <= ms // 4)
+    ).count()
+    assert t.read(spark, filters=box).count() == expected
+    assert t.read(spark).count() == li.count()
+
+    # the domain survives checkpoint-based bootstrap
+    t.checkpoint()
+    t.expire_log()
+    t2 = DeltaTable(str(tmp_path / "liq"))
+    assert t2.clustering_columns() == ["l_partkey", "l_suppkey"]
+
+
+def test_cluster_by_guards(spark, sf_dir, tmp_path):
+    """cluster_by is creation-only, unpartitioned, and schema-checked;
+    optimize_clustered refuses unclustered tables."""
+    import pytest
+
+    from pulsar_io_delta_spark.sources.delta_log import DeltaProtocolError
+
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    t = DeltaTable(str(tmp_path / "g1"))
+    with pytest.raises(DeltaProtocolError, match="mutually exclusive"):
+        t.write(ev, partition_by=["user_id"], cluster_by=["event_id"])
+    with pytest.raises(DeltaProtocolError, match="not in schema"):
+        t.write(ev, cluster_by=["nope"])
+    t.write(ev, cluster_by=["event_id", "value"])
+    with pytest.raises(DeltaProtocolError, match="CREATING write"):
+        t.write(ev, cluster_by=["event_id"])
+    plain = DeltaTable(str(tmp_path / "g2"))
+    plain.write(ev)
+    with pytest.raises(DeltaProtocolError, match="without delta.clustering"):
+        plain.optimize_clustered(spark)
