@@ -857,6 +857,8 @@ class _AddColumns:
                 "modificationTime": int(g("modificationTime") or 0),
                 "stats": g("stats"),
             }
+            if g("size") is not None:
+                add["size"] = int(g("size"))
             if g("deletionVector"):
                 add["deletionVector"] = json.loads(g("deletionVector"))
             for k in ("baseRowId", "defaultRowCommitVersion"):
@@ -930,6 +932,37 @@ class _LiveStore(Mapping):
 
     def __len__(self) -> int:
         return len(self.paths())
+
+    def file_stats_totals(self) -> tuple[int, int] | None:
+        """(num_files, total_bytes) of the live set, or None when a
+        layout lacks sizes. Arrow column sums over the checkpoint
+        bases (C-side, O(base rows)) corrected by the tail overlay /
+        removed masks (python, O(churn)) — the version-checksum
+        account stays data-plane-cheap at 10^6 files."""
+        import pyarrow.compute as pc
+
+        total = 0
+        size_cols = []
+        for b in self._bases:
+            col = b._add_col("size")
+            if col is None or col.null_count:
+                return None  # this layout doesn't carry (all) sizes
+            size_cols.append(col)
+            total += pc.sum(col).as_py() or 0
+        idx = self._base_index() if (self._removed or self._overlay) else {}
+        for p in set(self._removed) | set(self._overlay):
+            loc = idx.get(p)
+            if loc is not None:  # masked or shadowed base row
+                bi, i = loc
+                sz = size_cols[bi][i].as_py()
+                if sz is None:
+                    return None
+                total -= int(sz)
+        for a in self._overlay.values():
+            if a.get("size") is None:
+                return None
+            total += int(a["size"])
+        return len(self.paths()), total
 
 
 class _PVView(Mapping):
@@ -1255,6 +1288,7 @@ class DeltaTable:
         self.path = path
         self.log_dir = os.path.join(path, "_delta_log")
         self.fs = fs or LocalFileSystem()
+        self._crc_checked: set[int] = set()  # versions already validated
 
     # ---------- log reading ----------
 
@@ -1516,7 +1550,7 @@ class DeltaTable:
                         domains.pop(dm.get("domain"), None)
                     else:
                         domains[dm["domain"]] = dm
-        return Snapshot(
+        snap = Snapshot(
             version=v,
             schema_string=schema_string,
             partition_columns=partition_columns,
@@ -1525,6 +1559,12 @@ class DeltaTable:
             domain_metadata=domains,
             store=_LiveStore(bases, overlay, removed),
         )
+        if v not in self._crc_checked:
+            # once per (table handle, version): the committer's .crc
+            # sidecar must agree with this replay — corruption tripwire
+            self._validate_checksum(snap)
+            self._crc_checked.add(v)
+        return snap
 
     def prune_files(self, snap: Snapshot, filters: list[tuple[str, str, object]]) -> list[str]:
         """Data skipping: drop files whose partition values or footer
@@ -1612,6 +1652,9 @@ class DeltaTable:
                     "action_type": "add",
                     "path": path,
                     "partitionValues": json.dumps(a.get("partitionValues", {})),
+                    # byte size survives expiry so the .crc version
+                    # checksum stays validatable from a checkpoint base
+                    "size": int(a["size"]) if a.get("size") is not None else None,
                     "modificationTime": int(a.get("modificationTime", 0) or 0),
                     "stats": a.get("stats"),
                     # dropping this would resurrect deleted rows after expiry
@@ -1633,6 +1676,7 @@ class DeltaTable:
             "action_type",
             "path",
             "partitionValues",
+            "size",
             "modificationTime",
             "stats",
             "schemaString",
@@ -2958,6 +3002,13 @@ class DeltaTable:
             fp = os.path.join(self.log_dir, f"{version:020d}.json")
             try:
                 self.fs.create_exclusive(fp, body)
+                try:
+                    self._write_checksum(version, actions)
+                except OSError:
+                    # the commit is already durable; the checksum is a
+                    # best-effort integrity sidecar (delta-spark
+                    # semantics) — a missing .crc only skips validation
+                    pass
                 return version
             except FileExistsError:
                 if read_version is not None:
@@ -2970,6 +3021,75 @@ class DeltaTable:
         raise DeltaProtocolError(
             f"commit contention: {operation} gave up after {max_retries} attempts"
         )
+
+    # ---------- version checksums (<version>.crc) ----------
+
+    def _read_checksum(self, version: int) -> dict | None:
+        fp = os.path.join(self.log_dir, f"{version:020d}.crc")
+        if not self.fs.exists(fp):
+            return None
+        try:
+            return json.loads(self.fs.read_text(fp))
+        except (ValueError, OSError):
+            return None  # unreadable sidecar: validation just skips
+
+    def _write_checksum(self, version: int, actions: list[dict]) -> None:
+        """Version-checksum sidecar (delta-spark's ``<version>.crc``):
+        the table's live-file count and byte total as of this commit,
+        written by the committer and VALIDATED against every snapshot
+        replay — the tripwire that turns a replay/compaction/checkpoint
+        bug into a loud error instead of silently wrong query results.
+
+        The account comes from one columnar totals pass over the
+        post-commit snapshot (arrow sum on the checkpoint base + the
+        O(churn) tail overlay — the same replay the surrounding write
+        path already pays). An adds-minus-removes increment would be
+        cheaper but WRONG for re-add commits: a row-tracking backfill
+        or DV update re-adds an already-live path without a paired
+        remove, which double-counts. Tables whose file actions lack
+        sizes (handwritten fixture logs) skip the sidecar — validation
+        is opt-in by construction."""
+        if any(a["add"].get("size") is None for a in actions if "add" in a):
+            return
+        totals = self.snapshot(version).adds.file_stats_totals()
+        if totals is None:
+            return
+        nf, tb = totals
+        crc = {"tableSizeBytes": tb, "numFiles": nf,
+               "numMetadata": 1, "numProtocol": 1}
+        prior = self._read_checksum(version - 1) if version > 0 else None
+        meta = next((a["metaData"] for a in actions if "metaData" in a), None)
+        proto = next((a["protocol"] for a in actions if "protocol" in a), None)
+        if meta is None and prior:
+            meta = prior.get("metadata")
+        if proto is None and prior:
+            proto = prior.get("protocol")
+        if meta:
+            crc["metadata"] = meta
+        if proto:
+            crc["protocol"] = proto
+        self.fs.write_text(
+            os.path.join(self.log_dir, f"{version:020d}.crc"), json.dumps(crc)
+        )
+
+    def _validate_checksum(self, snap: Snapshot) -> None:
+        """Loud integrity gate: when the committer left a .crc for this
+        version, the replayed state must reproduce its file count and
+        byte total exactly."""
+        crc = self._read_checksum(snap.version)
+        if crc is None:
+            return
+        totals = snap.adds.file_stats_totals()
+        if totals is None:
+            return
+        nf, tb = totals
+        if nf != int(crc["numFiles"]) or tb != int(crc["tableSizeBytes"]):
+            raise DeltaProtocolError(
+                f"version checksum mismatch at v{snap.version}: replay has "
+                f"{nf} files / {tb} bytes, {snap.version:020d}.crc records "
+                f"{crc['numFiles']} files / {crc['tableSizeBytes']} bytes — "
+                "the log, a checkpoint, or a compaction is corrupt"
+            )
 
     def _stats_for(self, path: str) -> dict:
         with self.fs.open_read(path) as f:
@@ -3680,6 +3800,11 @@ class DeltaTable:
             "dataChange": data_change,
             "partitionValues": snap.partition_values.get(path, {}),
         }
+        sz = snap.adds.get(path, {}).get("size")
+        if sz is not None:
+            # spec-optional, but carrying it keeps the version-checksum
+            # account incremental (O(commit), never O(table))
+            r["size"] = int(sz)
         dv = snap.adds.get(path, {}).get("deletionVector")
         if dv:
             r["deletionVector"] = dv

@@ -102,7 +102,9 @@ def _write_spec_classic_checkpoint(t: DeltaTable, v: int) -> None:
         {
             "path": p,
             "partitionValues": snap.partition_values.get(p, {}),
-            "size": 1,
+            # true size: the committer's <v>.crc validates the replayed
+            # byte total, so a sloppy dummy here is caught loudly
+            "size": snap.adds.get(p, {}).get("size", 1),
             "modificationTime": snap.add_times.get(p, 0),
             "dataChange": False,
             "stats": snap.adds.get(p, {}).get("stats"),
@@ -189,7 +191,8 @@ def test_v2_parquet_checkpoint_with_sidecars(spark, tmp_path):
             {
                 "path": p,
                 "partitionValues": {},
-                "size": 1,
+                # true size: the <v>.crc byte-total validation is loud
+                "size": snap.adds.get(p, {}).get("size", 1),
                 "modificationTime": snap.add_times.get(p, 0),
                 "dataChange": False,
                 "stats": snap.adds.get(p, {}).get("stats"),

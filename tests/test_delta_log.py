@@ -1085,3 +1085,74 @@ def test_type_widening_reads_narrow_files_as_wide(spark, tmp_path):
     # DML across the mixed narrow/wide file population
     t.delete_where(spark, "a = 2")
     assert {r.a for r in t.read(spark).collect()} == {0, 1, 3, 10_000_000_000}
+
+
+# ---------------------------------------------------------------------------
+# Version checksums (<version>.crc, round 9 — delta-spark's integrity sidecar)
+
+
+def test_version_checksum_written_and_valid(spark, table_path):
+    """Every committer-produced version carries a .crc whose file count
+    and byte total match the replayed state (snapshot() validates on
+    load — this test also proves the gate passes on honest logs),
+    including through delete/overwrite churn."""
+    t = DeltaTable(table_path)
+    t.write(events_df(spark, range(20)).repartition(2))
+    t.write(events_df(spark, range(20, 30)))
+    t.delete_where(spark, "event_id % 2 = 0")
+    for v in t.json_versions():
+        crc = t._read_checksum(v)
+        assert crc is not None, v
+        snap = t.snapshot(v)
+        nf, tb = snap.adds.file_stats_totals()
+        assert crc["numFiles"] == nf == len(snap.files), v
+        assert crc["tableSizeBytes"] == tb, v
+        assert crc["numMetadata"] == 1 and crc["numProtocol"] == 1
+
+
+def test_version_checksum_mismatch_is_loud(spark, table_path):
+    """Tampering with the log after the .crc was written (dropping an
+    add — the silent-data-loss corruption class) fails the next replay
+    loudly instead of returning wrong rows."""
+    t = DeltaTable(table_path)
+    t.write(events_df(spark, range(10)).repartition(2))
+    fp = os.path.join(t.log_dir, f"{0:020d}.json")
+    lines = open(fp).read().splitlines()
+    adds = [ln for ln in lines if '"add"' in ln]
+    assert len(adds) == 2
+    # drop ONE add action from the commit body, keep the .crc
+    kept = [ln for ln in lines if ln != adds[0]]
+    open(fp, "w").write("\n".join(kept) + "\n")
+    t2 = DeltaTable(table_path)  # fresh handle: no validation cache
+    with pytest.raises(DeltaProtocolError, match="checksum mismatch"):
+        t2.snapshot()
+
+
+def test_version_checksum_absent_skips_validation(spark, table_path):
+    """Handwritten/foreign logs without .crc sidecars read normally —
+    validation is opt-in by the committer."""
+    t = DeltaTable(table_path)
+    t.write(events_df(spark, range(10)))
+    for n in t.fs.listdir(t.log_dir):
+        if n.endswith(".crc"):
+            t.fs.remove(os.path.join(t.log_dir, n))
+    t2 = DeltaTable(table_path)
+    assert t2.read(spark).count() == 10
+
+
+def test_version_checksum_validates_from_checkpoint_base(spark, table_path):
+    """The compact checkpoint dialect persists add.size, so .crc
+    validation keeps working after log expiry (replay from the
+    checkpoint base + tail)."""
+    t = DeltaTable(table_path)
+    t.write(events_df(spark, range(10)).repartition(2))
+    t.write(events_df(spark, range(10, 15)))
+    t.checkpoint()
+    t.expire_log()
+    t.write(events_df(spark, range(15, 18)))
+    t2 = DeltaTable(table_path)
+    snap = t2.snapshot()  # validates against the latest .crc
+    nf, tb = snap.adds.file_stats_totals()
+    crc = t2._read_checksum(snap.version)
+    assert (nf, tb) == (crc["numFiles"], crc["tableSizeBytes"])
+    assert t2.read(spark).count() == 18

@@ -291,7 +291,9 @@ def test_spec_checkpoint_dialect_parity(spark, tmp_path):
         {
             "path": p,
             "partitionValues": [],
-            "size": 1,
+            # true size: the committer's .crc validates the replayed
+            # byte total against any checkpoint base
+            "size": snap.adds[p].get("size", 1),
             "modificationTime": snap.add_times[p],
             "dataChange": True,
             "stats": snap.adds[p].get("stats"),
