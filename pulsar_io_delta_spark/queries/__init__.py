@@ -531,6 +531,7 @@ WINDOW_MUST_INCLUDE = [
     "q_checkpoint_v2",
     "q_multimodal_jpeg",  # 4:2:0 mix + progressive (SOF2) routing
     "q_liquid_cluster",   # NEW: clusteredTable + Hilbert OPTIMIZE
+    "q_column_defaults",  # NEW: allowColumnDefaults SET/apply lifecycle
     "q_cdf_merge",        # insert-id device made scale-proof (sf1 gate)
     "q_dedup_semantic",   # oracle made duplicate-density-robust
     # (b) columnar-metadata-plane representatives
@@ -576,10 +577,10 @@ WINDOW_MUST_INCLUDE = [
     "q_text_token_count",
     "q_udtf_tokens",
     "q_window_variants",
-    # (c) highest-traffic r4 singles that fit (three rotated back out
-    # for the round-9-changed trio above — r4-green, unmodified,
-    # judge-gate green: q_agg_groupby, q_agg_distinct, q_join_broadcast)
+    # (c) highest-traffic r4 singles that fit (four rotated back out
+    # for the round-9 new/changed entries above — r4-green, unmodified,
+    # judge-gate green: q_agg_groupby, q_agg_distinct, q_join_broadcast,
+    # q_dedup_minhash)
     "q_dedup_near",
-    "q_dedup_minhash",
 ]
 promote(WINDOW_MUST_INCLUDE, after="q_stream_tumbling")

@@ -779,6 +779,40 @@ def q_generated_columns(spark, sf_dir):
 
 
 @register(
+    "q_column_defaults",
+    oracle="""
+SELECT event_id, value, 'landed' AS src FROM events WHERE event_id % 2 = 0
+UNION ALL
+SELECT event_id, value, NULL AS src FROM events WHERE event_id % 2 = 1
+""",
+)
+def q_column_defaults(spark, sf_dir):
+    """Default column values (round 9; Delta PROTOCOL.md "Default
+    columns", writer feature allowColumnDefaults): rows written BEFORE
+    the default keep NULL (write-time-only semantics — no backfill),
+    then ALTER COLUMN SET DEFAULT is a metadata-only commit and the
+    next append that OMITS the column gets the expression evaluated
+    inside whole-stage codegen. The oracle encodes exactly that
+    history: odd event_ids landed pre-default (NULL), even ones after
+    ('landed')."""
+    import tempfile
+
+    from pulsar_io_delta_spark.sources.delta_log import DeltaTable
+
+    root = tempfile.mkdtemp(prefix="pids_dflt_") + "/tbl"
+    t = DeltaTable(root)
+    e = table(spark, sf_dir, "events").select("event_id", "value")
+    t.write(
+        e.where(F.col("event_id") % 2 == 1).withColumn(
+            "src", F.lit(None).cast("string")
+        )
+    )
+    t.set_column_default("src", "'landed'")
+    t.write(e.where(F.col("event_id") % 2 == 0))  # src omitted -> default
+    return t.read(spark).select("event_id", "value", "src")
+
+
+@register(
     "q_column_mapping_id",
     oracle="""
 SELECT event_id, user_id, value FROM events

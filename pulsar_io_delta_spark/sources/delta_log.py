@@ -308,6 +308,10 @@ _SUPPORTED_WRITER_FEATURES = {
     # clustered layout best-effort for writers, so plain appends to a
     # clustered table are compliant.
     "clusteredTable",
+    # default column values (round 9): write() evaluates a field's
+    # CURRENT_DEFAULT expression for columns the incoming frame omits
+    # (_apply_column_defaults) — the spec's write-time-only semantics
+    "allowColumnDefaults",
 }
 
 
@@ -470,6 +474,31 @@ def _identity_cols(schema_string: str | None) -> dict[str, dict]:
             "allow": bool(meta.get("delta.identity.allowExplicitInsert", False)),
         }
     return out
+
+
+def _apply_column_defaults(df: DataFrame, schema_string: str | None) -> DataFrame:
+    """Default column values (Delta PROTOCOL.md "Default columns",
+    writer feature allowColumnDefaults): a write that OMITS a column
+    whose schema field carries CURRENT_DEFAULT metadata gets the
+    default expression evaluated at write time — write-time only, no
+    backfill of existing rows (that is Iceberg's initial-default, not
+    Delta's). Pure column expressions, codegen'd per row batch."""
+    if not schema_string:
+        return df
+    from pyspark.sql.types import StructType
+
+    struct = None
+    for f in json.loads(schema_string)["fields"]:
+        meta = f.get("metadata") or {}
+        dflt = meta.get("CURRENT_DEFAULT")
+        if dflt is None or f["name"] in df.columns:
+            continue
+        if struct is None:
+            struct = StructType.fromJson(json.loads(schema_string))
+        df = df.withColumn(
+            f["name"], F.expr(dflt).cast(struct[f["name"]].dataType)
+        )
+    return df
 
 
 def _cdf_enabled(configuration: dict | None) -> bool:
@@ -3471,6 +3500,7 @@ class DeltaTable:
             mapping = self._mapping_of(prior)
             commit_config = prior.configuration
             df = self._apply_generated(df, prior.schema_string)
+            df = _apply_column_defaults(df, prior.schema_string)
             idents = _identity_cols(prior.schema_string)
             if idents and mapping:
                 raise DeltaProtocolError(
@@ -4628,6 +4658,104 @@ class DeltaTable:
                 )
             out.append(path[0])
         return out
+
+    def set_column_default(self, column: str, default_sql: str) -> int:
+        """ALTER TABLE ... ALTER COLUMN c SET DEFAULT <expr> (Delta
+        PROTOCOL.md "Default columns"): stamp CURRENT_DEFAULT into the
+        field's schema metadata and arm allowColumnDefaults — a
+        metadata-only commit. Subsequent write()s that omit the column
+        evaluate the expression; existing rows are untouched (Delta's
+        write-time-only semantics — backfill would be Iceberg's
+        initial-default, a different feature)."""
+        snap = self.snapshot()
+        s = json.loads(snap.schema_string)
+        field = next((f for f in s["fields"] if f["name"] == column), None)
+        if field is None:
+            raise DeltaProtocolError(f"no such column: {column}")
+        # the expression must at least parse and fold to the column
+        # type at commit time, or every later write would fail
+        F.expr(default_sql)
+        field.setdefault("metadata", {})["CURRENT_DEFAULT"] = default_sql
+        actions: list[dict] = []
+        feats = set(snap.protocol.get("writerFeatures") or ())
+        if "allowColumnDefaults" not in feats:
+            actions.append({"protocol": _upgraded_protocol(
+                snap.protocol, (), ("allowColumnDefaults",)
+            )})
+        actions.append(self._metadata_update(snap, json.dumps(s)))
+        return self._commit(
+            actions, operation="ALTER COLUMN", read_version=snap.version,
+            configuration=snap.configuration,
+        )
+
+    def drop_column_default(self, column: str) -> int:
+        """ALTER COLUMN c DROP DEFAULT: metadata-only removal."""
+        snap = self.snapshot()
+        s = json.loads(snap.schema_string)
+        field = next((f for f in s["fields"] if f["name"] == column), None)
+        if field is None:
+            raise DeltaProtocolError(f"no such column: {column}")
+        if "CURRENT_DEFAULT" not in (field.get("metadata") or {}):
+            return snap.version  # no default: no-op
+        del field["metadata"]["CURRENT_DEFAULT"]
+        return self._commit(
+            [self._metadata_update(snap, json.dumps(s))],
+            operation="ALTER COLUMN", read_version=snap.version,
+            configuration=snap.configuration,
+        )
+
+    def _metadata_update(self, snap: Snapshot, schema_string: str) -> dict:
+        """A metaData action carrying the current table identity with a
+        replaced schemaString."""
+        return {"metaData": {
+            "id": f"meta-{uuid.uuid4().hex[:12]}",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": schema_string,
+            "partitionColumns": snap.partition_columns,
+            "configuration": dict(snap.configuration or {}),
+        }}
+
+    def alter_cluster_by(self, cluster_by: list[str]) -> int:
+        """ALTER TABLE ... CLUSTER BY: replace the clustering column
+        list (or arm clustering on an existing unclustered table) with
+        one metadata-only commit — no data rewrite; the new layout
+        materializes at the next optimize_clustered(). CLUSTER BY NONE
+        is an empty list, which REMOVES the domain (the spec's way to
+        un-cluster)."""
+        snap = self.snapshot()
+        if snap.partition_columns:
+            raise DeltaProtocolError(
+                "clustered tables are unpartitioned (spec): cannot "
+                "CLUSTER BY a partitioned table"
+            )
+        schema_cols = {f["name"] for f in json.loads(snap.schema_string)["fields"]}
+        missing = [c for c in cluster_by if c not in schema_cols]
+        if missing:
+            raise DeltaProtocolError(f"clustering columns not in schema: {missing}")
+        actions: list[dict] = []
+        feats = set(snap.protocol.get("writerFeatures") or ())
+        if cluster_by and not {"clusteredTable", "domainMetadata"} <= feats:
+            actions.append({"protocol": _upgraded_protocol(
+                snap.protocol, (), ("clusteredTable", "domainMetadata")
+            )})
+        if cluster_by:
+            actions.append({"domainMetadata": {
+                "domain": "delta.clustering",
+                "configuration": json.dumps(
+                    {"clusteringColumns": [[c] for c in cluster_by]}
+                ),
+                "removed": False,
+            }})
+        elif "delta.clustering" in snap.domain_metadata:
+            actions.append({"domainMetadata": {
+                "domain": "delta.clustering", "configuration": "", "removed": True,
+            }})
+        else:
+            return snap.version  # CLUSTER BY NONE on unclustered: no-op
+        return self._commit(
+            actions, operation="CLUSTER BY", read_version=snap.version,
+            configuration=snap.configuration,
+        )
 
     def optimize_clustered(
         self, spark: SparkSession, target_files: int = 8, bits: int = 16

@@ -1156,3 +1156,50 @@ def test_version_checksum_validates_from_checkpoint_base(spark, table_path):
     crc = t2._read_checksum(snap.version)
     assert (nf, tb) == (crc["numFiles"], crc["tableSizeBytes"])
     assert t2.read(spark).count() == 18
+
+
+# ---------------------------------------------------------------------------
+# Default column values (allowColumnDefaults, round 9)
+
+
+def test_column_defaults_applied_on_write(spark, table_path):
+    """SET DEFAULT is a metadata-only commit; a later append that OMITS
+    the column gets the evaluated expression, while rows written before
+    the default (and frames that DO carry the column) are untouched —
+    Delta's write-time-only semantics."""
+    t = DeltaTable(table_path)
+    full = spark.createDataFrame(
+        [(0, "web"), (1, "api")], "event_id long, src string"
+    )
+    t.write(full)
+    t.set_column_default("src", "'backfill'")
+    feats = set(t.snapshot().protocol.get("writerFeatures") or ())
+    assert "allowColumnDefaults" in feats
+    # omitted column -> default; expression defaults work too
+    t.write(spark.createDataFrame([(2,), (3,)], "event_id long"))
+    t.set_column_default("src", "concat('gen-', '9')")
+    t.write(spark.createDataFrame([(4,)], "event_id long"))
+    # explicit values always win
+    t.write(spark.createDataFrame([(5, "explicit")], "event_id long, src string"))
+    got = {r.event_id: r.src for r in t.read(spark).collect()}
+    assert got == {0: "web", 1: "api", 2: "backfill", 3: "backfill",
+                   4: "gen-9", 5: "explicit"}
+    # DROP DEFAULT: an omitting write reverts to null columns
+    t.drop_column_default("src")
+    t.write(spark.createDataFrame([(6,)], "event_id long"))
+    got = {r.event_id: r.src for r in t.read(spark).collect()}
+    assert got[6] is None
+
+
+def test_column_default_guards(spark, table_path):
+    t = DeltaTable(table_path)
+    t.write(events_df(spark, range(3)))
+    with pytest.raises(DeltaProtocolError, match="no such column"):
+        t.set_column_default("nope", "'x'")
+    # typed default: cast to the field type at write time
+    t.set_column_default("value", "3.5")
+    t.write(spark.createDataFrame(
+        [(100, "click")], "event_id long, event_type string"
+    ))
+    row = {r.event_id: r.value for r in t.read(spark).collect()}
+    assert row[100] == 3.5

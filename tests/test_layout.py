@@ -201,3 +201,36 @@ def test_cluster_by_guards(spark, sf_dir, tmp_path):
     plain.write(ev)
     with pytest.raises(DeltaProtocolError, match="without delta.clustering"):
         plain.optimize_clustered(spark)
+
+
+def test_alter_cluster_by(spark, sf_dir, tmp_path):
+    """CLUSTER BY on an existing table is metadata-only: arm, re-key,
+    and remove (CLUSTER BY NONE) without any data rewrite; the next
+    optimize_clustered materializes the current key set."""
+    from pulsar_io_delta_spark.sources.delta_log import DeltaProtocolError
+    import pytest
+
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    t = DeltaTable(str(tmp_path / "alt"))
+    t.write(ev.repartition(4))
+    files_before = set(t.snapshot().files)
+    t.alter_cluster_by(["event_id", "user_id"])
+    assert t.clustering_columns() == ["event_id", "user_id"]
+    assert set(t.snapshot().files) == files_before  # no rewrite
+    feats = set(t.snapshot().protocol.get("writerFeatures") or ())
+    assert {"clusteredTable", "domainMetadata"} <= feats
+    # re-key
+    t.alter_cluster_by(["user_id"])
+    assert t.clustering_columns() == ["user_id"]
+    # CLUSTER BY NONE removes the domain; optimize_clustered refuses
+    t.alter_cluster_by([])
+    assert t.clustering_columns() == []
+    with pytest.raises(DeltaProtocolError, match="without delta.clustering"):
+        t.optimize_clustered(spark)
+    with pytest.raises(DeltaProtocolError, match="not in schema"):
+        t.alter_cluster_by(["nope"])
+    # partitioned tables refuse
+    p = DeltaTable(str(tmp_path / "part"))
+    p.write(ev.withColumn("par", F.col("event_id") % 2), partition_by=["par"])
+    with pytest.raises(DeltaProtocolError, match="unpartitioned"):
+        p.alter_cluster_by(["event_id"])
