@@ -3038,6 +3038,19 @@ class DeltaTable:
                     # best-effort integrity sidecar (delta-spark
                     # semantics) — a missing .crc only skips validation
                     pass
+                interval = int(
+                    (configuration or {}).get("delta.checkpointInterval") or 0
+                )
+                if interval > 0 and version > 0 and version % interval == 0:
+                    # delta.checkpointInterval (round 9): periodic
+                    # checkpointing is what keeps replay O(tail) on a
+                    # long-lived table; post-commit and best-effort,
+                    # exactly like delta-spark — a failed checkpoint
+                    # never fails the already-durable commit
+                    try:
+                        self.checkpoint(version)
+                    except (OSError, DeltaProtocolError):
+                        pass
                 return version
             except FileExistsError:
                 if read_version is not None:
@@ -3497,6 +3510,17 @@ class DeltaTable:
             prior = self.snapshot()
             # overwrite emits data-changing removes; append does not
             self._guard_writable(prior, data_change_removes=(mode == "overwrite"))
+            # partitioning is a TABLE property: appends inherit it (an
+            # add without partitionValues on a partitioned table is
+            # protocol-invalid — caught by the round-9 OPTIMIZE WHERE
+            # test), and changing it would need an explicit
+            # schema-overwrite commit, not a write side effect
+            if partition_by and partition_by != prior.partition_columns:
+                raise DeltaProtocolError(
+                    f"partition_by {partition_by} conflicts with the "
+                    f"table's partitioning {prior.partition_columns}"
+                )
+            partition_by = list(prior.partition_columns)
             mapping = self._mapping_of(prior)
             commit_config = prior.configuration
             df = self._apply_generated(df, prior.schema_string)
@@ -4609,23 +4633,46 @@ class DeltaTable:
         s["fields"] = [f for f in s["fields"] if f["name"] != name]
         return self._mapped_metadata_commit(snap, s, "DROP COLUMN")
 
-    def compact(self, spark: SparkSession, target_files: int = 1) -> int:
+    def compact(
+        self,
+        spark: SparkSession,
+        target_files: int = 1,
+        filters: list[tuple[str, str, object]] | None = None,
+    ) -> int:
         """OPTIMIZE-style bin-packing: rewrite the current snapshot's
         files into ``target_files`` per partition, committing
         remove+add with dataChange=false semantics (CDC readers skip
         pure-compaction commits). The small-files problem is the #1
-        operational issue of streaming ingestion at scale."""
+        operational issue of streaming ingestion at scale.
+
+        ``filters`` is OPTIMIZE ... WHERE (round 9): only files whose
+        partition values match are rewritten — at 100 TB you compact
+        the one hot ingest partition, O(selected files), never the
+        table. Non-partition predicates refuse loudly (the spec limits
+        OPTIMIZE WHERE to partition predicates: a row predicate cannot
+        select whole files)."""
         snap = self.snapshot()
         # OPTIMIZE is legal even on appendOnly tables (dataChange=false)
         self._guard_writable(snap, data_change_removes=False)
+        targets = list(snap.files)
+        if filters:
+            bad = [c for c, _op, _v in filters if c not in snap.partition_columns]
+            if bad:
+                raise DeltaProtocolError(
+                    f"OPTIMIZE WHERE supports partition predicates only; "
+                    f"{bad} are not partition columns"
+                )
+            targets = self.prune_files(snap, filters)
+            if not targets:
+                return snap.version  # nothing selected: no-op
         # row-tracked tables: the rewrite carries materialized row ids
-        df = self._rewrite_source(spark, snap, list(snap.files)).coalesce(
+        df = self._rewrite_source(spark, snap, targets).coalesce(
             target_files
         )
         now_ms = int(time.time() * 1000)
         actions: list[dict] = [
             self._remove_action(snap, p, now_ms, data_change=False)
-            for p in snap.files
+            for p in targets
         ]
         adds = self._stage_and_move(
             df, snap.partition_columns, mapping=self._mapping_of(snap)

@@ -1203,3 +1203,50 @@ def test_column_default_guards(spark, table_path):
     ))
     row = {r.event_id: r.value for r in t.read(spark).collect()}
     assert row[100] == 3.5
+
+
+def test_optimize_where_partition_scoped(spark, table_path):
+    """OPTIMIZE ... WHERE rewrites ONLY the matching partition's files;
+    other partitions' files are untouched (O(selected), not O(table)),
+    and non-partition predicates refuse loudly."""
+    t = DeltaTable(table_path)
+    df = events_df(spark, range(12)).withColumn(
+        "event_type", F.when(F.col("event_id") % 2 == 0, "click").otherwise("buy")
+    )
+    # 3 small files per partition
+    for k in range(3):
+        t.write(
+            df.where(F.col("event_id") % 3 == k).repartition(1),
+            partition_by=["event_type"] if k == 0 else None,
+        )
+    snap = t.snapshot()
+    buy_before = {p for p in snap.files if "event_type=buy" in p}
+    click_before = {p for p in snap.files if "event_type=click" in p}
+    assert len(buy_before) == 3 and len(click_before) == 3
+    rows_before = {tuple(r) for r in t.read(spark).collect()}
+
+    t.compact(spark, target_files=1, filters=[("event_type", "=", "click")])
+    snap = t.snapshot()
+    assert {p for p in snap.files if "event_type=buy" in p} == buy_before
+    assert len([p for p in snap.files if "event_type=click" in p]) == 1
+    assert {tuple(r) for r in t.read(spark).collect()} == rows_before
+
+    with pytest.raises(DeltaProtocolError, match="partition predicates only"):
+        t.compact(spark, filters=[("event_id", ">=", 5)])
+    # empty selection is a no-op commit
+    v = t.latest_version()
+    assert t.compact(spark, filters=[("event_type", "=", "nope")]) == v
+
+
+def test_checkpoint_interval_auto_checkpoints(spark, table_path):
+    """delta.checkpointInterval: every Nth commit leaves a checkpoint
+    without any manual call — replay stays O(tail) on long logs."""
+    t = DeltaTable(table_path)
+    t.write(
+        events_df(spark, range(4)),
+        configuration={"delta.checkpointInterval": "2"},
+    )
+    for i in range(1, 5):
+        t.write(events_df(spark, range(10 * i, 10 * i + 2)))
+    assert t.checkpoint_versions() == [2, 4]
+    assert t.read(spark).count() == 12
