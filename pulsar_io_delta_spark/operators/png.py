@@ -5,12 +5,17 @@ both available here (stdlib ``zlib``, numpy), so unlike JPEG there is
 no reason to stub anything: this decoder is LOSSLESS-exact for the
 supported subset and loud elsewhere.
 
-Supported: 8-bit depth, color types 0 (gray), 2 (RGB), 3 (palette),
-4 (gray+alpha), 6 (RGBA); all five row filters (None/Sub/Up/Average/
-Paeth); multiple IDAT chunks. Loud: bit depths ≠ 8, Adam7 interlace,
-CRC mismatches (a corrupt image must never silently yield wrong
-features). Encoder emits color type 0/2, filter 0 rows — the shapes the
-pipeline re-emits after a transform.
+Supported (round 9 closes the depth/interlace gates): bit depths
+1/2/4/8/16, color types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha),
+6 (RGBA); all five row filters (None/Sub/Up/Average/Paeth); Adam7
+interlace (7 independently-filtered sub-images); multiple IDAT chunks.
+16-bit samples downscale to 8 (high byte — the standard 16→8
+conversion); sub-byte gray scales to the full 0-255 range; palette
+indices dereference at any depth. Loud: CRC mismatches (a corrupt
+image must never silently yield wrong features), invalid filter/color
+codes. Encoder emits color type 0/2 at depth 8 or 16, filter 0 rows,
+optionally Adam7-interlaced — the shapes the pipeline re-emits after a
+transform, and the fixture generator for the decoder tests.
 
 Together with operators/jpeg.py this closes the compressed-image-codec
 waiver (VERDICT r6 #7 lineage): JPEG (lossy, entropy-coded) and PNG
@@ -41,47 +46,81 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
-def _unfilter(raw: bytes, h: int, w: int, ch: int) -> np.ndarray:
-    """Reverse the per-row filters → (h, w*ch) uint8."""
-    stride = w * ch
-    out = np.zeros((h, stride), dtype=np.uint8)
-    pos = 0
-    prev = np.zeros(stride, dtype=np.int32)
+def _unfilter(raw: bytes, h: int, row_bytes: int, bpp: int, pos: int = 0):
+    """Reverse the per-row filters over ``h`` scanlines of
+    ``row_bytes`` bytes (``bpp`` = filter byte distance — whole bytes
+    per pixel, min 1, per the spec). Returns ((h, row_bytes) uint8,
+    next position) so Adam7 passes can share one raw stream."""
+    out = np.zeros((h, row_bytes), dtype=np.uint8)
+    prev = np.zeros(row_bytes, dtype=np.int32)
     for y in range(h):
+        if pos >= len(raw):
+            raise PngFormatError("IDAT stream truncated")
         ftype = raw[pos]
-        row = np.frombuffer(raw, np.uint8, stride, pos + 1).astype(np.int32)
-        pos += 1 + stride
+        row = np.frombuffer(raw, np.uint8, row_bytes, pos + 1).astype(np.int32)
+        pos += 1 + row_bytes
         if ftype == 0:  # None
             cur = row
         elif ftype == 2:  # Up — fully vectorized
             cur = (row + prev) & 0xFF
         elif ftype == 1:  # Sub — per-lane cumulative, loop over x
             cur = row.copy()
-            for i in range(ch, stride):
-                cur[i] = (cur[i] + cur[i - ch]) & 0xFF
+            for i in range(bpp, row_bytes):
+                cur[i] = (cur[i] + cur[i - bpp]) & 0xFF
         elif ftype == 3:  # Average
             cur = row.copy()
-            for i in range(stride):
-                a = cur[i - ch] if i >= ch else 0
+            for i in range(row_bytes):
+                a = cur[i - bpp] if i >= bpp else 0
                 cur[i] = (cur[i] + ((a + prev[i]) >> 1)) & 0xFF
         elif ftype == 4:  # Paeth
             cur = row.copy()
-            for i in range(stride):
-                a = int(cur[i - ch]) if i >= ch else 0
-                c = int(prev[i - ch]) if i >= ch else 0
+            for i in range(row_bytes):
+                a = int(cur[i - bpp]) if i >= bpp else 0
+                c = int(prev[i - bpp]) if i >= bpp else 0
                 cur[i] = (cur[i] + _paeth(a, int(prev[i]), c)) & 0xFF
         else:
             raise PngFormatError(f"unknown PNG filter type {ftype} in row {y}")
         out[y] = cur.astype(np.uint8)
         prev = cur
-    return out
+    return out, pos
+
+
+# Adam7 pass grid: (x0, y0, dx, dy) per pass (RFC 2083 §2.6)
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _rows_to_samples(rows: np.ndarray, w: int, ch: int, depth: int) -> np.ndarray:
+    """(h, row_bytes) filtered-out scanline bytes → (h, w, ch) uint8
+    samples: 16-bit takes the high byte (the standard 16→8 squeeze),
+    sub-byte depths unpack MSB-first; gray scaling / palette deref
+    happen later on the assembled image."""
+    h = rows.shape[0]
+    if depth == 8:
+        return rows[:, : w * ch].reshape(h, w, ch)
+    if depth == 16:
+        wide = rows[:, : w * ch * 2].reshape(h, w * ch, 2)
+        return wide[:, :, 0].reshape(h, w, ch)  # big-endian high byte
+    bits = np.unpackbits(rows, axis=1)[:, : w * depth]  # ch == 1 here
+    vals = bits.reshape(h, w, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    return (vals * weights).sum(axis=2, dtype=np.uint16).astype(np.uint8)[
+        :, :, None
+    ]
+
+
+_VALID_DEPTHS = {0: {1, 2, 4, 8, 16}, 2: {8, 16}, 3: {1, 2, 4, 8},
+                 4: {8, 16}, 6: {8, 16}}
 
 
 def decode_png(payload: bytes) -> np.ndarray:
     """PNG → (h, w, 3) uint8 RGB (alpha dropped after compositing is
     NOT attempted — alpha channels are simply discarded, gray is
-    replicated; palette is dereferenced). Loud on non-8-bit depth,
-    interlace, and CRC mismatch."""
+    replicated; palette is dereferenced; 16-bit takes the high byte;
+    sub-byte gray scales to 0-255). Handles Adam7 interlace. Loud on
+    CRC mismatch and invalid structure."""
     if payload[:8] != _SIGNATURE:
         raise PngFormatError("not a PNG (bad signature)")
     pos = 8
@@ -101,15 +140,17 @@ def decode_png(payload: bytes) -> np.ndarray:
             w, h, depth, color, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", data
             )
-            if depth != 8:
-                raise NotImplementedError(f"PNG bit depth {depth} (only 8)")
             if color not in _CHANNELS:
                 raise PngFormatError(f"invalid PNG color type {color}")
+            if depth not in _VALID_DEPTHS[color]:
+                raise PngFormatError(
+                    f"invalid depth {depth} for color type {color}"
+                )
             if comp != 0 or filt != 0:
                 raise PngFormatError("invalid compression/filter method")
-            if interlace != 0:
-                raise NotImplementedError("Adam7 interlaced PNG")
-            meta = (w, h, color)
+            if interlace not in (0, 1):
+                raise PngFormatError(f"invalid interlace method {interlace}")
+            meta = (w, h, color, depth, interlace)
         elif ctype == b"PLTE":
             palette = np.frombuffer(data, np.uint8).reshape(-1, 3)
         elif ctype == b"IDAT":
@@ -118,14 +159,39 @@ def decode_png(payload: bytes) -> np.ndarray:
             break
     if meta is None:
         raise PngFormatError("missing IHDR")
-    w, h, color = meta
+    w, h, color, depth, interlace = meta
     ch = _CHANNELS[color]
+    bpp = max(1, ch * depth // 8)
+
+    def row_bytes(width: int) -> int:
+        return (width * ch * depth + 7) // 8
+
     raw = zlib.decompress(bytes(idat))
-    expect = h * (1 + w * ch)
-    if len(raw) != expect:
-        raise PngFormatError(f"IDAT size mismatch: {len(raw)} != {expect}")
-    grid = _unfilter(raw, h, w, ch).reshape(h, w, ch)
+    if interlace == 0:
+        expect = h * (1 + row_bytes(w))
+        if len(raw) != expect:
+            raise PngFormatError(f"IDAT size mismatch: {len(raw)} != {expect}")
+        rows, _ = _unfilter(raw, h, row_bytes(w), bpp)
+        grid = _rows_to_samples(rows, w, ch, depth)
+    else:  # Adam7: 7 independently-filtered sub-images, one raw stream
+        grid = np.zeros((h, w, ch), dtype=np.uint8)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = max(0, -(-(w - x0) // dx))
+            ph = max(0, -(-(h - y0) // dy))
+            if pw == 0 or ph == 0:
+                continue  # empty pass carries NO scanlines (spec)
+            rows, pos = _unfilter(raw, ph, row_bytes(pw), bpp, pos)
+            grid[y0::dy, x0::dx] = _rows_to_samples(rows, pw, ch, depth)
+        if pos != len(raw):
+            raise PngFormatError(
+                f"IDAT size mismatch: {len(raw)} != {pos} (interlaced)"
+            )
     if color == 0:
+        if depth < 8:  # scale 0..2^d-1 to the full 0..255 range
+            grid = (grid.astype(np.uint16) * (255 // ((1 << depth) - 1))).astype(
+                np.uint8
+            )
         return np.repeat(grid, 3, axis=2)
     if color == 2:
         return grid
@@ -138,14 +204,37 @@ def decode_png(payload: bytes) -> np.ndarray:
     return np.ascontiguousarray(grid[:, :, :3])  # RGBA → RGB
 
 
-def encode_png(img: np.ndarray) -> bytes:
-    """(h, w) gray or (h, w, 3) RGB uint8 → PNG (filter 0, one IDAT)."""
-    img = np.asarray(img, dtype=np.uint8)
+def encode_png(img: np.ndarray, interlace: bool = False) -> bytes:
+    """(h, w) gray or (h, w, 3) RGB → PNG (filter 0 rows, one IDAT).
+    dtype uint8 encodes depth 8, uint16 depth 16 (big-endian samples).
+    ``interlace=True`` emits the Adam7 layout — each of the 7 passes an
+    independently filtered sub-image (round 9; also the decoder-test
+    fixture generator)."""
+    img = np.asarray(img)
+    if img.dtype == np.uint16:
+        depth = 16
+    else:
+        img = img.astype(np.uint8)
+        depth = 8
     gray = img.ndim == 2
     h, w = img.shape[:2]
     color = 0 if gray else 2
-    body = img.reshape(h, -1)
-    raw = b"".join(b"\x00" + body[y].tobytes() for y in range(h))
+    pix = img if not gray else img[:, :, None]
+
+    def scanlines(sub: np.ndarray) -> bytes:
+        body = sub.astype(">u2" if depth == 16 else np.uint8)
+        ph = body.shape[0]
+        flat = body.reshape(ph, -1)
+        return b"".join(b"\x00" + flat[y].tobytes() for y in range(ph))
+
+    if not interlace:
+        raw = scanlines(pix)
+    else:
+        raw = b"".join(
+            scanlines(pix[y0::dy, x0::dx])
+            for x0, y0, dx, dy in _ADAM7
+            if pix[y0::dy, x0::dx].size
+        )
 
     def chunk(ctype: bytes, data: bytes) -> bytes:
         return (
@@ -155,7 +244,7 @@ def encode_png(img: np.ndarray) -> bytes:
             + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, 1 if interlace else 0)
     return (
         _SIGNATURE
         + chunk(b"IHDR", ihdr)

@@ -87,11 +87,41 @@ class DeltaConcurrentCommit(Exception):
     the caller must recompute its action list against the new snapshot."""
 
 
+# String stats prefix length (delta-spark's
+# delta.dataSkippingStringPrefixLength default): a 1 KB text column
+# would otherwise put ~2 KB of min/max into EVERY add action — GBs of
+# transaction log at 10^6 files. Truncated bounds stay SOUND for data
+# skipping: the min prefix is <= the true min, and the max prefix gets
+# its last character bumped so it stays >= the true max.
+_STRING_PREFIX_LEN = 32
+
+
+def _truncated_string_max(s: str, n: int = _STRING_PREFIX_LEN) -> str | None:
+    """Upper bound for ``s`` of length <= n: prefix with the rightmost
+    incrementable character bumped (skipping the surrogate gap). None
+    when no character can be bumped — the caller must DROP the max
+    (a missing stat admits, never lies)."""
+    if len(s) <= n:
+        return s
+    p = s[:n]
+    for i in range(n - 1, -1, -1):
+        c = ord(p[i])
+        if c >= 0x10FFFF:
+            continue
+        c += 1
+        if 0xD800 <= c <= 0xDFFF:
+            c = 0xE000
+        return p[:i] + chr(c)
+    return None
+
+
 def _file_stats(source) -> dict:
     """Per-file column stats from the parquet footer (numRecords +
     min/maxValues for primitive columns) — the data-skipping index.
     Footer-only: no data pages are read. ``source`` is a path or a
-    binary file-like (FileSystem.open_read)."""
+    binary file-like (FileSystem.open_read). String stats are
+    truncated to ``_STRING_PREFIX_LEN`` chars (sound bounds, bounded
+    log size)."""
     import pyarrow.parquet as pq
 
     md = pq.ParquetFile(source).metadata
@@ -112,6 +142,16 @@ def _file_stats(source) -> dict:
                 continue  # undecoded physical bytes — not comparable
             mins[name] = mn if name not in mins else min(mins[name], mn)
             maxs[name] = mx if name not in maxs else max(maxs[name], mx)
+    for name, mn in list(mins.items()):
+        if isinstance(mn, str) and len(mn) > _STRING_PREFIX_LEN:
+            mins[name] = mn[:_STRING_PREFIX_LEN]
+    for name, mx in list(maxs.items()):
+        if isinstance(mx, str) and len(mx) > _STRING_PREFIX_LEN:
+            bumped = _truncated_string_max(mx)
+            if bumped is None:
+                del maxs[name]
+            else:
+                maxs[name] = bumped
     def _norm(d: dict) -> dict:
         return {k: (v.isoformat() if hasattr(v, "isoformat") else v) for k, v in d.items()}
 

@@ -63,3 +63,40 @@ def test_pruning_survives_checkpoint(spark, tmp_path):
     kept = t.prune_files(snap, [("event_id", "<", 50)])
     assert len(kept) == 1
     assert t.read(spark, filters=[("event_id", "<", 50)]).count() == 50
+
+
+def test_string_stats_truncated_and_sound(spark, tmp_path):
+    """Long string columns keep only a 32-char stats prefix (a 1 KB
+    text would otherwise land ~2 KB in EVERY add action — GBs of log
+    at 10^6 files). Truncation must stay SOUND: min prefix <= true
+    min, max gets its last char bumped >= true max, and pruning on the
+    column still never drops a matching file."""
+    import json
+
+    from pulsar_io_delta_spark.sources.delta_log import _truncated_string_max
+
+    t = DeltaTable(str(tmp_path / "s"))
+    rows = [
+        (0, "aaaa" + "x" * 500),
+        (1, "mmmm" + "y" * 500),
+    ]
+    t.write(spark.createDataFrame(rows, "doc_id long, text string").coalesce(1))
+    t.write(
+        spark.createDataFrame(
+            [(2, "zzzz" + "z" * 500)], "doc_id long, text string"
+        ).coalesce(1)
+    )
+    snap = t.snapshot()
+    for p in snap.files:
+        s = json.loads(snap.adds[p]["stats"])
+        assert len(s["minValues"]["text"]) <= 32
+        assert len(s["maxValues"]["text"]) <= 32
+    # bounds sound: the bumped max is > any value sharing the prefix
+    assert _truncated_string_max("a" * 100) == "a" * 31 + "b"
+    assert _truncated_string_max("short") == "short"
+    assert _truncated_string_max(chr(0x10FFFF) * 40) is None
+    # pruning stays exact on the truncated column
+    kept = t.prune_files(snap, [("text", ">=", "zzz")])
+    hit = t.read(spark, filters=[("text", ">=", "zzz")])
+    assert hit.count() == 1 and len(kept) >= 1
+    assert t.read(spark, filters=[("text", "<", "b")]).count() == 1

@@ -294,3 +294,30 @@ def test_row_id_read_broadcasts_file_bases(spark, tmp_path):
     assert "BroadcastHashJoin" in plan, plan
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
+
+
+def test_liquid_optimize_single_range_exchange(spark, sf_dir, tmp_path):
+    """The Hilbert-clustered rewrite is ONE range exchange on the index
+    (same cost class as bin-packing OPTIMIZE) — the written frame's
+    plan must contain exactly one rangepartitioning exchange and no
+    extra hash shuffles; the Hilbert kernel is the only Python node,
+    fed already-bucketed longs."""
+    from pulsar_io_delta_spark.operators.layout import hilbert_col
+    from pulsar_io_delta_spark.tables import table
+    import pyspark.sql.functions as F
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey"
+    )
+    ranges = [(0.0, 1e6), (0.0, 1e5)]
+    h = hilbert_col([F.col("l_partkey"), F.col("l_suppkey")], ranges, bits=16)
+    ordered = (
+        li.withColumn("_h", h)
+        .repartitionByRange(8, "_h")
+        .sortWithinPartitions("_h")
+        .drop("_h")
+    )
+    plan = ordered._jdf.queryExecution().executedPlan().toString()
+    assert plan.lower().count("rangepartitioning") == 1, plan
+    assert "hashpartitioning" not in plan.lower(), plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan

@@ -102,23 +102,97 @@ def test_palette_and_alpha_color_types():
     assert np.all(out == 77)
 
 
-def test_corruption_and_unsupported_are_loud():
+def test_corruption_and_invalid_are_loud():
     blob = bytearray(encode_png(np.zeros((4, 4), np.uint8)))
     blob[20] ^= 0xFF
     with pytest.raises(PngFormatError, match="CRC"):
         decode_png(bytes(blob))
     with pytest.raises(PngFormatError, match="signature"):
         decode_png(b"\xff\xd8xxxx")
-    # 16-bit depth: loud NotImplementedError, not silent garbage
-    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
+    # invalid depth/color combination (16-bit palette): loud
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 3, 0, 0, 0)
     blob = _SIGNATURE + _chunk(b"IHDR", ihdr) + _chunk(b"IEND", b"")
-    with pytest.raises(NotImplementedError, match="depth"):
+    with pytest.raises(PngFormatError, match="invalid depth"):
         decode_png(blob)
-    # Adam7 interlace: loud
-    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1)
+    # unknown interlace method: loud
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 2)
     blob = _SIGNATURE + _chunk(b"IHDR", ihdr) + _chunk(b"IEND", b"")
-    with pytest.raises(NotImplementedError, match="interlace"):
+    with pytest.raises(PngFormatError, match="interlace"):
         decode_png(blob)
+
+
+# ---------------------------------------------------------------------------
+# Round 9: bit depths 1/2/4/16 and Adam7 interlace (the last PNG gates)
+
+
+def test_adam7_matches_sequential():
+    """Adam7 is a pure re-layout: the interlaced decode must equal the
+    sequential decode EXACTLY, including tiny dims with empty passes."""
+    rng = np.random.default_rng(5)
+    for hw in ((23, 17), (8, 8), (1, 1), (3, 2), (16, 5), (2, 9)):
+        img = rng.integers(0, 256, (*hw, 3), dtype=np.uint8)
+        assert np.array_equal(decode_png(encode_png(img, interlace=True)), img), hw
+        gi = rng.integers(0, 256, hw, dtype=np.uint8)
+        assert np.array_equal(
+            decode_png(encode_png(gi, interlace=True)),
+            np.repeat(gi[:, :, None], 3, 2),
+        ), hw
+
+
+def test_16bit_decode_takes_high_byte():
+    rng = np.random.default_rng(7)
+    w16 = rng.integers(0, 65536, (11, 7, 3), dtype=np.uint16)
+    exp = (w16 >> 8).astype(np.uint8)
+    assert np.array_equal(decode_png(encode_png(w16)), exp)
+    assert np.array_equal(decode_png(encode_png(w16, interlace=True)), exp)
+    g16 = rng.integers(0, 65536, (9, 13), dtype=np.uint16)
+    assert np.array_equal(
+        decode_png(encode_png(g16))[:, :, 0], (g16 >> 8).astype(np.uint8)
+    )
+
+
+def test_1bit_gray_checkerboard():
+    """Hand-packed 1-bit gray rows (MSB-first) decode to the 0/255
+    scaled checkerboard — the sub-byte unpack + gray scaling path."""
+    w, h = 10, 3
+    rows = []
+    for y in range(h):
+        byts = bytearray(2)
+        for x in range(w):
+            byts[x // 8] |= ((x + y) & 1) << (7 - x % 8)
+        rows.append(b"\x00" + bytes(byts))
+    blob = (
+        _SIGNATURE
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 1, 0, 0, 0, 0))
+        + _chunk(b"IDAT", zlib.compress(b"".join(rows)))
+        + _chunk(b"IEND", b"")
+    )
+    out = decode_png(blob)
+    exp = np.array(
+        [[(x + y) & 1 for x in range(w)] for y in range(h)], dtype=np.uint8
+    ) * 255
+    assert np.array_equal(out[:, :, 0], exp)
+
+
+def test_4bit_palette_decode():
+    pal = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 10, 20, 30])
+    idx = [[0, 1, 2, 3, 0], [3, 2, 1, 0, 1]]
+    rows = []
+    for r in idx:
+        byts = bytearray(3)
+        for i, v in enumerate(r):
+            byts[i // 2] |= v << (4 - 4 * (i % 2))
+        rows.append(b"\x00" + bytes(byts))
+    blob = (
+        _SIGNATURE
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 5, 2, 4, 3, 0, 0, 0))
+        + _chunk(b"PLTE", pal)
+        + _chunk(b"IDAT", zlib.compress(b"".join(rows)))
+        + _chunk(b"IEND", b"")
+    )
+    out = decode_png(blob)
+    p = np.frombuffer(pal, np.uint8).reshape(-1, 3)
+    assert np.array_equal(out, p[np.array(idx)])
 
 
 def test_multimodal_routes_png():

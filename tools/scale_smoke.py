@@ -232,7 +232,50 @@ def fuzzy_axis(multipliers: list[int]) -> None:
     spark.stop()
 
 
+def liquid_axis(multipliers: list[int]) -> None:
+    """Liquid clustering at scale (round 9): optimize_clustered is one
+    range exchange on the Hilbert index — per-row cost should stay
+    flat as rows grow (the pandas-UDF bit-twiddle is O(bits·d) vector
+    ops per batch; bucketing is codegen'd). Also reports the
+    box-predicate skipping ratio, which should stay HIGH as files
+    subdivide the same key space."""
+    import tempfile
+
+    from pulsar_io_delta_spark.operators.layout import skipping_ratio
+    from pulsar_io_delta_spark.sources.delta_log import DeltaTable
+
+    spark = get_spark(app_name="liquid-axis")
+    spark.sparkContext.setLogLevel("ERROR")
+    sf = "/root/testdata/sf0.1"
+    li = table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        F.col("l_quantity").cast("double").alias("l_quantity"),
+    )
+    n1 = li.count()
+    for mult in multipliers:
+        df = li if mult == 1 else blow_up(li, mult)
+        rows = n1 * mult
+        root = tempfile.mkdtemp(prefix=f"liq{mult}_") + "/tbl"
+        t = DeltaTable(root)
+        t.write(df.repartition(16), cluster_by=["l_partkey", "l_suppkey"])
+        t0 = time.time()
+        t.optimize_clustered(spark, target_files=16 * mult)
+        dt = time.time() - t0
+        box = [("l_partkey", "<=", 5000), ("l_suppkey", "<=", 250)]
+        ratio = skipping_ratio(t, box)
+        print(
+            f"{'liquid_opt':11s} {mult}x rows={rows:>10,d} wall={dt:6.2f}s "
+            f"ns/row={dt/rows*1e9:8.1f} box_skip={ratio:.2f}"
+        )
+    spark.stop()
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "liquid":
+        liquid_axis(
+            [int(x) for x in sys.argv[2:]] if len(sys.argv) > 2 else [1, 10]
+        )
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "fuzzy":
         fuzzy_axis(
             [int(x) for x in sys.argv[2:]] if len(sys.argv) > 2 else [1, 10, 20]
