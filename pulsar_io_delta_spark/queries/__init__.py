@@ -530,6 +530,7 @@ WINDOW_MUST_INCLUDE = [
     "q_column_mapping_id",
     "q_checkpoint_v2",
     "q_multimodal_jpeg",  # 4:2:0 mix + progressive (SOF2) routing
+    "q_multimodal_png",   # Adam7-interlaced + 16-bit form routing
     "q_liquid_cluster",   # NEW: clusteredTable + Hilbert OPTIMIZE
     "q_column_defaults",  # NEW: allowColumnDefaults SET/apply lifecycle
     "q_cdf_merge",        # insert-id device made scale-proof (sf1 gate)
@@ -577,10 +578,9 @@ WINDOW_MUST_INCLUDE = [
     "q_text_token_count",
     "q_udtf_tokens",
     "q_window_variants",
-    # (c) highest-traffic r4 singles that fit (four rotated back out
-    # for the round-9 new/changed entries above — r4-green, unmodified,
-    # judge-gate green: q_agg_groupby, q_agg_distinct, q_join_broadcast,
-    # q_dedup_minhash)
-    "q_dedup_near",
+    # (the five highest-traffic r4 singles rotated back out for the
+    # round-9 new/changed entries above — r4-green, unmodified,
+    # judge-gate green at sf0.01 AND the round-9 sf1 run: q_agg_groupby,
+    # q_agg_distinct, q_join_broadcast, q_dedup_minhash, q_dedup_near)
 ]
 promote(WINDOW_MUST_INCLUDE, after="q_stream_tumbling")

@@ -1631,6 +1631,12 @@ def q_multimodal_png(spark, sf_dir):
 
     With q_multimodal_jpeg this closes the compressed-image-codec
     waiver for both real-corpus formats (lossy JPEG, lossless PNG).
+    Round 9 routes the variant forms through the SAME oracle:
+    doc_id % 3 == 1 plants the gradient as ADAM7-INTERLACED PNG (a
+    pure re-layout — lossless, decode identical) and doc_id % 3 == 2
+    as 16-BIT depth with samples v<<8 (the decoder's high-byte squeeze
+    recovers exactly v), so the sub-image pass assembly and the 16-bit
+    sample path are driver-verified, not just unit-tested.
     Scale shape: two chained Arrow-batched mapInPandas stages, no
     shuffle, payloads never touch the driver."""
     from pulsar_io_delta_spark.operators import multimodal as mm
@@ -1652,7 +1658,12 @@ def q_multimodal_png(spark, sf_dir):
                 w, h = 10 + i % 6, 10 + (i * 7) % 6
                 yy, xx = np.mgrid[0:h, 0:w]
                 img = ((i + 3 * xx + 5 * yy) % 256).astype(np.uint8)
-                payloads.append(encode_png(img))
+                if i % 3 == 2:  # 16-bit form: high byte == the gradient
+                    payloads.append(
+                        encode_png((img.astype(np.uint16) << 8))
+                    )
+                else:
+                    payloads.append(encode_png(img, interlace=i % 3 == 1))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].values,
