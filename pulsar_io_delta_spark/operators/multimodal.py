@@ -274,11 +274,16 @@ DECODED_AUDIO_SCHEMA = StructType(
 
 
 def _parse_wav_pcm16(payload: bytes) -> tuple[int, int, np.ndarray]:
-    """RIFF/WAVE PCM-16 → (sample_rate, n_channels, samples[frame, ch]).
-    Walks the chunk list (fmt / data may be preceded by LIST etc.)."""
+    """RIFF/WAVE → (sample_rate, n_channels, int16 samples[frame, ch]).
+    Walks the chunk list (fmt / data may be preceded by LIST etc.).
+    Formats (round 9 extends beyond PCM-16): 1 = PCM-16, 6 = G.711
+    A-law, 7 = G.711 µ-law, 0x11 = IMA ADPCM (mono) — the pure-numpy
+    codecs in operators/audio.py. Anything else (MP3/AAC inside WAV)
+    still fails loudly."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
-    pos, rate, channels, bits, data = 12, None, None, None, None
+    pos, rate, channels, bits, fmt, data = 12, None, None, None, None, None
+    block_align = samples_per_block = None
     while pos + 8 <= len(payload):
         cid = payload[pos : pos + 4]
         size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
@@ -287,18 +292,40 @@ def _parse_wav_pcm16(payload: bytes) -> tuple[int, int, np.ndarray]:
             fmt = int.from_bytes(body[0:2], "little")
             channels = int.from_bytes(body[2:4], "little")
             rate = int.from_bytes(body[4:8], "little")
+            block_align = int.from_bytes(body[12:14], "little")
             bits = int.from_bytes(body[14:16], "little")
-            if fmt != 1 or bits != 16:
+            if fmt == 0x11:
+                # cbSize + wSamplesPerBlock extension (required for ADPCM)
+                samples_per_block = int.from_bytes(body[18:20], "little")
+            supported = fmt in (1, 6, 7) or (fmt == 0x11 and channels == 1)
+            if not supported or (fmt == 1 and bits != 16):
                 raise NotImplementedError(
-                    f"media decode: WAV fmt={fmt} bits={bits} needs a codec; "
-                    "only PCM-16 decodes natively"
+                    f"media decode: WAV fmt={fmt} bits={bits} "
+                    f"channels={channels} needs a codec; PCM-16, G.711 "
+                    "A-law/µ-law, and mono IMA ADPCM decode natively"
                 )
         elif cid == b"data":
             data = body
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if rate is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
-    samples = np.frombuffer(data, "<i2", count=len(data) // 2)
+    if fmt == 1:
+        samples = np.frombuffer(data, "<i2", count=len(data) // 2)
+    elif fmt in (6, 7):
+        from pulsar_io_delta_spark.operators.audio import alaw_decode, mulaw_decode
+
+        codes = np.frombuffer(data, np.uint8)
+        samples = (alaw_decode if fmt == 6 else mulaw_decode)(codes)
+    else:  # 0x11 mono IMA ADPCM
+        from pulsar_io_delta_spark.operators.audio import ima_adpcm_decode_blocks
+
+        if not block_align or not samples_per_block:
+            raise ValueError("ADPCM WAV missing blockAlign/samplesPerBlock")
+        usable = (len(data) // block_align) * block_align
+        blocks = np.frombuffer(data, np.uint8, count=usable).reshape(
+            -1, block_align
+        )
+        samples = ima_adpcm_decode_blocks(blocks, samples_per_block).reshape(-1)
     return rate, channels, samples.reshape(-1, channels)
 
 

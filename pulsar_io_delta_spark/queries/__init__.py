@@ -533,6 +533,7 @@ WINDOW_MUST_INCLUDE = [
     "q_multimodal_png",   # Adam7-interlaced + 16-bit form routing
     "q_liquid_cluster",   # NEW: clusteredTable + Hilbert OPTIMIZE
     "q_column_defaults",  # NEW: allowColumnDefaults SET/apply lifecycle
+    "q_multimodal_audio_g711",  # NEW: G.711 + ADPCM decode contracts
     "q_cdf_merge",        # insert-id device made scale-proof (sf1 gate)
     "q_dedup_semantic",   # oracle made duplicate-density-robust
     # (b) columnar-metadata-plane representatives
@@ -577,10 +578,10 @@ WINDOW_MUST_INCLUDE = [
     "q_text_stats",
     "q_text_token_count",
     "q_udtf_tokens",
-    "q_window_variants",
-    # (the five highest-traffic r4 singles rotated back out for the
-    # round-9 new/changed entries above — r4-green, unmodified,
-    # judge-gate green at sf0.01 AND the round-9 sf1 run: q_agg_groupby,
-    # q_agg_distinct, q_join_broadcast, q_dedup_minhash, q_dedup_near)
+    # (rotated back out for the round-9 new/changed entries above —
+    # all green on the judge gate at sf0.01 AND the round-9 sf1 run:
+    # the five highest-traffic r4 singles q_agg_groupby,
+    # q_agg_distinct, q_join_broadcast, q_dedup_minhash, q_dedup_near,
+    # and the r3 single q_window_variants)
 ]
 promote(WINDOW_MUST_INCLUDE, after="q_stream_tumbling")

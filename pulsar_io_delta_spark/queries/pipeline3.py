@@ -1318,6 +1318,111 @@ def q_multimodal_audio(spark, sf_dir):
     )
 
 
+@register(
+    "q_multimodal_audio_g711",
+    # Closed-form G.711 magnitudes in SQL (ITU-T G.711 decode is pure
+    # integer arithmetic, so the oracle recomputes the exact decoded
+    # amplitude): µ-law u = ~code, mag = ((u%16)*8+132)*2^((u//16)%8)
+    # - 132; A-law a = code XOR 0x55, mag = (a%16)*16+8 then segment
+    # expand. The ADPCM branch plants a constant block (zero nibbles at
+    # step index 0 decode to the header predictor forever).
+    oracle="""
+WITH d AS (
+  SELECT doc_id,
+         doc_id % 3 AS form,
+         1 + (doc_id % 126) AS c,
+         ((doc_id * 131) % 40001) - 20000 AS p
+  FROM documents
+),
+m AS (
+  SELECT doc_id, form, p,
+         255 - c AS u,
+         xor(c, 85) AS a
+  FROM d
+)
+SELECT doc_id,
+       CAST(8000 AS BIGINT) AS sample_rate,
+       CAST(18 AS BIGINT) AS n_samples,
+       CAST(CASE form
+         WHEN 0 THEN ((u % 16) * 8 + 132) * CAST(pow(2, (u // 16) % 8) AS BIGINT) - 132
+         WHEN 1 THEN CASE WHEN (a // 16) % 8 >= 1
+                          THEN ((a % 16) * 16 + 8 + 256)
+                               * CAST(pow(2, (a // 16) % 8 - 1) AS BIGINT)
+                          ELSE (a % 16) * 16 + 8 END
+         ELSE abs(p) END AS BIGINT) AS max_abs,
+       CAST(CASE form WHEN 2 THEN 0 ELSE 17 END AS BIGINT) AS crossings
+FROM m
+""",
+)
+def q_multimodal_audio_g711(spark, sf_dir):
+    """Compressed-audio decode under the oracle gate (round 9;
+    operators/audio.py): each document plants one of the three
+    pure-numpy codec forms by doc_id % 3 —
+
+    - µ-law (WAV fmt 7): an 18-sample square wave alternating codeword
+      c and its sign-flip c^0x80 — G.711 decode is closed-form integer
+      arithmetic, so the oracle recomputes the exact amplitude;
+    - A-law (WAV fmt 6): same device (the sign lives in bit 7 through
+      the 0x55 toggle, magnitude unchanged);
+    - mono IMA ADPCM (WAV fmt 0x11): a constant block — zero nibbles
+      at step index 0 decode to the header predictor forever, so the
+      recurrence is oracle-exact without replaying it in SQL.
+
+    Closes the 'only PCM-16 decodes natively' audio gate for the
+    telephony/legacy codecs; MP3/AAC remain genuinely external.
+    Scale shape: identical to q_multimodal_audio — binaryFile scan +
+    one Arrow-batched mapInPandas decode, fully distributed."""
+    import os
+    import struct
+
+    from pulsar_io_delta_spark.operators import multimodal as mm
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    outdir, done = _blob_dir(sf_dir, "g711")
+    for r in (d.collect() if not done else []):
+        i = int(r.doc_id)
+        form = i % 3
+        if form in (0, 1):
+            c = 1 + (i % 126)
+            codes = bytes([c, c ^ 0x80] * 9)
+            fmt_tag = 7 if form == 0 else 6
+            fmt = struct.pack("<HHIIHH", fmt_tag, 1, 8000, 8000, 1, 8)
+            data = codes
+        else:
+            p = ((i * 131) % 40001) - 20000
+            block = bytes([p & 0xFF, (p >> 8) & 0xFF, 0, 0]) + b"\x00" * 10
+            fmt = struct.pack("<HHIIHHHH", 0x11, 1, 8000, 4000, len(block), 4,
+                              2, 18)
+            data = block
+        blob = (
+            b"RIFF" + struct.pack("<I", 20 + len(fmt) + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+        with open(os.path.join(outdir, f"{i}.wav"), "wb") as f:
+            f.write(blob)
+    if not done:
+        _blob_done(outdir)
+    bf = spark.read.format("binaryFile").option("pathGlobFilter", "*.wav").load(outdir)
+    framed = bf.select(
+        F.regexp_extract(F.col("path"), r"([0-9]+)\.wav$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("content").alias("payload"),
+        F.lit("audio/wav").alias("mime"),
+    )
+    decoded = mm.decode_audio(framed, fake=False)
+    return decoded.select(
+        "doc_id",
+        F.col("sample_rate").cast("long").alias("sample_rate"),
+        F.col("n_samples").cast("long").alias("n_samples"),
+        F.round(F.element_at("features", 3) * 32768, 0)
+        .cast("long")
+        .alias("max_abs"),
+        F.round(F.element_at("features", 2) * 17, 0).cast("long").alias("crossings"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # real video (AVI) frame demux under the oracle gate
 
