@@ -3441,6 +3441,7 @@ class DeltaTable:
         txn: tuple[str, int] | None = None,
         configuration: dict | None = None,
         cluster_by: list[str] | None = None,
+        overwrite_schema: bool = False,
     ) -> int:
         """Append/overwrite commit. ``txn=(app_id, txn_version)`` makes
         the commit idempotent (streaming sink exactly-once).
@@ -3453,7 +3454,11 @@ class DeltaTable:
         list recorded in the delta.clustering metadata domain —
         optimize_clustered() then rewrites in Hilbert order over them
         (the spec makes maintaining the layout best-effort, so plain
-        appends remain legal)."""
+        appends remain legal). ``overwrite_schema`` (round 9,
+        delta-spark's overwriteSchema): with ``mode='overwrite'``,
+        REPLACE the table schema and partitioning from this frame /
+        ``partition_by`` instead of inheriting — the only way to change
+        a table's partition layout."""
         partition_by = partition_by or []
         first_probe = not (self.exists() and self.versions())
         if cluster_by:
@@ -3550,22 +3555,62 @@ class DeltaTable:
             prior = self.snapshot()
             # overwrite emits data-changing removes; append does not
             self._guard_writable(prior, data_change_removes=(mode == "overwrite"))
-            # partitioning is a TABLE property: appends inherit it (an
-            # add without partitionValues on a partitioned table is
-            # protocol-invalid — caught by the round-9 OPTIMIZE WHERE
-            # test), and changing it would need an explicit
-            # schema-overwrite commit, not a write side effect
-            if partition_by and partition_by != prior.partition_columns:
-                raise DeltaProtocolError(
-                    f"partition_by {partition_by} conflicts with the "
-                    f"table's partitioning {prior.partition_columns}"
-                )
-            partition_by = list(prior.partition_columns)
+            if overwrite_schema:
+                # delta-spark's overwriteSchema: replace schema AND
+                # partitioning from this frame — the only legal way to
+                # change a table's partition layout
+                if mode != "overwrite":
+                    raise DeltaProtocolError(
+                        "overwrite_schema requires mode='overwrite'"
+                    )
+                if self._mapping_of(prior):
+                    raise DeltaProtocolError(
+                        "overwrite_schema on column-mapped tables is "
+                        "not supported (fresh physical names would need "
+                        "mapping reassignment)"
+                    )
+                if prior.domain_metadata.get("delta.clustering"):
+                    raise DeltaProtocolError(
+                        "overwrite_schema on a liquid-clustered table is "
+                        "not supported; alter_cluster_by([]) first"
+                    )
+            else:
+                # partitioning is a TABLE property: appends inherit it
+                # (an add without partitionValues on a partitioned table
+                # is protocol-invalid — caught by the round-9 OPTIMIZE
+                # WHERE test); changing it is overwrite_schema's job
+                if partition_by and partition_by != prior.partition_columns:
+                    raise DeltaProtocolError(
+                        f"partition_by {partition_by} conflicts with the "
+                        f"table's partitioning {prior.partition_columns}"
+                    )
+                partition_by = list(prior.partition_columns)
             mapping = self._mapping_of(prior)
             commit_config = prior.configuration
-            df = self._apply_generated(df, prior.schema_string)
-            df = _apply_column_defaults(df, prior.schema_string)
-            idents = _identity_cols(prior.schema_string)
+            if overwrite_schema:
+                # prior-schema semantics (generated/default/identity
+                # columns) do not carry into the REPLACED schema; the
+                # frame defines the new table
+                self._validate_constraints(df, prior.configuration)
+                effective_schema = df.schema.json()
+                actions.append(
+                    self._metadata_action(df, partition_by, prior.configuration)
+                )
+                if _schema_has_variant(effective_schema) and "variantType" not in (
+                    prior.protocol.get("readerFeatures") or ()
+                ):
+                    actions.append(
+                        {"protocol": _upgraded_protocol(
+                            prior.protocol, ("variantType",), ("variantType",)
+                        )}
+                    )
+                read_version = prior.version
+                state_dependent = True
+                idents = {}
+            else:
+                df = self._apply_generated(df, prior.schema_string)
+                df = _apply_column_defaults(df, prior.schema_string)
+                idents = _identity_cols(prior.schema_string)
             if idents and mapping:
                 raise DeltaProtocolError(
                     "identity columns on column-mapped tables are not supported"
@@ -3600,33 +3645,36 @@ class DeltaTable:
                 # pin the snapshot so a lost race recomputes
                 read_version = prior.version
                 state_dependent = True
-            self._validate_constraints(df, prior.configuration)
-            merged = self._merge_schema_strings(prior.schema_string, df.schema.json())
-            effective_schema = merged or prior.schema_string
-            if merged is not None:
-                config = prior.configuration
-                if mapping:
-                    # new columns on a mapped table get a col-<uuid>
-                    # physicalName + the next columnMapping.id, and the
-                    # staging mapping must include them
-                    merged, config = _assign_mapping_metadata(merged, config)
-                    mapping = _column_mapping(merged, config)
-                    commit_config = config
-                md = self._metadata_action(
-                    df, partition_by or prior.partition_columns, config
+            if not overwrite_schema:
+                self._validate_constraints(df, prior.configuration)
+                merged = self._merge_schema_strings(
+                    prior.schema_string, df.schema.json()
                 )
-                md["metaData"]["schemaString"] = merged
-                actions.append(md)
-                if _schema_has_variant(merged) and "variantType" not in (
-                    prior.protocol.get("readerFeatures") or ()
-                ):
-                    actions.append(
-                        {"protocol": _upgraded_protocol(
-                            prior.protocol, ("variantType",), ("variantType",)
-                        )}
+                effective_schema = merged or prior.schema_string
+                if merged is not None:
+                    config = prior.configuration
+                    if mapping:
+                        # new columns on a mapped table get a col-<uuid>
+                        # physicalName + the next columnMapping.id, and
+                        # the staging mapping must include them
+                        merged, config = _assign_mapping_metadata(merged, config)
+                        mapping = _column_mapping(merged, config)
+                        commit_config = config
+                    md = self._metadata_action(
+                        df, partition_by or prior.partition_columns, config
                     )
-                read_version = prior.version  # don't clobber a racing schema change
-                state_dependent = True
+                    md["metaData"]["schemaString"] = merged
+                    actions.append(md)
+                    if _schema_has_variant(merged) and "variantType" not in (
+                        prior.protocol.get("readerFeatures") or ()
+                    ):
+                        actions.append(
+                            {"protocol": _upgraded_protocol(
+                                prior.protocol, ("variantType",), ("variantType",)
+                            )}
+                        )
+                    read_version = prior.version  # don't clobber a racing schema change
+                    state_dependent = True
         if mode == "overwrite" and not first:
             snap = self.snapshot()
             read_version = snap.version  # removes computed against this state

@@ -1250,3 +1250,29 @@ def test_checkpoint_interval_auto_checkpoints(spark, table_path):
         t.write(events_df(spark, range(10 * i, 10 * i + 2)))
     assert t.checkpoint_versions() == [2, 4]
     assert t.read(spark).count() == 12
+
+
+def test_overwrite_schema_replaces_partitioning(spark, table_path):
+    """overwrite_schema (delta-spark's overwriteSchema): one overwrite
+    replaces BOTH schema and partition layout; plain appends then
+    inherit the new partitioning; misuse refuses loudly."""
+    t = DeltaTable(table_path)
+    t.write(events_df(spark, range(8)))
+    assert t.snapshot().partition_columns == []
+    newdf = events_df(spark, range(100, 106)).withColumn(
+        "bucket", (F.col("event_id") % 2).cast("string")
+    )
+    t.write(newdf, mode="overwrite", partition_by=["bucket"],
+            overwrite_schema=True)
+    snap = t.snapshot()
+    assert snap.partition_columns == ["bucket"]
+    assert all(set(pv) == {"bucket"} for pv in snap.partition_values.values())
+    assert t.read(spark).count() == 6
+    # appends now inherit the new partitioning
+    t.write(events_df(spark, range(200, 202)).withColumn("bucket", F.lit("9")))
+    assert t.read(spark).where("bucket = '9'").count() == 2
+    # guards
+    with pytest.raises(DeltaProtocolError, match="requires mode"):
+        t.write(newdf, partition_by=["bucket"], overwrite_schema=True)
+    with pytest.raises(DeltaProtocolError, match="conflicts with"):
+        t.write(newdf.withColumnRenamed("bucket", "b2"), partition_by=["b2"])
