@@ -4794,6 +4794,28 @@ class DeltaTable:
             out.append(path[0])
         return out
 
+    def history(self, limit: int | None = None) -> list[dict]:
+        """DESCRIBE HISTORY: newest-first commit records (version,
+        timestamp, operation, inCommitTimestamp when armed) from the
+        commitInfo actions still present in the log. O(visible
+        commits) driver-side metadata — checkpointed-away versions are
+        not replayed (their commitInfo is gone by design)."""
+        out: list[dict] = []
+        for v in sorted(self.json_versions(), reverse=True):
+            rec = {"version": v, "timestamp": None, "operation": None}
+            for a in self.actions(v):
+                if "commitInfo" in a:
+                    ci = a["commitInfo"]
+                    rec["timestamp"] = ci.get("timestamp")
+                    rec["operation"] = ci.get("operation")
+                    if "inCommitTimestamp" in ci:
+                        rec["inCommitTimestamp"] = ci["inCommitTimestamp"]
+                    break
+            out.append(rec)
+            if limit is not None and len(out) >= limit:
+                break
+        return out
+
     def set_column_default(self, column: str, default_sql: str) -> int:
         """ALTER TABLE ... ALTER COLUMN c SET DEFAULT <expr> (Delta
         PROTOCOL.md "Default columns"): stamp CURRENT_DEFAULT into the

@@ -1276,3 +1276,21 @@ def test_overwrite_schema_replaces_partitioning(spark, table_path):
         t.write(newdf, partition_by=["bucket"], overwrite_schema=True)
     with pytest.raises(DeltaProtocolError, match="conflicts with"):
         t.write(newdf.withColumnRenamed("bucket", "b2"), partition_by=["b2"])
+
+
+def test_history_surface(spark, table_path):
+    """DESCRIBE HISTORY: newest-first (version, timestamp, operation)
+    from commitInfo; limit honored; expired versions drop out."""
+    t = DeltaTable(table_path)
+    t.write(events_df(spark, range(4)))
+    t.write(events_df(spark, range(4, 6)))
+    t.delete_where(spark, "event_id = 0")
+    h = t.history()
+    assert [r["version"] for r in h] == [2, 1, 0]
+    assert h[0]["operation"] == "DELETE"
+    assert h[2]["operation"] == "APPEND"
+    assert all(r["timestamp"] is not None for r in h)
+    assert [r["version"] for r in t.history(limit=1)] == [2]
+    t.checkpoint()
+    t.expire_log()
+    assert t.history() == []  # commitInfo gone with the expired JSONs
