@@ -2120,6 +2120,12 @@ class DeltaTable:
         expired = [v for v in self.json_versions() if v <= horizon]
         for v in expired:
             self.fs.remove(os.path.join(self.log_dir, f"{v:020d}.json"))
+            crc = os.path.join(self.log_dir, f"{v:020d}.crc")
+            if v < horizon and self.fs.exists(crc):
+                # expired checksum sidecars go with their commits; the
+                # HORIZON version's .crc stays — it still validates the
+                # checkpoint-bootstrapped snapshot of that version
+                self.fs.remove(crc)
         return expired
 
     # ---------- reading data ----------

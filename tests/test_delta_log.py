@@ -1294,3 +1294,18 @@ def test_history_surface(spark, table_path):
     t.checkpoint()
     t.expire_log()
     assert t.history() == []  # commitInfo gone with the expired JSONs
+
+
+def test_expire_log_cleans_expired_crc_sidecars(spark, table_path):
+    """Expired .crc sidecars go with their commits; the horizon
+    version's stays and still validates the checkpoint-bootstrapped
+    snapshot."""
+    t = DeltaTable(table_path)
+    t.write(events_df(spark, range(4)))
+    t.write(events_df(spark, range(4, 6)))
+    t.checkpoint()
+    t.expire_log()
+    crcs = sorted(n for n in t.fs.listdir(t.log_dir) if n.endswith(".crc"))
+    assert crcs == ["00000000000000000001.crc"]
+    t2 = DeltaTable(table_path)
+    assert t2.read(spark).count() == 6  # validated against the kept crc
