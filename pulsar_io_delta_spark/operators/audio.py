@@ -87,22 +87,17 @@ _IMA_STEPS = np.array([
 _IMA_INDEX = np.array([-1, -1, -1, -1, 2, 4, 6, 8] * 2, dtype=np.int32)
 
 
-def ima_adpcm_decode_blocks(blocks: np.ndarray, samples_per_block: int) -> np.ndarray:
-    """(n_blocks, block_bytes) uint8 mono IMA ADPCM blocks →
-    (n_blocks, samples_per_block) int16. Block layout (RIFF fmt 0x11):
-    4-byte header (int16 predictor, uint8 step index, reserved), then
-    nibbles low-first; sample 0 IS the header predictor. Vectorized
-    across blocks — the recurrence loops only over the within-block
-    sample index."""
-    b = np.asarray(blocks, dtype=np.uint8)
-    n = b.shape[0]
-    pred = b[:, 0].astype(np.int32) | (b[:, 1].astype(np.int32) << 8)
+def _ima_header(b: np.ndarray, off: int) -> tuple[np.ndarray, np.ndarray]:
+    pred = b[:, off].astype(np.int32) | (b[:, off + 1].astype(np.int32) << 8)
     pred = np.where(pred >= 0x8000, pred - 0x10000, pred)
-    idx = np.clip(b[:, 2].astype(np.int32), 0, 88)
-    data = b[:, 4:]
-    nibs = np.empty((n, data.shape[1] * 2), dtype=np.int32)
-    nibs[:, 0::2] = data & 0x0F  # low nibble first (spec)
-    nibs[:, 1::2] = data >> 4
+    idx = np.clip(b[:, off + 2].astype(np.int32), 0, 88)
+    return pred, idx
+
+
+def _ima_decode_channel(pred, idx, nibs, samples_per_block: int) -> np.ndarray:
+    """One channel's recurrence, vectorized across blocks: sample 0 is
+    the header predictor; each nibble advances (pred, step index)."""
+    n = nibs.shape[0]
     out = np.empty((n, samples_per_block), dtype=np.int16)
     out[:, 0] = pred.astype(np.int16)
     for s in range(1, samples_per_block):
@@ -116,6 +111,42 @@ def ima_adpcm_decode_blocks(blocks: np.ndarray, samples_per_block: int) -> np.nd
         idx = np.clip(idx + _IMA_INDEX[nib], 0, 88)
         out[:, s] = pred.astype(np.int16)
     return out
+
+
+def _nibbles(data: np.ndarray) -> np.ndarray:
+    nibs = np.empty((data.shape[0], data.shape[1] * 2), dtype=np.int32)
+    nibs[:, 0::2] = data & 0x0F  # low nibble first (spec)
+    nibs[:, 1::2] = data >> 4
+    return nibs
+
+
+def ima_adpcm_decode_blocks(
+    blocks: np.ndarray, samples_per_block: int, channels: int = 1
+) -> np.ndarray:
+    """(n_blocks, block_bytes) uint8 IMA ADPCM blocks → (n_blocks,
+    samples_per_block * channels) int16, frame-major interleaved.
+    Block layout (RIFF fmt 0x11): one 4-byte header per channel (int16
+    predictor, uint8 step index, reserved); mono data is a flat nibble
+    stream, stereo data alternates 4-byte (8-sample) groups per
+    channel. Vectorized across blocks — the recurrence loops only over
+    the within-block sample index."""
+    b = np.asarray(blocks, dtype=np.uint8)
+    if channels == 1:
+        pred, idx = _ima_header(b, 0)
+        return _ima_decode_channel(pred, idx, _nibbles(b[:, 4:]), samples_per_block)
+    if channels != 2:
+        raise NotImplementedError(f"IMA ADPCM with {channels} channels")
+    n = b.shape[0]
+    data = b[:, 8:]
+    groups = data.reshape(n, -1, 4)
+    out = np.empty((n, samples_per_block, 2), dtype=np.int16)
+    for c in range(2):
+        pred, idx = _ima_header(b, 4 * c)
+        ch_bytes = groups[:, c::2, :].reshape(n, -1)
+        out[:, :, c] = _ima_decode_channel(
+            pred, idx, _nibbles(ch_bytes), samples_per_block
+        )
+    return out.reshape(n, samples_per_block * 2)
 
 
 def ima_adpcm_encode_blocks(samples: np.ndarray, samples_per_block: int) -> np.ndarray:

@@ -297,12 +297,12 @@ def _parse_wav_pcm16(payload: bytes) -> tuple[int, int, np.ndarray]:
             if fmt == 0x11:
                 # cbSize + wSamplesPerBlock extension (required for ADPCM)
                 samples_per_block = int.from_bytes(body[18:20], "little")
-            supported = fmt in (1, 6, 7) or (fmt == 0x11 and channels == 1)
+            supported = fmt in (1, 6, 7) or (fmt == 0x11 and channels in (1, 2))
             if not supported or (fmt == 1 and bits != 16):
                 raise NotImplementedError(
                     f"media decode: WAV fmt={fmt} bits={bits} "
                     f"channels={channels} needs a codec; PCM-16, G.711 "
-                    "A-law/µ-law, and mono IMA ADPCM decode natively"
+                    "A-law/µ-law, and mono/stereo IMA ADPCM decode natively"
                 )
         elif cid == b"data":
             data = body
@@ -325,7 +325,9 @@ def _parse_wav_pcm16(payload: bytes) -> tuple[int, int, np.ndarray]:
         blocks = np.frombuffer(data, np.uint8, count=usable).reshape(
             -1, block_align
         )
-        samples = ima_adpcm_decode_blocks(blocks, samples_per_block).reshape(-1)
+        samples = ima_adpcm_decode_blocks(
+            blocks, samples_per_block, channels
+        ).reshape(-1)
     return rate, channels, samples.reshape(-1, channels)
 
 

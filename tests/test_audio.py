@@ -100,3 +100,28 @@ def test_wav_parser_routes_g711_and_adpcm():
     fmt55 = struct.pack("<HHIIHH", 0x55, 1, 8000, 8000, 1, 0)
     with pytest.raises(NotImplementedError, match="needs a codec"):
         _parse_wav_pcm16(_wav(fmt55, b"\x00" * 8))
+
+
+def test_adpcm_stereo_blocks():
+    """Stereo IMA ADPCM: one header per channel, data in alternating
+    4-byte (8-sample) groups — constant-per-channel blocks decode to
+    their own predictors, frame-major interleaved."""
+    spb = 9  # 8 nibbles per channel = one 4-byte group each
+    block = np.zeros((1, 8 + 8), dtype=np.uint8)
+    for c, p in enumerate((1000, -500)):
+        block[0, 4 * c] = p & 0xFF
+        block[0, 4 * c + 1] = (p >> 8) & 0xFF
+    out = ima_adpcm_decode_blocks(block, spb, channels=2)
+    assert out.shape == (1, spb * 2)
+    frames = out.reshape(spb, 2)
+    assert set(frames[:, 0].tolist()) == {1000}
+    assert set(frames[:, 1].tolist()) == {-500}
+    # WAV routing
+    fmt11 = struct.pack("<HHIIHHHH", 0x11, 2, 8000, 8000, 16, 4, 2, spb)
+    rate, ch, s = _parse_wav_pcm16(_wav(fmt11, block.tobytes()))
+    assert (ch, s.shape) == (2, (spb, 2))
+    assert set(s[:, 0].tolist()) == {1000} and set(s[:, 1].tolist()) == {-500}
+    import pytest
+
+    with pytest.raises(NotImplementedError, match="channels"):
+        ima_adpcm_decode_blocks(block, spb, channels=3)
