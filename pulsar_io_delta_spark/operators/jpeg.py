@@ -288,8 +288,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 p += 17 + nsym
         elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
             precision = seg[0]
-            if precision != 8:
-                raise NotImplementedError(f"JPEG precision {precision} (only 8-bit)")
+            if precision not in (8, 12):
+                raise NotImplementedError(
+                    f"JPEG precision {precision} (8- and 12-bit only)"
+                )
             h = int.from_bytes(seg[1:3], "big")
             w = int.from_bytes(seg[3:5], "big")
             ncomp = seg[5]
@@ -297,7 +299,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             for i in range(ncomp):
                 cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps, "prog": marker == 0xC2}
+            frame = {"h": h, "w": w, "comps": comps, "prog": marker == 0xC2,
+                     "prec": precision}
             _frame_grid(frame)
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(f"JPEG SOF 0x{marker:02X} mode is not supported")
@@ -409,17 +412,25 @@ def _decode_scan(data, pos, frame, scan, qtables, htables, restart_interval):
                         planes[c["id"]][row * c["_bw"] + col] = block.reshape(8, 8)
             mcu_count += 1
     comps_order = [s["comp"] for s in scan]
-    return _assemble(h, w, hmax, vmax, comps_order, planes, bw_key="_bw")
+    return _assemble(
+        h, w, hmax, vmax, comps_order, planes, bw_key="_bw",
+        precision=frame.get("prec", 8),
+    )
 
 
-def _assemble(h, w, hmax, vmax, comps, planes, bw_key="_bw_full"):
+def _assemble(h, w, hmax, vmax, comps, planes, bw_key="_bw_full", precision=8):
     """IDCT + per-component grid assembly + chroma upsample + crop +
     (for 3 components) BT.601 YCbCr→RGB. ``planes``: cid -> (n, 8, 8)
-    DEQUANTIZED natural-order frequency blocks."""
+    DEQUANTIZED natural-order frequency blocks. 12-bit precision
+    (round 9; SOF1/SOF2 extended) level-shifts by 2048, clamps to the
+    12-bit range, and squeezes to 8-bit output via the high bits (the
+    same convention as the 16-bit PNG path)."""
+    center = float(1 << (precision - 1))
+    top = (1 << precision) - 1
     out_planes = []
     for c in comps:
         bw = c[bw_key]
-        spatial = idct_blocks(planes[c["id"]]) + 128.0
+        spatial = idct_blocks(planes[c["id"]]) + center
         bh = spatial.shape[0] // bw
         grid = (
             spatial.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
@@ -427,17 +438,21 @@ def _assemble(h, w, hmax, vmax, comps, planes, bw_key="_bw_full"):
         # upsample to full MCU-grid resolution, then crop
         grid = np.repeat(np.repeat(grid, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
         out_planes.append(grid[:h, :w])
+    shift = precision - 8
     if len(out_planes) == 1:
-        y = np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
+        y = np.clip(np.round(out_planes[0]), 0, top).astype(np.int32)
+        y = (y >> shift).astype(np.uint8) if shift else y.astype(np.uint8)
         return np.stack([y, y, y], axis=2)
     if len(out_planes) != 3:
         raise NotImplementedError(f"{len(out_planes)}-component JPEG")
     y, cb, cr = out_planes
-    r = y + 1.402 * (cr - 128.0)
-    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-    b = y + 1.772 * (cb - 128.0)
-    rgb = np.stack([r, g, b], axis=2)
-    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    r = y + 1.402 * (cr - center)
+    g = y - 0.344136 * (cb - center) - 0.714136 * (cr - center)
+    b = y + 1.772 * (cb - center)
+    rgb = np.clip(np.round(np.stack([r, g, b], axis=2)), 0, top).astype(np.int32)
+    if shift:
+        rgb = rgb >> shift
+    return rgb.astype(np.uint8)
 
 
 # --------------------------------------------------------------------------
@@ -637,7 +652,8 @@ def _assemble_progressive(frame, coef_store, qtables):
         nat[:, ZIGZAG] = zz
         out[c["id"]] = nat.reshape(-1, 8, 8)
     return _assemble(
-        frame["h"], frame["w"], frame["_hmax"], frame["_vmax"], frame["comps"], out
+        frame["h"], frame["w"], frame["_hmax"], frame["_vmax"], frame["comps"],
+        out, precision=frame.get("prec", 8),
     )
 
 

@@ -315,3 +315,65 @@ def test_progressive_scan_structure():
     color = np.stack([img, img.T, img], axis=2).astype(np.uint8)
     blob3 = encode_jpeg(color, progressive=True)
     assert blob3.count(b"\xff\xda") == 10
+
+
+def test_12bit_precision_decode():
+    """12-bit (SOF1 extended sequential) decode: hand-crafted solid
+    grayscale whose DC is a multiple of the quant step reconstructs the
+    exact 12-bit level, squeezed to 8-bit output via the high bits —
+    and the 8-bit paths are untouched. Closes the precision gate;
+    arithmetic/hierarchical JPEG remain loud."""
+    from pulsar_io_delta_spark.operators.jpeg import (
+        QUANT_LUMA,
+        _BitWriter,
+        _build_encode_table,
+        _DC_LUMA_BITS,
+        _DC_LUMA_VALS,
+        _AC_LUMA_BITS,
+        _AC_LUMA_VALS,
+        _magnitude,
+    )
+
+    def solid12(level12, h=8, w=16):
+        dc_enc = _build_encode_table(_DC_LUMA_BITS, _DC_LUMA_VALS)
+        ac_enc = _build_encode_table(_AC_LUMA_BITS, _AC_LUMA_VALS)
+        body = bytearray(b"\xff\xd8")
+
+        def seg(m, p):
+            body.extend(bytes([0xFF, m]))
+            body.extend((len(p) + 2).to_bytes(2, "big"))
+            body.extend(p)
+
+        seg(0xDB, bytes([0x00]) + bytes(QUANT_LUMA.astype(np.uint8)))
+        seg(0xC1, bytes([12]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+            + bytes([1, 1, 0x11, 0]))
+        seg(0xC4, bytes([0x00]) + bytes(_DC_LUMA_BITS) + bytes(_DC_LUMA_VALS))
+        seg(0xC4, bytes([0x10]) + bytes(_AC_LUMA_BITS) + bytes(_AC_LUMA_VALS))
+        seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        wtr = _BitWriter()
+        pred = 0
+        dc = round((level12 - 2048) * 8 / int(QUANT_LUMA[0]))
+        for _ in range(w // 8):
+            diff = dc - pred
+            pred = dc
+            size, code = _magnitude(diff)
+            hc, hl = dc_enc[size]
+            wtr.write(hc, hl)
+            wtr.write(code, size)
+            hc, hl = ac_enc[0x00]
+            wtr.write(hc, hl)
+        wtr.flush()
+        body.extend(wtr.out)
+        body.extend(b"\xff\xd9")
+        return bytes(body)
+
+    for level in (2048, 2080, 96, 4000):
+        out = decode_jpeg(solid12(level))
+        assert out.shape == (8, 16, 3)
+        assert np.all(out == level >> 4), level
+    # unsupported precisions stay loud
+    blob = bytearray(solid12(2048))
+    i = blob.find(b"\xff\xc1")
+    blob[i + 4] = 10
+    with pytest.raises(NotImplementedError, match="precision 10"):
+        decode_jpeg(bytes(blob))
