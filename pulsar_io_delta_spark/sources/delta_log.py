@@ -4066,6 +4066,15 @@ class DeltaTable:
             remove = self._remove_action(snap, rel, now_ms)
             old_add["deletionVector"] = json.loads(r["_desc"])
             old_add["dataChange"] = True
+            # spec ("Per-file Statistics" × DVs): a DV-carrying add's
+            # stats keep the PHYSICAL numRecords and valid-but-not-
+            # tight min/max — declared via tightBounds=false (deletion
+            # only removes rows, so pruning semantics are unchanged)
+            stats = old_add.get("stats")
+            if stats:
+                s = json.loads(stats) if isinstance(stats, str) else dict(stats)
+                s["tightBounds"] = False
+                old_add["stats"] = json.dumps(s)
             actions.extend([remove, {"add": old_add}])
         if desc_rows and _cdf_enabled(snap.configuration):
             # exact delete change rows: the LIVE rows matching the

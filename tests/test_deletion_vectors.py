@@ -604,3 +604,27 @@ def test_vacuum_protocol_check_feature(spark, tmp_path):
             "writerFeatures": ["vacuumProtocolCheck", "icebergCompatV2"]}}) + "\n")
     with pytest.raises(DeltaProtocolError, match="vacuum refused"):
         t.vacuum(retention_ms=-1)
+
+
+def test_dv_readds_declare_untight_bounds(spark, tmp_path):
+    """A DV-carrying add keeps physical numRecords and valid min/max,
+    declared via stats.tightBounds=false (spec) — and pruning on the
+    table still works (the bounds remain VALID, deletion only removes
+    rows)."""
+    import json
+
+    t = DeltaTable(str(tmp_path / "tb"))
+    t.write(_events(spark, 100).repartition(2))
+    t.delete_where_dv(spark, "event_id % 10 = 1")
+    snap = t.snapshot()
+    dv_files = [p for p in snap.files
+                if (snap.adds[p].get("deletionVector") or {}).get("cardinality")]
+    assert dv_files
+    for p in dv_files:
+        s = json.loads(snap.adds[p]["stats"])
+        assert s["tightBounds"] is False
+        assert s["numRecords"] == 50  # physical, not post-delete
+    # data skipping still exact on the DV table
+    kept = t.prune_files(snap, [("event_id", ">=", 90)])
+    assert t.read(spark, filters=[("event_id", ">=", 90)]).count() == 9
+    assert len(kept) >= 1
