@@ -377,3 +377,60 @@ def test_12bit_precision_decode():
     blob[i + 4] = 10
     with pytest.raises(NotImplementedError, match="precision 10"):
         decode_jpeg(bytes(blob))
+
+
+def test_progressive_restart_markers():
+    """RSTn inside PROGRESSIVE scans: DRI=1 with a restart after every
+    block in both a DC-first (Al=1) and a DC-refine (raw-bit) scan —
+    the reader must byte-align, consume the marker, and reset the DC
+    predictor per interval in each scan independently. Solid blocks
+    with DC a multiple of the quant step reconstruct exactly."""
+    from pulsar_io_delta_spark.operators.jpeg import (
+        QUANT_LUMA,
+        _BitWriter,
+        _build_encode_table,
+        _DC_LUMA_BITS,
+        _DC_LUMA_VALS,
+        _magnitude,
+    )
+
+    levels = [80, 100, 120, 140]
+    dc_enc = _build_encode_table(_DC_LUMA_BITS, _DC_LUMA_VALS)
+    dcq = int(QUANT_LUMA[0])
+    body = bytearray(b"\xff\xd8")
+
+    def seg(m, p):
+        body.extend(bytes([0xFF, m]))
+        body.extend((len(p) + 2).to_bytes(2, "big"))
+        body.extend(p)
+
+    seg(0xDB, bytes([0x00]) + bytes(QUANT_LUMA.astype(np.uint8)))
+    seg(0xC2, bytes([8]) + (8).to_bytes(2, "big") + (32).to_bytes(2, "big")
+        + bytes([1, 1, 0x11, 0]))
+    seg(0xC4, bytes([0x00]) + bytes(_DC_LUMA_BITS) + bytes(_DC_LUMA_VALS))
+    seg(0xDD, (1).to_bytes(2, "big"))
+    seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x01]))  # DC first, Al=1
+    for i, lv in enumerate(levels):
+        w = _BitWriter()
+        dc = round((lv - 128) * 8 / dcq) >> 1  # restart => diff = dc>>1
+        size, code = _magnitude(dc)
+        hc, hl = dc_enc[size]
+        w.write(hc, hl)
+        w.write(code, size)
+        w.flush()
+        body.extend(w.out)
+        if i < 3:
+            body.extend(bytes([0xFF, 0xD0 + i]))
+    seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x10]))  # DC refine, raw bits
+    for i, lv in enumerate(levels):
+        w = _BitWriter()
+        w.write(round((lv - 128) * 8 / dcq) & 1, 1)
+        w.flush()
+        body.extend(w.out)
+        if i < 3:
+            body.extend(bytes([0xFF, 0xD0 + i]))
+    body.extend(b"\xff\xd9")
+    out = decode_jpeg(bytes(body))
+    assert out.shape == (8, 32, 3)
+    for i, lv in enumerate(levels):
+        assert np.all(out[:, 8 * i : 8 * (i + 1), 0] == lv), (i, lv)
