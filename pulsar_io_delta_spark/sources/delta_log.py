@@ -3697,18 +3697,34 @@ class DeltaTable:
             )
         while True:
             try:
-                return self._commit(
+                committed = self._commit(
                     actions,
                     operation=mode.upper(),
                     read_version=read_version,
                     configuration=commit_config,
                 )
+                break
             except DeltaConcurrentCommit:
                 if txn is not None and self.last_txn_version(txn[0]) >= txn[1]:
                     return -1  # a racer delivered this exact batch
                 if state_dependent:
                     raise  # stale removes/metadata: caller must recompute
                 read_version = self.versions()[-1]  # txn append: re-race
+        cfg = commit_config or {}
+        if cfg.get("delta.autoOptimize.autoCompact") == "true":
+            # auto-compaction (round 9, delta's autoCompact semantics):
+            # streaming ingestion is the #1 small-files producer — when
+            # armed, a post-write check bin-packs once the live file
+            # count reaches the threshold. Best-effort, like periodic
+            # checkpoints: a failed/raced compaction never fails the
+            # already-durable write.
+            try:
+                threshold = int(cfg.get("delta.autoOptimize.minNumFiles") or 50)
+                if len(self.snapshot().files) >= threshold:
+                    self.compact(df.sparkSession, target_files=1)
+            except (OSError, DeltaProtocolError, DeltaConcurrentCommit):
+                pass
+        return committed
 
     def merge_upsert(
         self, spark: SparkSession, source: DataFrame, key_cols: list[str]

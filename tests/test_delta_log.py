@@ -1309,3 +1309,28 @@ def test_expire_log_cleans_expired_crc_sidecars(spark, table_path):
     assert crcs == ["00000000000000000001.crc"]
     t2 = DeltaTable(table_path)
     assert t2.read(spark).count() == 6  # validated against the kept crc
+
+
+def test_auto_compact_on_threshold(spark, table_path):
+    """delta.autoOptimize.autoCompact: once the live file count reaches
+    minNumFiles, the NEXT write bin-packs post-commit (dataChange=false
+    — CDC still sees only the genuine inserts); unarmed tables never
+    auto-compact."""
+    t = DeltaTable(table_path)
+    t.write(
+        events_df(spark, range(2)).coalesce(1),
+        configuration={"delta.autoOptimize.autoCompact": "true",
+                       "delta.autoOptimize.minNumFiles": "4"},
+    )
+    for i in range(1, 4):
+        t.write(events_df(spark, range(2 * i, 2 * i + 2)).coalesce(1))
+    # 4th write hit the threshold: compacted to one file
+    assert len(t.snapshot().files) == 1
+    assert t.read(spark).count() == 8
+    cdc = t.cdc(spark, start_version=0)
+    assert cdc.count() == 8  # compaction commits are dataChange=false
+    # unarmed: files accumulate
+    p = DeltaTable(table_path + "_plain")
+    for i in range(5):
+        p.write(events_df(spark, range(10 * i, 10 * i + 2)).coalesce(1))
+    assert len(p.snapshot().files) == 5
