@@ -288,13 +288,28 @@ def _lsh_bits_sql() -> str:
 
 
 def _embcos_oracle() -> str:
-    bits = _lsh_bits_sql()
+    """Scale-adaptive twin of q_dedup_embcos: the plane count is derived
+    from ``count(*)`` by the SAME integer CASE chain the Spark side's
+    adaptive_planes() computes (VERDICT r9 #2 — a frozen plane count
+    cost 17.7× wall at 10× data). The full HI-plane constant matrix is
+    embedded and each bit gated on ``i < p``; hyperplanes() is
+    prefix-stable, so the gated-bucket ids match Spark's p-plane ids
+    bit-for-bit."""
+    planes = sim.hyperplanes(64, sim.ADAPTIVE_PLANES_HI)
+    pcase = sim.adaptive_planes_case_sql("(SELECT count(*) FROM embeddings)")
+    bits = "\n   + ".join(
+        f"(CASE WHEN {i} < np.p AND "
+        f"list_dot_product(v, [{', '.join(repr(x) for x in plane)}]::DOUBLE[]) > 0"
+        f" THEN {1 << i} ELSE 0 END)"
+        for i, plane in enumerate(planes)
+    )
     return f"""
-WITH n AS (
+WITH np AS (SELECT {pcase} AS p),
+n AS (
   SELECT vec_id, embedding::DOUBLE[] AS v,
          list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS n2
   FROM embeddings),
-b AS (SELECT vec_id, v, n2, {bits} AS bucket FROM n)
+b AS (SELECT vec_id, v, n2, {bits} AS bucket FROM n, np)
 SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
        round(list_dot_product(a.v, b2.v) / sqrt(a.n2 * b2.n2), 4) AS cos_r
 FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
@@ -305,11 +320,15 @@ WHERE list_dot_product(a.v, b2.v) / sqrt(a.n2 * b2.n2) >= 0.25
 @register("q_dedup_embcos", oracle=_embcos_oracle())
 def q_dedup_embcos(spark, sf_dir):
     """Embedding-cosine near-dup pairs (cos ≥ 0.25) over the FULL table
-    via sign-LSH bucketing: the 8-plane bucket id is the equi-join key,
-    so candidate generation shuffles on bucket instead of planning an
+    via sign-LSH bucketing: the bucket id is the equi-join key, so
+    candidate generation shuffles on bucket instead of planning an
     O(n²) nested-loop; at 100 TB the bucket id doubles as the physical
-    bucketing key. The oracle mirrors the same plane constants."""
-    planes = sim.hyperplanes(64, 8)
+    bucketing key. The plane count is derived from the corpus size by
+    adaptive_planes() (one count-star against parquet footers — no data
+    scan) so bucket occupancy stays ~target as the corpus grows; the
+    oracle derives the SAME count from the same rule."""
+    n_vecs = table(spark, sf_dir, "embeddings").count()
+    planes = sim.hyperplanes(64, sim.adaptive_planes(n_vecs))
     e = sim.with_norm2(table(spark, sf_dir, "embeddings")).withColumn(
         "bucket", sim.lsh_bucket_col("v", planes)
     )

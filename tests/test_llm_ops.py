@@ -497,3 +497,23 @@ def test_duplicated_spans_planted(spark):
     }
     assert (4, 1, 120) in spans1  # every window of qqq... is self-equal
     assert any(d == 3 for d, _, _ in spans1)
+
+
+def test_adaptive_planes_rule_matches_sql_twin():
+    """The integer sizing rule (smallest p with target*2^p >= n, clamped
+    to [LO, HI]) and its DuckDB CASE-chain twin agree on every boundary
+    count — the contract that lets q_dedup_embcos derive the plane count
+    on both engines independently (VERDICT r9 #2)."""
+    import duckdb
+
+    ns = [1, 31, 32, 33, 511, 512, 513, 1024, 1025, 2000, 20000,
+          32 * (1 << 15), 32 * (1 << 15) + 1, 10**9]
+    case = sim.adaptive_planes_case_sql("n")
+    got = duckdb.sql(
+        f"SELECT n, {case} AS p FROM (SELECT unnest({ns}) AS n)"
+    ).fetchall()
+    assert {n: p for n, p in got} == {n: sim.adaptive_planes(n) for n in ns}
+    # prefix stability: hyperplanes(d, p) is the first p rows of the
+    # HI-plane matrix the oracle embeds
+    full = sim.hyperplanes(8, sim.ADAPTIVE_PLANES_HI)
+    assert sim.hyperplanes(8, 5) == full[:5]
