@@ -608,34 +608,98 @@ def q_multimodal_real_decode(spark, sf_dir):
     )
 
 
+def _bmp_header_3x4() -> bytes:
+    """Constant 54-byte header of an uncompressed 24-bit 3×4 bottom-up
+    BMP (stride 12: 9 pixel bytes + 3 pad per row) — the container the
+    BMP lane of q_multimodal_decode wraps text bytes in."""
+    stride, h = 12, 4
+    img_size = stride * h
+    file_hdr = b"BM" + (54 + img_size).to_bytes(4, "little") + b"\x00" * 4 + (54).to_bytes(4, "little")
+    dib = (
+        (40).to_bytes(4, "little")
+        + (3).to_bytes(4, "little", signed=True)
+        + (4).to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + img_size.to_bytes(4, "little")
+        + (2835).to_bytes(4, "little")
+        + (2835).to_bytes(4, "little")
+        + (0).to_bytes(4, "little")
+        + (0).to_bytes(4, "little")
+    )
+    return file_hdr + dib
+
+
 @register(
     "q_multimodal_decode",
-    # The fake decoder is a pure function of the payload bytes
-    # (multimodal._fake_decode), so the oracle mirrors it: n = byte
-    # length, first feature = first byte / 255 (ASCII corpus ⇒
-    # ascii() == first byte).
+    # Every lane is a REAL decode of a genuine raster container; the
+    # formats are lossless, so the red-channel byte sum is recoverable
+    # exactly from the text bytes: PGM repeats the gray plane into all
+    # channels (every byte counts), P6 stores R at in-pixel offset 0
+    # (1-based i%3=1), BMP stores BGR so R sits at offset 2 (i%3=0) —
+    # rows are laid contiguously text[1..36] before padding, and the
+    # decoder's bottom-up flip doesn't move channel means.
     oracle="""
 SELECT doc_id,
-       CAST(64 + (strlen(text) % 512) AS BIGINT) AS width,
-       CAST(64 + ((strlen(text) * 7) % 512) AS BIGINT) AS height,
-       CAST(1 + (strlen(text) % 4) AS BIGINT) AS n_frames,
-       round(round(ascii(substr(text, 1, 1)) / 255.0, 6), 4) AS f0,
-       'text/plain' AS mime
+       CASE doc_id % 3 WHEN 0 THEN 'image/x-portable-graymap'
+                       WHEN 1 THEN 'image/x-portable-pixmap'
+                       ELSE 'image/bmp' END AS mime,
+       CAST(CASE doc_id % 3 WHEN 0 THEN 6 WHEN 1 THEN 4 ELSE 3 END AS BIGINT) AS width,
+       CAST(CASE doc_id % 3 WHEN 0 THEN 6 WHEN 1 THEN 3 ELSE 4 END AS BIGINT) AS height,
+       CAST(1 AS BIGINT) AS n_frames,
+       CAST(list_sum(list_transform(
+              list_filter(string_split_regex(substr(text, 1, 36), ''), x -> x <> ''),
+              (c, i) -> CASE WHEN doc_id % 3 = 0
+                              OR (doc_id % 3 = 1 AND i % 3 = 1)
+                              OR (doc_id % 3 = 2 AND i % 3 = 0)
+                        THEN unicode(c) ELSE 0 END)) AS BIGINT) AS red_sum
 FROM documents
 """,
 )
 def q_multimodal_decode(spark, sf_dir):
-    """mapInPandas decode stage (deterministic fake decoder): exercises
-    the real Arrow batch plumbing a production image pipeline uses."""
+    """Real-decoder FORMAT ROUTING matrix in one mapInPandas stage:
+    docs fan out by id across three genuine raster containers — 6×6
+    PGM (P5), 4×3 PPM (P6), and 3×4 24-bit BMP (bottom-up rows, 4-byte
+    stride padding) — each framing the doc's text bytes as pixels, all
+    decoded by the numpy codecs behind decode_images(fake=False) in a
+    single Arrow-batched pass (one magic dispatch per row, exactly how
+    a mixed-format crawl decodes). The exact red-channel byte sum is
+    recovered from the measured channel mean (6-decimal mean × n × 255
+    has error ≪ 0.5) and value-checked against SQL ground truth."""
     d = table(spark, sf_dir, "documents")
-    decoded = mm.decode_images(mm.attach_payload(d), fake=True)
+    px = F.encode(F.substring("text", 1, 36), "UTF-8")
+    pad = F.lit(b"\x00\x00\x00")
+    bmp_rows = F.concat(
+        *[
+            c
+            for r in range(4)
+            for c in (F.encode(F.substring("text", 1 + 9 * r, 9), "UTF-8"), pad)
+        ]
+    )
+    lane = F.col("doc_id") % 3
+    payload = (
+        F.when(lane == 0, F.concat(F.encode(F.lit("P5\n6 6\n255\n"), "UTF-8"), px))
+        .when(lane == 1, F.concat(F.encode(F.lit("P6\n4 3\n255\n"), "UTF-8"), px))
+        .otherwise(F.concat(F.lit(_bmp_header_3x4()), bmp_rows))
+    )
+    mime = (
+        F.when(lane == 0, F.lit("image/x-portable-graymap"))
+        .when(lane == 1, F.lit("image/x-portable-pixmap"))
+        .otherwise(F.lit("image/bmp"))
+    )
+    framed = d.select("doc_id", payload.alias("payload"), mime.alias("mime"))
+    decoded = mm.decode_images(framed, fake=False)
+    n_red = F.when(F.col("mime").endswith("graymap"), F.lit(36)).otherwise(F.lit(12))
     return decoded.select(
         "doc_id",
+        "mime",
         "width",
         "height",
         "n_frames",
-        F.round(F.element_at("features", 1), 4).alias("f0"),
-        "mime",
+        F.round(F.element_at("features", 1) * n_red * 255, 0)
+        .cast("long")
+        .alias("red_sum"),
     )
 
 
