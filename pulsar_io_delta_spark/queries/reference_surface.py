@@ -1326,3 +1326,36 @@ def q_column_rename_drop(spark, sf_dir):
     t.rename_column("value", "score")
     t.drop_column("user_id")
     return t.read(spark).select("event_id", "event_type", "score")
+
+
+@register(
+    "q_time_travel_ict",
+    oracle="""
+SELECT event_id, event_type, value FROM events WHERE event_id % 3 IN (0, 1)
+""",
+)
+def q_time_travel_ict(spark, sf_dir):
+    """Timestamp time travel on an in-commit-timestamps table (Delta
+    PROTOCOL.md "In-Commit Timestamps"; the reference resolves
+    timestamps via delta-standalone, DeltaReader.java:134-146): v0
+    (events ≡0 mod 3) predates ICT, ALTER arms it mid-life (stamping
+    the enablement provenance properties), v2 appends ≡1 mod 3 under
+    ICT, v3 deletes rows. Reading AT v2's in-commit timestamp must
+    resolve by the COMMIT-CARRIED clock — not file mtimes, which are
+    all 'now' and would resolve everything to latest — and roll back
+    the delete. The ICT suffix is binary-searched (O(log n) commit
+    reads), the metadata-plane shape that keeps timestamp resolution
+    cheap on a 10^5-commit table."""
+    import tempfile
+
+    from pulsar_io_delta_spark.sources.delta_log import DeltaTable
+
+    e = table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    t = DeltaTable(tempfile.mkdtemp(prefix="pids_ict_") + "/tbl")
+    t.write(e.where(F.col("event_id") % 3 == 0))
+    t.set_properties({"delta.enableInCommitTimestamps": "true"})
+    t.write(e.where(F.col("event_id") % 3 == 1), mode="append")
+    t.delete_where(spark, "event_id % 2 = 0")
+    return t.read(spark, timestamp_ms=t.commit_timestamp_ms(2)).select(
+        "event_id", "event_type", "value"
+    )

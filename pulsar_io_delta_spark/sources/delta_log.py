@@ -313,8 +313,11 @@ _SUPPORTED_WRITER_FEATURES = {
     # _validate_constraints (violating commits refuse loudly)
     "checkConstraints",
     # _commit stamps a monotonic commitInfo.inCommitTimestamp when
-    # delta.enableInCommitTimestamps is armed; time travel trusts it
+    # delta.enableInCommitTimestamps is armed; time travel trusts it.
+    # The -preview alias is what pre-GA delta-spark/Databricks builds
+    # stamped on tables they armed — same semantics, accept both.
     "inCommitTimestamp",
+    "inCommitTimestamp-preview",
     # write/merge compute columns missing from the incoming frame from
     # their delta.generationExpression and VALIDATE provided ones;
     # UPDATE recomputes them and refuses direct assignment
@@ -1552,11 +1555,45 @@ class DeltaTable:
         versions = self.versions()
         latest = versions[-1]
         if timestamp_ms is not None:
-            eligible = [v for v in versions if self.commit_timestamp_ms(v) <= timestamp_ms]
-            return eligible[-1] if eligible else latest
+            return self._resolve_timestamp(versions, timestamp_ms)
         if version is None or version < 0 or version not in versions:
             return latest
         return version
+
+    def _resolve_timestamp(self, versions: list[int], timestamp_ms: int) -> int:
+        """Greatest version with commit ts ≤ timestamp, else latest.
+
+        When the table runs in-commit timestamps, the enablement
+        provenance properties (PROTOCOL.md "In-Commit Timestamps":
+        delta.inCommitTimestampEnablement{Version,Timestamp}; absent →
+        enabled since v0) split history into a pre-ICT prefix resolved
+        by wall timestamps and an ICT suffix whose timestamps are
+        STRICTLY increasing by spec — so the suffix is binary-searched:
+        O(log n) commit reads instead of O(n) on a 10^5-commit table.
+        Tables without ICT (or with a disable in their history, which
+        clears the properties) keep the linear scan — wall clocks give
+        no monotonicity to search against."""
+        latest = versions[-1]
+        cfg = self.snapshot().configuration or {}
+        if cfg.get("delta.enableInCommitTimestamps") == "true":
+            en_v = int(cfg.get("delta.inCommitTimestampEnablementVersion") or 0)
+            ict_region = [v for v in versions if v >= en_v]
+            en_ts = int(
+                cfg.get("delta.inCommitTimestampEnablementTimestamp")
+                or self.commit_timestamp_ms(ict_region[0])
+            )
+            if timestamp_ms >= en_ts:
+                lo, hi = 0, len(ict_region) - 1  # ict_region[0] eligible
+                while lo < hi:
+                    mid = (lo + hi + 1) // 2
+                    if self.commit_timestamp_ms(ict_region[mid]) <= timestamp_ms:
+                        lo = mid
+                    else:
+                        hi = mid - 1
+                return ict_region[lo]
+            versions = [v for v in versions if v < en_v]
+        eligible = [v for v in versions if self.commit_timestamp_ms(v) <= timestamp_ms]
+        return eligible[-1] if eligible else latest
 
     def snapshot(self, version: int | None = None, timestamp_ms: int | None = None) -> Snapshot:
         v = self.resolve_version(version, timestamp_ms)
@@ -3052,6 +3089,25 @@ class DeltaTable:
             if ict_armed:
                 info["inCommitTimestamp"] = max(now_ms, self._last_ict() + 1)
             version = (self.versions()[-1] + 1) if self.versions() else 0
+            if ict_armed and version > 0 and (configuration or {}).get(
+                "delta.enableInCommitTimestamps"
+            ) != "true":
+                # This commit ENABLES ICT on a table whose history
+                # predates it: stamp the spec's enablement provenance
+                # properties (PROTOCOL.md "In-Commit Timestamps") into
+                # the enabling metaData action so readers know which
+                # versions carry ICT without probing every commit.
+                # Re-stamped per retry — a lost race lands at a new
+                # version with a new timestamp.
+                for a in actions:
+                    cfgm = (a.get("metaData") or {}).get("configuration")
+                    if cfgm is not None and cfgm.get(
+                        "delta.enableInCommitTimestamps"
+                    ) == "true":
+                        cfgm["delta.inCommitTimestampEnablementVersion"] = str(version)
+                        cfgm["delta.inCommitTimestampEnablementTimestamp"] = str(
+                            info["inCommitTimestamp"]
+                        )
             if read_version is not None and version != read_version + 1:
                 _rt_unstamp()
                 raise DeltaConcurrentCommit(
@@ -3534,6 +3590,11 @@ class DeltaTable:
                 need_writer += ("rowTracking", "domainMetadata")
             if cluster_by:
                 need_writer += ("clusteredTable", "domainMetadata")
+            if (configuration or {}).get("delta.enableInCommitTimestamps") == "true":
+                # ICT from creation: the writer feature must ride the
+                # same commit (spec); no enablement provenance needed —
+                # absent properties mean "enabled since version 0"
+                need_writer += ("inCommitTimestamp",)
             if need_reader or need_writer:
                 actions.append(
                     {"protocol": _upgraded_protocol({}, need_reader, need_writer)}
@@ -4892,16 +4953,46 @@ class DeltaTable:
             configuration=snap.configuration,
         )
 
-    def _metadata_update(self, snap: Snapshot, schema_string: str) -> dict:
+    def _metadata_update(
+        self, snap: Snapshot, schema_string: str, configuration: dict | None = None
+    ) -> dict:
         """A metaData action carrying the current table identity with a
-        replaced schemaString."""
+        replaced schemaString (and optionally a replaced configuration)."""
         return {"metaData": {
             "id": f"meta-{uuid.uuid4().hex[:12]}",
             "format": {"provider": "parquet", "options": {}},
             "schemaString": schema_string,
             "partitionColumns": snap.partition_columns,
-            "configuration": dict(snap.configuration or {}),
+            "configuration": dict(
+                snap.configuration or {} if configuration is None else configuration
+            ),
         }}
+
+    def set_properties(self, props: dict[str, str]) -> int:
+        """ALTER TABLE ... SET TBLPROPERTIES: a metadata-only commit
+        merging ``props`` into the table configuration.
+
+        Arming ``delta.enableInCommitTimestamps`` mid-life additionally
+        upgrades the protocol with the ``inCommitTimestamp`` writer
+        feature, and _commit stamps the spec's enablement provenance
+        properties (enablement version + timestamp) on the same commit
+        — the handshake delta-spark performs on ALTER TABLE
+        (PROTOCOL.md "In-Commit Timestamps")."""
+        snap = self.snapshot()
+        cfg = dict(snap.configuration or {})
+        cfg.update(props)
+        actions: list[dict] = []
+        if props.get("delta.enableInCommitTimestamps") == "true":
+            feats = set(snap.protocol.get("writerFeatures") or ())
+            if not feats & {"inCommitTimestamp", "inCommitTimestamp-preview"}:
+                actions.append({"protocol": _upgraded_protocol(
+                    snap.protocol, (), ("inCommitTimestamp",)
+                )})
+        actions.append(self._metadata_update(snap, snap.schema_string, cfg))
+        return self._commit(
+            actions, operation="SET TBLPROPERTIES", read_version=snap.version,
+            configuration=snap.configuration,
+        )
 
     def alter_cluster_by(self, cluster_by: list[str]) -> int:
         """ALTER TABLE ... CLUSTER BY: replace the clustering column

@@ -1334,3 +1334,98 @@ def test_auto_compact_on_threshold(spark, table_path):
     for i in range(5):
         p.write(events_df(spark, range(10 * i, 10 * i + 2)).coalesce(1))
     assert len(p.snapshot().files) == 5
+
+
+def test_ict_midlife_enablement_provenance_and_resolution(spark, tmp_path):
+    """Arming ICT via ALTER (set_properties) on a table with pre-ICT
+    history stamps the spec's enablement provenance properties on the
+    enabling commit, upgrades the protocol with the inCommitTimestamp
+    writer feature, and timestamp resolution splits history at the
+    boundary: pre-enablement by wall timestamps, the ICT suffix by the
+    (binary-searchable) in-commit timestamps."""
+    t = DeltaTable(str(tmp_path / "ict_mid"))
+    t.write(events_df(spark, range(3)))  # v0: no ICT
+    v1 = t.set_properties({"delta.enableInCommitTimestamps": "true"})
+    assert v1 == 1
+    cfg = t.snapshot().configuration
+    assert cfg["delta.inCommitTimestampEnablementVersion"] == "1"
+    en_ts = int(cfg["delta.inCommitTimestampEnablementTimestamp"])
+    (info,) = [a["commitInfo"] for a in t.actions(1) if "commitInfo" in a]
+    assert int(info["inCommitTimestamp"]) == en_ts
+    assert "inCommitTimestamp" in t.snapshot().protocol["writerFeatures"]
+    t.write(events_df(spark, range(3, 8)))  # v2: ICT
+    t.write(events_df(spark, range(8, 10)))  # v3: ICT
+    icts = {v: t.commit_timestamp_ms(v) for v in (1, 2, 3)}
+    assert icts[1] < icts[2] < icts[3]
+    # suffix resolution: exact ICT hits and in-between points
+    assert t.resolve_version(timestamp_ms=icts[2]) == 2
+    assert t.resolve_version(timestamp_ms=icts[3] - 1) == 2
+    assert t.resolve_version(timestamp_ms=icts[3] + 10) == 3
+    # prefix resolution: v0 by wall timestamp
+    assert t.resolve_version(timestamp_ms=t.commit_timestamp_ms(0)) == 0
+    assert t.read(spark, timestamp_ms=icts[2]).count() == 8
+    # binary search agrees with the linear definition everywhere
+    all_ts = sorted(t.commit_timestamp_ms(v) for v in t.versions())
+    for q in [ts + d for ts in all_ts for d in (-1, 0, 1)]:
+        linear = [v for v in t.versions() if t.commit_timestamp_ms(v) <= q]
+        expect = linear[-1] if linear else t.latest_version()
+        assert t.resolve_version(timestamp_ms=q) == expect, q
+
+
+def test_ict_handwritten_log_preview_feature_and_skewed_mtimes(spark, tmp_path):
+    """A table written by ANOTHER writer: raw JSON log carrying the
+    inCommitTimestamp-preview feature name and ICT values that disagree
+    with file mtimes (all files written 'now'). Resolution must trust
+    the in-commit timestamps, and our writer must accept the preview
+    feature (same semantics, pre-GA name)."""
+    root = str(tmp_path / "ict_ext")
+    log = os.path.join(root, "_delta_log")
+    os.makedirs(log)
+    schema = json.dumps({"type": "struct", "fields": [
+        {"name": "event_id", "type": "long", "nullable": True, "metadata": {}},
+    ]})
+    # one real parquet data file so reads materialize
+    spark.createDataFrame([(1,), (2,)], "event_id long").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "stage"))
+    part = next(
+        f for f in os.listdir(str(tmp_path / "stage")) if f.endswith(".parquet")
+    )
+    os.rename(str(tmp_path / "stage" / part), os.path.join(root, "part-0.parquet"))
+    base_cfg = {"delta.enableInCommitTimestamps": "true",
+                "delta.inCommitTimestampEnablementVersion": "0",
+                "delta.inCommitTimestampEnablementTimestamp": "5000"}
+    v0 = [
+        {"commitInfo": {"timestamp": 99, "operation": "WRITE",
+                        "inCommitTimestamp": 5000}},
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 7,
+                      "writerFeatures": ["inCommitTimestamp-preview"]}},
+        {"metaData": {"id": "m0", "format": {"provider": "parquet", "options": {}},
+                      "schemaString": schema, "partitionColumns": [],
+                      "configuration": base_cfg}},
+        {"add": {"path": "part-0.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 99, "dataChange": True,
+                 "stats": json.dumps({"numRecords": 2})}},
+    ]
+    v1 = [
+        {"commitInfo": {"timestamp": 42, "operation": "DELETE",
+                        "inCommitTimestamp": 9000}},
+        {"remove": {"path": "part-0.parquet", "deletionTimestamp": 42,
+                    "dataChange": True}},
+    ]
+    for v, acts in ((0, v0), (1, v1)):
+        with open(os.path.join(log, f"{v:020d}.json"), "w") as f:
+            for a in acts:
+                f.write(json.dumps(a) + "\n")
+    t = DeltaTable(root)
+    # mtimes are "now" (way past 9000) — only ICT gives these answers
+    assert t.resolve_version(timestamp_ms=5000) == 0
+    assert t.resolve_version(timestamp_ms=8999) == 0
+    assert t.resolve_version(timestamp_ms=9000) == 1
+    assert t.read(spark, timestamp_ms=5000).count() == 2
+    assert t.read(spark, timestamp_ms=9000).count() == 0
+    # preview feature accepted by the writer guard: append commits, and
+    # the new commit's ICT stays monotonic past the handwritten 9000
+    t.write(events_df(spark, range(3)).select("event_id"))
+    (info,) = [a["commitInfo"] for a in t.actions(2) if "commitInfo" in a]
+    assert int(info["inCommitTimestamp"]) > 9000
