@@ -227,10 +227,12 @@ def dv_relative_path(path_or_inline: str) -> str:
     return os.path.join(prefix, name) if prefix else name
 
 
-def resolve_dv(descriptor: dict, table_path: str, fs=None) -> list[int]:
-    """Deleted row indexes for one ``add.deletionVector`` descriptor.
-    Verifies size, CRC-32, and cardinality — a corrupt DV must fail
-    loudly, never silently under- or over-delete."""
+def resolve_dv_bytes(descriptor: dict, table_path: str, fs=None) -> bytes:
+    """The raw serialized-bitmap payload of one ``add.deletionVector``
+    descriptor, size/CRC-verified but NOT deserialized — the unit that
+    moves when DV state must cross process boundaries (e.g. shipping an
+    old bitmap to executors for a union: compressed bytes, never row
+    indexes)."""
     from pulsar_io_delta_spark.sources.fs import LocalFileSystem
 
     fs = fs or LocalFileSystem()
@@ -261,6 +263,14 @@ def resolve_dv(descriptor: dict, table_path: str, fs=None) -> list[int]:
         raise ValueError(f"unsupported DV storageType: {storage!r}")
     if len(data) != size:
         raise ValueError(f"DV payload truncated: want {size}, got {len(data)}")
+    return data
+
+
+def resolve_dv(descriptor: dict, table_path: str, fs=None) -> list[int]:
+    """Deleted row indexes for one ``add.deletionVector`` descriptor.
+    Verifies size, CRC-32, and cardinality — a corrupt DV must fail
+    loudly, never silently under- or over-delete."""
+    data = resolve_dv_bytes(descriptor, table_path, fs)
     indexes = deserialize_bitmap(data)
     card = int(descriptor["cardinality"])
     if len(indexes) != card:
@@ -270,11 +280,15 @@ def resolve_dv(descriptor: dict, table_path: str, fs=None) -> list[int]:
     return indexes
 
 
-def write_dv_file(table_path: str, dvs: list[list[int]], fs=None) -> list[dict]:
-    """Write one ``.bin`` DV file holding ``len(dvs)`` deletion vectors;
-    return a storageType='u' descriptor per input (spec layout: shared
-    version byte, then size/data/CRC blocks — real writers pack every DV
-    of a commit into one file exactly like this)."""
+def write_dv_payloads(
+    table_path: str, payloads: list[tuple[bytes, int]], fs=None
+) -> list[dict]:
+    """Write one ``.bin`` DV file packing pre-serialized bitmap payloads
+    ``(data, cardinality)``; return a storageType='u' descriptor per
+    input (spec layout: shared version byte, then size/data/CRC blocks —
+    real writers pack every DV of a commit into one file exactly like
+    this). Byte-level entry point: the serialization can happen on
+    executors while this persists through the FileSystem abstraction."""
     from pulsar_io_delta_spark.sources.fs import LocalFileSystem
 
     fs = fs or LocalFileSystem()
@@ -282,8 +296,7 @@ def write_dv_file(table_path: str, dvs: list[list[int]], fs=None) -> list[dict]:
     encoded = z85_encode(u.bytes)
     body = bytearray([_DV_FILE_VERSION])
     descriptors: list[dict] = []
-    for indexes in dvs:
-        data = serialize_bitmap(indexes)
+    for data, cardinality in payloads:
         offset = len(body)
         body += struct.pack(">i", len(data))
         body += data
@@ -294,13 +307,23 @@ def write_dv_file(table_path: str, dvs: list[list[int]], fs=None) -> list[dict]:
                 "pathOrInlineDv": encoded,
                 "offset": offset,
                 "sizeInBytes": len(data),
-                "cardinality": len(set(indexes)),
+                "cardinality": int(cardinality),
             }
         )
     fs.makedirs(table_path)
     with fs.open_write(os.path.join(table_path, f"deletion_vector_{u}.bin")) as f:
         f.write(bytes(body))
     return descriptors
+
+
+def write_dv_file(table_path: str, dvs: list[list[int]], fs=None) -> list[dict]:
+    """Write one ``.bin`` DV file holding ``len(dvs)`` deletion vectors;
+    see write_dv_payloads for the layout."""
+    return write_dv_payloads(
+        table_path,
+        [(serialize_bitmap(ix), len(set(int(i) for i in ix))) for ix in dvs],
+        fs=fs,
+    )
 
 
 def inline_descriptor(indexes) -> dict:

@@ -64,12 +64,6 @@ class DeltaProtocolError(Exception):
     """Raised on protocol features outside this reader's scope."""
 
 
-# The non-local-FS delete_where_dv shim groups matched ROW INDEXES on
-# the driver (the in-memory fs fake is not executor-visible). Beyond
-# this many matched rows it refuses loudly rather than becoming a
-# hidden driver-side collect (VERDICT r8 watch item #2).
-_DV_DRIVER_SHIM_MAX_ROWS = 2_000_000
-
 # V2 checkpoints shard their file actions into _sidecars/*.parquet once
 # the live-file count passes this bound (and aim for about this many
 # adds per sidecar) — no single manifest grows unboundedly on a
@@ -4107,29 +4101,63 @@ class DeltaTable:
                 .collect()
             )
         else:
-            # non-local FS shim: the in-memory fs fake is not
-            # executor-visible, so matched row indexes are grouped on
-            # the DRIVER. That is only sane at fixture scale — guard it
-            # loudly instead of silently collecting a data-sized result
-            # (VERDICT r8 #8; the production local/shared-FS path above
-            # never moves row indexes to the driver).
-            import pandas as pd
+            # Object-store backend: the FileSystem handle is a
+            # driver-held client (not executor-visible), so executors
+            # SERIALIZE and the driver PERSISTS — applyInPandas groups
+            # row indexes per file on executors, unions in the old
+            # bitmap (its raw compressed bytes ship in the closure) and
+            # returns the serialized payload; the driver packs every
+            # payload into ONE .bin (the real-writer layout) and PUTs it
+            # through the FileSystem abstraction. Row indexes never
+            # reach the driver — only O(touched files) compressed
+            # bitmap blobs do, so this scales with file count, not row
+            # count (graduates VERDICT r8 #8's fixture-scale shim).
+            from pulsar_io_delta_spark.sources.deletion_vectors import (
+                resolve_dv_bytes,
+                write_dv_payloads,
+            )
 
-            n_matched = matched.count()
-            if n_matched > _DV_DRIVER_SHIM_MAX_ROWS:
-                raise DeltaProtocolError(
-                    f"delete_where_dv on a non-local FileSystem matched "
-                    f"{n_matched} rows (> {_DV_DRIVER_SHIM_MAX_ROWS}): the "
-                    "driver-side grouping shim is fixture-scale only. Use a "
-                    "local/shared filesystem (executor-visible) for "
-                    "production DV deletes."
+            old_dv_data = {
+                os.path.join(base, p): resolve_dv_bytes(dv, table_path, fs)
+                for p in candidates
+                if (dv := snap.adds.get(p, {}).get("deletionVector"))
+            }
+
+            def stage_group(pdf):
+                import pandas as pd
+
+                from pulsar_io_delta_spark.sources.deletion_vectors import (
+                    deserialize_bitmap,
+                    serialize_bitmap,
                 )
-            by_file: dict[str, list[int]] = {}
-            for r in matched.collect():
-                by_file.setdefault(r._fp, []).append(r._ridx)
+
+                fp = pdf["_fp"].iloc[0]
+                idx = set(int(i) for i in pdf["_ridx"])
+                old = old_dv_data.get(fp)
+                if old is not None:
+                    idx |= set(deserialize_bitmap(old))
+                return pd.DataFrame(
+                    {
+                        "_fp": [fp],
+                        "_payload": [serialize_bitmap(sorted(idx))],
+                        "_card": [len(idx)],
+                    }
+                )
+
+            staged = sorted(
+                matched.groupBy("_fp")
+                .applyInPandas(stage_group, "_fp string, _payload binary, _card long")
+                .collect(),
+                key=lambda r: r._fp,
+            )
+            descs = write_dv_payloads(
+                table_path,
+                [(bytes(r._payload), int(r._card)) for r in staged],
+                fs=fs,
+            )
             desc_rows = [
-                write_group(pd.DataFrame({"_fp": [fp] * len(ix), "_ridx": ix})).iloc[0]
-                for fp, ix in sorted(by_file.items())
+                {"_fp": r._fp, "_desc": json.dumps(d)}
+                for r, d in zip(staged, descs)
             ]
         actions: list[dict] = []
         if desc_rows:

@@ -282,10 +282,14 @@ def test_delete_where_dv_union_on_redelete(spark, tmp_path):
     assert t.snapshot().adds[path]["deletionVector"]["cardinality"] == 10
 
 
-def test_delete_where_dv_non_local_fs_guard(spark, tmp_path, monkeypatch):
-    """VERDICT r8 #8: the non-local-FS shim groups matched row indexes
-    on the DRIVER (the in-memory fs fake is not executor-visible) —
-    above the loud size guard it must refuse, not silently collect."""
+def test_delete_where_dv_non_local_fs_executor_staging(spark, tmp_path):
+    """Object-store backend (r9 verdict #7, graduating r8 #8's
+    fixture-scale shim): executors serialize the bitmaps — including
+    the union with an existing DV, whose raw bytes ship to them — and
+    the driver persists ONE packed .bin through the FileSystem
+    abstraction. Row indexes never reach the driver; delete + re-delete
+    union + idempotence must all hold on the in-memory object-store
+    fake exactly as on the local backend."""
     root = str(tmp_path / "t")
     df = _events(spark, 40)
     os.makedirs(root, exist_ok=True)
@@ -306,14 +310,21 @@ def test_delete_where_dv_non_local_fs_guard(spark, tmp_path, monkeypatch):
         "".join(json.dumps(a) + "\n" for a in actions),
     )
     t = DeltaTable(root, fs=mem)
-    import pulsar_io_delta_spark.sources.delta_log as dl
-
-    monkeypatch.setattr(dl, "_DV_DRIVER_SHIM_MAX_ROWS", 5)
-    with pytest.raises(DeltaProtocolError, match="fixture-scale"):
-        t.delete_where_dv(spark, "event_id >= 30")  # matches 10 > 5
-    # under the guard the shim still works end-to-end
-    t.delete_where_dv(spark, "event_id >= 37")  # matches 3 <= 5
-    assert t.read(spark).count() == 37
+    t.delete_where_dv(spark, "event_id >= 30")
+    assert t.read(spark).count() == 30
+    # the packed .bin lives on the object-store backend, not local disk
+    dv_blobs = [p for p in mem.walk_files(root) if "deletion_vector_" in p]
+    assert len(dv_blobs) == 1
+    assert not [f for f in os.listdir(root) if f.startswith("deletion_vector_")]
+    # re-delete unions the old bitmap in (old bytes → executors → union)
+    t.delete_where_dv(spark, "event_id < 5")
+    assert t.read(spark).count() == 25
+    snap = t.snapshot()
+    (path,) = snap.files
+    assert snap.adds[path]["deletionVector"]["cardinality"] == 15
+    # idempotent re-delete of already-DV-deleted rows
+    t.delete_where_dv(spark, "event_id >= 30")
+    assert t.read(spark).count() == 25
 
 
 def test_delete_where_dv_protocol_merges_existing_features(spark, tmp_path):
