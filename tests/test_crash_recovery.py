@@ -169,3 +169,66 @@ def test_streaming_sink_replay_after_crash(spark, tmp_path):
     out = DeltaTable(path).read(spark)
     assert out.count() == 15
     assert out.groupBy("event_id").count().where("count > 1").count() == 0
+
+
+def test_occ_concurrent_committers_no_lost_commit():
+    """16 threads blind-append against one table on the object-store
+    fake (conditional-PUT CAS is the only mutex): every commit must
+    land exactly once — no lost, duplicated, or gapped version — and
+    each committer's txn marker must end at its final sequence number.
+    The measured axis (retry distribution, latency percentiles) lives
+    in tools/scale_smoke.py occ; this pins the invariant."""
+    import json
+    import threading
+
+    from pulsar_io_delta_spark.sources.delta_log import DeltaTable
+    from pulsar_io_delta_spark.sources.fs import InMemoryFileSystem
+
+    fs = InMemoryFileSystem()
+    root = "/occ/tbl"
+    schema_string = json.dumps(
+        {"type": "struct", "fields": [
+            {"name": "x", "type": "long", "nullable": True, "metadata": {}}]}
+    )
+    DeltaTable(root, fs=fs)._commit(
+        [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {"metaData": {"id": "m0", "format": {"provider": "parquet", "options": {}},
+                          "schemaString": schema_string, "partitionColumns": [],
+                          "configuration": {}}},
+        ],
+        operation="CREATE",
+    )
+    n, each = 16, 4
+    errors: list[str] = []
+
+    def committer(cid: int) -> None:
+        t = DeltaTable(root, fs=fs)
+        for seq in range(each):
+            try:
+                t._commit(
+                    [
+                        {"txn": {"appId": f"c{cid}", "version": seq}},
+                        {"add": {"path": f"part-{cid}-{seq}.parquet",
+                                 "partitionValues": {}, "size": 1,
+                                 "modificationTime": 1, "dataChange": True}},
+                    ],
+                    operation=f"WRITE-{cid}",
+                    max_retries=50 * n,
+                )
+            except Exception as exc:  # noqa: BLE001
+                errors.append(f"c{cid}#{seq}: {exc}")
+                return
+
+    threads = [threading.Thread(target=committer, args=(i,)) for i in range(n)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+    t = DeltaTable(root, fs=fs)
+    assert t.latest_version() == n * each
+    for cid in range(n):
+        assert t.last_txn_version(f"c{cid}") == each - 1
+    # every add landed exactly once
+    assert len(t.snapshot().files) == n * each

@@ -270,7 +270,107 @@ def liquid_axis(multipliers: list[int]) -> None:
     spark.stop()
 
 
+def occ_axis(n_committers: int = 16, commits_each: int = 8) -> None:
+    """OCC CONTENTION axis (round 10, VERDICT r9 #9): ``n_committers``
+    threads blind-append concurrently against ONE table on the
+    object-store fake, whose conditional-PUT CAS (create_exclusive) is
+    the only mutex — the S3-style protocol in sources/fs.py. Reports
+    the per-commit attempt distribution and latency percentiles, and
+    asserts NO LOST COMMIT: every (committer, seq) txn marker must land
+    exactly once in the final log.
+
+    At 100 TB the committers are independent jobs (compaction, GC,
+    streaming sinks) hitting one table; what must hold is linear-ish
+    retry cost and zero lost/duplicated commits — not low absolute
+    latency, which a real backend dominates with network RTT anyway."""
+    import collections
+    import json
+    import statistics
+    import threading
+
+    from pulsar_io_delta_spark.sources.delta_log import DeltaTable
+    from pulsar_io_delta_spark.sources.fs import InMemoryFileSystem
+
+    fs = InMemoryFileSystem()
+    root = "/occ/tbl"
+    schema_string = json.dumps(
+        {"type": "struct", "fields": [
+            {"name": "x", "type": "long", "nullable": True, "metadata": {}}]}
+    )
+    DeltaTable(root, fs=fs)._commit(
+        [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {"metaData": {"id": "m0", "format": {"provider": "parquet", "options": {}},
+                          "schemaString": schema_string, "partitionColumns": [],
+                          "configuration": {}}},
+        ],
+        operation="CREATE",
+    )
+    attempts: collections.Counter = collections.Counter()
+    att_lock = threading.Lock()
+
+    def count_attempt(path: str, data: str) -> None:
+        cid = data.split('"operation": "WRITE-', 1)[1].split('"', 1)[0]
+        with att_lock:
+            attempts[cid] += 1
+
+    fs.on_create_exclusive = count_attempt
+    latencies: dict[str, list[float]] = {}
+    errors: list[str] = []
+
+    def committer(cid: int) -> None:
+        t = DeltaTable(root, fs=fs)  # own handle, shared backend
+        lat = latencies.setdefault(f"c{cid}", [])
+        for seq in range(commits_each):
+            t0 = time.time()
+            try:
+                t._commit(
+                    [
+                        {"txn": {"appId": f"c{cid}", "version": seq}},
+                        {"add": {"path": f"part-{cid}-{seq}.parquet",
+                                 "partitionValues": {}, "size": 1,
+                                 "modificationTime": 1, "dataChange": True}},
+                    ],
+                    operation=f"WRITE-{cid}",
+                    max_retries=50 * n_committers,
+                )
+            except Exception as exc:  # noqa: BLE001
+                errors.append(f"c{cid}#{seq}: {exc}")
+                return
+            lat.append(time.time() - t0)
+
+    threads = [threading.Thread(target=committer, args=(i,)) for i in range(n_committers)]
+    t0 = time.time()
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    wall = time.time() - t0
+    assert not errors, errors
+    t = DeltaTable(root, fs=fs)
+    latest = t.latest_version()
+    assert latest == n_committers * commits_each, latest  # no lost commit
+    # every (committer, seq) marker exactly once, at its final value
+    for cid in range(n_committers):
+        assert t.last_txn_version(f"c{cid}") == commits_each - 1, cid
+    all_lat = sorted(x for v in latencies.values() for x in v)
+    per_commit_attempts = sum(attempts.values()) / (n_committers * commits_each)
+    print(
+        f"{'occ':10s} committers={n_committers} commits={n_committers * commits_each} "
+        f"wall={wall:6.2f}s attempts/commit={per_commit_attempts:5.2f} "
+        f"lat p50={statistics.median(all_lat) * 1e3:6.1f}ms "
+        f"p99={all_lat[int(len(all_lat) * 0.99)] * 1e3:6.1f}ms "
+        f"max={all_lat[-1] * 1e3:6.1f}ms lost=0"
+    )
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "occ":
+        occ_axis(
+            int(sys.argv[2]) if len(sys.argv) > 2 else 16,
+            int(sys.argv[3]) if len(sys.argv) > 3 else 8,
+        )
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "liquid":
         liquid_axis(
             [int(x) for x in sys.argv[2:]] if len(sys.argv) > 2 else [1, 10]
