@@ -331,17 +331,42 @@ def _parse_wav_pcm16(payload: bytes) -> tuple[int, int, np.ndarray]:
     return rate, channels, samples.reshape(-1, channels)
 
 
+def _parse_audio(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Magic dispatch over the audio container matrix: RIFF/WAVE
+    (PCM-16 / G.711 / IMA ADPCM), FLAC (operators/flac.py — lossless,
+    round 10). MPEG-1 audio frames (Layer I/II/III, the .mp1/.mp2/.mp3
+    family) gate loudly BY LAYER — their entropy stage needs spec table
+    data (Huffman trees, filterbank windows) that cannot be derived
+    in-sandbox, so a from-memory transcription would risk silently
+    wrong samples; a loud gate is the honest behavior."""
+    if payload[:4] == b"RIFF":
+        return _parse_wav_pcm16(payload)
+    if payload[:4] == b"fLaC":
+        from pulsar_io_delta_spark.operators.flac import decode_flac
+
+        return decode_flac(payload)
+    if len(payload) >= 2 and payload[0] == 0xFF and (payload[1] & 0xE0) == 0xE0:
+        layer = {0b01: "III", 0b10: "II", 0b11: "I"}.get((payload[1] >> 1) & 0b11)
+        raise NotImplementedError(
+            f"media decode: MPEG-1 audio Layer {layer or '(reserved)'} needs "
+            "external codec tables (Huffman/filterbank spec data); PCM-16, "
+            "G.711, IMA ADPCM WAV and FLAC decode natively"
+        )
+    raise ValueError(f"unsupported audio payload magic {payload[:4]!r}")
+
+
 def decode_audio(df: DataFrame, fake: bool = False) -> DataFrame:
-    """mapInPandas audio decode: REAL for PCM-16 WAV (numpy chunk walk,
-    rms / zero-crossing-rate / peak features); compressed codecs raise.
-    ``fake=True`` gives the byte-derived deterministic stand-in."""
+    """mapInPandas audio decode: REAL for PCM-16/G.711/ADPCM WAV and
+    FLAC (numpy codecs; rms / zero-crossing-rate / peak features);
+    MPEG-family codecs raise loudly. ``fake=True`` gives the
+    byte-derived deterministic stand-in."""
 
     def decode(payload: bytes):
         if fake:
             n = len(payload)
             return 16000, 1, max(n // 2, 1), round(n / 32000.0, 6), [
                 round((payload[0] if n else 0) / 255.0, 6), 0.0, 1.0]
-        rate, channels, frames = _parse_wav_pcm16(bytes(payload))
+        rate, channels, frames = _parse_audio(bytes(payload))
         x = frames.astype(np.float64) / 32768.0
         mono = x.mean(axis=1)
         rms = float(np.sqrt((mono**2).mean())) if mono.size else 0.0

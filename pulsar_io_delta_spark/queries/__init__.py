@@ -585,3 +585,42 @@ WINDOW_MUST_INCLUDE = [
     # and the r3 single q_window_variants)
 ]
 promote(WINDOW_MUST_INCLUDE, after="q_stream_tumbling")
+
+# Round-10 window (slots 1-49 after the q_stream_tumbling canary),
+# composed per the r9 verdict's #1 (the ONLY unverified-by-hard-signal
+# surface left was evidence staleness): (a) the 32 queries whose latest
+# driver row was round 3-4 — q_window_variants (r3) plus the whole r4
+# block (14 TPC-H singles, the agg block, the sketch-dedup family,
+# broadcast/skew joins, type widening, unpivot, window first/last and
+# range frames); (b) the four queries changed or added in r10
+# (q_dedup_embcos is already in (a)): q_fuzzy_pairs (densification
+# guard), q_multimodal_decode (real decoder matrix), q_time_travel_ict
+# (new ICT surface), q_dv_read (DV writer re-plumbed through
+# write_dv_payloads); (c) 13 of the 44 r5-stale queries, headline/
+# reference-surface first. After this round no query's latest driver
+# row is older than r5; the remaining 31 r5 queries and the 3 r6
+# queries lead the r11 (c) pool.
+_R10_WINDOW = [
+    # (a) r3/r4-stale
+    "q_window_variants",
+    "q_sql_tpch_q2", "q_sql_tpch_q4", "q_sql_tpch_q7", "q_sql_tpch_q8",
+    "q_sql_tpch_q9", "q_sql_tpch_q11", "q_sql_tpch_q12", "q_sql_tpch_q13",
+    "q_sql_tpch_q15", "q_sql_tpch_q16", "q_sql_tpch_q17", "q_sql_tpch_q20",
+    "q_sql_tpch_q21", "q_sql_tpch_q22",
+    "q_agg_groupby", "q_agg_distinct", "q_agg_rollup", "q_agg_cube",
+    "q_agg_percentiles",
+    "q_dedup_minhash", "q_dedup_near", "q_dedup_pipeline", "q_dedup_simhash",
+    "q_dedup_embcos", "q_ngram_jaccard",
+    "q_join_broadcast", "q_join_skew_salted", "q_type_widening", "q_unpivot",
+    "q_window_firstlast", "q_window_range_frame",
+    # (b) changed/new in r10
+    "q_fuzzy_pairs", "q_multimodal_decode", "q_time_travel_ict", "q_dv_read",
+    "q_multimodal_audio_flac",
+    # (c) r5-stale fill (q_chunk_docs yields its slot to the new FLAC
+    # query; it leads the r11 (c) pool with the other 31 r5 rows)
+    "q_sql_tpch_q1", "q_sql_tpch_q18", "q_cdc_envelope", "q_hash_route",
+    "q_partition_encode", "q_sessionize", "q_retention_cohort",
+    "q_stream_watermark_dedup", "q_topk", "q_sim_ann_lsh", "q_emb_quantize",
+    "q_multimodal_real_decode",
+]
+promote(_R10_WINDOW, after="q_stream_tumbling")

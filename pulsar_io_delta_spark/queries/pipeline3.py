@@ -1827,3 +1827,74 @@ def q_clone_shallow(spark, sf_dir):
         spark, "event_type = 'error'", filters=[("event_type", "=", "error")]
     )
     return clone.read(spark).select("event_id", "user_id", "event_type", "value")
+
+
+@register(
+    "q_multimodal_audio_flac",
+    # FLAC is LOSSLESS, so the oracle recomputes the planted signal
+    # directly: max_abs is the planted amplitude and the crossings
+    # count is structural (alternating wave crosses at every step,
+    # constant never does). Peak/zcr features are 6-decimal-rounded
+    # means of ≤ 2^15 integers — integer recovery is exact.
+    oracle="""
+SELECT doc_id,
+       CAST(8000 AS BIGINT) AS sample_rate,
+       CAST(24 AS BIGINT) AS n_samples,
+       CAST(CASE WHEN doc_id % 3 = 0
+                 THEN abs(((doc_id * 53) % 60001) - 30000)
+                 ELSE 1 + ((doc_id * 37) % 30000) END AS BIGINT) AS max_abs,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 23 END AS BIGINT) AS crossings
+FROM documents
+""",
+)
+def q_multimodal_audio_flac(spark, sf_dir):
+    """FLAC decode under the oracle gate (round 10, operators/flac.py —
+    from-scratch lossless codec: fixed predictors, partitioned Rice,
+    CRC-8/16): each document plants either an alternating ±a square
+    wave (a = 1 + 37·doc_id mod 30000; exercises the fixed-predictor +
+    Rice path, crossings = n-1) or, for doc_id ≡ 0 mod 3, a constant
+    signal (exercises the CONSTANT subframe; crossings = 0), encoded to
+    a real fLaC container and decoded back by the numpy decoder inside
+    the same Arrow-batched mapInPandas stage as WAV. FLAC is the
+    dominant compressed-audio container in speech corpora (LibriSpeech
+    et al.) — this closes the 'compressed audio gates loudly' hole for
+    the lossless family; MPEG layers still gate loudly BY NAME.
+    Scale shape: binaryFile scan + one mapInPandas decode, fully
+    distributed, same as q_multimodal_audio."""
+    import os
+
+    import numpy as np
+
+    from pulsar_io_delta_spark.operators import multimodal as mm
+    from pulsar_io_delta_spark.operators.flac import encode_flac
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    outdir, done = _blob_dir(sf_dir, "flac")
+    for r in (d.collect() if not done else []):
+        i = int(r.doc_id)
+        if i % 3 == 0:
+            c = ((i * 53) % 60001) - 30000
+            samples = np.full(24, c, np.int16)
+        else:
+            a = 1 + ((i * 37) % 30000)
+            samples = np.array([a, -a] * 12, np.int16)
+        with open(os.path.join(outdir, f"{i}.flac"), "wb") as f:
+            f.write(encode_flac(samples, 8000, block_size=24))
+    if not done:
+        _blob_done(outdir)
+    bf = spark.read.format("binaryFile").option("pathGlobFilter", "*.flac").load(outdir)
+    framed = bf.select(
+        F.regexp_extract(F.col("path"), r"([0-9]+)\.flac$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("content").alias("payload"),
+        F.lit("audio/flac").alias("mime"),
+    )
+    decoded = mm.decode_audio(framed, fake=False)
+    return decoded.select(
+        "doc_id",
+        "sample_rate",
+        "n_samples",
+        F.round(F.element_at("features", 3) * 32768, 0).cast("long").alias("max_abs"),
+        F.round(F.element_at("features", 2) * 23, 0).cast("long").alias("crossings"),
+    )
