@@ -114,8 +114,57 @@ HEADLINE = [
 ]
 
 
+def _read_proc_stat() -> dict[str, int]:
+    """Aggregate cpu jiffies from /proc/stat (user nice system idle
+    iowait irq softirq steal)."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        names = ["user", "nice", "system", "idle", "iowait", "irq", "softirq", "steal"]
+        return dict(zip(names, (int(x) for x in parts[1:9])))
+    except (OSError, ValueError):
+        return {}
+
+
+def rig_fingerprint(stat_before: dict[str, int] | None = None) -> dict:
+    """Machine-state provenance for the bench payload (VERDICT r9 #4:
+    a 35% total swing on unchanged plans needs to be attributable to
+    the rig, not argued from spreads after the fact). Records load
+    average, cpu count, frequency governor, and — when a before-run
+    /proc/stat snapshot is given — the busy and steal fractions over
+    the run itself."""
+    rig: dict = {"cpus": os.cpu_count()}
+    try:
+        rig["load1"], rig["load5"], rig["load15"] = (
+            round(x, 2) for x in os.getloadavg()
+        )
+    except OSError:
+        pass
+    try:
+        with open("/sys/devices/system/cpu/cpu0/cpufreq/scaling_governor") as fh:
+            rig["governor"] = fh.read().strip()
+    except OSError:
+        rig["governor"] = None
+    if stat_before:
+        after = _read_proc_stat()
+        delta = {k: after.get(k, 0) - stat_before.get(k, 0) for k in stat_before}
+        total = sum(delta.values())
+        if total > 0:
+            busy = total - delta.get("idle", 0) - delta.get("iowait", 0)
+            rig["busy_frac"] = round(busy / total, 3)
+            rig["steal_frac"] = round(delta.get("steal", 0) / total, 4)
+    return rig
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    budgets_name = None
+    argv = sys.argv[1:]
+    if "--budgets" in argv:
+        # --budgets sf1 → check against BENCH_budgets_sf1.json (a second
+        # frozen table so SCALE regressions are per-query-visible, not
+        # only in the sf0.1-vs-sf1 total); default stays BENCH_budgets.json
+        budgets_name = argv[argv.index("--budgets") + 1]
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf"))
     except ValueError:
@@ -123,6 +172,7 @@ def main() -> None:
     spark = get_spark(app_name="pids-bench")
     spark.sparkContext.setLogLevel("ERROR")
     specs = all_queries()
+    stat_before = _read_proc_stat()
 
     def run(name: str) -> float:
         # q_tfidf_topterms persist()s its tf subplan (the aggregate-once
@@ -177,6 +227,7 @@ def main() -> None:
         "sf": sf,
         "trials": trials,
         "spread": spreads,
+        "rig": rig_fingerprint(stat_before),
     }
     if errors:
         payload["errors"] = errors
@@ -189,9 +240,10 @@ def main() -> None:
     # check is informational only.
     over_budget: dict[str, list[float]] = {}
     no_budget: list[str] = []
-    budgets_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_budgets.json"
+    fname = (
+        f"BENCH_budgets_{budgets_name}.json" if budgets_name else "BENCH_budgets.json"
     )
+    budgets_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), fname)
     try:
         with open(budgets_path) as fh:
             budget_spec = json.load(fh)
@@ -224,6 +276,7 @@ def main() -> None:
             json.dump(payload, fh, indent=1)
     except OSError as exc:
         print(f"# could not write {detail_path}: {exc}", file=sys.stderr)
+    rig = payload["rig"]
     summary = {
         "metric": "headline query wall time (noop sink, local)",
         "value": payload["value"],
@@ -233,6 +286,8 @@ def main() -> None:
         "n_over_budget": len(over_budget),
         "sf": sf,
         "trials": trials,
+        "load1": rig.get("load1"),
+        "busy_frac": rig.get("busy_frac"),
         "detail": "BENCH_detail.json",
     }
     line = json.dumps(summary)
