@@ -624,3 +624,6 @@ _R10_WINDOW = [
     "q_multimodal_real_decode",
 ]
 promote(_R10_WINDOW, after="q_stream_tumbling")
+# the CURRENT round's promote intent (tests/test_registry.py pins that
+# it fits entirely inside the 50-slot driver window)
+WINDOW_MUST_INCLUDE = _R10_WINDOW

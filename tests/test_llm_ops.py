@@ -368,7 +368,7 @@ def test_real_decode_wav_pcm16(spark):
     # non-WAV payload → loud NotImplementedError/ValueError, not garbage
     bad = spark.createDataFrame([(9, b"\xff\xd8\xff\xe0jpeg...", "image/jpeg")],
                                 "doc_id long, payload binary, mime string")
-    with pytest.raises(Exception, match="RIFF|media decode"):
+    with pytest.raises(Exception, match="RIFF|media decode|audio payload magic"):
         mm.decode_audio(bad, fake=False).collect()
 
 

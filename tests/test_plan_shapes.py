@@ -13,11 +13,25 @@ def _plan(spark, sf_dir, name):
     return df._jdf.queryExecution().executedPlan().toString()
 
 
-@pytest.mark.parametrize("name", ["q_ngram_jaccard", "q_dedup_embcos"])
+@pytest.mark.parametrize(
+    "name", ["q_ngram_jaccard", "q_dedup_embcos", "q_fuzzy_pairs"]
+)
 def test_verify_queries_plan_no_allpairs(spark, sf_dir, name):
     plan = _plan(spark, sf_dir, name)
     assert "NestedLoop" not in plan, name
     assert "CartesianProduct" not in plan, name
+
+
+def test_fuzzy_pairs_star_side_is_aggregate_plus_equijoin(spark, sf_dir):
+    """The r10 densification guard: the exact-group stage must plan as
+    a hash aggregate on (blk, probe) feeding hash EQUI-joins — k
+    byte-identical replicas cost one group + k star rows, never C(k,2)
+    join output (42.6× at sf1 before the guard, PERF.md r10)."""
+    plan = _plan(spark, sf_dir, "q_fuzzy_pairs")
+    assert "HashAggregate" in plan
+    assert plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") + plan.count(
+        "ShuffledHashJoin"
+    ) >= 2, plan
 
 
 def test_hash_route_per_row_path_is_jvm_only(spark, sf_dir):
