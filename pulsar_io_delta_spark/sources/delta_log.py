@@ -1531,8 +1531,14 @@ class DeltaTable:
     def commit_timestamp_ms(self, version: int) -> int:
         fp = os.path.join(self.log_dir, f"{version:020d}.json")
         if self.fs.exists(fp):
-            for action in self.actions(version):
-                info = action.get("commitInfo")
+            # lazy line scan, stopping at the first commitInfo: a commit
+            # carrying 10^4 adds must not be fully parsed just to read
+            # its timestamp (the ICT binary search probes O(log n)
+            # commits per time-travel resolution)
+            for line in self.fs.read_text(fp).splitlines():
+                if not line.strip() or '"commitInfo"' not in line:
+                    continue
+                info = json.loads(line).get("commitInfo")
                 if info and "inCommitTimestamp" in info:
                     # ICT is authoritative over the wall timestamp
                     return int(info["inCommitTimestamp"])
