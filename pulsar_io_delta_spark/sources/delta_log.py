@@ -2883,6 +2883,14 @@ class DeltaTable:
         frames: list[DataFrame] = []
         if derived_versions:
             derived = self.cdc(spark, start_version, versions=derived_versions)
+            # _commit_timestamp is the COMMIT clock (ICT-aware via
+            # commit_timestamp_ms), not cdc()'s reference-parity event
+            # time (add.modificationTime) — broadcast version lookup,
+            # same shape as the cdc-file path's (file → ts) lookup
+            vts = spark.createDataFrame(
+                [(v, self.commit_timestamp_ms(v)) for v in derived_versions],
+                "_commit_version long, _vts_ms long",
+            )
             frames.append(
                 derived.withColumn(
                     "_change_type",
@@ -2890,8 +2898,10 @@ class DeltaTable:
                         F.lit("delete")
                     ),
                 )
-                .withColumnRenamed("ts", "_commit_timestamp")
-                .drop("op", "partition_value")
+                .drop("op", "partition_value", "ts")
+                .join(F.broadcast(vts), ["_commit_version"])
+                .withColumn("_commit_timestamp", F.timestamp_millis(F.col("_vts_ms")))
+                .drop("_vts_ms")
             )
         if cdc_versions:
             frames.append(self._scan_change_files(spark, changes, cdc_versions))
@@ -2947,9 +2957,13 @@ class DeltaTable:
                 continue
             ts_ms = next(
                 (
-                    int(a["commitInfo"]["timestamp"])
+                    # ICT is authoritative over the wall timestamp, same
+                    # rule as commit_timestamp_ms (the derived-commit CDF
+                    # path already goes through it)
+                    int(ci["inCommitTimestamp"] if "inCommitTimestamp" in ci
+                        else ci["timestamp"])
                     for a in actions
-                    if a.get("commitInfo", {}).get("timestamp") is not None
+                    if (ci := a.get("commitInfo") or {}).get("timestamp") is not None
                 ),
                 0,
             )

@@ -256,3 +256,23 @@ def test_cdf_replay_reconstructs_table_state(spark, tmp_path):
                 assert key in state, (seed, key)
         final = {r.event_id: (r.category, r.value) for r in t.read(spark).collect()}
         assert state == final, (seed, len(state), len(final))
+
+
+def test_cdf_commit_timestamp_uses_ict(spark, tmp_path):
+    """On an in-commit-timestamps table, table_changes must stamp
+    _commit_timestamp from the commit-carried clock (authoritative over
+    wall timestamps / file mtimes) for BOTH the cdc-file path and the
+    derived-commit path — the same rule time travel follows."""
+    t = DeltaTable(str(tmp_path / "t"))
+    t.write(
+        _rows(spark, range(6)),
+        configuration={**CDF, "delta.enableInCommitTimestamps": "true"},
+    )
+    t.delete_where(spark, "event_id < 2")  # v1: writes _change_data files
+    icts = {v: t.commit_timestamp_ms(v) for v in (0, 1)}
+    ch = t.table_changes(spark, 0)
+    got = {
+        (r._commit_version, int(r._commit_timestamp.timestamp() * 1000))
+        for r in ch.select("_commit_version", "_commit_timestamp").distinct().collect()
+    }
+    assert got == {(0, icts[0]), (1, icts[1])}, (got, icts)
