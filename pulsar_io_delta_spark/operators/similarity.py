@@ -271,7 +271,7 @@ def ann_topk_lsh(
     emb: DataFrame,
     query_pred: Column,
     k: int = 5,
-    n_planes: int = 8,
+    n_planes: int | None = None,
     dim: int = 64,
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's LSH bucket.
@@ -282,11 +282,15 @@ def ann_topk_lsh(
 
     SIZING RULE (measured, tools/scale_smoke.py): bucket occupancy is
     n/2^n_planes and any in-bucket join is quadratic in occupancy, so
-    n_planes must grow with the corpus — n_planes ≈ log2(n /
-    target_bucket_size). Holding n_planes fixed while the corpus grows
-    10× costs ~100× in the bucket join; re-deriving it per corpus keeps
-    per-row cost flat (same knob as MinHash bands / ER blocking keys).
+    n_planes must grow with the corpus — the default (n_planes=None)
+    derives it from a count-star via adaptive_planes(), the integer
+    form of n_planes ≈ log2(n / target_bucket_size). Holding n_planes
+    fixed while the corpus grows 10× costs ~100× in the bucket join;
+    re-deriving it per corpus keeps per-row cost flat (same knob as
+    MinHash bands / ER blocking keys).
     """
+    if n_planes is None:
+        n_planes = adaptive_planes(emb.count())
     planes = hyperplanes(dim, n_planes)
     base = with_norm2(emb).withColumn("bucket", lsh_bucket_col("v", planes))
     q = base.where(query_pred).select(

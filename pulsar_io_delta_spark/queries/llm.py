@@ -273,28 +273,17 @@ def q_ngram_jaccard(spark, sf_dir):
     return plants.join(jac, ["id_a", "id_b"]).select("id_a", "id_b", "jaccard")
 
 
-def _lsh_bits_sql() -> str:
-    """The sign-LSH bucket expression with the SAME deterministic
-    hyperplane constants the Spark plans use (sim.hyperplanes(64, 8)),
-    so both engines bucket identically (the dot-product fold order is
-    also identical — zip_with/aggregate vs list_dot_product, bit-exact).
+def _adaptive_bits_sql() -> tuple[str, str]:
+    """(plane-count CASE chain, gated bucket-bit expression) — the
+    SQL twin of the scale-adaptive sign-LSH bucketing the Spark plans
+    compute (sim.adaptive_planes + sim.hyperplanes): the plane count is
+    derived from ``count(*)`` by the SAME integer CASE chain (VERDICT
+    r9 #2 — a frozen plane count cost 17.7× wall at 10× data), the full
+    HI-plane constant matrix is embedded and each bit gated on
+    ``i < p``. hyperplanes() is prefix-stable, so the gated-bucket ids
+    match Spark's p-plane ids bit-for-bit (the dot-product fold order
+    is also identical — zip_with/aggregate vs list_dot_product).
     Shared by the q_dedup_embcos and q_sim_ann_lsh oracles."""
-    planes = sim.hyperplanes(64, 8)
-    return "\n   + ".join(
-        f"(CASE WHEN list_dot_product(v, [{', '.join(repr(x) for x in plane)}]::DOUBLE[]) > 0"
-        f" THEN {1 << i} ELSE 0 END)"
-        for i, plane in enumerate(planes)
-    )
-
-
-def _embcos_oracle() -> str:
-    """Scale-adaptive twin of q_dedup_embcos: the plane count is derived
-    from ``count(*)`` by the SAME integer CASE chain the Spark side's
-    adaptive_planes() computes (VERDICT r9 #2 — a frozen plane count
-    cost 17.7× wall at 10× data). The full HI-plane constant matrix is
-    embedded and each bit gated on ``i < p``; hyperplanes() is
-    prefix-stable, so the gated-bucket ids match Spark's p-plane ids
-    bit-for-bit."""
     planes = sim.hyperplanes(64, sim.ADAPTIVE_PLANES_HI)
     pcase = sim.adaptive_planes_case_sql("(SELECT count(*) FROM embeddings)")
     bits = "\n   + ".join(
@@ -303,6 +292,11 @@ def _embcos_oracle() -> str:
         f" THEN {1 << i} ELSE 0 END)"
         for i, plane in enumerate(planes)
     )
+    return pcase, bits
+
+
+def _embcos_oracle() -> str:
+    pcase, bits = _adaptive_bits_sql()
     return f"""
 WITH np AS (SELECT {pcase} AS p),
 n AS (
@@ -405,16 +399,18 @@ def q_sim_ann_ivf(spark, sf_dir):
 
 
 def _ann_lsh_oracle() -> str:
-    """The LSH bucket is deterministic (shared plane constants), so the
+    """The LSH bucket is deterministic (shared plane constants, corpus-
+    adaptive count — same CASE-chain twin as q_dedup_embcos), so the
     'approximate' top-k is exactly reproducible in SQL: same buckets,
     same bit-exact cosines, same (cos DESC, vec_id) ranking."""
-    bits = _lsh_bits_sql()
+    pcase, bits = _adaptive_bits_sql()
     return f"""
-WITH n AS (
+WITH np AS (SELECT {pcase} AS p),
+n AS (
   SELECT vec_id, embedding::DOUBLE[] AS v,
          list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS n2
   FROM embeddings),
-b AS (SELECT vec_id, v, n2, {bits} AS bucket FROM n),
+b AS (SELECT vec_id, v, n2, {bits} AS bucket FROM n, np),
 p AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
              list_dot_product(q.v, c.v) / sqrt(q.n2 * c.n2) AS cos
       FROM b q JOIN b c ON q.vec_id < 10 AND q.bucket = c.bucket
@@ -429,12 +425,14 @@ SELECT qid, cid, round(cos, 4) AS cos_r, rn FROM r WHERE rn <= 5
 
 @register("q_sim_ann_lsh", oracle=_ann_lsh_oracle())
 def q_sim_ann_lsh(spark, sf_dir):
-    """ANN variant: sign-LSH (8 hyperplanes) buckets candidates; at
-    scale the bucket id is the join/bucketing key instead of a cross
-    product. The bucket function is deterministic, so the oracle
-    reproduces the exact approximate result."""
+    """ANN variant: sign-LSH buckets candidates; at scale the bucket id
+    is the join/bucketing key instead of a cross product. The plane
+    count is corpus-sized (adaptive_planes — candidate volume per query
+    stays ~target_bucket as the corpus grows) and the bucket function is
+    deterministic, so the oracle reproduces the exact approximate
+    result."""
     emb = table(spark, sf_dir, "embeddings")
-    return sim.ann_topk_lsh(emb, F.col("vec_id") < 10, k=5, n_planes=8, dim=64)
+    return sim.ann_topk_lsh(emb, F.col("vec_id") < 10, k=5, dim=64)
 
 
 @register(
