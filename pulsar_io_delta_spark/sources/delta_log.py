@@ -3802,7 +3802,11 @@ class DeltaTable:
         return committed
 
     def merge_upsert(
-        self, spark: SparkSession, source: DataFrame, key_cols: list[str]
+        self,
+        spark: SparkSession,
+        source: DataFrame,
+        key_cols: list[str],
+        schema_evolution: bool = False,
     ) -> int:
         """MERGE: update rows matching ``key_cols``, insert the rest —
         the standard touched-file rewrite every Delta implementation
@@ -3820,6 +3824,13 @@ class DeltaTable:
 
         Untouched files are never read twice nor rewritten. Source must
         not contain duplicate keys (caller contract, as in Delta MERGE).
+
+        ``schema_evolution=True`` is delta-spark's ``MERGE WITH SCHEMA
+        EVOLUTION``: source-only columns are APPENDED to the table
+        schema in the same commit (additive only — _merge_schema_strings
+        rejects type changes); survivors and pre-images null-fill the
+        new columns, untouched files pick them up at read time because
+        _read_files always pins the widened LOG schema.
         """
         snap = self.snapshot()
         self._guard_writable(snap)
@@ -3829,11 +3840,28 @@ class DeltaTable:
             else source.columns
         )
         unknown = [c for c in source.columns if c not in table_cols]
+        evolved: str | None = None
         if unknown:
-            raise DeltaProtocolError(
-                f"merge source has columns not in the table: {unknown}; "
-                "evolve the schema with write() first"
-            )
+            if not schema_evolution:
+                raise DeltaProtocolError(
+                    f"merge source has columns not in the table: {unknown}; "
+                    "evolve the schema with write() first or pass "
+                    "schema_evolution=True"
+                )
+            if self._mapping_of(snap):
+                raise DeltaProtocolError(
+                    "MERGE schema evolution on a column-mapped table is not "
+                    "supported (new columns need physical names/field ids)"
+                )
+            evolved = self._merge_schema_strings(snap.schema_string, source.schema.json())
+            table_cols = [f["name"] for f in json.loads(evolved)["fields"]]
+
+        def _fill_new(df: DataFrame) -> DataFrame:
+            # target-side frames predate the evolution: null-fill the
+            # appended columns at the SOURCE's declared types
+            for c in unknown:
+                df = df.withColumn(c, F.lit(None).cast(source.schema[c].dataType))
+            return df
         bad_ident = [
             c
             for c, spec in _identity_cols(snap.schema_string).items()
@@ -3881,7 +3909,7 @@ class DeltaTable:
             # UPDATED rows inherit the target row's row_id (one bounded
             # equi-join on the merge keys) with a null commit version —
             # "modified at this commit" — and inserts take fresh ids.
-            live = (
+            live = _fill_new(
                 self._scan_live_rt(spark, snap, touched)
                 if rt
                 else self._scan_live(spark, snap, touched)
@@ -3910,6 +3938,10 @@ class DeltaTable:
             rewritten = aligned_source
         now_ms = int(time.time() * 1000)
         actions: list[dict] = [self._remove_action(snap, p, now_ms) for p in touched]
+        if evolved:
+            # the widened schema rides the SAME commit (op='m' boundary
+            # for CDC consumers, exactly like the append-evolution path)
+            actions.append(self._metadata_update(snap, evolved))
         self._validate_constraints(rewritten, snap.configuration)
         if rt:
             mat_id, mat_rcv = _rt_mat_cols(snap.configuration)
@@ -3931,7 +3963,7 @@ class DeltaTable:
             ct = F.lit
             if touched:
                 pre = (
-                    self._scan_live(spark, snap, touched)
+                    _fill_new(self._scan_live(spark, snap, touched))
                     .join(keys, key_cols, "left_semi")
                     .select(*table_cols)
                 )

@@ -276,3 +276,45 @@ def test_cdf_commit_timestamp_uses_ict(spark, tmp_path):
         for r in ch.select("_commit_version", "_commit_timestamp").distinct().collect()
     }
     assert got == {(0, icts[0]), (1, icts[1])}, (got, icts)
+
+
+def test_merge_with_schema_evolution(spark, tmp_path):
+    """MERGE WITH SCHEMA EVOLUTION (delta-spark surface): source-only
+    columns are appended to the table schema in the same commit;
+    survivors and untouched files read back with the new column
+    null-filled, matched rows update, unmatched insert. Without the
+    flag the merge still refuses loudly; on a column-mapped table
+    evolution refuses (new columns need physical names)."""
+    import pytest
+
+    from pulsar_io_delta_spark.sources.delta_log import DeltaProtocolError
+
+    t = DeltaTable(str(tmp_path / "t"))
+    t.write(_rows(spark, range(4)).repartition(2), configuration=CDF)
+    src = spark.createDataFrame(
+        [(2, "a", 200.0, "beta"), (9, "a", 900.0, "gamma")],
+        "event_id long, category string, value double, tag string",
+    )
+    with pytest.raises(DeltaProtocolError, match="schema_evolution=True"):
+        t.merge_upsert(spark, src, ["event_id"])
+    t.merge_upsert(spark, src, ["event_id"], schema_evolution=True)
+    snap = t.snapshot()
+    import json as _json
+
+    names = [f["name"] for f in _json.loads(snap.schema_string)["fields"]]
+    assert names == ["event_id", "category", "value", "tag"]
+    got = {(r.event_id, r.value, r.tag) for r in t.read(spark).collect()}
+    assert got == {
+        (0, 0.0, None), (1, 1.0, None), (3, 3.0, None),  # survivors/untouched
+        (2, 200.0, "beta"), (9, 900.0, "gamma"),
+    }
+    # CDF rows for the merge carry the widened schema too
+    ch = _by_type(t.table_changes(spark, 1))
+    assert ch["insert"] == {(9, 900.0)}
+    assert ch["update_postimage"] == {(2, 200.0)}
+    # mapped tables refuse evolution loudly
+    t2 = DeltaTable(str(tmp_path / "m"))
+    t2.write(_rows(spark, range(2)))
+    t2.enable_column_mapping()
+    with pytest.raises(DeltaProtocolError, match="column-mapped"):
+        t2.merge_upsert(spark, src, ["event_id"], schema_evolution=True)
