@@ -4561,16 +4561,21 @@ class DeltaTable:
             [md], operation="DROP CONSTRAINT", read_version=snap.version
         )
 
-    def restore(self, version: int) -> int:
-        """RESTORE TABLE TO VERSION AS OF ``version``: one commit whose
+    def restore(self, version: int | None = None, timestamp_ms: int | None = None) -> int:
+        """RESTORE TABLE TO VERSION/TIMESTAMP AS OF: one commit whose
         add/remove actions make the latest snapshot's file set equal the
         target snapshot's — no data files are copied or rewritten, so
         the operation is O(churned file count) metadata regardless of
         table size, and every later version stays time-travel readable
         (restore moves the head, it does not erase history).
 
-        Files to re-add must still exist on disk (not vacuumed) —
-        verified here with a loud error rather than a broken snapshot."""
+        ``timestamp_ms`` resolves through the same (ICT-aware) rule as
+        time travel. Files to re-add must still exist on disk (not
+        vacuumed) — verified here with a loud error rather than a
+        broken snapshot."""
+        if (version is None) == (timestamp_ms is None):
+            raise DeltaProtocolError("restore needs exactly one of version/timestamp_ms")
+        version = self.resolve_version(version, timestamp_ms)
         target = self.snapshot(version)
         cur = self.snapshot()
         if cur.version == target.version:

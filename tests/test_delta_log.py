@@ -1429,3 +1429,26 @@ def test_ict_handwritten_log_preview_feature_and_skewed_mtimes(spark, tmp_path):
     t.write(events_df(spark, range(3)).select("event_id"))
     (info,) = [a["commitInfo"] for a in t.actions(2) if "commitInfo" in a]
     assert int(info["inCommitTimestamp"]) > 9000
+
+
+def test_restore_to_timestamp_ict(spark, tmp_path):
+    """RESTORE TO TIMESTAMP resolves through the same ICT-aware rule as
+    time travel: on an in-commit-timestamps table, the target version
+    comes from the commit-carried clock, not file mtimes (all 'now')."""
+    t = DeltaTable(str(tmp_path / "rts"))
+    t.write(
+        events_df(spark, range(3)),
+        configuration={"delta.enableInCommitTimestamps": "true"},
+    )
+    t.write(events_df(spark, range(3, 8)))
+    t.write(events_df(spark, range(8, 10)))
+    ict_v1 = t.commit_timestamp_ms(1)
+    v = t.restore(timestamp_ms=ict_v1)
+    assert v == 3
+    assert t.read(spark).count() == 8  # v1 state: 3 + 5 rows
+    import pytest
+
+    with pytest.raises(DeltaProtocolError, match="exactly one"):
+        t.restore()
+    with pytest.raises(DeltaProtocolError, match="exactly one"):
+        t.restore(1, timestamp_ms=ict_v1)
