@@ -68,6 +68,59 @@ def _is_change_feed(options) -> bool:
     return str(options.get("readChangeFeed", "")).lower() == "true"
 
 
+def _iso_to_ms(value) -> int:
+    from datetime import datetime, timezone
+
+    try:
+        dt = datetime.fromisoformat(str(value).replace("Z", "+00:00"))
+    except ValueError as exc:
+        raise ValueError(f"invalid ISO-8601 timestamp: {value!r}") from exc
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=timezone.utc)
+    return int(dt.timestamp() * 1000)
+
+
+def _version_bounds(table_path: str, options) -> tuple[int, int | None]:
+    """(startingVersion, endingVersion) from the options, accepting
+    delta-spark's timestamp spellings too. CDF semantics, NOT time
+    travel: ``startingTimestamp`` → the FIRST commit at or after T
+    (changes since T), ``endingTimestamp`` → the last commit at or
+    before T; both refuse loudly when no commit qualifies. Commit
+    timestamps go through commit_timestamp_ms, so in-commit-timestamp
+    tables resolve by the commit-carried clock."""
+    from pulsar_io_delta_spark.sources.delta_log import DeltaTable
+
+    if "startingVersion" in options and "startingTimestamp" in options:
+        raise ValueError("startingVersion and startingTimestamp are exclusive")
+    if "endingVersion" in options and "endingTimestamp" in options:
+        raise ValueError("endingVersion and endingTimestamp are exclusive")
+    start = int(options.get("startingVersion", 0))
+    end = int(options["endingVersion"]) if "endingVersion" in options else None
+    if "startingTimestamp" in options or "endingTimestamp" in options:
+        t = DeltaTable(table_path)
+        versions = t.versions()
+        if "startingTimestamp" in options:
+            ms = _iso_to_ms(options["startingTimestamp"])
+            start = next(
+                (v for v in versions if t.commit_timestamp_ms(v) >= ms), None
+            )
+            if start is None:
+                raise ValueError(
+                    f"no commits at or after startingTimestamp "
+                    f"{options['startingTimestamp']!r}"
+                )
+        if "endingTimestamp" in options:
+            ms = _iso_to_ms(options["endingTimestamp"])
+            eligible = [v for v in versions if t.commit_timestamp_ms(v) <= ms]
+            if not eligible:
+                raise ValueError(
+                    f"no commits at or before endingTimestamp "
+                    f"{options['endingTimestamp']!r}"
+                )
+            end = eligible[-1]
+    return start, end
+
+
 def _canonical_pv(partition_values: dict[str, str]) -> str:
     """TreeMap-sorted k=v concatenation, no pair separator
     (reference `DeltaReader.java:290-299`)."""
@@ -267,8 +320,7 @@ class _CdcBatchReader(DataSourceReader):
     def __init__(self, schema: StructType, options):
         self.schema_ = schema
         self.table_path = options["tablePath"]
-        self.start = int(options.get("startingVersion", 0))
-        self.end = int(options["endingVersion"]) if "endingVersion" in options else None
+        self.start, self.end = _version_bounds(self.table_path, options)
         self.change_feed = _is_change_feed(options)
         self._pruning: list[tuple[str, str, object]] = []
 
@@ -361,7 +413,7 @@ class _CdcStreamReader(DataSourceStreamReader):
     def __init__(self, schema: StructType, options):
         self.schema_ = schema
         self.table_path = options["tablePath"]
-        self.start = int(options.get("startingVersion", 0))
+        self.start, _ = _version_bounds(self.table_path, options)
         self.change_feed = _is_change_feed(options)
         self.max_versions = int(options.get("maxVersionsPerTrigger", 0)) or None
         self.max_files = int(options.get("maxFilesPerTrigger", 0)) or None

@@ -486,3 +486,54 @@ def test_pushdown_end_to_end_exact(spark, pruned_table):
         ).collect()
     }
     assert got == full and got  # identical results through the pruned plan
+
+
+def test_batch_timestamp_bounds_ict(spark, tmp_path):
+    """startingTimestamp/endingTimestamp (delta-spark CDF spellings,
+    ISO-8601): starting → first commit AT OR AFTER T, ending → last
+    commit at or before T; on an in-commit-timestamps table both
+    resolve by the commit-carried clock, not file mtimes. Out-of-range
+    bounds refuse loudly."""
+    from datetime import datetime, timezone
+
+    path = str(tmp_path / "tbl")
+    t = DeltaTable(path)
+    mk = lambda lo, hi: spark.range(lo, hi).select(  # noqa: E731
+        F.col("id").alias("event_id"), (F.col("id") * 1.5).alias("value")
+    )
+    t.write(mk(0, 3), configuration={"delta.enableInCommitTimestamps": "true"})
+    t.write(mk(3, 7))
+    t.write(mk(7, 9))
+    register_delta_cdc(spark)
+    iso = lambda ms: datetime.fromtimestamp(  # noqa: E731
+        ms / 1000, tz=timezone.utc
+    ).isoformat()
+    ict = {v: t.commit_timestamp_ms(v) for v in (0, 1, 2)}
+    ds = (
+        spark.read.format("pulsar_delta_cdc")
+        .option("tablePath", path)
+        .option("startingTimestamp", iso(ict[1]))
+        .option("endingTimestamp", iso(ict[1]))
+        .load()
+    )
+    got = {r._commit_version for r in ds.collect()}
+    assert got == {1}
+    # starting after the last commit refuses loudly
+    with pytest.raises(Exception, match="no commits at or after"):
+        (
+            spark.read.format("pulsar_delta_cdc")
+            .option("tablePath", path)
+            .option("startingTimestamp", iso(ict[2] + 60_000))
+            .load()
+            .collect()
+        )
+    # exclusive spellings refuse loudly
+    with pytest.raises(Exception, match="exclusive"):
+        (
+            spark.read.format("pulsar_delta_cdc")
+            .option("tablePath", path)
+            .option("startingVersion", 0)
+            .option("startingTimestamp", iso(ict[0]))
+            .load()
+            .collect()
+        )
