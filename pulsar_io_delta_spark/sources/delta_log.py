@@ -64,6 +64,35 @@ class DeltaProtocolError(Exception):
     """Raised on protocol features outside this reader's scope."""
 
 
+def _operation_metrics(actions: list[dict]) -> dict[str, str]:
+    """delta-spark-style commitInfo.operationMetrics derived from the
+    action list itself (zero extra jobs — row counts come from the adds'
+    footer stats already in the actions): numFiles/numRemovedFiles and
+    numOutputRows where every add carries stats. Values are STRINGS,
+    matching the delta-spark wire shape. DESCRIBE HISTORY surfaces
+    them."""
+    adds = [a["add"] for a in actions if "add" in a]
+    removes = [a for a in actions if "remove" in a]
+    out: dict[str, str] = {}
+    if adds:
+        out["numFiles"] = str(len(adds))
+        rows = 0
+        complete = True
+        for add in adds:
+            stats = add.get("stats")
+            s = json.loads(stats) if isinstance(stats, str) else (stats or {})
+            n = s.get("numRecords")
+            if n is None:
+                complete = False
+                break
+            rows += int(n)
+        if complete:
+            out["numOutputRows"] = str(rows)
+    if removes:
+        out["numRemovedFiles"] = str(len(removes))
+    return out
+
+
 # V2 checkpoints shard their file actions into _sidecars/*.parquet once
 # the live-file count passes this bound (and aim for about this many
 # adds per sidecar) — no single manifest grows unboundedly on a
@@ -3100,6 +3129,9 @@ class DeltaTable:
         for _attempt in range(max_retries):
             now_ms = int(time.time() * 1000)
             info: dict = {"timestamp": now_ms, "operation": operation}
+            metrics = _operation_metrics(actions)
+            if metrics:
+                info["operationMetrics"] = metrics
             if ict_armed:
                 info["inCommitTimestamp"] = max(now_ms, self._last_ict() + 1)
             version = (self.versions()[-1] + 1) if self.versions() else 0
@@ -4987,6 +5019,8 @@ class DeltaTable:
                     rec["operation"] = ci.get("operation")
                     if "inCommitTimestamp" in ci:
                         rec["inCommitTimestamp"] = ci["inCommitTimestamp"]
+                    if "operationMetrics" in ci:
+                        rec["operationMetrics"] = ci["operationMetrics"]
                     break
             out.append(rec)
             if limit is not None and len(out) >= limit:

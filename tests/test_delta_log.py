@@ -1452,3 +1452,18 @@ def test_restore_to_timestamp_ict(spark, tmp_path):
         t.restore()
     with pytest.raises(DeltaProtocolError, match="exactly one"):
         t.restore(1, timestamp_ms=ict_v1)
+
+
+def test_history_operation_metrics(spark, tmp_path):
+    """commitInfo.operationMetrics (delta-spark wire shape: string
+    values) derived from the action list at zero extra cost; DESCRIBE
+    HISTORY surfaces numFiles / numOutputRows / numRemovedFiles."""
+    t = DeltaTable(str(tmp_path / "om"))
+    t.write(events_df(spark, range(8)).repartition(2))
+    t.delete_where(spark, "event_id < 2")
+    hist = {h["version"]: h for h in t.history()}
+    m0 = hist[0]["operationMetrics"]
+    assert m0["numFiles"] == "2" and m0["numOutputRows"] == "8"
+    m1 = hist[1]["operationMetrics"]
+    assert int(m1["numRemovedFiles"]) >= 1
+    assert int(m1["numOutputRows"]) == 6  # rewrite keeps the survivors
