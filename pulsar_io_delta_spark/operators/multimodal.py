@@ -8,16 +8,19 @@ row, and each batch decodes in a single vectorized pass.
 
 Decode support is layered by what this environment can honestly do:
 
-- **Real decode, no codec libs needed** — uncompressed raster formats
-  parse with numpy alone: binary PPM (``P6``) / PGM (``P5``) and
-  24-bit uncompressed BMP. ``decode_image_batch(fake=False)`` decodes
-  these for real (dimensions + channel-statistics features), and
-  ``resize_images(fake=False)`` does a real nearest-neighbour resample
-  of PPM/PGM payloads.
-- **Compressed formats (JPEG/PNG/video)** require PIL/pyav, absent
-  here: the kernels raise ``NotImplementedError`` for those magics
-  unless ``fake=True``, in which case a deterministic byte-derived
-  fake produces stable outputs for tests.
+- **Real decode, from-scratch numpy codecs** — images: binary PPM
+  (``P6``) / PGM (``P5``), 24-bit uncompressed BMP, JPEG (baseline +
+  progressive + 12-bit, ``operators/jpeg.py``), PNG (depths
+  1/2/4/8/16 + Adam7, ``operators/png.py``); audio: PCM-16 / G.711 /
+  IMA-ADPCM WAV (``operators/audio.py``) and FLAC
+  (``operators/flac.py``, lossless); video: AVI ``00db`` frame demux.
+  ``resize_images(fake=False)`` does a real nearest-neighbour
+  resample (with re-encode for the lossless formats).
+- **Formats needing external codec table data** (arithmetic/
+  hierarchical JPEG, MPEG audio layers I/II/III, AAC, H.264) raise
+  ``NotImplementedError`` naming the exact variant, unless
+  ``fake=True``, in which case a deterministic byte-derived fake
+  produces stable outputs for tests.
 
 Either way the Spark-side plumbing — schema, Arrow batching,
 partitioning — is identical to a production pipeline's.

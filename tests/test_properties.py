@@ -327,3 +327,26 @@ def test_jpeg_solid_even_level_exact(offset):
         return
     img = np.full((9, 13), level, dtype=np.uint8)
     assert np.all(decode_jpeg(encode_jpeg(img)) == level)
+
+
+@given(
+    st.lists(st.integers(-32768, 32767), min_size=1, max_size=300),
+    st.sampled_from([1, 2]),
+    st.sampled_from([16, 48, 4096]),
+)
+@settings(max_examples=60, deadline=None)
+def test_flac_roundtrip_lossless_property(xs, channels, block_size):
+    """decode(encode(x)) == x for arbitrary int16 signals, any channel
+    count and block split — the lossless contract that makes the FLAC
+    fixtures hash-exact by construction."""
+    import numpy as np
+
+    from pulsar_io_delta_spark.operators.flac import decode_flac, encode_flac
+
+    x = np.array(xs, np.int16)
+    if channels == 2:
+        x = np.stack([x, x[::-1]], axis=1)
+    rate, ch, y = decode_flac(encode_flac(x, 8000, block_size=block_size))
+    assert (rate, ch) == (8000, channels)
+    want = x.astype(np.int64)
+    assert np.array_equal(y, want if channels == 2 else want[:, None].reshape(-1, 1))
