@@ -1132,6 +1132,105 @@ def _delta_leaf_arrow_types(schema_string: str | None) -> list[tuple[str, object
     return out
 
 
+_GEN_DATE_RE = re.compile(
+    r"^\s*(?:CAST\s*\(\s*`?(\w+)`?\s+AS\s+DATE\s*\)|DATE\s*\(\s*`?(\w+)`?\s*\))\s*$",
+    re.IGNORECASE,
+)
+_GEN_SUBSTR_RE = re.compile(
+    r"^\s*SUBSTRING\s*\(\s*`?(\w+)`?\s*,\s*1\s*,\s*(\d+)\s*\)\s*$", re.IGNORECASE
+)
+_GEN_YEAR_RE = re.compile(r"^\s*YEAR\s*\(\s*`?(\w+)`?\s*\)\s*$", re.IGNORECASE)
+
+
+def _generated_partition_filters(
+    snap: "Snapshot", filters: list[tuple[str, str, object]]
+) -> list[tuple[str, str, object]]:
+    """Implied partition predicates from filters on the SOURCE column
+    of a generated partition column (delta-spark's generated-column
+    partition pruning, Delta docs "Use generated columns"): for a
+    MONOTONE non-decreasing generation expression g = f(c), c ≥ v
+    implies g ≥ f(v) (strict ops weaken to their inclusive forms —
+    sound: never prunes a matching file). Recognized expressions:
+    CAST(c AS DATE) / DATE(c) (monotone in timestamps), SUBSTRING(c,1,n)
+    (prefix — lexicographically monotone in strings), and YEAR(c)
+    (equality only: the int partition encoding is not string-order-safe
+    for ranges). Unparsed expressions derive nothing — pruning stays
+    conservative."""
+    import datetime as _dt
+
+    if not snap.schema_string:
+        return []
+    derived: list[tuple[str, str, object]] = []
+    weakened = {"=": "=", ">": ">=", ">=": ">=", "<": "<=", "<=": "<="}
+    for f in json.loads(snap.schema_string).get("fields", []):
+        if f["name"] not in snap.partition_columns:
+            continue
+        expr = (f.get("metadata") or {}).get("delta.generationExpression")
+        if not expr:
+            continue
+        m_date = _GEN_DATE_RE.match(expr)
+        m_sub = _GEN_SUBSTR_RE.match(expr)
+        m_year = _GEN_YEAR_RE.match(expr)
+        for col, op, val in filters:
+            if op not in weakened:
+                continue
+            if m_date and col == (m_date.group(1) or m_date.group(2)):
+                if isinstance(val, _dt.datetime):
+                    fv: object = val.date()
+                elif isinstance(val, _dt.date):
+                    fv = val
+                elif isinstance(val, str) and len(val) >= 10:
+                    try:
+                        fv = _dt.date.fromisoformat(val[:10])
+                    except ValueError:
+                        continue
+                else:
+                    continue
+                derived.append((f["name"], weakened[op], fv))
+            elif m_sub and col == m_sub.group(1) and isinstance(val, str):
+                derived.append((f["name"], weakened[op], val[: int(m_sub.group(2))]))
+            elif m_year and col == m_year.group(1) and op == "=":
+                if isinstance(val, (_dt.date, _dt.datetime)):
+                    derived.append((f["name"], "=", val.year))
+                elif isinstance(val, str) and len(val) >= 4 and val[:4].isdigit():
+                    derived.append((f["name"], "=", int(val[:4])))
+    return derived
+
+
+def _pv_str_admits(v: str | None, op: str, sval: str) -> bool:
+    """Scalar partition-value predicate over canonical strings (None —
+    an explicit-null partition value — satisfies nothing)."""
+    if v is None:
+        return False
+    return {
+        "=": v == sval,
+        ">": v > sval,
+        ">=": v >= sval,
+        "<": v < sval,
+        "<=": v <= sval,
+    }[op]
+
+
+def _rangeable_pcols(
+    schema_string: str | None, partition_columns: list[str]
+) -> frozenset:
+    """PHYSICAL names of partition columns whose canonical
+    partitionValues string encoding preserves order under plain string
+    comparison: dates ('yyyy-MM-dd' is lexicographically monotone) and
+    strings themselves. Numeric partition strings are NOT ('9' > '10'),
+    so they stay equality-only."""
+    if not schema_string:
+        return frozenset()
+    out = set()
+    for f in json.loads(schema_string).get("fields", []):
+        phys = (f.get("metadata") or {}).get(
+            "delta.columnMapping.physicalName"
+        ) or f["name"]
+        if f["name"] in partition_columns and f.get("type") in ("date", "string"):
+            out.add(phys)
+    return frozenset(out)
+
+
 class _PruneIndex:
     """Columnar data-skipping index over a snapshot's live files:
     every file's partition values and min/max stats are parsed ONCE
@@ -1142,7 +1241,10 @@ class _PruneIndex:
     (`_stats_admit`): missing stats admit, missing columns admit,
     incomparable types admit."""
 
-    def __init__(self, paths_col, pv_cols, pv_notna, min_cols, max_cols, pv_view):
+    def __init__(
+        self, paths_col, pv_cols, pv_notna, min_cols, max_cols, pv_view,
+        pv_rangeable=frozenset(),
+    ):
         self._paths_col = paths_col  # arrow string array, store order
         self._pv = pv_cols  # phys pcol → arrow string array
         self._pv_notna = pv_notna  # phys pcol → np bool array
@@ -1150,6 +1252,10 @@ class _PruneIndex:
         self._min = min_cols
         self._max = max_cols
         self._pv_view = pv_view  # exact per-path fallback for ambiguous nulls
+        # partition columns whose CANONICAL string encoding is
+        # order-preserving (date 'yyyy-MM-dd', plain strings) — range
+        # ops on pv are sound for exactly these
+        self._pv_rangeable = pv_rangeable
 
     @staticmethod
     def build(
@@ -1314,7 +1420,8 @@ class _PruneIndex:
                         out[name] = ("arrow", arr.combine_chunks(), notna)
 
         return _PruneIndex(
-            paths_col, pv_cols, pv_notna, min_cols, max_cols, _PVView(store)
+            paths_col, pv_cols, pv_notna, min_cols, max_cols, _PVView(store),
+            _rangeable_pcols(schema_string, partition_columns),
         )
 
     def prune(self, filters: list[tuple[str, str, object]]) -> list[str]:
@@ -1328,17 +1435,29 @@ class _PruneIndex:
         n = len(self._paths_col)
         admit = np.ones(n, dtype=bool)
         for col, op, val in filters:
-            # partition pruning (scalar parity: equality only)
+            # partition pruning: equality always; ranges for columns
+            # whose canonical string encoding is order-preserving
+            # (dates/strings — generated-column date partitions land
+            # here via the derived filters in DeltaTable.read)
             pv = self._pv.get(col)
-            if pv is not None and op == "=":
+            pv_cmp = {
+                "=": lambda a, s: pc.invert(pc.equal(a, s)),
+                ">": pc.less_equal,
+                ">=": pc.less,
+                "<": pc.greater_equal,
+                "<=": pc.greater,
+            }
+            if pv is not None and (
+                op == "=" or col in self._pv_rangeable
+            ) and op in pv_cmp:
                 sval = str(val)
                 notna = self._pv_notna[col]
-                deny = notna & ~as_np(pc.equal(pv, sval))
+                deny = notna & as_np(pv_cmp[op](pv, sval))
                 # null = absent-key OR explicit-null: absent admits,
-                # explicit null denies (scalar: None != str(val))
+                # explicit null denies (scalar: None never satisfies)
                 for i in np.flatnonzero(~notna):
                     d = self._pv_view.get(self._paths_col[i].as_py(), {})
-                    if col in d and d[col] != sval:
+                    if col in d and not _pv_str_admits(d[col], op, sval):
                         deny[i] = True
                 admit &= ~deny
             # stats pruning
@@ -1717,12 +1836,18 @@ class DeltaTable:
     def _prune_files_scalar(
         self, snap: Snapshot, filters: list[tuple[str, str, object]]
     ) -> list[str]:
+        rangeable = _rangeable_pcols(snap.schema_string, snap.partition_columns)
         out = []
         for p in snap.files:
             pvals = snap.partition_values.get(p, {})
             admit = True
             for col, op, val in filters:
-                if col in pvals and op == "=" and pvals[col] != str(val):
+                if (
+                    col in pvals
+                    and (op == "=" or col in rangeable)
+                    and op in ("=", ">", ">=", "<", "<=")
+                    and not _pv_str_admits(pvals[col], op, str(val))
+                ):
                     admit = False
                     break
             if admit and _stats_admit(snap.adds.get(p, {}), filters):
@@ -2313,12 +2438,17 @@ class DeltaTable:
         prunes files via partition values + footer stats (data
         skipping), then re-applies the predicates exactly on the rows.
         At 100 TB this is the difference between scanning a table and
-        scanning a date range.
+        scanning a date range. Filters on the SOURCE of a generated
+        partition column (e.g. partition event_date = CAST(ts AS DATE),
+        filter on ts) derive the implied partition predicate, exactly
+        like delta-spark's generated-column partition pruning.
         """
         snap = self.snapshot(version, timestamp_ms)
+        prune_filters = list(filters or [])
+        prune_filters += _generated_partition_filters(snap, prune_filters)
         files = (
-            self.prune_files(snap, self._phys_filters(snap, filters))
-            if filters
+            self.prune_files(snap, self._phys_filters(snap, prune_filters))
+            if prune_filters
             else snap.files
         )
         if not files:
@@ -2476,9 +2606,11 @@ class DeltaTable:
         pipeline keys on (a row keeps its id across deletion-vector
         deletes, OPTIMIZE, and PURGE). Same pruning semantics as read."""
         snap = self.snapshot(version, timestamp_ms)
+        prune_filters = list(filters or [])
+        prune_filters += _generated_partition_filters(snap, prune_filters)
         files = (
-            self.prune_files(snap, self._phys_filters(snap, filters))
-            if filters
+            self.prune_files(snap, self._phys_filters(snap, prune_filters))
+            if prune_filters
             else snap.files
         )
         if not files:

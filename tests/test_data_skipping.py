@@ -100,3 +100,63 @@ def test_string_stats_truncated_and_sound(spark, tmp_path):
     hit = t.read(spark, filters=[("text", ">=", "zzz")])
     assert hit.count() == 1 and len(kept) >= 1
     assert t.read(spark, filters=[("text", "<", "b")]).count() == 1
+
+
+def test_generated_column_partition_pruning(spark, tmp_path):
+    """delta-spark's generated-column partition pruning: the table is
+    partitioned by event_date = CAST(ts AS DATE); a filter on ts alone
+    must prune partitions (monotone derivation, strict ops weakened to
+    inclusive) while results stay exactly right. Date partition values
+    are 'yyyy-MM-dd' — lexicographically order-safe — so the derived
+    range predicate applies at the partitionValues level, before any
+    footer is consulted."""
+    import datetime as dt
+    import json
+
+    from pulsar_io_delta_spark.sources.delta_log import (
+        DeltaTable,
+        _generated_partition_filters,
+    )
+
+    path = str(tmp_path / "gp")
+    df = spark.createDataFrame(
+        [
+            (i, dt.datetime(2024, 1, 1 + (i % 5), 6 + i % 12), float(i))
+            for i in range(50)
+        ],
+        "event_id long, ts timestamp, value double",
+    ).withColumn("event_date", F.col("ts").cast("date"))
+    t = DeltaTable(path)
+    t.write(df, partition_by=["event_date"])
+    # stamp the generation expression (our writer takes precomputed
+    # values; the metadata is what the pruner reads)
+    snap = t.snapshot()
+    s = json.loads(snap.schema_string)
+    for f in s["fields"]:
+        if f["name"] == "event_date":
+            f.setdefault("metadata", {})["delta.generationExpression"] = (
+                "CAST(ts AS DATE)"
+            )
+    t._commit(
+        [t._metadata_update(snap, json.dumps(s))],
+        operation="UPGRADE", read_version=snap.version,
+    )
+    snap = t.snapshot()
+    flt = [("ts", ">=", dt.datetime(2024, 1, 4))]
+    derived = _generated_partition_filters(snap, flt)
+    assert derived == [("event_date", ">=", dt.date(2024, 1, 4))]
+    pruned = t.prune_files(snap, flt + derived)
+    assert 0 < len(pruned) < len(snap.files)
+    assert all("event_date=2024-01-0" in p for p in pruned)
+    assert not [p for p in pruned if "2024-01-01" in p or "2024-01-02" in p
+                or "2024-01-03" in p]
+    # end-to-end read: derivation applied internally, rows exact
+    got = t.read(spark, filters=flt)
+    assert got.count() == sum(1 for i in range(50) if 1 + (i % 5) >= 4)
+    # equality on ts derives equality on the date partition
+    flt_eq = [("ts", "=", dt.datetime(2024, 1, 3, 8))]
+    d2 = _generated_partition_filters(snap, flt_eq)
+    assert d2 == [("event_date", "=", dt.date(2024, 1, 3))]
+    # scalar fallback path agrees with the index path
+    scalar = t._prune_files_scalar(snap, flt + derived)
+    assert sorted(scalar) == sorted(pruned)
