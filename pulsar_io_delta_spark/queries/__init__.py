@@ -615,12 +615,13 @@ _R10_WINDOW = [
     "q_window_firstlast", "q_window_range_frame",
     # (b) changed/new in r10
     "q_fuzzy_pairs", "q_multimodal_decode", "q_time_travel_ict", "q_dv_read",
-    "q_multimodal_audio_flac",
-    # (c) r5-stale fill (q_chunk_docs yields its slot to the new FLAC
-    # query; it leads the r11 (c) pool with the other 31 r5 rows)
+    "q_multimodal_audio_flac", "q_convert_delta",
+    # (c) r5-stale fill (q_chunk_docs and q_emb_quantize yield their
+    # slots to the new FLAC and CONVERT queries; they lead the r11 (c)
+    # pool with the other 30 r5 rows)
     "q_sql_tpch_q1", "q_sql_tpch_q18", "q_cdc_envelope", "q_hash_route",
     "q_partition_encode", "q_sessionize", "q_retention_cohort",
-    "q_stream_watermark_dedup", "q_topk", "q_sim_ann_lsh", "q_emb_quantize",
+    "q_stream_watermark_dedup", "q_topk", "q_sim_ann_lsh",
     "q_multimodal_real_decode",
 ]
 promote(_R10_WINDOW, after="q_stream_tumbling")

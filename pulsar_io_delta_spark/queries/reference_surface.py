@@ -1359,3 +1359,34 @@ def q_time_travel_ict(spark, sf_dir):
     return t.read(spark, timestamp_ms=t.commit_timestamp_ms(2)).select(
         "event_id", "event_type", "value"
     )
+
+
+@register(
+    "q_convert_delta",
+    oracle=f"""
+SELECT event_id, event_type, value, {sql_epoch("ts")} AS ts_epoch
+FROM events
+""",
+)
+def q_convert_delta(spark, sf_dir):
+    """CONVERT TO DELTA (delta-spark surface the reference lacks —
+    `DeltaReader.java:301-303` can only OPEN Delta tables): a
+    hive-partitioned parquet lake gains a _delta_log IN PLACE — zero
+    data rewritten, O(files) metadata, footer stats on every add — and
+    the converted table must read back exactly the source rows through
+    the normal snapshot scan. At 100 TB conversion is the only sane
+    migration: a rewrite would copy the lake."""
+    import tempfile
+
+    from pulsar_io_delta_spark.sources.delta_log import DeltaTable
+
+    e = table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value", "ts"
+    )
+    root = tempfile.mkdtemp(prefix="pids_conv_") + "/lake"
+    e.write.partitionBy("event_type").parquet(root)
+    t = DeltaTable(root)
+    t.convert_from_parquet(spark)
+    return t.read(spark).select(
+        "event_id", "event_type", "value", epoch_s("ts").alias("ts_epoch")
+    )

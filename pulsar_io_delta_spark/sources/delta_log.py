@@ -4847,6 +4847,73 @@ class DeltaTable:
             actions, operation="CLONE", configuration=snap.configuration
         )
 
+    def convert_from_parquet(self, spark: SparkSession) -> int:
+        """CONVERT TO DELTA parquet.`path` (delta-spark surface): create
+        a ``_delta_log`` IN PLACE referencing every parquet file under
+        the table root — zero data rewritten, O(files) metadata work at
+        any table size. Hive-style partition directories are discovered
+        (``k=v`` segments; ``__HIVE_DEFAULT_PARTITION__`` → null;
+        percent-escapes decoded), the schema comes from Spark's own
+        parquet read (partition columns typed by the same inference the
+        files will be scanned with), and every add carries footer stats
+        (numRecords + min/max) so data skipping works from v0.
+
+        The reference connector can only open pre-existing Delta tables
+        (`DeltaReader.java:301-303`); conversion is how a parquet-lake
+        user gets one without rewriting 100 TB."""
+        import urllib.parse
+
+        if self.exists():
+            raise DeltaProtocolError(f"already a delta table: {self.path}")
+        df = spark.read.parquet(self.path)
+        base = self.path.rstrip("/")
+        rels = sorted(
+            os.path.relpath(p, base).replace(os.sep, "/")
+            for p in self.fs.walk_files(base)
+            if p.endswith(".parquet") and "_delta_log" not in p
+        )
+        if not rels:
+            raise DeltaProtocolError(f"no parquet files under {self.path}")
+        pcols: list[str] | None = None
+        now_ms = int(time.time() * 1000)
+        adds: list[dict] = []
+        for rel in rels:
+            segs = rel.split("/")[:-1]
+            kv = [s.split("=", 1) for s in segs if "=" in s]
+            cols = [k for k, _ in kv]
+            if pcols is None:
+                pcols = cols
+            elif cols != pcols:
+                raise DeltaProtocolError(
+                    f"inconsistent partition layout: {rel} has {cols}, "
+                    f"expected {pcols}"
+                )
+            pv = {
+                k: (None if v == "__HIVE_DEFAULT_PARTITION__"
+                    else urllib.parse.unquote(v))
+                for k, v in kv
+            }
+            fp = os.path.join(base, rel)
+            adds.append({"add": {
+                "path": rel,
+                "partitionValues": pv,
+                "size": self.fs.size(fp),
+                "modificationTime": self.fs.mtime_ms(fp),
+                "dataChange": True,
+                "stats": json.dumps(self._stats_for(fp)),
+            }})
+        actions: list[dict] = [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {"metaData": {
+                "id": f"meta-{uuid.uuid4().hex[:12]}",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": df.schema.json(),
+                "partitionColumns": pcols or [],
+                "configuration": {},
+            }},
+        ] + adds
+        return self._commit(actions, operation="CONVERT")
+
     def commit_external_adds(
         self,
         adds: list[dict],

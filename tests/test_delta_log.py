@@ -1467,3 +1467,44 @@ def test_history_operation_metrics(spark, tmp_path):
     m1 = hist[1]["operationMetrics"]
     assert int(m1["numRemovedFiles"]) >= 1
     assert int(m1["numOutputRows"]) == 6  # rewrite keeps the survivors
+
+
+def test_convert_from_parquet_in_place(spark, tmp_path):
+    """CONVERT TO DELTA: a hive-partitioned parquet directory becomes a
+    delta table in place — no file rewritten, partition values
+    discovered from the directory names, footer stats on every add so
+    pruning works from v0, and the converted table is writable like any
+    other."""
+    import pytest
+
+    root = str(tmp_path / "lake")
+    src = spark.createDataFrame(
+        [(i, "click" if i % 2 else "buy", float(i)) for i in range(40)],
+        "event_id long, event_type string, value double",
+    )
+    src.write.partitionBy("event_type").parquet(root)
+    before = sorted(
+        os.path.relpath(p, root)
+        for p, _, fs in os.walk(root) for p in
+        [os.path.join(p, f) for f in fs if f.endswith(".parquet")]
+    )
+    t = DeltaTable(root)
+    v = t.convert_from_parquet(spark)
+    assert v == 0
+    snap = t.snapshot()
+    assert snap.partition_columns == ["event_type"]
+    assert sorted(snap.files) == before  # same files, untouched
+    got = t.read(spark)
+    assert got.count() == 40
+    assert {r.event_type for r in got.select("event_type").distinct().collect()} == {
+        "click", "buy"
+    }
+    # partition + stats pruning live from v0
+    pruned = t.prune_files(snap, [("event_type", "=", "buy")])
+    assert 0 < len(pruned) < len(snap.files)
+    assert t.read(spark, filters=[("value", ">=", 38.0)]).count() == 2
+    # the converted table is a normal delta table: append + delete work
+    t.write(src.limit(2), mode="append", partition_by=["event_type"])
+    assert t.read(spark).count() == 42
+    with pytest.raises(DeltaProtocolError, match="already a delta"):
+        t.convert_from_parquet(spark)
