@@ -1197,6 +1197,25 @@ def _generated_partition_filters(
     return derived
 
 
+def _parse_interval_ms(value: str | None, default_ms: int) -> int:
+    """delta-spark interval property parser ("interval 7 days",
+    "interval 12 hours", bare "168 hours" accepted too). Unparseable
+    values fail LOUDLY — a typo silently falling back to the default
+    could vacuum live-reader files early."""
+    if not value:
+        return default_ms
+    m = re.match(
+        r"^\s*(?:interval\s+)?(\d+)\s*"
+        r"(millisecond|second|minute|hour|day|week)s?\s*$",
+        str(value), re.IGNORECASE,
+    )
+    if not m:
+        raise DeltaProtocolError(f"unparseable interval: {value!r}")
+    unit_ms = {"millisecond": 1, "second": 1000, "minute": 60_000,
+               "hour": 3_600_000, "day": 86_400_000, "week": 604_800_000}
+    return int(m.group(1)) * unit_ms[m.group(2).lower()]
+
+
 def _pv_str_admits(v: str | None, op: str, sval: str) -> bool:
     """Scalar partition-value predicate over canonical strings (None —
     an explicit-null partition value — satisfies nothing)."""
@@ -5454,10 +5473,18 @@ class DeltaTable:
             configuration=snap.configuration,
         )
 
-    def vacuum(self, retention_ms: int = 7 * 24 * 3600 * 1000) -> list[str]:
+    def vacuum(
+        self, retention_ms: int | None = None, dry_run: bool = False
+    ) -> list[str]:
         """Physically delete data files no longer referenced by the
         latest snapshot whose removal is older than the retention
         horizon. Never touches live files or the log itself.
+
+        ``retention_ms=None`` reads the table's
+        ``delta.deletedFileRetentionDuration`` property ("interval N
+        days/hours/..." — delta-spark's spelling), defaulting to 7
+        days. ``dry_run=True`` (VACUUM ... DRY RUN) returns the
+        would-delete list without touching a file.
 
         Deletion-vector ``.bin`` files are reclaimed the same way
         (round 8): a DV file superseded by a re-delete (DV∪DV union
@@ -5483,6 +5510,11 @@ class DeltaTable:
                 f"vacuum refused: unsupported writer features {sorted(unsupported_wf)}"
             )
         live = set(snap.files)
+        if retention_ms is None:
+            retention_ms = _parse_interval_ms(
+                (snap.configuration or {}).get("delta.deletedFileRetentionDuration"),
+                default_ms=7 * 24 * 3600 * 1000,
+            )
         horizon = int(time.time() * 1000) - retention_ms
         deleted: list[str] = []
         removed_at: dict[str, int] = {}
@@ -5505,7 +5537,8 @@ class DeltaTable:
             if ts <= horizon:
                 fp = os.path.join(self.path, rel)
                 if self.fs.exists(fp):
-                    self.fs.remove(fp)
+                    if not dry_run:
+                        self.fs.remove(fp)
                     deleted.append(rel)
         # unreferenced deletion-vector files (mtime-aged, like every
         # vacuum treats untracked files)
@@ -5527,7 +5560,8 @@ class DeltaTable:
             if os.path.normpath(fp) in live_dv:
                 continue
             if self.fs.mtime_ms(fp) <= horizon:
-                self.fs.remove(fp)
+                if not dry_run:
+                    self.fs.remove(fp)
                 deleted.append(os.path.relpath(fp, self.path))
         # change-data files: a cdc file referenced by a SURVIVING commit
         # stays (its feed is still readable via table_changes); orphans
@@ -5538,7 +5572,8 @@ class DeltaTable:
                 if os.path.normpath(fp) in referenced_cdc:
                     continue
                 if self.fs.mtime_ms(fp) <= horizon:
-                    self.fs.remove(fp)
+                    if not dry_run:
+                        self.fs.remove(fp)
                     deleted.append(os.path.relpath(fp, self.path))
         return deleted
 

@@ -1508,3 +1508,34 @@ def test_convert_from_parquet_in_place(spark, tmp_path):
     assert t.read(spark).count() == 42
     with pytest.raises(DeltaProtocolError, match="already a delta"):
         t.convert_from_parquet(spark)
+
+
+def test_vacuum_dry_run_and_retention_property(spark, tmp_path):
+    """VACUUM DRY RUN returns the would-delete list without touching a
+    file; retention defaults from delta.deletedFileRetentionDuration
+    ("interval N days", delta-spark spelling) and unparseable values
+    refuse loudly rather than silently using the default."""
+    import pytest
+
+    t = DeltaTable(str(tmp_path / "v"))
+    t.write(
+        events_df(spark, range(6)).coalesce(1),
+        configuration={"delta.deletedFileRetentionDuration": "interval 0 seconds"},
+    )
+    t.write(events_df(spark, range(6, 9)).coalesce(1), mode="overwrite")
+    would = t.vacuum(dry_run=True)  # property: 0s retention → eligible
+    assert len(would) == 1
+    assert all(os.path.exists(os.path.join(str(tmp_path / "v"), p)) for p in would)
+    gone = t.vacuum()
+    assert sorted(gone) == sorted(would)
+    assert not os.path.exists(os.path.join(str(tmp_path / "v"), gone[0]))
+    # explicit retention still wins over the property
+    assert t.vacuum(retention_ms=10**12) == []
+    # unparseable property fails loudly
+    t2 = DeltaTable(str(tmp_path / "v2"))
+    t2.write(
+        events_df(spark, range(3)),
+        configuration={"delta.deletedFileRetentionDuration": "fortnight-ish"},
+    )
+    with pytest.raises(DeltaProtocolError, match="unparseable interval"):
+        t2.vacuum()
