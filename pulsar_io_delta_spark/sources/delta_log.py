@@ -2318,16 +2318,34 @@ class DeltaTable:
                     txns[t["appId"]] = max(txns.get(t["appId"], -1), int(t.get("version", -1)))
         return txns
 
-    def expire_log(self) -> list[int]:
+    def expire_log(self, retention_ms: int | None = None) -> list[int]:
         """Delete JSON commits already covered by the newest checkpoint
         (log retention). Snapshot reads keep working via the checkpoint;
         CDC history before the checkpoint becomes unavailable (callers
-        get a clear error)."""
+        get a clear error).
+
+        A commit expires only when BOTH checkpointed AND older than the
+        retention window (delta-spark's rule). ``retention_ms=None``
+        reads ``delta.logRetentionDuration`` when the table sets it;
+        absent, this maintenance call expires everything checkpointed
+        (retention 0 — delta-spark's own default is 30 days, applied
+        here only via the property so an explicit maintenance sweep
+        stays an explicit sweep)."""
         ckpts = self.checkpoint_versions()
         if not ckpts:
             raise DeltaProtocolError("no checkpoint — refusing to expire the only history")
+        if retention_ms is None:
+            retention_ms = _parse_interval_ms(
+                (self.snapshot().configuration or {}).get("delta.logRetentionDuration"),
+                default_ms=0,
+            )
         horizon = ckpts[-1]
-        expired = [v for v in self.json_versions() if v <= horizon]
+        ts_floor = int(time.time() * 1000) - retention_ms
+        expired = [
+            v for v in self.json_versions()
+            if v <= horizon
+            and (retention_ms == 0 or self.commit_timestamp_ms(v) <= ts_floor)
+        ]
         for v in expired:
             self.fs.remove(os.path.join(self.log_dir, f"{v:020d}.json"))
             crc = os.path.join(self.log_dir, f"{v:020d}.crc")

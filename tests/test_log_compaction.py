@@ -85,3 +85,27 @@ def test_widest_range_wins_and_tombstones_survive(spark, tbl):
     assert any("remove" in a for a in acts)
     assert _snap_key(tbl.snapshot()) == _snap_key(tbl.snapshot())  # stable
     assert tbl.read(spark).count() == 44
+
+
+def test_expire_log_honors_log_retention_property(spark, tmp_path):
+    """delta.logRetentionDuration: a checkpointed commit younger than
+    the retention window must SURVIVE expire_log (delta-spark's rule:
+    expiry needs checkpointed AND aged); retention 0 / absent keeps the
+    explicit-maintenance behavior of expiring everything checkpointed."""
+    from pulsar_io_delta_spark.sources.delta_log import DeltaTable
+
+    mk = lambda n: spark.range(n).select(  # noqa: E731
+        F.col("id").alias("event_id"), (F.col("id") * 1.5).alias("value")
+    )
+    t = DeltaTable(str(tmp_path / "lr"))
+    t.write(
+        mk(6),
+        configuration={"delta.logRetentionDuration": "interval 1 week"},
+    )
+    t.write(mk(3), mode="append")
+    t.checkpoint()
+    assert t.expire_log() == []  # both commits are seconds old
+    assert t.json_versions() == [0, 1]
+    # explicit retention 0 overrides the property (maintenance sweep)
+    assert t.expire_log(retention_ms=0) == [0, 1]
+    assert t.read(spark).count() == 9  # checkpoint bootstrap still works
