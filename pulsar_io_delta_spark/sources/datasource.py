@@ -413,6 +413,15 @@ class _CdcStreamReader(DataSourceStreamReader):
     def __init__(self, schema: StructType, options):
         self.schema_ = schema
         self.table_path = options["tablePath"]
+        # delta-spark parity: ending bounds are a BATCH CDF concept; a
+        # stream silently emitting past (or eagerly validating) a
+        # requested end would be worse than refusing. stopAfterVersion
+        # (below) is the internal epoch ceiling and remains supported.
+        if "endingVersion" in options or "endingTimestamp" in options:
+            raise ValueError(
+                "endingVersion/endingTimestamp are not supported on "
+                "streaming reads — use a batch read for a bounded range"
+            )
         self.start, _ = _version_bounds(self.table_path, options)
         self.change_feed = _is_change_feed(options)
         self.max_versions = int(options.get("maxVersionsPerTrigger", 0)) or None

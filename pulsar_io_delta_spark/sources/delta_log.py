@@ -1176,6 +1176,12 @@ def _generated_partition_filters(
                 continue
             if m_date and col == (m_date.group(1) or m_date.group(2)):
                 if isinstance(val, _dt.datetime):
+                    # tz-aware values were CAST in the SESSION timezone,
+                    # not their own — .date() in the wrong zone can land
+                    # a day high and prune a matching file. No-derive is
+                    # always sound; naive datetimes stay derivable.
+                    if val.tzinfo is not None:
+                        continue
                     fv: object = val.date()
                 elif isinstance(val, _dt.date):
                     fv = val
@@ -1191,6 +1197,8 @@ def _generated_partition_filters(
                 derived.append((f["name"], weakened[op], val[: int(m_sub.group(2))]))
             elif m_year and col == m_year.group(1) and op == "=":
                 if isinstance(val, (_dt.date, _dt.datetime)):
+                    if getattr(val, "tzinfo", None) is not None:
+                        continue  # same session-tz hazard as CAST AS DATE
                     derived.append((f["name"], "=", val.year))
                 elif isinstance(val, str) and len(val) >= 4 and val[:4].isdigit():
                     derived.append((f["name"], "=", int(val[:4])))
@@ -1230,6 +1238,23 @@ def _pv_str_admits(v: str | None, op: str, sval: str) -> bool:
     }[op]
 
 
+def _pcol_types(
+    schema_string: str | None, partition_columns: list[str]
+) -> dict[str, object]:
+    """PHYSICAL partition-column name → schema type (string form for
+    primitives)."""
+    if not schema_string:
+        return {}
+    out: dict[str, object] = {}
+    for f in json.loads(schema_string).get("fields", []):
+        if f["name"] in partition_columns:
+            phys = (f.get("metadata") or {}).get(
+                "delta.columnMapping.physicalName"
+            ) or f["name"]
+            out[phys] = f.get("type")
+    return out
+
+
 def _rangeable_pcols(
     schema_string: str | None, partition_columns: list[str]
 ) -> frozenset:
@@ -1238,16 +1263,60 @@ def _rangeable_pcols(
     comparison: dates ('yyyy-MM-dd' is lexicographically monotone) and
     strings themselves. Numeric partition strings are NOT ('9' > '10'),
     so they stay equality-only."""
-    if not schema_string:
-        return frozenset()
-    out = set()
-    for f in json.loads(schema_string).get("fields", []):
-        phys = (f.get("metadata") or {}).get(
-            "delta.columnMapping.physicalName"
-        ) or f["name"]
-        if f["name"] in partition_columns and f.get("type") in ("date", "string"):
-            out.add(phys)
-    return frozenset(out)
+    return frozenset(
+        p
+        for p, t in _pcol_types(schema_string, partition_columns).items()
+        if t in ("date", "string")
+    )
+
+
+_DATE_CANON_RE = re.compile(r"^\d{4}-\d{2}-\d{2}$")
+
+
+def _canon_pv_filter(
+    op: str, val: object, ptype: object
+) -> tuple[str, str] | None:
+    """Canonicalize a filter value for comparison against a canonical
+    partitionValues STRING, given the partition column's schema type.
+    Returns ``(sval, effective_op)`` or None — None skips pv pruning
+    for this (filter, column) pair, which is always sound (stats
+    pruning still applies; admitting more files never drops rows).
+
+    The hazard this guards: a datetime filter value on a date partition
+    stringifies as '2024-01-05 00:00:00', so pv '2024-01-05' < sval
+    would deny the file under '>=' even though event_date = 2024-01-05
+    rows satisfy the predicate after Spark's date→timestamp coercion.
+    Strict/range ops against a date partition weaken to the inclusive
+    date bound (over-admits at most one boundary day — sound)."""
+    import datetime as _dt
+
+    if ptype == "date":
+        if isinstance(val, _dt.datetime):
+            if val.tzinfo is not None:
+                return None  # session-tz coercion unknown here
+            d = val.date().isoformat()
+            if op == "=":
+                # date = non-midnight timestamp is never true, but
+                # admit rather than prune-all: cheap and obviously sound
+                return (d, "=") if val.time() == _dt.time(0) else None
+            if op in (">", ">="):
+                return (d, ">=")
+            if op in ("<", "<="):
+                return (d, "<=")
+            return None
+        if isinstance(val, _dt.date):
+            return (val.isoformat(), op)
+        if isinstance(val, str) and _DATE_CANON_RE.match(val):
+            return (val, op)
+        return None
+    if isinstance(val, (_dt.date, _dt.datetime)):
+        # temporal value against a non-date partition (e.g. timestamp
+        # partitions, whose canonical encoding differs from str()) —
+        # no sound string comparison without the session tz; skip
+        return None
+    if isinstance(val, bool):
+        return ("true" if val else "false", op)  # canonical, not 'True'
+    return (str(val), op)
 
 
 class _PruneIndex:
@@ -1262,7 +1331,7 @@ class _PruneIndex:
 
     def __init__(
         self, paths_col, pv_cols, pv_notna, min_cols, max_cols, pv_view,
-        pv_rangeable=frozenset(),
+        pv_rangeable=frozenset(), pv_types=None,
     ):
         self._paths_col = paths_col  # arrow string array, store order
         self._pv = pv_cols  # phys pcol → arrow string array
@@ -1275,6 +1344,7 @@ class _PruneIndex:
         # order-preserving (date 'yyyy-MM-dd', plain strings) — range
         # ops on pv are sound for exactly these
         self._pv_rangeable = pv_rangeable
+        self._pv_types = pv_types or {}  # phys pcol → schema type
 
     @staticmethod
     def build(
@@ -1441,6 +1511,7 @@ class _PruneIndex:
         return _PruneIndex(
             paths_col, pv_cols, pv_notna, min_cols, max_cols, _PVView(store),
             _rangeable_pcols(schema_string, partition_columns),
+            _pcol_types(schema_string, partition_columns),
         )
 
     def prune(self, filters: list[tuple[str, str, object]]) -> list[str]:
@@ -1466,17 +1537,22 @@ class _PruneIndex:
                 "<": pc.greater_equal,
                 "<=": pc.greater,
             }
-            if pv is not None and (
-                op == "=" or col in self._pv_rangeable
-            ) and op in pv_cmp:
-                sval = str(val)
+            canon = (
+                _canon_pv_filter(op, val, self._pv_types.get(col))
+                if pv is not None
+                else None
+            )
+            if canon is not None and (
+                canon[1] == "=" or col in self._pv_rangeable
+            ) and canon[1] in pv_cmp:
+                sval, eop = canon
                 notna = self._pv_notna[col]
-                deny = notna & as_np(pv_cmp[op](pv, sval))
+                deny = notna & as_np(pv_cmp[eop](pv, sval))
                 # null = absent-key OR explicit-null: absent admits,
                 # explicit null denies (scalar: None never satisfies)
                 for i in np.flatnonzero(~notna):
                     d = self._pv_view.get(self._paths_col[i].as_py(), {})
-                    if col in d and not _pv_str_admits(d[col], op, sval):
+                    if col in d and not _pv_str_admits(d[col], eop, sval):
                         deny[i] = True
                 admit &= ~deny
             # stats pruning
@@ -1695,22 +1771,34 @@ class DeltaTable:
                 return int(info.get("inCommitTimestamp") or info.get("timestamp") or 0)
         return 0
 
+    def _commit_carried_ms(self, version: int) -> int | None:
+        """commitInfo-carried timestamp for a commit's JSON (ICT
+        authoritative over wall), or None when the JSON was expired or
+        carries no commitInfo — callers that need monotonicity (the ICT
+        binary search) must treat None as 'no exact value', never
+        substitute a checkpoint/file mtime (non-monotone vs ICTs).
+        Lazy line scan stopping at the first commitInfo: a commit
+        carrying 10^4 adds must not be fully parsed just to read its
+        timestamp."""
+        fp = os.path.join(self.log_dir, f"{version:020d}.json")
+        if not self.fs.exists(fp):
+            return None
+        for line in self.fs.read_text(fp).splitlines():
+            if not line.strip() or '"commitInfo"' not in line:
+                continue
+            info = json.loads(line).get("commitInfo")
+            if info and "inCommitTimestamp" in info:
+                return int(info["inCommitTimestamp"])
+            if info and "timestamp" in info:
+                return int(info["timestamp"])
+        return None
+
     def commit_timestamp_ms(self, version: int) -> int:
+        ts = self._commit_carried_ms(version)
+        if ts is not None:
+            return ts
         fp = os.path.join(self.log_dir, f"{version:020d}.json")
         if self.fs.exists(fp):
-            # lazy line scan, stopping at the first commitInfo: a commit
-            # carrying 10^4 adds must not be fully parsed just to read
-            # its timestamp (the ICT binary search probes O(log n)
-            # commits per time-travel resolution)
-            for line in self.fs.read_text(fp).splitlines():
-                if not line.strip() or '"commitInfo"' not in line:
-                    continue
-                info = json.loads(line).get("commitInfo")
-                if info and "inCommitTimestamp" in info:
-                    # ICT is authoritative over the wall timestamp
-                    return int(info["inCommitTimestamp"])
-                if info and "timestamp" in info:
-                    return int(info["timestamp"])
             return self.fs.mtime_ms(fp)
         if version in self.checkpoint_versions():
             return self._load_checkpoint(version)["timestamp"]
@@ -1745,20 +1833,56 @@ class DeltaTable:
         if cfg.get("delta.enableInCommitTimestamps") == "true":
             en_v = int(cfg.get("delta.inCommitTimestampEnablementVersion") or 0)
             ict_region = [v for v in versions if v >= en_v]
-            en_ts = int(
-                cfg.get("delta.inCommitTimestampEnablementTimestamp")
-                or self.commit_timestamp_ms(ict_region[0])
+            # only commits whose JSON survives can steer the search: a
+            # checkpoint/file-mtime substitute (commit_timestamp_ms's
+            # fallback) is non-monotone vs neighboring ICTs and would
+            # silently resolve the WRONG version after log expiry
+            jv = set(self.json_versions())
+            live = [v for v in ict_region if v in jv]
+
+            def probe(v: int) -> int:
+                ts = self._commit_carried_ms(v)
+                if ts is None:  # JSON present but no commitInfo stamp
+                    raise DeltaProtocolError(
+                        f"commit {v} in the in-commit-timestamp region "
+                        "carries no commitInfo timestamp — cannot resolve "
+                        "by timestamp; time-travel by version instead"
+                    )
+                return ts
+
+            def expired_error() -> "DeltaProtocolError":
+                return DeltaProtocolError(
+                    f"cannot resolve timestamp {timestamp_ms}: the "
+                    "in-commit-timestamp history before the log "
+                    "retention boundary has expired — expired commits "
+                    "are not timestamp-addressable; time-travel by "
+                    "version instead"
+                )
+
+            en_ts_prop = cfg.get("delta.inCommitTimestampEnablementTimestamp")
+            en_ts = (
+                int(en_ts_prop)
+                if en_ts_prop
+                else (probe(ict_region[0]) if ict_region[0] in jv else None)
             )
-            if timestamp_ms >= en_ts:
-                lo, hi = 0, len(ict_region) - 1  # ict_region[0] eligible
+            if en_ts is not None and timestamp_ms < en_ts:
+                versions = [v for v in versions if v < en_v]
+            else:
+                if not live:
+                    raise expired_error()
+                if live[0] != ict_region[0] and timestamp_ms < probe(live[0]):
+                    # the target lands in the expired ICT prefix: the
+                    # correct answer is an expired version we cannot
+                    # identify — refuse loudly, never guess
+                    raise expired_error()
+                lo, hi = 0, len(live) - 1  # live[0] eligible
                 while lo < hi:
                     mid = (lo + hi + 1) // 2
-                    if self.commit_timestamp_ms(ict_region[mid]) <= timestamp_ms:
+                    if probe(live[mid]) <= timestamp_ms:
                         lo = mid
                     else:
                         hi = mid - 1
-                return ict_region[lo]
-            versions = [v for v in versions if v < en_v]
+                return live[lo]
         eligible = [v for v in versions if self.commit_timestamp_ms(v) <= timestamp_ms]
         return eligible[-1] if eligible else latest
 
@@ -1856,16 +1980,22 @@ class DeltaTable:
         self, snap: Snapshot, filters: list[tuple[str, str, object]]
     ) -> list[str]:
         rangeable = _rangeable_pcols(snap.schema_string, snap.partition_columns)
+        ptypes = _pcol_types(snap.schema_string, snap.partition_columns)
         out = []
         for p in snap.files:
             pvals = snap.partition_values.get(p, {})
             admit = True
             for col, op, val in filters:
+                canon = (
+                    _canon_pv_filter(op, val, ptypes.get(col))
+                    if col in pvals
+                    else None
+                )
                 if (
-                    col in pvals
-                    and (op == "=" or col in rangeable)
-                    and op in ("=", ">", ">=", "<", "<=")
-                    and not _pv_str_admits(pvals[col], op, str(val))
+                    canon is not None
+                    and (canon[1] == "=" or col in rangeable)
+                    and canon[1] in ("=", ">", ">=", "<", "<=")
+                    and not _pv_str_admits(pvals[col], canon[1], canon[0])
                 ):
                     admit = False
                     break

@@ -160,3 +160,140 @@ def test_generated_column_partition_pruning(spark, tmp_path):
     # scalar fallback path agrees with the index path
     scalar = t._prune_files_scalar(snap, flt + derived)
     assert sorted(scalar) == sorted(pruned)
+
+
+def _date_partitioned_table(spark, path):
+    """5 single-date partitions (2024-01-01..05) on a DATE column."""
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [(i, dt.date(2024, 1, 1 + (i % 5)), float(i)) for i in range(50)],
+        "event_id long, event_date date, value double",
+    )
+    t = DeltaTable(path)
+    t.write(df.repartition("event_date"), partition_by=["event_date"])
+    return t
+
+
+def test_datetime_filter_on_date_partition_never_over_prunes(spark, tmp_path):
+    """A datetime filter value against a DATE partition must not be
+    compared via str(): '2024-01-05 00:00:00' > '2024-01-05'
+    lexicographically, so a naive string compare under '>=' would deny
+    the very file whose event_date = 2024-01-05 rows satisfy the
+    predicate after Spark's date→timestamp coercion. The canonical
+    encoding (_canon_pv_filter) weakens to the inclusive date bound."""
+    import datetime as dt
+
+    t = _date_partitioned_table(spark, str(tmp_path / "dp"))
+    snap = t.snapshot()
+    assert len(snap.files) == 5, snap.files
+
+    # midnight datetime: exactly the hazard value from the advisory
+    flt = [("event_date", ">=", dt.datetime(2024, 1, 5))]
+    kept = t.prune_files(snap, flt)
+    assert any("event_date=2024-01-05" in p for p in kept), (
+        "the boundary-date file was wrongly pruned"
+    )
+    assert not any("event_date=2024-01-02" in p for p in kept)
+    # scalar fallback agrees
+    assert sorted(t._prune_files_scalar(snap, flt)) == sorted(kept)
+
+    # non-midnight datetime under '<': floor-date weakening is sound
+    flt2 = [("event_date", "<", dt.datetime(2024, 1, 2, 13, 30))]
+    kept2 = t.prune_files(snap, flt2)
+    assert any("event_date=2024-01-01" in p for p in kept2)
+    assert any("event_date=2024-01-02" in p for p in kept2)  # over-admit ok
+    assert not any("event_date=2024-01-04" in p for p in kept2)
+
+    # plain date values keep exact-range pruning (no weakening)
+    flt3 = [("event_date", ">", dt.date(2024, 1, 3))]
+    kept3 = t.prune_files(snap, flt3)
+    assert sorted(kept3) == sorted(
+        p for p in snap.files
+        if "2024-01-04" in p or "2024-01-05" in p
+    )
+
+
+def test_canon_pv_filter_unit():
+    """Type-aware canonicalization table: datetimes weaken against date
+    partitions, tz-aware and cross-type comparisons skip (None =
+    admit-all, always sound), bools use the canonical lowercase."""
+    import datetime as dt
+
+    from pulsar_io_delta_spark.sources.delta_log import _canon_pv_filter
+
+    d = dt.date(2024, 1, 5)
+    mid = dt.datetime(2024, 1, 5)
+    noon = dt.datetime(2024, 1, 5, 12)
+    aware = dt.datetime(2024, 1, 5, tzinfo=dt.timezone.utc)
+
+    assert _canon_pv_filter(">=", mid, "date") == ("2024-01-05", ">=")
+    assert _canon_pv_filter(">", noon, "date") == ("2024-01-05", ">=")
+    assert _canon_pv_filter("<", noon, "date") == ("2024-01-05", "<=")
+    assert _canon_pv_filter("=", mid, "date") == ("2024-01-05", "=")
+    assert _canon_pv_filter("=", noon, "date") is None
+    assert _canon_pv_filter(">=", aware, "date") is None
+    assert _canon_pv_filter("=", d, "date") == ("2024-01-05", "=")
+    assert _canon_pv_filter("=", "2024-01-05", "date") == ("2024-01-05", "=")
+    assert _canon_pv_filter("=", "2024-01-05 00:00:00", "date") is None
+    # temporal value on a NON-date partition: no sound string compare
+    assert _canon_pv_filter("=", mid, "timestamp") is None
+    assert _canon_pv_filter("=", noon, "string") is None
+    # canonical boolean encoding is lowercase
+    assert _canon_pv_filter("=", True, "boolean") == ("true", "=")
+    assert _canon_pv_filter("=", 7, "long") == ("7", "=")
+
+
+def test_generated_pruning_skips_tz_aware_values(spark, tmp_path):
+    """tz-aware datetimes were CAST in the SESSION timezone — deriving
+    event_date >= val.date() in the value's own zone can land a day
+    high and prune a matching file. No-derive is the sound choice."""
+    import datetime as dt
+    import json
+
+    from pulsar_io_delta_spark.sources.delta_log import (
+        _generated_partition_filters,
+    )
+
+    path = str(tmp_path / "gptz")
+    df = spark.createDataFrame(
+        [(i, dt.datetime(2024, 1, 1 + (i % 5), 6), float(i)) for i in range(20)],
+        "event_id long, ts timestamp, value double",
+    ).withColumn("event_date", F.col("ts").cast("date"))
+    t = DeltaTable(path)
+    t.write(df, partition_by=["event_date"])
+    snap = t.snapshot()
+    s = json.loads(snap.schema_string)
+    for f in s["fields"]:
+        if f["name"] == "event_date":
+            f.setdefault("metadata", {})["delta.generationExpression"] = (
+                "CAST(ts AS DATE)"
+            )
+    t._commit(
+        [t._metadata_update(snap, json.dumps(s))],
+        operation="UPGRADE", read_version=snap.version,
+    )
+    snap = t.snapshot()
+    # UTC+14: own-zone date is a day AHEAD of most session zones
+    aware = dt.datetime(
+        2024, 1, 4, 0, 30, tzinfo=dt.timezone(dt.timedelta(hours=14))
+    )
+    assert _generated_partition_filters(snap, [("ts", ">=", aware)]) == []
+    # naive values still derive
+    naive = dt.datetime(2024, 1, 4)
+    assert _generated_partition_filters(snap, [("ts", ">=", naive)]) == [
+        ("event_date", ">=", dt.date(2024, 1, 4))
+    ]
+    # YEAR() equality: same tz guard
+    for f in s["fields"]:
+        if f["name"] == "event_date":
+            f["metadata"]["delta.generationExpression"] = "YEAR(ts)"
+    t._commit(
+        [t._metadata_update(snap, json.dumps(s))],
+        operation="UPGRADE", read_version=snap.version,
+    )
+    snap = t.snapshot()
+    assert _generated_partition_filters(snap, [("ts", "=", aware)]) == []
+    assert _generated_partition_filters(snap, [("ts", "=", naive)]) == [
+        ("event_date", "=", 2024)
+    ]

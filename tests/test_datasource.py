@@ -537,3 +537,34 @@ def test_batch_timestamp_bounds_ict(spark, tmp_path):
             .load()
             .collect()
         )
+
+
+def test_stream_rejects_ending_bounds(spark, cdc_table, tmp_path):
+    """endingVersion/endingTimestamp are a BATCH CDF concept: a stream
+    silently reading past the requested end (or eagerly erroring on a
+    future endingTimestamp) is worse than refusing up front
+    (delta-spark refuses them on streams too)."""
+    for opt, val in (
+        ("endingVersion", "1"),
+        ("endingTimestamp", "2999-01-01T00:00:00"),
+    ):
+        reader = (
+            spark.readStream.format("pulsar_delta_cdc")
+            .option("tablePath", cdc_table)
+            .option(opt, val)
+        )
+        with pytest.raises(Exception, match="not supported on.*streaming"):
+            q = (
+                reader.load()
+                .writeStream.format("memory")
+                .queryName(f"reject_{opt}")
+                .option(
+                    "checkpointLocation", str(tmp_path / f"ck_{opt}")
+                )
+                .trigger(availableNow=True)
+                .start()
+            )
+            try:
+                q.awaitTermination(60)
+            finally:
+                q.stop()

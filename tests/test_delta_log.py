@@ -1539,3 +1539,34 @@ def test_vacuum_dry_run_and_retention_property(spark, tmp_path):
     )
     with pytest.raises(DeltaProtocolError, match="unparseable interval"):
         t2.vacuum()
+
+
+def test_ict_timestamp_travel_refuses_expired_history(spark, table_path):
+    """After expire_log removes the prefix of an in-commit-timestamp
+    region, the binary search must never steer on checkpoint/mtime
+    approximations (non-monotone vs ICTs): timestamps landing in the
+    expired prefix refuse LOUDLY, timestamps in the live suffix still
+    resolve exactly, O(log n)."""
+    t = DeltaTable(table_path)
+    t.write(
+        events_df(spark, range(3)),
+        configuration={"delta.enableInCommitTimestamps": "true"},
+    )
+    for lo in range(3, 18, 3):
+        t.write(events_df(spark, range(lo, lo + 3)))
+    ict = {v: t.commit_timestamp_ms(v) for v in t.versions()}
+    assert list(ict) == list(range(6))
+    # checkpoint an INTERMEDIATE version, then expire its prefix
+    t.checkpoint(version=2)
+    expired = t.expire_log()
+    assert expired == [0, 1, 2]
+    t2 = DeltaTable(table_path)  # fresh handle, no cached state
+    # live suffix still timestamp-addressable, exactly
+    assert t2.resolve_version(timestamp_ms=ict[4]) == 4
+    assert t2.resolve_version(timestamp_ms=ict[5] + 10_000) == 5
+    assert t2.resolve_version(timestamp_ms=ict[3]) == 3
+    # expired prefix: loud refusal, never a silently-wrong version
+    with pytest.raises(DeltaProtocolError, match="expired"):
+        t2.resolve_version(timestamp_ms=ict[1])
+    with pytest.raises(DeltaProtocolError, match="expired"):
+        t2.resolve_version(timestamp_ms=ict[0] - 1)
