@@ -261,6 +261,38 @@ def main() -> None:
     except (OSError, ValueError) as exc:
         print(f"# budget check skipped: {exc}", file=sys.stderr)
 
+    # Anchor-drift report (VERDICT r10 #3): budgets get re-frozen each
+    # round (2× current medians), which silently absorbs slow creep —
+    # q_pagerank drifted 2.69 s (r7) → 3.54 s (r10) without ever going
+    # over a refreshed budget. BENCH_anchor_r7.json is the IMMUTABLE
+    # round-7 median table; every run reports its ratio to it so
+    # cross-round creep stays visible without a judge diff. Rig load
+    # shifts the ratios uniformly — read them against rig.busy_frac.
+    anchor_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_anchor_r7.json"
+    )
+    try:
+        with open(anchor_path) as fh:
+            anchor_spec = json.load(fh)
+        if abs(sf - float(anchor_spec.get("sf", 0.1))) < 1e-9:
+            anchor = anchor_spec.get("median_sec", {})
+            drift = {
+                name: round(timings[name] / anchor[name], 2)
+                for name in timings
+                if name in anchor and anchor[name] > 0
+            }
+            if drift:
+                payload["drift_vs_r7"] = drift
+                ratios = sorted(drift.values())
+                payload["drift_vs_r7_summary"] = {
+                    "n": len(ratios),
+                    "median": ratios[len(ratios) // 2],
+                    "max": ratios[-1],
+                    "n_gt_2x": sum(r > 2.0 for r in ratios),
+                }
+    except (OSError, ValueError) as exc:
+        print(f"# anchor drift skipped: {exc}", file=sys.stderr)
+
     # Round-7 fix (VERDICT r6 #1): the full payload (53 queries + spreads,
     # ~2.6 KB) overflows the driver's 2000-char tail capture, so round 6
     # recorded parsed=null and lost the official bench number.  Emit the
@@ -288,6 +320,7 @@ def main() -> None:
         "trials": trials,
         "load1": rig.get("load1"),
         "busy_frac": rig.get("busy_frac"),
+        "drift_r7": payload.get("drift_vs_r7_summary"),
         "detail": "BENCH_detail.json",
     }
     line = json.dumps(summary)
