@@ -446,6 +446,28 @@ def _blob_done(out: str) -> None:
         f.write("ok")
 
 
+def _write_blobs(df, outdir: str, make) -> None:
+    """Executor-side blob-fixture materialization: ``make(row) →
+    (filename, bytes)`` runs inside ``foreachPartition``, so the
+    one-time setup parallelizes across executor threads instead of the
+    driver serially open()/write()-ing ~50k files at sf1 inside a
+    measured query's first run. Writes are tmp-then-rename so a task
+    retry never leaves a torn file; local mode shares the filesystem,
+    a cluster points ``outdir`` at shared storage."""
+
+    def _part(rows):
+        import os
+
+        for r in rows:
+            name, payload = make(r)
+            tmp = os.path.join(outdir, f".{name}.tmp-{os.getpid()}")
+            with open(tmp, "wb") as f:
+                f.write(payload)
+            os.replace(tmp, os.path.join(outdir, name))
+
+    df.foreachPartition(_part)
+
+
 # ---------------------------------------------------------------------------
 # binaryFile multimodal ingestion
 
@@ -483,9 +505,14 @@ def q_source_binary(spark, sf_dir):
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
     outdir, done = _blob_dir(sf_dir, "bin")
     if not done:
-        for r in d.collect():
-            with open(os.path.join(outdir, f"{r.doc_id}.pgm"), "wb") as f:
-                f.write(b"P5\n6 6\n255\n" + r.text[:36].encode("utf-8"))
+        _write_blobs(
+            d,
+            outdir,
+            lambda r: (
+                f"{r.doc_id}.pgm",
+                b"P5\n6 6\n255\n" + r.text[:36].encode("utf-8"),
+            ),
+        )
         _blob_done(outdir)
     bf = spark.read.format("binaryFile").option("pathGlobFilter", "*.pgm").load(outdir)
     framed = bf.select(
@@ -1282,21 +1309,24 @@ def q_multimodal_audio(spark, sf_dir):
 
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
     outdir, done = _blob_dir(sf_dir, "wav")
-    for r in (d.collect() if not done else []):
-        samples = [
-            ((ord(r.text[2 * i]) * 129 + ord(r.text[2 * i + 1]) * 57) % 40001)
-            - 20000
-            for i in range(18)
-        ]
-        data = struct.pack("<18h", *samples)
-        hdr = (
-            b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
-            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
-            + b"data" + struct.pack("<I", len(data))
-        )
-        with open(os.path.join(outdir, f"{r.doc_id}.wav"), "wb") as f:
-            f.write(hdr + data)
     if not done:
+
+        def _mk_wav(r):
+            samples = [
+                ((ord(r.text[2 * i]) * 129 + ord(r.text[2 * i + 1]) * 57)
+                 % 40001) - 20000
+                for i in range(18)
+            ]
+            data = struct.pack("<18h", *samples)
+            hdr = (
+                b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+                + b"fmt "
+                + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+                + b"data" + struct.pack("<I", len(data))
+            )
+            return f"{r.doc_id}.wav", hdr + data
+
+        _write_blobs(d, outdir, _mk_wav)
         _blob_done(outdir)
     bf = spark.read.format("binaryFile").option("pathGlobFilter", "*.wav").load(outdir)
     framed = bf.select(
@@ -1379,29 +1409,32 @@ def q_multimodal_audio_g711(spark, sf_dir):
 
     d = table(spark, sf_dir, "documents").select("doc_id")
     outdir, done = _blob_dir(sf_dir, "g711")
-    for r in (d.collect() if not done else []):
-        i = int(r.doc_id)
-        form = i % 3
-        if form in (0, 1):
-            c = 1 + (i % 126)
-            codes = bytes([c, c ^ 0x80] * 9)
-            fmt_tag = 7 if form == 0 else 6
-            fmt = struct.pack("<HHIIHH", fmt_tag, 1, 8000, 8000, 1, 8)
-            data = codes
-        else:
-            p = ((i * 131) % 40001) - 20000
-            block = bytes([p & 0xFF, (p >> 8) & 0xFF, 0, 0]) + b"\x00" * 10
-            fmt = struct.pack("<HHIIHHHH", 0x11, 1, 8000, 4000, len(block), 4,
-                              2, 18)
-            data = block
-        blob = (
-            b"RIFF" + struct.pack("<I", 20 + len(fmt) + len(data)) + b"WAVE"
-            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
-            + b"data" + struct.pack("<I", len(data)) + data
-        )
-        with open(os.path.join(outdir, f"{i}.wav"), "wb") as f:
-            f.write(blob)
     if not done:
+
+        def _mk_g711(r):
+            i = int(r.doc_id)
+            form = i % 3
+            if form in (0, 1):
+                c = 1 + (i % 126)
+                codes = bytes([c, c ^ 0x80] * 9)
+                fmt_tag = 7 if form == 0 else 6
+                fmt = struct.pack("<HHIIHH", fmt_tag, 1, 8000, 8000, 1, 8)
+                data = codes
+            else:
+                p = ((i * 131) % 40001) - 20000
+                block = bytes([p & 0xFF, (p >> 8) & 0xFF, 0, 0]) + b"\x00" * 10
+                fmt = struct.pack("<HHIIHHHH", 0x11, 1, 8000, 4000,
+                                  len(block), 4, 2, 18)
+                data = block
+            blob = (
+                b"RIFF" + struct.pack("<I", 20 + len(fmt) + len(data))
+                + b"WAVE"
+                + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(data)) + data
+            )
+            return f"{i}.wav", blob
+
+        _write_blobs(d, outdir, _mk_g711)
         _blob_done(outdir)
     bf = spark.read.format("binaryFile").option("pathGlobFilter", "*.wav").load(outdir)
     framed = bf.select(
@@ -1455,18 +1488,22 @@ def q_multimodal_video(spark, sf_dir):
 
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
     outdir, done = _blob_dir(sf_dir, "avi")
-    for r in (d.collect() if not done else []):
-        avih = bytes(32) + struct.pack("<II", 3, 3)  # width/height at 32/36
-        body = b"avih" + struct.pack("<I", len(avih)) + avih
-        for k in range(4):
-            fr = r.text[9 * k : 9 * k + 9].encode("utf-8")
-            body += b"00db" + struct.pack("<I", len(fr)) + fr
-            if len(fr) & 1:
-                body += b"\x00"
-        payload = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"AVI " + body
-        with open(os.path.join(outdir, f"{r.doc_id}.avi"), "wb") as f:
-            f.write(payload)
     if not done:
+
+        def _mk_avi(r):
+            avih = bytes(32) + struct.pack("<II", 3, 3)  # w/h at 32/36
+            body = b"avih" + struct.pack("<I", len(avih)) + avih
+            for k in range(4):
+                fr = r.text[9 * k : 9 * k + 9].encode("utf-8")
+                body += b"00db" + struct.pack("<I", len(fr)) + fr
+                if len(fr) & 1:
+                    body += b"\x00"
+            payload = (
+                b"RIFF" + struct.pack("<I", 4 + len(body)) + b"AVI " + body
+            )
+            return f"{r.doc_id}.avi", payload
+
+        _write_blobs(d, outdir, _mk_avi)
         _blob_done(outdir)
     bf = spark.read.format("binaryFile").option("pathGlobFilter", "*.avi").load(outdir)
     framed = bf.select(
@@ -1870,17 +1907,19 @@ def q_multimodal_audio_flac(spark, sf_dir):
 
     d = table(spark, sf_dir, "documents").select("doc_id")
     outdir, done = _blob_dir(sf_dir, "flac")
-    for r in (d.collect() if not done else []):
-        i = int(r.doc_id)
-        if i % 3 == 0:
-            c = ((i * 53) % 60001) - 30000
-            samples = np.full(24, c, np.int16)
-        else:
-            a = 1 + ((i * 37) % 30000)
-            samples = np.array([a, -a] * 12, np.int16)
-        with open(os.path.join(outdir, f"{i}.flac"), "wb") as f:
-            f.write(encode_flac(samples, 8000, block_size=24))
     if not done:
+
+        def _mk_flac(r):
+            i = int(r.doc_id)
+            if i % 3 == 0:
+                c = ((i * 53) % 60001) - 30000
+                samples = np.full(24, c, np.int16)
+            else:
+                a = 1 + ((i * 37) % 30000)
+                samples = np.array([a, -a] * 12, np.int16)
+            return f"{i}.flac", encode_flac(samples, 8000, block_size=24)
+
+        _write_blobs(d, outdir, _mk_flac)
         _blob_done(outdir)
     bf = spark.read.format("binaryFile").option("pathGlobFilter", "*.flac").load(outdir)
     framed = bf.select(
