@@ -378,7 +378,35 @@ _SUPPORTED_WRITER_FEATURES = {
     # CURRENT_DEFAULT expression for columns the incoming frame omits
     # (_apply_column_defaults) — the spec's write-time-only semantics
     "allowColumnDefaults",
+    # checkpoint protection (round 11, spec "Checkpoint Protection"):
+    # history before delta.requireCheckpointProtectionBeforeVersion
+    # depends on checkpoints that must survive until the WHOLE
+    # protected prefix can be truncated at once. expire_log() and
+    # checkpoint() enforce the boundary (_ckpt_protection_boundary);
+    # ordinary data commits never touch protected history, so they
+    # are compliant as-is.
+    "checkpointProtection",
 }
+
+
+def _ckpt_protection_boundary(snap: "Snapshot") -> int:
+    """delta.requireCheckpointProtectionBeforeVersion when the protocol
+    carries checkpointProtection, else 0 (spec "Checkpoint Protection",
+    stamped e.g. by CLONEs that graft another table's history): history
+    strictly below the boundary may only be truncated in ONE sweep that
+    reaches the boundary, and no new checkpoint may be created below
+    it — partial cleanup could strip a checkpoint that pre-boundary
+    time travel depends on."""
+    if "checkpointProtection" not in (
+        snap.protocol.get("writerFeatures") or ()
+    ):
+        return 0
+    return int(
+        (snap.configuration or {}).get(
+            "delta.requireCheckpointProtectionBeforeVersion", 0
+        )
+        or 0
+    )
 
 
 def _rt_enabled(configuration: dict | None) -> bool:
@@ -2028,6 +2056,16 @@ class DeltaTable:
 
         v = self.resolve_version(version)
         snap = self.snapshot(v)
+        boundary = _ckpt_protection_boundary(
+            snap if v == self.latest_version() else self.snapshot()
+        )
+        if v < boundary:
+            raise DeltaProtocolError(
+                f"checkpointProtection: refusing to create a checkpoint "
+                f"at version {v}, below the protection boundary "
+                f"{boundary} (delta.requireCheckpointProtectionBefore"
+                f"Version) — pre-boundary history must stay untouched"
+            )
         if v2 or "v2Checkpoint" in (snap.protocol.get("writerFeatures") or ()):
             # a table whose protocol demands v2Checkpoint MUST get v2
             # checkpoints (spec: classic checkpoints are forbidden there)
@@ -2476,6 +2514,25 @@ class DeltaTable:
             if v <= horizon
             and (retention_ms == 0 or self.commit_timestamp_ms(v) <= ts_floor)
         ]
+        boundary = _ckpt_protection_boundary(self.snapshot())
+        if boundary and any(v < boundary for v in expired):
+            # spec "Checkpoint Protection": commits below the boundary
+            # may only vanish when the WHOLE protected prefix goes in
+            # one sweep that reaches the boundary — piecemeal expiry
+            # could strip a checkpoint pre-boundary time travel needs
+            protected_left = [
+                v
+                for v in self.json_versions()
+                if v < boundary and v not in set(expired)
+            ]
+            if horizon < boundary or protected_left:
+                raise DeltaProtocolError(
+                    "checkpointProtection: refusing partial cleanup of "
+                    f"history below the protection boundary {boundary} — "
+                    "checkpoint at or beyond the boundary (and let "
+                    "retention cover the whole protected prefix) so it "
+                    "can be truncated in a single sweep"
+                )
         for v in expired:
             self.fs.remove(os.path.join(self.log_dir, f"{v:020d}.json"))
             crc = os.path.join(self.log_dir, f"{v:020d}.crc")
@@ -5472,6 +5529,15 @@ class DeltaTable:
             if not feats & {"inCommitTimestamp", "inCommitTimestamp-preview"}:
                 actions.append({"protocol": _upgraded_protocol(
                     snap.protocol, (), ("inCommitTimestamp",)
+                )})
+        if props.get("delta.requireCheckpointProtectionBeforeVersion"):
+            # the property is meaningless without its enforcing feature
+            # (a non-supporting writer would ignore the boundary), so
+            # setting it performs the protocol handshake too
+            feats = set(snap.protocol.get("writerFeatures") or ())
+            if "checkpointProtection" not in feats:
+                actions.append({"protocol": _upgraded_protocol(
+                    snap.protocol, (), ("checkpointProtection",)
                 )})
         actions.append(self._metadata_update(snap, snap.schema_string, cfg))
         return self._commit(

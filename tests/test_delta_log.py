@@ -1570,3 +1570,87 @@ def test_ict_timestamp_travel_refuses_expired_history(spark, table_path):
         t2.resolve_version(timestamp_ms=ict[1])
     with pytest.raises(DeltaProtocolError, match="expired"):
         t2.resolve_version(timestamp_ms=ict[0] - 1)
+
+
+def test_checkpoint_protection_boundary(spark, table_path):
+    """checkpointProtection (spec "Checkpoint Protection", stamped by
+    CLONEs that graft history): commits below
+    delta.requireCheckpointProtectionBeforeVersion may only be expired
+    when the whole protected prefix is truncated in ONE sweep reaching
+    the boundary, and no new checkpoint may be created below it.
+    Ordinary writes stay allowed (the feature is metadata-plane)."""
+    t = DeltaTable(table_path)
+    for lo in range(0, 12, 3):
+        t.write(events_df(spark, range(lo, lo + 3)))  # v0..v3
+    # arming the property performs the protocol handshake
+    v_prop = t.set_properties(
+        {"delta.requireCheckpointProtectionBeforeVersion": "3"}
+    )  # v4
+    snap = t.snapshot()
+    assert "checkpointProtection" in snap.protocol["writerFeatures"]
+    # ordinary data commits remain allowed on the protected table
+    t.write(events_df(spark, range(12, 15)))  # v5
+    # a checkpoint BELOW the boundary is forbidden
+    with pytest.raises(DeltaProtocolError, match="protection boundary"):
+        t.checkpoint(version=1)
+    import glob as _glob
+
+    t2 = DeltaTable(table_path)
+    t2.checkpoint(version=v_prop)  # >= boundary: allowed
+    expired = t2.expire_log()
+    assert set(expired) == {0, 1, 2, 3, 4}
+    assert t2.read(spark).count() == 15
+    assert not _glob.glob(
+        os.path.join(table_path, "_delta_log", "00000000000000000000.json")
+    )
+
+
+def test_checkpoint_protection_refuses_partial_sweep(spark, table_path):
+    """A checkpoint CREATED BEFORE protection was armed sits below the
+    boundary; expiring up to it would strip protected history piecemeal
+    — the sweep must refuse until a checkpoint at/through the boundary
+    exists."""
+    t = DeltaTable(table_path)
+    for lo in range(0, 9, 3):
+        t.write(events_df(spark, range(lo, lo + 3)))  # v0..v2
+    t.checkpoint()  # checkpoint at v2, pre-protection
+    t.set_properties(
+        {"delta.requireCheckpointProtectionBeforeVersion": "99"}
+    )  # v3: everything so far is protected
+    with pytest.raises(DeltaProtocolError, match="partial cleanup"):
+        t.expire_log()
+    # history intact after the refusal
+    assert DeltaTable(table_path).versions()[0] == 0
+    assert DeltaTable(table_path).read(spark).count() == 9
+
+
+def test_reader_gates_collations_and_variant_shredding(spark, tmp_path):
+    """2024+ reader-plane features we do NOT implement must refuse
+    loudly by name, never silently mis-read: collations (preview) and
+    variant shredding change comparison/physical-layout semantics."""
+    for feature in ("collations-preview", "variantShredding-preview"):
+        root = str(tmp_path / feature)
+        os.makedirs(os.path.join(root, "_delta_log"))
+        df = events_df(spark, range(2))
+        df.coalesce(1).write.parquet(os.path.join(root, "data"))
+        part = next(
+            f
+            for f in os.listdir(os.path.join(root, "data"))
+            if f.endswith(".parquet")
+        )
+        actions = [
+            {"commitInfo": {"timestamp": 1700000000000, "operation": "WRITE"}},
+            {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                          "readerFeatures": [feature],
+                          "writerFeatures": [feature]}},
+            {"metaData": {"id": "x", "schemaString": df.schema.json(),
+                          "partitionColumns": []}},
+            {"add": {"path": f"data/{part}", "partitionValues": {},
+                     "size": 1, "modificationTime": 1700000000000,
+                     "dataChange": True}},
+        ]
+        with open(os.path.join(root, "_delta_log", f"{0:020d}.json"), "w") as f:
+            for a in actions:
+                f.write(json.dumps(a) + "\n")
+        with pytest.raises(DeltaProtocolError, match=feature):
+            DeltaTable(root).read(spark).count()
