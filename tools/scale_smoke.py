@@ -332,7 +332,8 @@ def occ_axis(n_committers: int = 16, commits_each: int = 8) -> None:
                                  "modificationTime": 1, "dataChange": True}},
                     ],
                     operation=f"WRITE-{cid}",
-                    max_retries=50 * n_committers,
+                    # DEFAULT budget (VERDICT r10 #8): the retry rule is
+                    # progress-based, so no width-scaled override needed
                 )
             except Exception as exc:  # noqa: BLE001
                 errors.append(f"c{cid}#{seq}: {exc}")
