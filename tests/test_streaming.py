@@ -259,3 +259,69 @@ def test_late_data_window_end_inclusive_drop(spark, tmp_path):
     # batch 0: 13:00 window; batch 1: 12:50 window; batch 2: only the
     # 12:30 window survives (events 2 and 5 dropped by the watermark)
     assert got == [(0, 1), (30, 1), (50, 1)], got
+
+
+def test_available_now_with_caps_underdrains(spark, tmp_path):
+    """PINNED SPARK BEHAVIOR (round 11, VERDICT r10 #6): Spark's
+    Python-DataSource AvailableNow wrapper snapshots latestOffset ONCE
+    as the drain target, so with admission caps armed the target is a
+    single capped step and the stream terminates after ONE truncated
+    batch. This is why q_stream_rate_limit uses processing-time
+    triggers. If this test ever FAILS with rows == expected, Spark
+    gained real AvailableNow admission control for Python sources —
+    switch the benched variant over and delete this pin."""
+    import uuid
+
+    from pulsar_io_delta_spark.sources.datasource import register_delta_cdc
+    from pulsar_io_delta_spark.sources.delta_log import DeltaTable
+
+    path = str(tmp_path / "tbl")
+    t = DeltaTable(path)
+    e = spark.range(1000).select(
+        F.col("id").alias("event_id"), (F.col("id") * 1.5).alias("value")
+    )
+    t.write(e.where("event_id < 500").repartition(2))
+    t.write(e.where("event_id >= 500").repartition(2))
+    register_delta_cdc(spark)
+    s = (
+        spark.readStream.format("pulsar_delta_cdc")
+        .option("tablePath", path)
+        .option("startingVersion", 0)
+        .option("maxFilesPerTrigger", 1)
+        .load()
+    )
+    name = f"pin_{uuid.uuid4().hex[:8]}"
+    q = (
+        s.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table(name).count()
+    # under-drain: strictly fewer rows than the table holds, and the
+    # query self-terminated claiming completion
+    assert got < 1000, (
+        "AvailableNow now drains past the first capped step — Spark "
+        "fixed Python-source admission control; update "
+        "q_stream_rate_limit to availableNow and drop this pin"
+    )
+    # without caps, AvailableNow drains fully (the hazard is ONLY the
+    # combination)
+    s2 = (
+        spark.readStream.format("pulsar_delta_cdc")
+        .option("tablePath", path)
+        .option("startingVersion", 0)
+        .load()
+    )
+    name2 = f"pin2_{uuid.uuid4().hex[:8]}"
+    q2 = (
+        s2.writeStream.format("memory")
+        .queryName(name2)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    assert spark.table(name2).count() == 1000
