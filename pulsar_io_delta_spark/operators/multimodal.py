@@ -462,3 +462,197 @@ def sample_frames(df: DataFrame, every_n: int = 2, fake: bool = True) -> DataFra
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(run, "doc_id long, frame_idx long, frame binary")
+
+
+# ---------------------------------------------------------------------------
+# MPEG audio frame PROBING (round 11): metadata extraction WITHOUT decode.
+#
+# A crawl pipeline's first pass over audio is duration/bitrate/layer
+# stats, language-budget accounting, and corrupt-file triage — none of
+# which needs the entropy stage. The frame HEADER layer of MPEG-1/2/2.5
+# audio (ISO 11172-3 / 13818-3) is fully closed-form: sync walk, two
+# small public tables (bitrate, sample rate), and an exact frame-length
+# formula. Sample DECODE still gates loudly in _parse_audio (the
+# Huffman/filterbank constant tables cannot be re-derived in-sandbox).
+
+# bitrate (kbps) by (version_group, layer), header index 1..14;
+# index 0 = free-format (gated), 15 = invalid
+_MPEG_BITRATE_KBPS = {
+    ("1", 1): (32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448),
+    ("1", 2): (32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384),
+    ("1", 3): (32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320),
+    ("2", 1): (32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256),
+    ("2", 2): (8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+    ("2", 3): (8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+}
+_MPEG_SAMPLE_RATE = {
+    "1": (44100, 48000, 32000),
+    "2": (22050, 24000, 16000),
+    "2.5": (11025, 12000, 8000),
+}
+_MPEG_VERSION_BITS = {0b11: "1", 0b10: "2", 0b00: "2.5"}  # 0b01 reserved
+_LAYER_BITS = {0b11: 1, 0b10: 2, 0b01: 3}  # 0b00 reserved
+_LAYER_ROMAN = {1: "I", 2: "II", 3: "III"}
+
+
+def _skip_id3v2(payload: bytes) -> int:
+    """Bytes to skip for a leading ID3v2 tag (web MP3s carry them):
+    'ID3' + version(2) + flags(1) + syncsafe size(4), then size bytes
+    (+10 footer when flag bit 4 is set)."""
+    if payload[:3] != b"ID3" or len(payload) < 10:
+        return 0
+    sz = 0
+    for b in payload[6:10]:
+        if b & 0x80:
+            raise ValueError("corrupt ID3v2 tag: non-syncsafe size byte")
+        sz = (sz << 7) | b
+    return 10 + sz + (10 if payload[5] & 0x10 else 0)
+
+
+def probe_mpeg_frames(payload: bytes) -> dict:
+    """Walk every MPEG audio frame header in ``payload`` and return
+    the stream's metadata: version, layer, bitrate, sample rate,
+    channels, frame count, exact sample count, duration (integer ms,
+    floor — mirrored by the SQL oracle), and payload bytes consumed by
+    frames (ID3 excluded). Free-format bitrate, reserved version/layer
+    bits, and mid-stream desync all refuse loudly — a probe that
+    guessed would poison corpus stats silently."""
+    pos = _skip_id3v2(payload)
+    n_frames = 0
+    total_samples = 0
+    frame_bytes = 0
+    meta: tuple | None = None
+    while pos + 4 <= len(payload):
+        b0, b1, b2, b3 = payload[pos : pos + 4]
+        if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+            raise ValueError(
+                f"MPEG probe: lost frame sync at byte {pos} after "
+                f"{n_frames} frames"
+            )
+        vbits = (b1 >> 3) & 0b11
+        lbits = (b1 >> 1) & 0b11
+        if vbits not in _MPEG_VERSION_BITS or lbits not in _LAYER_BITS:
+            raise ValueError("MPEG probe: reserved version/layer bits")
+        version = _MPEG_VERSION_BITS[vbits]
+        layer = _LAYER_BITS[lbits]
+        br_idx = (b2 >> 4) & 0xF
+        sr_idx = (b2 >> 2) & 0b11
+        padding = (b2 >> 1) & 1
+        if br_idx == 0:
+            raise NotImplementedError(
+                "MPEG probe: free-format bitrate needs full frame "
+                "parsing; only indexed bitrates are probed"
+            )
+        if br_idx == 15 or sr_idx == 3:
+            raise ValueError("MPEG probe: invalid bitrate/sample-rate index")
+        vgroup = "1" if version == "1" else "2"
+        br_kbps = _MPEG_BITRATE_KBPS[(vgroup, layer)][br_idx - 1]
+        sr = _MPEG_SAMPLE_RATE[version][sr_idx]
+        channels = 1 if ((b3 >> 6) & 0b11) == 0b11 else 2
+        if layer == 1:
+            flen = (12 * br_kbps * 1000 // sr + padding) * 4
+            spf = 384
+        else:
+            per = 144 if (layer == 2 or version == "1") else 72
+            flen = per * br_kbps * 1000 // sr + padding
+            spf = 1152 if (layer == 2 or version == "1") else 576
+        cur = (version, layer, br_kbps, sr, channels)
+        if meta is None:
+            meta = cur
+        elif cur != meta:
+            # VBR/mixed streams exist; the probe reports the FIRST
+            # frame's nominal rate and keeps exact sample accounting
+            meta = (meta[0], meta[1], meta[2], meta[3], max(meta[4], channels))
+        n_frames += 1
+        total_samples += spf
+        frame_bytes += flen
+        pos += flen
+    if meta is None:
+        raise ValueError("MPEG probe: no frames found")
+    version, layer, br_kbps, sr, channels = meta
+    return {
+        "mpeg_version": version,
+        "layer": _LAYER_ROMAN[layer],
+        "bitrate_kbps": br_kbps,
+        "sample_rate": sr,
+        "channels": channels,
+        "n_frames": n_frames,
+        "total_samples": total_samples,
+        "duration_ms": total_samples * 1000 // sr,
+        "frame_bytes": frame_bytes,
+    }
+
+
+def build_mpeg_stream(
+    layer: int,
+    bitrate_idx: int,
+    sr_idx: int,
+    mono: bool,
+    n_frames: int,
+    id3_bytes: int = 0,
+) -> bytes:
+    """Construct a syntactically valid MPEG-1 audio stream (fixture
+    side of the probe contract): correct headers and frame lengths,
+    zeroed frame bodies (the probe never reads them). ``id3_bytes`` > 0
+    prepends an ID3v2.3 tag of that body size."""
+    br_kbps = _MPEG_BITRATE_KBPS[("1", layer)][bitrate_idx - 1]
+    sr = _MPEG_SAMPLE_RATE["1"][sr_idx]
+    out = bytearray()
+    if id3_bytes:
+        if id3_bytes >= 1 << 28:
+            raise ValueError("ID3v2 size overflow")
+        out += b"ID3\x03\x00\x00" + bytes(
+            [(id3_bytes >> 21) & 0x7F, (id3_bytes >> 14) & 0x7F,
+             (id3_bytes >> 7) & 0x7F, id3_bytes & 0x7F]
+        ) + bytes(id3_bytes)
+    lbits = {1: 0b11, 2: 0b10, 3: 0b01}[layer]
+    hdr = bytes(
+        [
+            0xFF,
+            0xE0 | (0b11 << 3) | (lbits << 1) | 1,  # MPEG1, no CRC
+            (bitrate_idx << 4) | (sr_idx << 2),  # no padding
+            (0b11 << 6) if mono else 0,  # mono vs stereo
+        ]
+    )
+    flen = (
+        (12 * br_kbps * 1000 // sr) * 4
+        if layer == 1
+        else 144 * br_kbps * 1000 // sr
+    )
+    for _ in range(n_frames):
+        out += hdr + bytes(flen - 4)
+    return bytes(out)
+
+
+MPEG_PROBE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("mpeg_version", StringType()),
+        StructField("layer", StringType()),
+        StructField("bitrate_kbps", LongType()),
+        StructField("sample_rate", LongType()),
+        StructField("channels", LongType()),
+        StructField("n_frames", LongType()),
+        StructField("total_samples", LongType()),
+        StructField("duration_ms", LongType()),
+        StructField("frame_bytes", LongType()),
+    ]
+)
+
+
+def probe_mpeg_audio(df: DataFrame) -> DataFrame:
+    """Arrow-batched MPEG frame probe over (doc_id, payload): the
+    corpus-stats pass (duration/bitrate/layer/frame accounting) that
+    needs no sample decode. Same scale shape as decode_audio — one
+    mapInPandas stage, bytes never leave the executor."""
+    cols = [f.name for f in MPEG_PROBE_SCHEMA]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = [
+                {"doc_id": int(did), **probe_mpeg_frames(bytes(payload))}
+                for did, payload in zip(pdf["doc_id"], pdf["payload"])
+            ]
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select("doc_id", "payload").mapInPandas(batches, MPEG_PROBE_SCHEMA)

@@ -1937,3 +1937,87 @@ def q_multimodal_audio_flac(spark, sf_dir):
         F.round(F.element_at("features", 3) * 32768, 0).cast("long").alias("max_abs"),
         F.round(F.element_at("features", 2) * 23, 0).cast("long").alias("crossings"),
     )
+
+
+@register(
+    "q_multimodal_audio_probe",
+    oracle="""
+WITH p AS (
+  SELECT doc_id,
+         1 + (doc_id % 3) AS l,
+         1 + ((doc_id // 3) % 3) AS bi,
+         (doc_id // 9) % 3 AS si,
+         3 + (doc_id % 5) AS nf
+  FROM documents
+), q AS (
+  SELECT doc_id, l, nf,
+         CASE WHEN l = 1 THEN CASE bi WHEN 1 THEN 32 WHEN 2 THEN 64 ELSE 96 END
+              WHEN l = 2 THEN CASE bi WHEN 1 THEN 32 WHEN 2 THEN 48 ELSE 56 END
+              ELSE          CASE bi WHEN 1 THEN 32 WHEN 2 THEN 40 ELSE 48 END
+         END AS kbps,
+         CASE si WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END AS sr,
+         CASE WHEN l = 1 THEN 384 ELSE 1152 END AS spf
+  FROM p
+)
+SELECT doc_id,
+       CASE l WHEN 1 THEN 'I' WHEN 2 THEN 'II' ELSE 'III' END AS layer,
+       CAST(kbps AS BIGINT) AS bitrate_kbps,
+       CAST(sr AS BIGINT) AS sample_rate,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS BIGINT) AS channels,
+       CAST(nf AS BIGINT) AS n_frames,
+       CAST(nf * spf * 1000 // sr AS BIGINT) AS duration_ms,
+       CAST(nf * (CASE WHEN l = 1 THEN (12 * kbps * 1000 // sr) * 4
+                       ELSE 144 * kbps * 1000 // sr END) AS BIGINT)
+         AS frame_bytes
+FROM q
+""",
+)
+def q_multimodal_audio_probe(spark, sf_dir):
+    """MPEG audio corpus statistics WITHOUT decode (round 11): one
+    .mp3 blob per document — MPEG-1 Layer I/II/III headers with
+    doc_id-derived layer/bitrate/sample-rate/channel/frame-count
+    parameters, every 4th file behind a real ID3v2 tag — probed by
+    walking frame headers only (`multimodal.probe_mpeg_frames`:
+    public bitrate/sample-rate tables + the exact frame-length
+    formula). This is the crawl pipeline's first audio pass: duration
+    accounting, bitrate histograms, corrupt-stream triage — the
+    entropy stage (which needs non-derivable spec tables) still gates
+    loudly in decode_audio.
+
+    Scale shape: binaryFile scan + one Arrow-batched mapInPandas walk,
+    O(frames) per file, fully distributed — same as decode_audio."""
+    from pulsar_io_delta_spark.operators import multimodal as mm
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    outdir, done = _blob_dir(sf_dir, "mp3")
+    if not done:
+
+        def _mk_mp3(r):
+            i = int(r.doc_id)
+            return f"{i}.mp3", mm.build_mpeg_stream(
+                layer=1 + (i % 3),
+                bitrate_idx=1 + ((i // 3) % 3),
+                sr_idx=(i // 9) % 3,
+                mono=(i % 2 == 0),
+                n_frames=3 + (i % 5),
+                id3_bytes=64 if i % 4 == 0 else 0,
+            )
+
+        _write_blobs(d, outdir, _mk_mp3)
+        _blob_done(outdir)
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.mp3")
+        .load(outdir)
+    )
+    framed = bf.select(
+        F.regexp_extract(F.col("path"), r"([0-9]+)\.mp3$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("content").alias("payload"),
+    )
+    probed = mm.probe_mpeg_audio(framed)
+    return probed.select(
+        "doc_id", "layer", "bitrate_kbps", "sample_rate", "channels",
+        "n_frames", "duration_ms", "frame_bytes",
+    )

@@ -294,3 +294,83 @@ def test_flac_lpc_escape_partitions_and_wasted_bits():
     rate, ch, y = decode_flac(payload)
     assert np.array_equal(y[:, 0], np.array(x, np.int64))
     assert np.array_equal(y[:, 1], np.full(8, 5 << 3, np.int64))
+
+
+class TestMpegProbe:
+    """Frame-header probe (round 11): closed-form metadata extraction;
+    decode still gates loudly (entropy tables are not derivable)."""
+
+    def test_roundtrip_matrix(self):
+        from pulsar_io_delta_spark.operators.multimodal import (
+            build_mpeg_stream,
+            probe_mpeg_frames,
+        )
+
+        for layer, roman, spf in ((1, "I", 384), (2, "II", 1152), (3, "III", 1152)):
+            for bi in (1, 2, 3):
+                for si, sr in ((0, 44100), (1, 48000), (2, 32000)):
+                    for mono in (True, False):
+                        m = probe_mpeg_frames(
+                            build_mpeg_stream(layer, bi, si, mono, 6)
+                        )
+                        assert m["layer"] == roman
+                        assert m["sample_rate"] == sr
+                        assert m["channels"] == (1 if mono else 2)
+                        assert m["n_frames"] == 6
+                        assert m["total_samples"] == 6 * spf
+                        assert m["duration_ms"] == 6 * spf * 1000 // sr
+
+    def test_id3v2_skip_and_exact_frame_bytes(self):
+        from pulsar_io_delta_spark.operators.multimodal import (
+            build_mpeg_stream,
+            probe_mpeg_frames,
+        )
+
+        b = build_mpeg_stream(3, 2, 1, False, 4, id3_bytes=200)
+        m = probe_mpeg_frames(b)
+        # 40 kbps @ 48000: 144*40000//48000 = 120 bytes/frame
+        assert m["frame_bytes"] == 4 * 120 == len(b) - 210
+        assert m["bitrate_kbps"] == 40
+
+    def test_desync_and_truncation_refuse_loudly(self):
+        import pytest
+
+        from pulsar_io_delta_spark.operators.multimodal import (
+            build_mpeg_stream,
+            probe_mpeg_frames,
+        )
+
+        good = build_mpeg_stream(3, 1, 0, True, 3)
+        with pytest.raises(ValueError, match="lost frame sync"):
+            probe_mpeg_frames(good + b"\x00garbage")
+        corrupt = bytearray(good)
+        corrupt[0] = 0x00  # first sync byte gone
+        with pytest.raises(ValueError, match="lost frame sync"):
+            probe_mpeg_frames(bytes(corrupt))
+        with pytest.raises(ValueError, match="no frames"):
+            probe_mpeg_frames(b"ID3\x03\x00\x00\x00\x00\x00\x00")
+
+    def test_free_format_and_reserved_gate(self):
+        import pytest
+
+        from pulsar_io_delta_spark.operators.multimodal import probe_mpeg_frames
+
+        # free-format: bitrate index 0
+        hdr = bytes([0xFF, 0xE0 | (0b11 << 3) | (0b01 << 1) | 1, 0x00, 0x00])
+        with pytest.raises(NotImplementedError, match="free-format"):
+            probe_mpeg_frames(hdr + bytes(100))
+        # reserved version bits (0b01)
+        hdr = bytes([0xFF, 0xE0 | (0b01 << 3) | (0b01 << 1) | 1, 0x10, 0x00])
+        with pytest.raises(ValueError, match="reserved"):
+            probe_mpeg_frames(hdr + bytes(100))
+
+    def test_decode_still_gates_by_layer(self):
+        import pytest
+
+        from pulsar_io_delta_spark.operators.multimodal import (
+            _parse_audio,
+            build_mpeg_stream,
+        )
+
+        with pytest.raises(NotImplementedError, match="Layer III"):
+            _parse_audio(build_mpeg_stream(3, 1, 0, True, 1))
