@@ -628,3 +628,42 @@ promote(_R10_WINDOW, after="q_stream_tumbling")
 # the CURRENT round's promote intent (tests/test_registry.py pins that
 # it fits entirely inside the 50-slot driver window)
 WINDOW_MUST_INCLUDE = _R10_WINDOW
+
+# Round-11 window (slots 1-49 after the q_stream_tumbling canary),
+# composed per the r10 verdict #1: (a) ALL 36 queries whose latest
+# driver row is r5/r6 (the full remaining staleness pool — after this
+# round no query's latest driver row is older than r7); (b) the seven
+# queries changed or added in r11: q_multimodal_audio_probe (new MPEG
+# frame probe), q_time_travel_ict (ICT resolution rewritten to refuse
+# expired history), q_stream_rate_limit (50 ms triggers + the pinned
+# AvailableNow under-drain), and the four blob-fixture queries whose
+# setup moved executor-side (q_source_binary, q_multimodal_audio,
+# q_multimodal_audio_g711, q_multimodal_audio_flac; q_multimodal_video
+# is already in (a)); (c) six r7-stale fills: q_pagerank (the
+# drift-watch query), q_dedup_cc + q_tfidf_topterms + q_lm_score +
+# q_sim_ann_ivf (stalest headline rows), and q_zorder_scan (the
+# sharpest probe of the r11 type-aware partition-value pruning
+# rewrite). The remaining 34 r7 rows lead the r12 (c) pool.
+_R11_WINDOW = [
+    # (a) r5/r6-stale — the whole pool
+    "q_asof_join", "q_chunk_docs", "q_emb_centroid", "q_emb_quantize",
+    "q_except", "q_except_all", "q_funnel", "q_intersect",
+    "q_intersect_all", "q_json_funcs", "q_map_funcs",
+    "q_multimodal_resize", "q_multimodal_video", "q_regex_funcs",
+    "q_source_csv", "q_source_jsonl", "q_sql_funnel",
+    "q_sql_grouping_sets", "q_sql_sessionize", "q_sql_subqueries",
+    "q_sql_tpch_q3", "q_sql_tpch_q5", "q_sql_tpch_q6", "q_sql_tpch_q10",
+    "q_sql_tpch_q14", "q_sql_tpch_q19", "q_stream_session",
+    "q_stream_sliding", "q_stream_stream_join", "q_struct_funcs",
+    "q_text_entropy", "q_timeseries_gapfill", "q_union_all",
+    "q_union_distinct", "q_window_lag", "q_window_running",
+    # (b) changed/new in r11
+    "q_multimodal_audio_probe", "q_time_travel_ict",
+    "q_stream_rate_limit", "q_multimodal_audio_flac",
+    "q_multimodal_audio_g711", "q_source_binary", "q_multimodal_audio",
+    # (c) r7-stale fill + pruning probe
+    "q_pagerank", "q_dedup_cc", "q_tfidf_topterms", "q_lm_score",
+    "q_sim_ann_ivf", "q_zorder_scan",
+]
+promote(_R11_WINDOW, after="q_stream_tumbling")
+WINDOW_MUST_INCLUDE = _R11_WINDOW
