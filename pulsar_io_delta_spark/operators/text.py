@@ -185,3 +185,73 @@ def with_char_entropy(df: DataFrame, text_col: str = "text", out: str = "entropy
         F.lit(0.0)
     )
     return df.withColumn(out, ent).drop(counts_col, "_ce_n")
+
+
+# PII patterns (round 11): RE2-compatible (no lookarounds/backrefs) so
+# the DuckDB oracle applies the SAME pattern text with its own engine —
+# a two-engine contract on the scrub, not a self-comparison.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\b\d{3}-\d{4}\b"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def scrub_pii(
+    df: DataFrame, text_col: str = "text", out: str = "clean_text"
+) -> DataFrame:
+    """Redact emails / phone numbers / IPv4 literals and count each
+    class — the standard pre-training privacy pass. Entirely JVM-side
+    (regexp_replace / regexp_count inside whole-stage codegen): at
+    100 TB the scrub is a narrow map with zero shuffle and zero Python.
+    Replacement order matters only across overlapping classes; emails
+    go first so their host part cannot later be counted as an IP."""
+    c = F.col(text_col)
+    return (
+        df.withColumn("n_emails", F.regexp_count(c, F.lit(PII_EMAIL_RE)))
+        .withColumn("n_phones", F.regexp_count(c, F.lit(PII_PHONE_RE)))
+        .withColumn("n_ips", F.regexp_count(c, F.lit(PII_IPV4_RE)))
+        .withColumn(
+            out,
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(c, PII_EMAIL_RE, "<EMAIL>"),
+                    PII_IPV4_RE,
+                    "<IP>",
+                ),
+                PII_PHONE_RE,
+                "<PHONE>",
+            ),
+        )
+    )
+
+
+HTML_TAG_RE = r"<[^>]*>"
+
+
+def html_extract(
+    df: DataFrame, html_col: str = "html", out: str = "clean_text"
+) -> DataFrame:
+    """Boilerplate-stripping text extraction (simplified trafilatura
+    shape): drop script/style blocks wholesale, strip remaining tags,
+    collapse whitespace, and report text density (clean chars / html
+    chars) — the filter signal crawl curation cuts on. JVM-side regex
+    chain, narrow map, no shuffle."""
+    c = F.col(html_col)
+    cleaned = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(c, r"(?s)<script[^>]*>.*?</script>", " "),
+                r"(?s)<style[^>]*>.*?</style>",
+                " ",
+            ),
+            HTML_TAG_RE,
+            " ",
+        ),
+        r"\s+",
+        " ",
+    )
+    return df.withColumn(out, F.trim(cleaned)).withColumn(
+        "text_density",
+        F.round(
+            F.length(F.trim(cleaned)).cast("double") / F.length(c), 4
+        ),
+    )

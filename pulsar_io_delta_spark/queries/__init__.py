@@ -639,11 +639,12 @@ WINDOW_MUST_INCLUDE = _R10_WINDOW
 # AvailableNow under-drain), and the four blob-fixture queries whose
 # setup moved executor-side (q_source_binary, q_multimodal_audio,
 # q_multimodal_audio_g711, q_multimodal_audio_flac; q_multimodal_video
-# is already in (a)); (c) six r7-stale fills: q_pagerank (the
-# drift-watch query), q_dedup_cc + q_tfidf_topterms + q_lm_score +
-# q_sim_ann_ivf (stalest headline rows), and q_zorder_scan (the
-# sharpest probe of the r11 type-aware partition-value pruning
-# rewrite). The remaining 34 r7 rows lead the r12 (c) pool.
+# is already in (a)) plus the two new curation ops q_pii_scrub and
+# q_html_extract; (c) four r7-stale fills: q_pagerank (the drift-watch
+# query), q_dedup_cc + q_tfidf_topterms (stalest headline rows), and
+# q_zorder_scan (the sharpest probe of the r11 type-aware
+# partition-value pruning rewrite). The remaining 36 r7 rows
+# (q_lm_score and q_sim_ann_ivf first) lead the r12 (c) pool.
 _R11_WINDOW = [
     # (a) r5/r6-stale — the whole pool
     "q_asof_join", "q_chunk_docs", "q_emb_centroid", "q_emb_quantize",
@@ -661,9 +662,12 @@ _R11_WINDOW = [
     "q_multimodal_audio_probe", "q_time_travel_ict",
     "q_stream_rate_limit", "q_multimodal_audio_flac",
     "q_multimodal_audio_g711", "q_source_binary", "q_multimodal_audio",
-    # (c) r7-stale fill + pruning probe
-    "q_pagerank", "q_dedup_cc", "q_tfidf_topterms", "q_lm_score",
-    "q_sim_ann_ivf", "q_zorder_scan",
+    # (b continued) new-in-r11 curation ops
+    "q_pii_scrub", "q_html_extract",
+    # (c) r7-stale fill + pruning probe (q_lm_score / q_sim_ann_ivf
+    # yield their slots to the two new queries; they lead the r12 (c)
+    # pool with the other 34 r7 rows)
+    "q_pagerank", "q_dedup_cc", "q_tfidf_topterms", "q_zorder_scan",
 ]
 promote(_R11_WINDOW, after="q_stream_tumbling")
 WINDOW_MUST_INCLUDE = _R11_WINDOW

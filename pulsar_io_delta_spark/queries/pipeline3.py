@@ -2021,3 +2021,148 @@ def q_multimodal_audio_probe(spark, sf_dir):
         "doc_id", "layer", "bitrate_kbps", "sample_rate", "channels",
         "n_frames", "duration_ms", "frame_bytes",
     )
+
+
+@register(
+    "q_pii_scrub",
+    oracle="""
+WITH synth AS (
+  SELECT doc_id,
+         substr(text, 1, 80)
+         || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail'
+         || CAST(doc_id % 7 AS VARCHAR) || '.org'
+         || CASE WHEN doc_id % 2 = 0
+                 THEN ' call ' || CAST(doc_id % 900 + 100 AS VARCHAR)
+                      || '-' || CAST(doc_id % 9000 + 1000 AS VARCHAR)
+                 ELSE '' END
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' at ' || CAST(doc_id % 256 AS VARCHAR) || '.'
+                      || CAST((doc_id * 7) % 256 AS VARCHAR) || '.'
+                      || CAST((doc_id * 13) % 256 AS VARCHAR) || '.'
+                      || CAST((doc_id * 29) % 256 AS VARCHAR)
+                 ELSE '' END AS t
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(t,
+             '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}',
+             '<EMAIL>', 'g'),
+           '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+         '\\b\\d{3}-\\d{4}\\b', '<PHONE>', 'g') AS clean_text,
+       CAST(len(regexp_extract_all(t,
+         '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}')) AS BIGINT)
+         AS n_emails,
+       CAST(len(regexp_extract_all(t, '\\b\\d{3}-\\d{4}\\b')) AS BIGINT)
+         AS n_phones,
+       CAST(len(regexp_extract_all(t,
+         '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT)
+         AS n_ips
+FROM synth
+""",
+)
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction (round 11): the standard pre-training privacy
+    pass — emails, phone numbers, IPv4 literals replaced by typed
+    placeholders with per-class counts. The fixture corpus is clean
+    word-soup, so each row deterministically SYNTHESIZES its PII from
+    doc_id in BOTH engines (same input string), then each engine
+    scrubs with its OWN regex implementation (Java vs RE2) over
+    RE2-compatible patterns — a genuine two-engine contract on the
+    scrub, not a self-comparison.
+
+    Scale shape: narrow JVM-side map (regexp_replace/regexp_count in
+    whole-stage codegen), zero shuffle, zero Python — at 100 TB the
+    scrub runs at scan speed."""
+    from pulsar_io_delta_spark.operators.text import scrub_pii
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    synth = d.select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 80),
+            F.lit(" contact user"), s(did), F.lit("@mail"),
+            s(did % 7), F.lit(".org"),
+            F.when(
+                did % 2 == 0,
+                F.concat(F.lit(" call "), s(did % 900 + 100), F.lit("-"),
+                         s(did % 9000 + 1000)),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 3 == 0,
+                F.concat(F.lit(" at "), s(did % 256), F.lit("."),
+                         s((did * 7) % 256), F.lit("."),
+                         s((did * 13) % 256), F.lit("."),
+                         s((did * 29) % 256)),
+            ).otherwise(F.lit("")),
+        ).alias("t"),
+    )
+    out = scrub_pii(synth, text_col="t", out="clean_text")
+    return out.select(
+        "doc_id", "clean_text",
+        F.col("n_emails").cast("long").alias("n_emails"),
+        F.col("n_phones").cast("long").alias("n_phones"),
+        F.col("n_ips").cast("long").alias("n_ips"),
+    )
+
+
+@register(
+    "q_html_extract",
+    oracle="""
+WITH synth AS (
+  SELECT doc_id,
+         '<html><head><style>p{color:red}</style><script>var x="'
+         || source || '";</script></head><body><p>'
+         || substr(text, 1, 100)
+         || '</p><div class="nav">home login menu</div></body></html>'
+           AS html
+  FROM documents
+), cleaned AS (
+  SELECT doc_id, html,
+         trim(regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(html, '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+               '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+             '<[^>]*>', ' ', 'g'),
+           '\\s+', ' ', 'g')) AS clean_text
+  FROM synth
+)
+SELECT doc_id, clean_text,
+       CAST(len(clean_text) * 10000 // len(html) AS BIGINT) AS density_bp
+FROM cleaned
+""",
+)
+def q_html_extract(spark, sf_dir):
+    """Boilerplate-stripping text extraction (round 11, simplified
+    trafilatura shape): script/style blocks dropped wholesale, tags
+    stripped, whitespace collapsed, and text density reported in exact
+    integer basis points (clean·10⁴ ÷ html, integer division in both
+    engines — no float rounding hazard) — the signal crawl curation
+    thresholds on. HTML is synthesized per-row from table columns in
+    both engines; each scrubs with its own regex engine.
+
+    Scale shape: narrow JVM-side regex chain, zero shuffle."""
+    from pulsar_io_delta_spark.operators.text import html_extract
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    synth = d.select(
+        "doc_id",
+        F.concat(
+            F.lit('<html><head><style>p{color:red}</style><script>var x="'),
+            F.col("source"),
+            F.lit('";</script></head><body><p>'),
+            F.substring("text", 1, 100),
+            F.lit('</p><div class="nav">home login menu</div></body></html>'),
+        ).alias("html"),
+    )
+    out = html_extract(synth, html_col="html", out="clean_text")
+    return out.select(
+        "doc_id",
+        "clean_text",
+        F.expr("CAST(length(clean_text) * 10000 DIV length(html) AS BIGINT)")
+        .alias("density_bp"),
+    )

@@ -517,3 +517,64 @@ def test_adaptive_planes_rule_matches_sql_twin():
     # HI-plane matrix the oracle embeds
     full = sim.hyperplanes(8, sim.ADAPTIVE_PLANES_HI)
     assert sim.hyperplanes(8, 5) == full[:5]
+
+
+class TestPiiScrub:
+    def test_scrub_and_counts(self, spark):
+        from pulsar_io_delta_spark.operators.text import scrub_pii
+
+        df = spark.createDataFrame(
+            [
+                (1, "mail a.b-c_d@ex-1.co.uk now, or 10.0.0.1 / 555-0199"),
+                (2, "no pii here at all"),
+                (3, "two mails x@y.io z@w.ai and 999-1234 twice 111-2222"),
+            ],
+            "id long, text string",
+        )
+        got = {
+            r.id: r
+            for r in scrub_pii(df, "text", "clean").collect()
+        }
+        assert got[1].clean == "mail <EMAIL> now, or <IP> / <PHONE>"
+        assert (got[1].n_emails, got[1].n_phones, got[1].n_ips) == (1, 1, 1)
+        assert got[2].clean == "no pii here at all"
+        assert (got[2].n_emails, got[2].n_phones, got[2].n_ips) == (0, 0, 0)
+        assert got[3].clean == "two mails <EMAIL> <EMAIL> and <PHONE> twice <PHONE>"
+        assert got[3].n_emails == 2 and got[3].n_phones == 2
+
+    def test_version_numbers_not_phone_or_ip(self, spark):
+        from pulsar_io_delta_spark.operators.text import scrub_pii
+
+        df = spark.createDataFrame(
+            [(1, "release 12345-67890 and semver 1.2.3 stay")],
+            "id long, text string",
+        )
+        r = scrub_pii(df, "text", "clean").first()
+        # \b\d{3}-\d{4}\b does not match inside longer digit runs;
+        # IPv4 needs all four octets
+        assert r.clean == "release 12345-67890 and semver 1.2.3 stay"
+        assert (r.n_phones, r.n_ips) == (0, 0)
+
+    def test_plan_is_narrow_jvm_map(self, spark):
+        from pulsar_io_delta_spark.operators.text import scrub_pii
+
+        df = spark.range(10).selectExpr("id", "CAST(id AS STRING) AS text")
+        plan = scrub_pii(df, "text").sample(False, 1.0)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan  # zero shuffle
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestHtmlExtract:
+    def test_strips_script_style_tags_and_collapses(self, spark):
+        from pulsar_io_delta_spark.operators.text import html_extract
+
+        df = spark.createDataFrame(
+            [
+                (1, '<html><style>a{}</style><script>if(1<2){x="</p>"}</script>'
+                    '<p>hello   <b>world</b></p></html>'),
+            ],
+            "id long, html string",
+        )
+        r = html_extract(df).first()
+        assert r.clean_text == "hello world"
+        assert 0 < r.text_density < 1
