@@ -1790,15 +1790,13 @@ class DeltaTable:
     def _last_ict(self) -> int:
         """The latest commit's effective timestamp for in-commit-
         timestamp monotonicity (its inCommitTimestamp when present, else
-        its wall timestamp — the spec's enablement boundary)."""
+        its wall timestamp — the spec's enablement boundary). Lazy line
+        scan via _commit_carried_ms: a 10^4-add predecessor commit is
+        not fully parsed on every ICT commit."""
         vs = self.json_versions()
         if not vs:
             return 0
-        for action in self.actions(vs[-1]):
-            info = action.get("commitInfo")
-            if info:
-                return int(info.get("inCommitTimestamp") or info.get("timestamp") or 0)
-        return 0
+        return self._commit_carried_ms(vs[-1]) or 0
 
     def _commit_carried_ms(self, version: int) -> int | None:
         """commitInfo-carried timestamp for a commit's JSON (ICT
