@@ -111,6 +111,11 @@ HEADLINE = [
     "q_clone_shallow",
     "q_reorg_purge",
     "q_stream_rate_limit",
+    # round 11: MPEG frame probe (metadata without decode) and the two
+    # curation regex chains (PII scrub / boilerplate extraction)
+    "q_multimodal_audio_probe",
+    "q_pii_scrub",
+    "q_html_extract",
 ]
 
 
