@@ -1654,3 +1654,39 @@ def test_reader_gates_collations_and_variant_shredding(spark, tmp_path):
                 f.write(json.dumps(a) + "\n")
         with pytest.raises(DeltaProtocolError, match=feature):
             DeltaTable(root).read(spark).count()
+
+
+def test_writer_gates_commit_coordination_features(spark, tmp_path):
+    """Writer-plane sweep counterpart of the reader gate test: a table
+    whose protocol demands commit coordination we do not implement
+    (catalogOwned-preview / coordinatedCommits-preview) must refuse
+    WRITES loudly by feature name — committing around a coordinator
+    could fork the log. Reads of such tables stay allowed (the features
+    are writer-plane)."""
+    for feature in ("catalogOwned-preview", "coordinatedCommits-preview"):
+        root = str(tmp_path / feature)
+        os.makedirs(os.path.join(root, "_delta_log"))
+        df = events_df(spark, range(2))
+        df.coalesce(1).write.parquet(os.path.join(root, "data"))
+        part = next(
+            f
+            for f in os.listdir(os.path.join(root, "data"))
+            if f.endswith(".parquet")
+        )
+        actions = [
+            {"commitInfo": {"timestamp": 1700000000000, "operation": "WRITE"}},
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 7,
+                          "writerFeatures": [feature]}},
+            {"metaData": {"id": "x", "schemaString": df.schema.json(),
+                          "partitionColumns": []}},
+            {"add": {"path": f"data/{part}", "partitionValues": {},
+                     "size": 1, "modificationTime": 1700000000000,
+                     "dataChange": True}},
+        ]
+        with open(os.path.join(root, "_delta_log", f"{0:020d}.json"), "w") as f:
+            for a in actions:
+                f.write(json.dumps(a) + "\n")
+        t = DeltaTable(root)
+        assert t.read(spark).count() == 2  # reads fine
+        with pytest.raises(DeltaProtocolError, match=feature.split("-")[0]):
+            t.write(events_df(spark, range(2, 4)))
