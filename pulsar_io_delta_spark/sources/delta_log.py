@@ -139,13 +139,59 @@ def _truncated_string_max(s: str, n: int = _STRING_PREFIX_LEN) -> str | None:
     return None
 
 
-def _file_stats(source) -> dict:
+_STATS_COLS_UNSET = object()  # sentinel: "compute from current table"
+
+
+def _stats_index_cols(
+    schema_string: str | None, configuration: dict | None
+) -> "frozenset | None":
+    """PHYSICAL names of the columns whose footer stats go into add
+    actions, or None = all (no limit configured... beyond the default).
+
+    delta-spark semantics: ``delta.dataSkippingStatsColumns`` (explicit
+    comma list) overrides ``delta.dataSkippingNumIndexedCols`` (first N
+    schema columns; delta's default 32). The point is LOG SIZE at
+    scale: a 1000-column table writing min/max for every column turns
+    each add action into kilobytes — at 10^6 files that is the
+    difference between a replayable log and a gigabyte of JSON.
+    Identity columns are force-included (their high-water mark
+    advances from add stats — zero extra jobs — and must never go
+    blind)."""
+    cfg = configuration or {}
+    if not schema_string:
+        return None
+    fields = json.loads(schema_string).get("fields", [])
+
+    def phys(f):
+        return (f.get("metadata") or {}).get(
+            "delta.columnMapping.physicalName"
+        ) or f["name"]
+
+    explicit = cfg.get("delta.dataSkippingStatsColumns")
+    if explicit is not None:
+        names = {c.strip().strip("`") for c in explicit.split(",") if c.strip()}
+        out = {phys(f) for f in fields if f["name"] in names}
+    else:
+        n = int(cfg.get("delta.dataSkippingNumIndexedCols", 32))
+        if n < 0 or n >= len(fields):
+            return None
+        out = {phys(f) for f in fields[:n]}
+    out |= {
+        phys(f)
+        for f in fields
+        if "delta.identity.start" in (f.get("metadata") or {})
+    }
+    return frozenset(out)
+
+
+def _file_stats(source, indexed: "frozenset | None" = None) -> dict:
     """Per-file column stats from the parquet footer (numRecords +
     min/maxValues for primitive columns) — the data-skipping index.
     Footer-only: no data pages are read. ``source`` is a path or a
     binary file-like (FileSystem.open_read). String stats are
     truncated to ``_STRING_PREFIX_LEN`` chars (sound bounds, bounded
-    log size)."""
+    log size). ``indexed`` (from _stats_index_cols) restricts which
+    columns are indexed; numRecords is always collected."""
     import pyarrow.parquet as pq
 
     md = pq.ParquetFile(source).metadata
@@ -160,6 +206,8 @@ def _file_stats(source) -> dict:
                 continue
             name = col.path_in_schema
             if "." in name:  # nested — skip
+                continue
+            if indexed is not None and name not in indexed:
                 continue
             mn, mx = st.min, st.max
             if isinstance(mn, bytes):
@@ -2903,7 +2951,10 @@ class DeltaTable:
             )
             if n is None:
                 add["stats"] = json.dumps(
-                    self._stats_for(os.path.join(self.path, p))
+                    self._stats_for(
+                        os.path.join(self.path, p),
+                        _stats_index_cols(snap.schema_string, config),
+                    )
                 )
             add["dataChange"] = False
             actions.append({"add": add})
@@ -3667,9 +3718,21 @@ class DeltaTable:
                 "the log, a checkpoint, or a compaction is corrupt"
             )
 
-    def _stats_for(self, path: str) -> dict:
+    def _stats_for(self, path: str, indexed: "frozenset | None" = None) -> dict:
         with self.fs.open_read(path) as f:
-            return _file_stats(f)
+            return _file_stats(f, indexed)
+
+    def _current_stats_cols(self) -> "frozenset | None":
+        """The stats-column allowlist from the CURRENT table state
+        (delta.dataSkippingStatsColumns / NumIndexedCols), None when
+        unconfigured-or-unlimited or the table does not exist yet."""
+        if not self.exists():
+            return None
+        try:
+            snap = self.snapshot()
+        except DeltaProtocolError:
+            return None
+        return _stats_index_cols(snap.schema_string, snap.configuration)
 
     @staticmethod
     def _mapping_of(snap: Snapshot):
@@ -3821,7 +3884,8 @@ class DeltaTable:
         return [(to_phys.get(c, c), op, v) for c, op, v in filters]
 
     def _stage_and_move(
-        self, df: DataFrame, partition_by: list[str], mapping=None, cdc: bool = False
+        self, df: DataFrame, partition_by: list[str], mapping=None, cdc: bool = False,
+        stats_cols: "frozenset | None | object" = _STATS_COLS_UNSET,
     ) -> list[dict]:
         """Write df as parquet into the table dir; return add actions.
         ``mapping`` (from _column_mapping) stages under PHYSICAL column
@@ -3831,6 +3895,11 @@ class DeltaTable:
         under ``_change_data/``, the action key is ``cdc`` with
         ``dataChange=false`` (change files never count as table data),
         and the ``_change_type`` column passes through un-renamed."""
+        if stats_cols is _STATS_COLS_UNSET:
+            # rewrite paths (merge/update/optimize/...) inherit the
+            # CURRENT table's stats-column policy; write() passes the
+            # CREATE-time configuration explicitly
+            stats_cols = self._current_stats_cols()
         if mapping:
             df = self._to_physical(df, mapping)
             partition_by = self._physical_pcols(mapping, partition_by)
@@ -3878,7 +3947,7 @@ class DeltaTable:
                     "dataChange": True,
                 }
                 try:
-                    add["stats"] = json.dumps(self._stats_for(dst))
+                    add["stats"] = json.dumps(self._stats_for(dst, stats_cols))
                 except OSError:
                     # footer logical types this pyarrow can't parse
                     # (e.g. VARIANT): stats are an optimization — every
@@ -4182,7 +4251,19 @@ class DeltaTable:
             actions.extend(self._remove_action(snap, p, now_ms) for p in snap.files)
         elif mode not in ("append", "overwrite"):
             raise ValueError(f"unsupported mode: {mode}")
-        actions.extend(self._stage_and_move(df, partition_by, mapping=mapping))
+        actions.extend(
+            self._stage_and_move(
+                df,
+                partition_by,
+                mapping=mapping,
+                # CREATE-time configuration must govern the creating
+                # write's stats too (the table doesn't exist yet, so the
+                # sentinel's current-snapshot lookup would find nothing)
+                stats_cols=_stats_index_cols(
+                    effective_schema or df.schema.json(), commit_config
+                ),
+            )
+        )
         if idents:
             self._advance_identity_watermarks(
                 actions, idents, effective_schema, commit_config,
@@ -5130,6 +5211,10 @@ class DeltaTable:
             raise DeltaProtocolError(f"no parquet files under {self.path}")
         pcols: list[str] | None = None
         now_ms = int(time.time() * 1000)
+        # wide-lake guard: the default NumIndexedCols=32 policy applies
+        # to conversion too (a 1000-column lake must not write kB of
+        # stats per add)
+        conv_stats_cols = _stats_index_cols(df.schema.json(), None)
         adds: list[dict] = []
         for rel in rels:
             segs = rel.split("/")[:-1]
@@ -5154,7 +5239,7 @@ class DeltaTable:
                 "size": self.fs.size(fp),
                 "modificationTime": self.fs.mtime_ms(fp),
                 "dataChange": True,
-                "stats": json.dumps(self._stats_for(fp)),
+                "stats": json.dumps(self._stats_for(fp, conv_stats_cols)),
             }})
         actions: list[dict] = [
             {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},

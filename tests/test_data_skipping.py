@@ -297,3 +297,81 @@ def test_generated_pruning_skips_tz_aware_values(spark, tmp_path):
     assert _generated_partition_filters(snap, [("ts", "=", naive)]) == [
         ("event_date", "=", 2024)
     ]
+
+
+def test_stats_column_limiting(spark, tmp_path):
+    """delta.dataSkippingNumIndexedCols / dataSkippingStatsColumns
+    (delta-spark parity): add-action stats carry min/max ONLY for the
+    indexed columns — at 10^6 files x 1000 columns this is the
+    difference between a replayable log and a gigabyte of JSON.
+    numRecords always collected; non-indexed filters admit
+    conservatively (correctness via scan, skipping via indexed)."""
+    import json as _json
+
+    import pyspark.sql.functions as _F
+
+    # 40 columns, default NumIndexedCols=32 -> c32..c39 unindexed
+    wide = spark.range(100).select(
+        *[ (_F.col("id") * (i + 1)).alias(f"c{i}") for i in range(40)]
+    )
+    t = DeltaTable(str(tmp_path / "wide"))
+    t.write(wide.coalesce(1))
+    add = next(iter(t.snapshot().adds.values()))
+    stats = _json.loads(add["stats"])
+    assert stats["numRecords"] == 100
+    assert "c0" in stats["minValues"] and "c31" in stats["minValues"]
+    assert "c32" not in stats["minValues"] and "c39" not in stats["maxValues"]
+    # filters on unindexed columns stay exact (admit-all + scan filter)
+    assert t.read(spark, filters=[("c39", ">=", 40 * 99)]).count() == 1
+
+    # explicit NumIndexedCols=3 on the creating write
+    t2 = DeltaTable(str(tmp_path / "n3"))
+    t2.write(
+        wide.coalesce(1),
+        configuration={"delta.dataSkippingNumIndexedCols": "3"},
+    )
+    s2 = _json.loads(next(iter(t2.snapshot().adds.values()))["stats"])
+    assert set(s2["minValues"]) == {"c0", "c1", "c2"}
+    # appends inherit the table policy
+    t2.write(wide.coalesce(1))
+    snaps = [_json.loads(a["stats"]) for a in t2.snapshot().adds.values()]
+    assert all(set(s["minValues"]) == {"c0", "c1", "c2"} for s in snaps)
+
+    # explicit column list overrides the count
+    t3 = DeltaTable(str(tmp_path / "cols"))
+    t3.write(
+        wide.coalesce(1),
+        configuration={"delta.dataSkippingStatsColumns": "c7, c39"},
+    )
+    s3 = _json.loads(next(iter(t3.snapshot().adds.values()))["stats"])
+    assert set(s3["minValues"]) == {"c7", "c39"}
+    # indexed column still prunes: two disjoint files, filter on c7
+    t3.write(
+        spark.range(100, 200).select(
+            *[ (_F.col("id") * (i + 1)).alias(f"c{i}") for i in range(40)]
+        ).coalesce(1)
+    )
+    snap3 = t3.snapshot()
+    kept = t3.prune_files(snap3, [("c7", ">=", 8 * 100)])
+    assert len(kept) == 1 and len(snap3.files) == 2
+
+
+def test_stats_limiting_keeps_identity_columns(spark, tmp_path):
+    """Identity high-water marks advance from add stats (zero extra
+    jobs) — the limiter must never blind them, even past position N."""
+    import json as _json
+
+    from pulsar_io_delta_spark.sources.delta_log import _stats_index_cols
+
+    fields = [
+        {"name": f"c{i}", "type": "long", "nullable": True, "metadata": {}}
+        for i in range(35)
+    ]
+    fields.append(
+        {"name": "rid", "type": "long", "nullable": True,
+         "metadata": {"delta.identity.start": 1, "delta.identity.step": 1,
+                      "delta.identity.allowExplicitInsert": False}}
+    )
+    schema = _json.dumps({"type": "struct", "fields": fields})
+    idx = _stats_index_cols(schema, {})
+    assert idx is not None and "rid" in idx and "c34" not in idx
