@@ -518,6 +518,11 @@ def probe_mpeg_frames(payload: bytes) -> dict:
     bits, and mid-stream desync all refuse loudly — a probe that
     guessed would poison corpus stats silently."""
     pos = _skip_id3v2(payload)
+    if pos > len(payload):
+        raise ValueError(
+            f"MPEG probe: ID3v2 tag promises {pos} bytes but payload "
+            f"has only {len(payload)}"
+        )
     n_frames = 0
     total_samples = 0
     frame_bytes = 0
@@ -567,6 +572,15 @@ def probe_mpeg_frames(payload: bytes) -> dict:
         total_samples += spf
         frame_bytes += flen
         pos += flen
+    if pos > len(payload):
+        # the final header promised more bytes than the payload holds
+        # — counting it would overstate n_frames/duration/frame_bytes
+        # on a corrupt stream that the docstring promises refuses
+        raise ValueError(
+            f"MPEG probe: truncated final frame (header at byte "
+            f"{pos - flen} promises {flen} bytes, payload ends "
+            f"{pos - len(payload)} bytes short)"
+        )
     if meta is None:
         raise ValueError("MPEG probe: no frames found")
     version, layer, br_kbps, sr, channels = meta
@@ -579,6 +593,147 @@ def probe_mpeg_frames(payload: bytes) -> dict:
         "n_frames": n_frames,
         "total_samples": total_samples,
         "duration_ms": total_samples * 1000 // sr,
+        "frame_bytes": frame_bytes,
+    }
+
+
+# numpy mirrors of the header tables for the batch-vectorized probe:
+# codes — version: 0='1', 1='2', 2='2.5', -1 reserved; layer: 1..3,
+# -1 reserved; bitrate indexed by (vgroup, layer-1, br_idx-1).
+_NP_VERSION = np.array([2, -1, 1, 0], dtype=np.int64)  # by vbits
+_NP_LAYER = np.array([-1, 3, 2, 1], dtype=np.int64)  # by lbits
+_NP_BITRATE = np.array(
+    [
+        [_MPEG_BITRATE_KBPS[("1", 1)], _MPEG_BITRATE_KBPS[("1", 2)],
+         _MPEG_BITRATE_KBPS[("1", 3)]],
+        [_MPEG_BITRATE_KBPS[("2", 1)], _MPEG_BITRATE_KBPS[("2", 2)],
+         _MPEG_BITRATE_KBPS[("2", 3)]],
+    ],
+    dtype=np.int64,
+)
+_NP_SAMPLE_RATE = np.array(
+    [_MPEG_SAMPLE_RATE["1"], _MPEG_SAMPLE_RATE["2"], _MPEG_SAMPLE_RATE["2.5"]],
+    dtype=np.int64,
+)
+_NP_VERSION_STR = np.array(["1", "2", "2.5"])
+_NP_LAYER_ROMAN = np.array(["I", "II", "III"])
+
+
+def _probe_mpeg_batch(payloads: list) -> dict:
+    """Batch-vectorized MPEG frame probe (round 12): identical
+    semantics — same stats, same error classes and messages — to
+    ``probe_mpeg_frames`` applied per payload, but column-at-a-time
+    over the WHOLE Arrow batch. All payloads are concatenated into one
+    buffer; a wavefront loop then advances every still-active stream
+    one frame per iteration with pure numpy gathers and table lookups,
+    so the Python-interpreter cost is O(max frames per payload) per
+    batch instead of O(total frames) — the r11 per-payload walk was
+    the second-slowest sf1 bench entry. Property-tested equal to the
+    scalar walk (tests/test_multimodal_probe.py). On a multi-payload
+    batch with several invalid streams the FIRST error raised may
+    belong to a different payload than sequential iteration would
+    pick; per-payload semantics are unchanged."""
+    n = len(payloads)
+    raw = [bytes(p) for p in payloads]
+    lens = np.fromiter((len(p) for p in raw), dtype=np.int64, count=n)
+    offs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    buf = np.frombuffer(b"".join(raw), dtype=np.uint8)
+    # ID3 skip stays scalar (inspects ≤10 bytes per payload); it also
+    # carries the corrupt-tag refusals
+    pos = offs[:-1].copy()
+    for i, p in enumerate(raw):
+        sk = _skip_id3v2(p)
+        if sk > len(p):
+            raise ValueError(
+                f"MPEG probe: ID3v2 tag promises {sk} bytes but "
+                f"payload has only {len(p)}"
+            )
+        pos[i] += sk
+    end = offs[1:]
+    n_frames = np.zeros(n, dtype=np.int64)
+    total_samples = np.zeros(n, dtype=np.int64)
+    frame_bytes = np.zeros(n, dtype=np.int64)
+    first_v = np.zeros(n, dtype=np.int64)
+    first_layer = np.ones(n, dtype=np.int64)
+    first_br = np.zeros(n, dtype=np.int64)
+    first_sr = np.ones(n, dtype=np.int64)
+    chan_max = np.zeros(n, dtype=np.int64)
+    last_flen = np.zeros(n, dtype=np.int64)
+    active = pos + 4 <= end
+    while active.any():
+        idx = np.nonzero(active)[0]
+        p = pos[idx]
+        b0 = buf[p].astype(np.int64)
+        b1 = buf[p + 1].astype(np.int64)
+        b2 = buf[p + 2].astype(np.int64)
+        b3 = buf[p + 3].astype(np.int64)
+        bad = (b0 != 0xFF) | ((b1 & 0xE0) != 0xE0)
+        if bad.any():
+            j = int(idx[np.nonzero(bad)[0][0]])
+            raise ValueError(
+                f"MPEG probe: lost frame sync at byte "
+                f"{int(pos[j] - offs[j])} after {int(n_frames[j])} frames"
+            )
+        vcode = _NP_VERSION[(b1 >> 3) & 0b11]
+        layer = _NP_LAYER[(b1 >> 1) & 0b11]
+        if (vcode < 0).any() or (layer < 0).any():
+            raise ValueError("MPEG probe: reserved version/layer bits")
+        br_idx = (b2 >> 4) & 0xF
+        sr_idx = (b2 >> 2) & 0b11
+        padding = (b2 >> 1) & 1
+        if (br_idx == 0).any():
+            raise NotImplementedError(
+                "MPEG probe: free-format bitrate needs full frame "
+                "parsing; only indexed bitrates are probed"
+            )
+        if ((br_idx == 15) | (sr_idx == 3)).any():
+            raise ValueError("MPEG probe: invalid bitrate/sample-rate index")
+        vgroup = (vcode != 0).astype(np.int64)
+        br = _NP_BITRATE[vgroup, layer - 1, br_idx - 1]
+        sr = _NP_SAMPLE_RATE[vcode, sr_idx]
+        ch = np.where(((b3 >> 6) & 0b11) == 0b11, 1, 2)
+        is_l1 = layer == 1
+        big = (layer == 2) | (vcode == 0)  # 1152-sample / 144-slot group
+        spf = np.where(is_l1, 384, np.where(big, 1152, 576))
+        flen = np.where(
+            is_l1,
+            (12 * br * 1000 // sr + padding) * 4,
+            np.where(big, 144, 72) * br * 1000 // sr + padding,
+        )
+        first = n_frames[idx] == 0
+        fi = idx[first]
+        first_v[fi] = vcode[first]
+        first_layer[fi] = layer[first]
+        first_br[fi] = br[first]
+        first_sr[fi] = sr[first]
+        chan_max[idx] = np.maximum(chan_max[idx], ch)
+        n_frames[idx] += 1
+        total_samples[idx] += spf
+        frame_bytes[idx] += flen
+        last_flen[idx] = flen
+        pos[idx] = p + flen
+        active[idx] = pos[idx] + 4 <= end[idx]
+    over = pos > end
+    if over.any():
+        j = int(np.nonzero(over)[0][0])
+        flen_j = int(last_flen[j])
+        raise ValueError(
+            f"MPEG probe: truncated final frame (header at byte "
+            f"{int(pos[j] - offs[j]) - flen_j} promises {flen_j} bytes, "
+            f"payload ends {int(pos[j] - end[j])} bytes short)"
+        )
+    if (n_frames == 0).any():
+        raise ValueError("MPEG probe: no frames found")
+    return {
+        "mpeg_version": _NP_VERSION_STR[first_v],
+        "layer": _NP_LAYER_ROMAN[first_layer - 1],
+        "bitrate_kbps": first_br,
+        "sample_rate": first_sr,
+        "channels": chan_max,
+        "n_frames": n_frames,
+        "total_samples": total_samples,
+        "duration_ms": total_samples * 1000 // first_sr,
         "frame_bytes": frame_bytes,
     }
 
@@ -649,10 +804,8 @@ def probe_mpeg_audio(df: DataFrame) -> DataFrame:
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            rows = [
-                {"doc_id": int(did), **probe_mpeg_frames(bytes(payload))}
-                for did, payload in zip(pdf["doc_id"], pdf["payload"])
-            ]
-            yield pd.DataFrame(rows, columns=cols)
+            out = _probe_mpeg_batch(list(pdf["payload"]))
+            out["doc_id"] = pdf["doc_id"].to_numpy()
+            yield pd.DataFrame(out, columns=cols)
 
     return df.select("doc_id", "payload").mapInPandas(batches, MPEG_PROBE_SCHEMA)

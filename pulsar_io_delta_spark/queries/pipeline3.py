@@ -446,26 +446,69 @@ def _blob_done(out: str) -> None:
         f.write("ok")
 
 
+def _read_blobs(spark, outdir: str, glob: str):
+    """binaryFile scan of a blob-fixture dir, coalesced to ~2 tasks per
+    core (round 12). The scan's open-cost heuristic
+    (spark.sql.files.openCostInBytes, default 4 MB/file) splits a
+    50k-tiny-file corpus into ~1500 partitions, and every partition
+    downstream pays an Arrow batch + Python-worker round trip in the
+    codec mapInPandas stage — pure task overhead, not compute
+    (measured: the sf1 MPEG probe spent more time scheduling 1563
+    tasks than probing 250k frames). A narrow coalesce (no shuffle)
+    re-fattens the batches; at production blob sizes the byte-based
+    split dominates the open-cost term and the coalesce is a no-op
+    because the partition count is already below the target."""
+    target = max(spark.sparkContext.defaultParallelism * 2, 1)
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(outdir)
+        .coalesce(target)
+    )
+
+
 def _write_blobs(df, outdir: str, make) -> None:
     """Executor-side blob-fixture materialization: ``make(row) →
-    (filename, bytes)`` runs inside ``foreachPartition``, so the
+    (filename, bytes)`` runs inside a per-partition task, so the
     one-time setup parallelizes across executor threads instead of the
     driver serially open()/write()-ing ~50k files at sf1 inside a
     measured query's first run. Writes are tmp-then-rename so a task
     retry never leaves a torn file; local mode shares the filesystem,
-    a cluster points ``outdir`` at shared storage."""
+    a cluster points ``outdir`` at shared storage.
+
+    Before returning, the DRIVER re-counts the materialized files and
+    fails loudly on mismatch (ADVICE r11): executors that wrote to
+    storage the driver cannot see (outdir not actually shared) would
+    otherwise get a _DONE marker over an empty/partial corpus, and the
+    later binaryFile read would silently probe a truncated fixture."""
 
     def _part(rows):
         import os
 
+        n = 0
         for r in rows:
             name, payload = make(r)
             tmp = os.path.join(outdir, f".{name}.tmp-{os.getpid()}")
             with open(tmp, "wb") as f:
                 f.write(payload)
             os.replace(tmp, os.path.join(outdir, name))
+            n += 1
+        yield n
 
-    df.foreachPartition(_part)
+    import os
+
+    written = sum(df.rdd.mapPartitions(_part).collect())
+    visible = sum(
+        1
+        for nm in os.listdir(outdir)
+        if nm != "_DONE" and not nm.startswith(".")
+    )
+    if visible != written:
+        raise RuntimeError(
+            f"blob fixture incomplete: executors wrote {written} files "
+            f"but only {visible} are driver-visible under {outdir} — is "
+            "the fixture dir on shared storage?"
+        )
 
 
 # ---------------------------------------------------------------------------
@@ -514,7 +557,7 @@ def q_source_binary(spark, sf_dir):
             ),
         )
         _blob_done(outdir)
-    bf = spark.read.format("binaryFile").option("pathGlobFilter", "*.pgm").load(outdir)
+    bf = _read_blobs(spark, outdir, "*.pgm")
     framed = bf.select(
         F.regexp_extract(F.col("path"), r"([0-9]+)\.pgm$", 1)
         .cast("long")
@@ -1328,7 +1371,7 @@ def q_multimodal_audio(spark, sf_dir):
 
         _write_blobs(d, outdir, _mk_wav)
         _blob_done(outdir)
-    bf = spark.read.format("binaryFile").option("pathGlobFilter", "*.wav").load(outdir)
+    bf = _read_blobs(spark, outdir, "*.wav")
     framed = bf.select(
         F.regexp_extract(F.col("path"), r"([0-9]+)\.wav$", 1)
         .cast("long")
@@ -1436,7 +1479,7 @@ def q_multimodal_audio_g711(spark, sf_dir):
 
         _write_blobs(d, outdir, _mk_g711)
         _blob_done(outdir)
-    bf = spark.read.format("binaryFile").option("pathGlobFilter", "*.wav").load(outdir)
+    bf = _read_blobs(spark, outdir, "*.wav")
     framed = bf.select(
         F.regexp_extract(F.col("path"), r"([0-9]+)\.wav$", 1)
         .cast("long")
@@ -1505,7 +1548,7 @@ def q_multimodal_video(spark, sf_dir):
 
         _write_blobs(d, outdir, _mk_avi)
         _blob_done(outdir)
-    bf = spark.read.format("binaryFile").option("pathGlobFilter", "*.avi").load(outdir)
+    bf = _read_blobs(spark, outdir, "*.avi")
     framed = bf.select(
         F.regexp_extract(F.col("path"), r"([0-9]+)\.avi$", 1)
         .cast("long")
@@ -1921,7 +1964,7 @@ def q_multimodal_audio_flac(spark, sf_dir):
 
         _write_blobs(d, outdir, _mk_flac)
         _blob_done(outdir)
-    bf = spark.read.format("binaryFile").option("pathGlobFilter", "*.flac").load(outdir)
+    bf = _read_blobs(spark, outdir, "*.flac")
     framed = bf.select(
         F.regexp_extract(F.col("path"), r"([0-9]+)\.flac$", 1)
         .cast("long")
@@ -2006,9 +2049,7 @@ def q_multimodal_audio_probe(spark, sf_dir):
         _write_blobs(d, outdir, _mk_mp3)
         _blob_done(outdir)
     bf = (
-        spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.mp3")
-        .load(outdir)
+        _read_blobs(spark, outdir, "*.mp3")
     )
     framed = bf.select(
         F.regexp_extract(F.col("path"), r"([0-9]+)\.mp3$", 1)

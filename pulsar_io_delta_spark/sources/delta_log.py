@@ -170,6 +170,17 @@ def _stats_index_cols(
     explicit = cfg.get("delta.dataSkippingStatsColumns")
     if explicit is not None:
         names = {c.strip().strip("`") for c in explicit.split(",") if c.strip()}
+        known = {f["name"] for f in fields}
+        unknown = sorted(names - known)
+        if unknown:
+            # delta-spark validates the configured list against the
+            # schema and errors; silently intersecting would let a
+            # typo shrink the allowlist to identity-only and disable
+            # data skipping with no signal.
+            raise DeltaProtocolError(
+                "delta.dataSkippingStatsColumns names column(s) not in "
+                f"the table schema: {', '.join(unknown)}"
+            )
         out = {phys(f) for f in fields if f["name"] in names}
     else:
         n = int(cfg.get("delta.dataSkippingNumIndexedCols", 32))
@@ -1908,6 +1919,18 @@ class DeltaTable:
         if cfg.get("delta.enableInCommitTimestamps") == "true":
             en_v = int(cfg.get("delta.inCommitTimestampEnablementVersion") or 0)
             ict_region = [v for v in versions if v >= en_v]
+            if not ict_region:
+                # a foreign writer (or corrupt property) claims ICT
+                # was enabled at a version beyond every retained
+                # commit — there is no ICT suffix to search and the
+                # claim itself is unverifiable; refuse by name rather
+                # than IndexError below
+                raise DeltaProtocolError(
+                    f"delta.inCommitTimestampEnablementVersion={en_v} "
+                    f"exceeds every retained version (latest {latest}) "
+                    "— cannot resolve by timestamp; time-travel by "
+                    "version instead"
+                )
             # only commits whose JSON survives can steer the search: a
             # checkpoint/file-mtime substitute (commit_timestamp_ms's
             # fallback) is non-monotone vs neighboring ICTs and would

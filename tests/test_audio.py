@@ -374,3 +374,111 @@ class TestMpegProbe:
 
         with pytest.raises(NotImplementedError, match="Layer III"):
             _parse_audio(build_mpeg_stream(3, 1, 0, True, 1))
+
+
+class TestMpegProbeBatch:
+    """Round 12: the batch-vectorized probe (numpy wavefront over a
+    concatenated buffer) must be semantics-identical to the scalar
+    frame walk — same stats on every valid stream, same error class on
+    every corrupt one."""
+
+    def _batch_one(self, payload):
+        from pulsar_io_delta_spark.operators.multimodal import _probe_mpeg_batch
+
+        out = _probe_mpeg_batch([payload])
+        return {k: (v[0].item() if hasattr(v[0], "item") else v[0])
+                for k, v in out.items()}
+
+    def test_matrix_equals_scalar(self):
+        from pulsar_io_delta_spark.operators.multimodal import (
+            _probe_mpeg_batch,
+            build_mpeg_stream,
+            probe_mpeg_frames,
+        )
+
+        streams = []
+        for layer in (1, 2, 3):
+            for bi in (1, 5, 9):
+                for si in (0, 1, 2):
+                    for mono in (True, False):
+                        for nf in (1, 4, 7):
+                            streams.append(
+                                build_mpeg_stream(
+                                    layer, bi, si, mono, nf,
+                                    id3_bytes=64 if nf == 4 else 0,
+                                )
+                            )
+        want = [probe_mpeg_frames(s) for s in streams]
+        got = _probe_mpeg_batch(streams)
+        for i, w in enumerate(want):
+            for k, v in w.items():
+                g = got[k][i]
+                assert (g.item() if hasattr(g, "item") else g) == v, (i, k)
+
+    def test_mixed_channel_stream_max_accounting(self):
+        # scalar meta logic reports max(channels) across frames when the
+        # stream mixes modes; the batch path must agree
+        from pulsar_io_delta_spark.operators.multimodal import (
+            build_mpeg_stream,
+            probe_mpeg_frames,
+        )
+
+        mono = build_mpeg_stream(3, 2, 1, True, 2)
+        stereo = build_mpeg_stream(3, 2, 1, False, 3)
+        mixed = mono + stereo
+        w = probe_mpeg_frames(mixed)
+        assert w["channels"] == 2 and w["n_frames"] == 5
+        assert self._batch_one(mixed) == w
+
+    def test_trailing_junk_under_4_bytes_tolerated_like_scalar(self):
+        from pulsar_io_delta_spark.operators.multimodal import (
+            build_mpeg_stream,
+            probe_mpeg_frames,
+        )
+
+        s = build_mpeg_stream(2, 3, 0, False, 3) + b"\x00\x00"
+        assert self._batch_one(s) == probe_mpeg_frames(s)
+
+    def test_errors_match_scalar(self):
+        import pytest
+
+        from pulsar_io_delta_spark.operators.multimodal import (
+            _probe_mpeg_batch,
+            build_mpeg_stream,
+            probe_mpeg_frames,
+        )
+
+        good = build_mpeg_stream(3, 1, 0, True, 3)
+        cases = [
+            (good + b"\x00garbage", ValueError, "lost frame sync"),
+            (good[:-5], ValueError, "truncated final frame"),
+            (b"ID3\x03\x00\x00\x00\x00\x00\x00", ValueError, "no frames"),
+            (b"ID3\x03\x00\x00\x00\x00\x07\x00" + bytes(20), ValueError,
+             "ID3v2 tag promises"),
+            (bytes([0xFF, 0xE0 | (0b11 << 3) | (0b01 << 1) | 1, 0x00, 0x00])
+             + bytes(100), NotImplementedError, "free-format"),
+            (bytes([0xFF, 0xE0 | (0b01 << 3) | (0b01 << 1) | 1, 0x10, 0x00])
+             + bytes(100), ValueError, "reserved"),
+        ]
+        for payload, exc, msg in cases:
+            with pytest.raises(exc, match=msg):
+                probe_mpeg_frames(payload)
+            with pytest.raises(exc, match=msg):
+                _probe_mpeg_batch([payload])
+            # a bad payload poisons its batch even next to good ones
+            with pytest.raises(exc, match=msg):
+                _probe_mpeg_batch([good, payload, good])
+
+    def test_truncated_final_frame_refuses(self):
+        # ADVICE r11: the scalar walk used to count a final frame whose
+        # header promised more bytes than the payload holds
+        import pytest
+
+        from pulsar_io_delta_spark.operators.multimodal import (
+            build_mpeg_stream,
+            probe_mpeg_frames,
+        )
+
+        good = build_mpeg_stream(1, 2, 1, False, 2)
+        with pytest.raises(ValueError, match="truncated final frame"):
+            probe_mpeg_frames(good[:-1])
