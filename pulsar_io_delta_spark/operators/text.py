@@ -187,40 +187,60 @@ def with_char_entropy(df: DataFrame, text_col: str = "text", out: str = "entropy
     return df.withColumn(out, ent).drop(counts_col, "_ce_n")
 
 
-# PII patterns (round 11): RE2-compatible (no lookarounds/backrefs) so
-# the DuckDB oracle applies the SAME pattern text with its own engine —
-# a two-engine contract on the scrub, not a self-comparison.
+# PII patterns (round 11, widened round 12): RE2-compatible (no
+# lookarounds/backrefs) so the DuckDB oracle applies the SAME pattern
+# text with its own engine — a two-engine contract on the scrub, not a
+# self-comparison. Deliberate non-goals (documented in MIGRATION.md):
+# no Luhn/credit-card validation, no `::1`-style IPv6 with an empty
+# left side, no phone formats beyond NANP-shaped +N/parenthesized/
+# dashed groups.
 PII_EMAIL_RE = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
-PII_PHONE_RE = r"\b\d{3}-\d{4}\b"
+# alternation order = leftmost-first preference in BOTH engines (RE2
+# implements Perl leftmost-first): most-specific forms first.
+# +1-(555)-123-4567 | (555) 123-4567 | 555-123-4567 | 555-0199
+PII_PHONE_RE = (
+    r"\+?\b\d{1,2}[-. ]\(?\d{3}\)?[-. ]?\d{3}[-. ]\d{4}\b"
+    r"|\(\d{3}\)[-. ]?\d{3}[-. ]\d{4}\b"
+    r"|\b\d{3}-\d{3}-\d{4}\b"
+    r"|\b\d{3}-\d{4}\b"
+)
+PII_SSN_RE = r"\b\d{3}-\d{2}-\d{4}\b"
 PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+# full 8-group form | one '::' compression with >=1 group each side
+# (>=4 hex groups total keeps hh:mm:ss timestamps out of scope)
+PII_IPV6_RE = (
+    r"\b(?:[0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}\b"
+    r"|\b[0-9A-Fa-f]{1,4}(?::[0-9A-Fa-f]{1,4}){0,5}"
+    r"::[0-9A-Fa-f]{1,4}(?::[0-9A-Fa-f]{1,4}){0,5}\b"
+)
 
 
 def scrub_pii(
     df: DataFrame, text_col: str = "text", out: str = "clean_text"
 ) -> DataFrame:
-    """Redact emails / phone numbers / IPv4 literals and count each
-    class — the standard pre-training privacy pass. Entirely JVM-side
-    (regexp_replace / regexp_count inside whole-stage codegen): at
-    100 TB the scrub is a narrow map with zero shuffle and zero Python.
-    Replacement order matters only across overlapping classes; emails
-    go first so their host part cannot later be counted as an IP."""
+    """Redact emails / phone numbers / SSN-shaped ids / IPv4 / IPv6
+    literals and count each class — the standard pre-training privacy
+    pass. Entirely JVM-side (regexp_replace / regexp_count inside
+    whole-stage codegen): at 100 TB the scrub is a narrow map with
+    zero shuffle and zero Python. Counts are over the ORIGINAL text
+    per class; replacement order matters only across overlapping
+    classes — emails go first so their host part cannot later be
+    counted as an IP. The SSN and phone patterns are mutually
+    exclusive by construction (3-2-4 digit grouping cannot embed or be
+    embedded in 3-4 / 3-3-4 / paren forms across `\\b` boundaries)."""
     c = F.col(text_col)
+    cleaned = F.regexp_replace(c, PII_EMAIL_RE, "<EMAIL>")
+    cleaned = F.regexp_replace(cleaned, PII_IPV6_RE, "<IPV6>")
+    cleaned = F.regexp_replace(cleaned, PII_IPV4_RE, "<IP>")
+    cleaned = F.regexp_replace(cleaned, PII_SSN_RE, "<SSN>")
+    cleaned = F.regexp_replace(cleaned, PII_PHONE_RE, "<PHONE>")
     return (
         df.withColumn("n_emails", F.regexp_count(c, F.lit(PII_EMAIL_RE)))
         .withColumn("n_phones", F.regexp_count(c, F.lit(PII_PHONE_RE)))
+        .withColumn("n_ssn", F.regexp_count(c, F.lit(PII_SSN_RE)))
         .withColumn("n_ips", F.regexp_count(c, F.lit(PII_IPV4_RE)))
-        .withColumn(
-            out,
-            F.regexp_replace(
-                F.regexp_replace(
-                    F.regexp_replace(c, PII_EMAIL_RE, "<EMAIL>"),
-                    PII_IPV4_RE,
-                    "<IP>",
-                ),
-                PII_PHONE_RE,
-                "<PHONE>",
-            ),
-        )
+        .withColumn("n_ipv6", F.regexp_count(c, F.lit(PII_IPV6_RE)))
+        .withColumn(out, cleaned)
     )
 
 
@@ -231,15 +251,24 @@ def html_extract(
     df: DataFrame, html_col: str = "html", out: str = "clean_text"
 ) -> DataFrame:
     """Boilerplate-stripping text extraction (simplified trafilatura
-    shape): drop script/style blocks wholesale, strip remaining tags,
-    collapse whitespace, and report text density (clean chars / html
-    chars) — the filter signal crawl curation cuts on. JVM-side regex
-    chain, narrow map, no shuffle."""
+    shape): drop comments and script/style blocks wholesale, strip
+    remaining tags, collapse whitespace, and report text density
+    (clean chars / html chars) — the filter signal crawl curation cuts
+    on. JVM-side regex chain, narrow map, no shuffle.
+
+    Comments strip BEFORE the tag pass (round 12): ``<!-- a <b>
+    comment -->`` matches ``<[^>]*>`` only up to the first ``>``, so
+    the tag pass alone leaves a stray ``-->`` in clean_text and counts
+    its chars in text_density."""
     c = F.col(html_col)
     cleaned = F.regexp_replace(
         F.regexp_replace(
             F.regexp_replace(
-                F.regexp_replace(c, r"(?s)<script[^>]*>.*?</script>", " "),
+                F.regexp_replace(
+                    F.regexp_replace(c, r"(?s)<!--.*?-->", " "),
+                    r"(?s)<script[^>]*>.*?</script>",
+                    " ",
+                ),
                 r"(?s)<style[^>]*>.*?</style>",
                 " ",
             ),

@@ -2064,9 +2064,21 @@ def q_multimodal_audio_probe(spark, sf_dir):
     )
 
 
+# the oracle embeds the EXACT pattern constants the Spark operator
+# compiles (none contain single quotes, so SQL literal quoting is
+# safe) — the two-engine contract is on identical pattern text
+from pulsar_io_delta_spark.operators.text import (  # noqa: E402
+    PII_EMAIL_RE as _PII_SQL_EMAIL,
+    PII_IPV4_RE as _PII_SQL_IPV4,
+    PII_IPV6_RE as _PII_SQL_IPV6,
+    PII_PHONE_RE as _PII_SQL_PHONE,
+    PII_SSN_RE as _PII_SQL_SSN,
+)
+
+
 @register(
     "q_pii_scrub",
-    oracle="""
+    oracle=f"""
 WITH synth AS (
   SELECT doc_id,
          substr(text, 1, 80)
@@ -2081,37 +2093,71 @@ WITH synth AS (
                       || CAST((doc_id * 7) % 256 AS VARCHAR) || '.'
                       || CAST((doc_id * 13) % 256 AS VARCHAR) || '.'
                       || CAST((doc_id * 29) % 256 AS VARCHAR)
+                 ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' ph +1-(' || CAST(doc_id % 700 + 200 AS VARCHAR)
+                      || ')-' || CAST(doc_id % 900 + 100 AS VARCHAR)
+                      || '-' || CAST(doc_id % 9000 + 1000 AS VARCHAR)
+                 WHEN doc_id % 5 = 1
+                 THEN ' tel (' || CAST(doc_id % 700 + 200 AS VARCHAR)
+                      || ') ' || CAST(doc_id % 900 + 100 AS VARCHAR)
+                      || '-' || CAST(doc_id % 9000 + 1000 AS VARCHAR)
+                 WHEN doc_id % 5 = 2
+                 THEN ' dial ' || CAST(doc_id % 700 + 200 AS VARCHAR)
+                      || '-' || CAST(doc_id % 900 + 100 AS VARCHAR)
+                      || '-' || CAST(doc_id % 9000 + 1000 AS VARCHAR)
+                 ELSE '' END
+         || CASE WHEN doc_id % 4 = 1
+                 THEN ' ssn ' || CAST(doc_id % 900 + 100 AS VARCHAR)
+                      || '-' || CAST(doc_id % 90 + 10 AS VARCHAR)
+                      || '-' || CAST(doc_id % 9000 + 1000 AS VARCHAR)
+                 ELSE '' END
+         || CASE WHEN doc_id % 6 = 0
+                 THEN ' v6 2001:db8:'
+                      || CAST(doc_id % 9000 + 1000 AS VARCHAR)
+                      || ':0:1:2:'
+                      || CAST((doc_id * 3) % 9000 + 1000 AS VARCHAR)
+                      || ':' || CAST((doc_id * 7) % 9000 + 1000 AS VARCHAR)
+                 WHEN doc_id % 6 = 3
+                 THEN ' v6c fe80::' || CAST(doc_id % 9000 + 1000 AS VARCHAR)
                  ELSE '' END AS t
   FROM documents
 )
 SELECT doc_id,
        regexp_replace(
          regexp_replace(
-           regexp_replace(t,
-             '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}',
-             '<EMAIL>', 'g'),
-           '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
-         '\\b\\d{3}-\\d{4}\\b', '<PHONE>', 'g') AS clean_text,
-       CAST(len(regexp_extract_all(t,
-         '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}')) AS BIGINT)
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(t, '{_PII_SQL_EMAIL}', '<EMAIL>', 'g'),
+               '{_PII_SQL_IPV6}', '<IPV6>', 'g'),
+             '{_PII_SQL_IPV4}', '<IP>', 'g'),
+           '{_PII_SQL_SSN}', '<SSN>', 'g'),
+         '{_PII_SQL_PHONE}', '<PHONE>', 'g') AS clean_text,
+       CAST(len(regexp_extract_all(t, '{_PII_SQL_EMAIL}')) AS BIGINT)
          AS n_emails,
-       CAST(len(regexp_extract_all(t, '\\b\\d{3}-\\d{4}\\b')) AS BIGINT)
+       CAST(len(regexp_extract_all(t, '{_PII_SQL_PHONE}')) AS BIGINT)
          AS n_phones,
-       CAST(len(regexp_extract_all(t,
-         '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT)
-         AS n_ips
+       CAST(len(regexp_extract_all(t, '{_PII_SQL_SSN}')) AS BIGINT)
+         AS n_ssn,
+       CAST(len(regexp_extract_all(t, '{_PII_SQL_IPV4}')) AS BIGINT)
+         AS n_ips,
+       CAST(len(regexp_extract_all(t, '{_PII_SQL_IPV6}')) AS BIGINT)
+         AS n_ipv6
 FROM synth
 """,
 )
 def q_pii_scrub(spark, sf_dir):
-    """PII redaction (round 11): the standard pre-training privacy
-    pass — emails, phone numbers, IPv4 literals replaced by typed
-    placeholders with per-class counts. The fixture corpus is clean
-    word-soup, so each row deterministically SYNTHESIZES its PII from
-    doc_id in BOTH engines (same input string), then each engine
-    scrubs with its OWN regex implementation (Java vs RE2) over
-    RE2-compatible patterns — a genuine two-engine contract on the
-    scrub, not a self-comparison.
+    """PII redaction (round 11, widened round 12): the standard
+    pre-training privacy pass — emails, NANP-shaped phone numbers
+    (+N/parenthesized/10-digit/7-digit forms), SSN-shaped ids, IPv4
+    and IPv6 literals replaced by typed placeholders with per-class
+    counts. The fixture corpus is clean word-soup, so each row
+    deterministically SYNTHESIZES its PII from doc_id in BOTH engines
+    (same input string), then each engine scrubs with its OWN regex
+    implementation (Java vs RE2) over RE2-compatible patterns — a
+    genuine two-engine contract on the scrub, not a self-comparison.
+    Deliberate non-goals documented in MIGRATION.md (Luhn checks,
+    empty-left-side '::1' IPv6, non-NANP phone formats).
 
     Scale shape: narrow JVM-side map (regexp_replace/regexp_count in
     whole-stage codegen), zero shuffle, zero Python — at 100 TB the
@@ -2139,6 +2185,37 @@ def q_pii_scrub(spark, sf_dir):
                          s((did * 13) % 256), F.lit("."),
                          s((did * 29) % 256)),
             ).otherwise(F.lit("")),
+            F.when(
+                did % 5 == 0,
+                F.concat(F.lit(" ph +1-("), s(did % 700 + 200),
+                         F.lit(")-"), s(did % 900 + 100), F.lit("-"),
+                         s(did % 9000 + 1000)),
+            ).when(
+                did % 5 == 1,
+                F.concat(F.lit(" tel ("), s(did % 700 + 200),
+                         F.lit(") "), s(did % 900 + 100), F.lit("-"),
+                         s(did % 9000 + 1000)),
+            ).when(
+                did % 5 == 2,
+                F.concat(F.lit(" dial "), s(did % 700 + 200),
+                         F.lit("-"), s(did % 900 + 100), F.lit("-"),
+                         s(did % 9000 + 1000)),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 4 == 1,
+                F.concat(F.lit(" ssn "), s(did % 900 + 100), F.lit("-"),
+                         s(did % 90 + 10), F.lit("-"),
+                         s(did % 9000 + 1000)),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 6 == 0,
+                F.concat(F.lit(" v6 2001:db8:"), s(did % 9000 + 1000),
+                         F.lit(":0:1:2:"), s((did * 3) % 9000 + 1000),
+                         F.lit(":"), s((did * 7) % 9000 + 1000)),
+            ).when(
+                did % 6 == 3,
+                F.concat(F.lit(" v6c fe80::"), s(did % 9000 + 1000)),
+            ).otherwise(F.lit("")),
         ).alias("t"),
     )
     out = scrub_pii(synth, text_col="t", out="clean_text")
@@ -2146,7 +2223,9 @@ def q_pii_scrub(spark, sf_dir):
         "doc_id", "clean_text",
         F.col("n_emails").cast("long").alias("n_emails"),
         F.col("n_phones").cast("long").alias("n_phones"),
+        F.col("n_ssn").cast("long").alias("n_ssn"),
         F.col("n_ips").cast("long").alias("n_ips"),
+        F.col("n_ipv6").cast("long").alias("n_ipv6"),
     )
 
 
@@ -2156,7 +2235,11 @@ def q_pii_scrub(spark, sf_dir):
 WITH synth AS (
   SELECT doc_id,
          '<html><head><style>p{color:red}</style><script>var x="'
-         || source || '";</script></head><body><p>'
+         || source || '";</script></head><body>'
+         || CASE WHEN doc_id % 2 = 0
+                 THEN '<!-- nav block <b>disabled</b> since v' ||
+                      CAST(doc_id % 9 AS VARCHAR) || ' --><p>'
+                 ELSE '<p>' END
          || substr(text, 1, 100)
          || '</p><div class="nav">home login menu</div></body></html>'
            AS html
@@ -2166,7 +2249,9 @@ WITH synth AS (
          trim(regexp_replace(
            regexp_replace(
              regexp_replace(
-               regexp_replace(html, '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+               regexp_replace(
+                 regexp_replace(html, '(?s)<!--.*?-->', ' ', 'g'),
+                 '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
                '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
              '<[^>]*>', ' ', 'g'),
            '\\s+', ' ', 'g')) AS clean_text
@@ -2195,7 +2280,18 @@ def q_html_extract(spark, sf_dir):
         F.concat(
             F.lit('<html><head><style>p{color:red}</style><script>var x="'),
             F.col("source"),
-            F.lit('";</script></head><body><p>'),
+            F.lit('";</script></head><body>'),
+            # comment-heavy rows WITH embedded tags: the case where a
+            # tag-only strip chain leaves a stray '-->' residue — the
+            # fixture must discriminate the comment pass (round 12)
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(
+                    F.lit("<!-- nav block <b>disabled</b> since v"),
+                    (F.col("doc_id") % 9).cast("string"),
+                    F.lit(" --><p>"),
+                ),
+            ).otherwise(F.lit("<p>")),
             F.substring("text", 1, 100),
             F.lit('</p><div class="nav">home login menu</div></body></html>'),
         ).alias("html"),

@@ -563,6 +563,47 @@ class TestPiiScrub:
         assert "Exchange" not in plan  # zero shuffle
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
+    def test_widened_phone_forms(self, spark):
+        # round 12 (VERDICT r11 #4): international/parenthesized/
+        # 10-digit forms, each ONE match, still leftmost-first in both
+        # engines
+        from pulsar_io_delta_spark.operators.text import scrub_pii
+
+        df = spark.createDataFrame(
+            [
+                (1, "call +1-(555)-123-4567 now"),
+                (2, "tel (555) 123-4567 or (555)123-4567"),
+                (3, "dial 555-123-4567 and local 555-0199"),
+                (4, "intl +1 555 123 4567 spaced"),
+            ],
+            "id long, text string",
+        )
+        got = {r.id: r for r in scrub_pii(df, "text", "clean").collect()}
+        assert got[1].clean == "call <PHONE> now" and got[1].n_phones == 1
+        assert got[2].clean == "tel <PHONE> or <PHONE>"
+        assert got[3].clean == "dial <PHONE> and local <PHONE>"
+        assert got[4].clean == "intl <PHONE> spaced"
+
+    def test_ssn_and_ipv6_classes(self, spark):
+        from pulsar_io_delta_spark.operators.text import scrub_pii
+
+        df = spark.createDataFrame(
+            [
+                (1, "ssn 123-45-6789 next to phone 555-123-4567"),
+                (2, "v6 2001:db8:1:2:3:4:5:6 and fe80::1234"),
+                (3, "time 12:34:56 and ::1 and dead:beef stay"),
+            ],
+            "id long, text string",
+        )
+        got = {r.id: r for r in scrub_pii(df, "text", "clean").collect()}
+        assert got[1].clean == "ssn <SSN> next to phone <PHONE>"
+        assert (got[1].n_ssn, got[1].n_phones) == (1, 1)
+        assert got[2].clean == "v6 <IPV6> and <IPV6>" and got[2].n_ipv6 == 2
+        # documented non-goals / false-positive guards: timestamps,
+        # empty-left-side '::', sub-4-group hex words
+        assert got[3].clean == "time 12:34:56 and ::1 and dead:beef stay"
+        assert (got[3].n_ipv6, got[3].n_phones, got[3].n_ssn) == (0, 0, 0)
+
 
 class TestHtmlExtract:
     def test_strips_script_style_tags_and_collapses(self, spark):
@@ -578,3 +619,20 @@ class TestHtmlExtract:
         r = html_extract(df).first()
         assert r.clean_text == "hello world"
         assert 0 < r.text_density < 1
+
+    def test_comments_with_embedded_tags_leave_no_residue(self, spark):
+        # round 12 (VERDICT r11 #2): '<!-- a <b> comment -->' used to
+        # match '<[^>]*>' only up to the first '>', leaving a stray
+        # '-->' in clean_text and counting its chars in text_density
+        from pulsar_io_delta_spark.operators.text import html_extract
+
+        df = spark.createDataFrame(
+            [
+                (1, '<p>a</p><!-- nav <b>off</b> now --><p>b</p>'),
+                (2, '<!-- multi\nline <i>c</i> --><p>kept</p>'),
+            ],
+            "id long, html string",
+        )
+        got = {r.id: r for r in html_extract(df).collect()}
+        assert got[1].clean_text == "a b" and "-->" not in got[1].clean_text
+        assert got[2].clean_text == "kept"
