@@ -5401,20 +5401,24 @@ class DeltaTable:
         )
 
     def _mapped_metadata_commit(
-        self, snap: Snapshot, schema: dict, operation: str
+        self, snap: Snapshot, schema: dict, operation: str,
+        configuration: dict | None = None,
     ) -> int:
+        config = dict(
+            snap.configuration if configuration is None else configuration
+        )
         md = {
             "metaData": {
                 "id": str(uuid.uuid4()),
                 "format": {"provider": "parquet", "options": {}},
                 "schemaString": json.dumps(schema),
                 "partitionColumns": snap.partition_columns,
-                "configuration": dict(snap.configuration or {}),
+                "configuration": config,
             }
         }
         return self._commit(
             [md], operation=operation, read_version=snap.version,
-            configuration=snap.configuration,
+            configuration=config,
         )
 
     def _guard_column_referenced(self, snap: Snapshot, name: str) -> None:
@@ -5430,6 +5434,23 @@ class DeltaTable:
             if k.startswith("delta.constraints.") and name in v:
                 raise DeltaProtocolError(
                     f"column {name!r} is referenced by constraint {k} ({v!r})"
+                )
+
+    def _guard_stats_cols_referenced(self, snap: Snapshot, name: str) -> None:
+        """DROP COLUMN on a configured stats column refuses loudly
+        (round 12): silently removing it from the allowlist could
+        leave the property empty ( = stats on nothing) without the
+        user ever naming that intent — update the property first."""
+        stats_cols = (snap.configuration or {}).get(
+            "delta.dataSkippingStatsColumns"
+        )
+        if stats_cols is not None:
+            parts = {c.strip().strip("`") for c in stats_cols.split(",")}
+            if name in parts:
+                raise DeltaProtocolError(
+                    f"column {name!r} is referenced by "
+                    "delta.dataSkippingStatsColumns; update the property "
+                    "before dropping the column"
                 )
 
     def rename_column(self, old: str, new: str) -> int:
@@ -5464,7 +5485,23 @@ class DeltaTable:
         for f in s["fields"]:
             if f["name"] == old:
                 f["name"] = new
-        return self._mapped_metadata_commit(snap, s, "RENAME COLUMN")
+        # delta.dataSkippingStatsColumns lists LOGICAL names: rewrite
+        # the entry in the SAME commit (round 12). The physical name —
+        # which add-action stats are keyed by — is untouched, so every
+        # existing file's min/max keeps pruning; without the rewrite
+        # the next write would refuse (stats-column validation) or,
+        # before round 12, silently go stats-blind on the column.
+        config = dict(snap.configuration or {})
+        stats_cols = config.get("delta.dataSkippingStatsColumns")
+        if stats_cols is not None:
+            parts = [c.strip().strip("`") for c in stats_cols.split(",")]
+            if old in parts:
+                config["delta.dataSkippingStatsColumns"] = ",".join(
+                    new if p == old else p for p in parts if p
+                )
+        return self._mapped_metadata_commit(
+            snap, s, "RENAME COLUMN", configuration=config
+        )
 
     def drop_column(self, name: str) -> int:
         """ALTER TABLE ... DROP COLUMN — metadata-only on a mapped
@@ -5488,6 +5525,7 @@ class DeltaTable:
         if len(names) == 1:
             raise DeltaProtocolError("cannot drop the only column")
         self._guard_column_referenced(snap, name)
+        self._guard_stats_cols_referenced(snap, name)
         s["fields"] = [f for f in s["fields"] if f["name"] != name]
         return self._mapped_metadata_commit(snap, s, "DROP COLUMN")
 

@@ -2,8 +2,12 @@
 files pruned at read time, results still exact."""
 
 import pyspark.sql.functions as F
+import pytest
 
-from pulsar_io_delta_spark.sources.delta_log import DeltaTable
+from pulsar_io_delta_spark.sources.delta_log import (
+    DeltaProtocolError,
+    DeltaTable,
+)
 
 
 def _commit_ranges(spark, path, ranges):
@@ -375,3 +379,84 @@ def test_stats_limiting_keeps_identity_columns(spark, tmp_path):
     schema = _json.dumps({"type": "struct", "fields": fields})
     idx = _stats_index_cols(schema, {})
     assert idx is not None and "rid" in idx and "c34" not in idx
+
+
+def test_stats_cols_survive_rename_then_write_then_prune(spark, tmp_path):
+    """Compound case (VERDICT r11 #6): mapped table +
+    dataSkippingStatsColumns naming a logical column that is then
+    RENAMED. The rename commit rewrites the property to the new
+    logical name (physical stats keys are untouched), so later writes
+    still index the column and pruning never goes blind."""
+    import json as _json
+
+    import pyspark.sql.functions as _F
+
+    t = DeltaTable(str(tmp_path / "t"))
+    t.write(
+        spark.range(50).select(
+            _F.col("id").alias("k"),
+            (_F.col("id") * 2).alias("v"),
+            _F.lit("x").alias("tag"),
+        ).coalesce(1),
+        configuration={"delta.dataSkippingStatsColumns": "v"},
+    )
+    t.enable_column_mapping()
+    t.rename_column("v", "score")
+    snap = t.snapshot()
+    assert snap.configuration["delta.dataSkippingStatsColumns"] == "score"
+    # post-rename write: stats land under the stable PHYSICAL name
+    t.write(
+        spark.range(1000, 1050).select(
+            _F.col("id").alias("k"),
+            (_F.col("id") * 2).alias("score"),
+            _F.lit("y").alias("tag"),
+        ).coalesce(1)
+    )
+    snap = t.snapshot()
+    stats = [_json.loads(a["stats"]) for a in snap.adds.values()]
+    assert all("numRecords" in s for s in stats)
+    phys = {
+        f["name"]: (f.get("metadata") or {}).get(
+            "delta.columnMapping.physicalName", f["name"]
+        )
+        for f in _json.loads(snap.schema_string)["fields"]
+    }
+    score_phys = phys["score"]
+    assert all(score_phys in s["minValues"] for s in stats)
+    # tag is NOT in the allowlist: no stats for it
+    assert all(phys["tag"] not in s["minValues"] for s in stats)
+    # pruning on the RENAMED logical column skips the low file (the
+    # read path maps logical -> physical via _phys_filters)
+    kept = t.prune_files(snap, t._phys_filters(snap, [("score", ">=", 2000)]))
+    assert len(kept) == 1 and len(snap.files) == 2
+    # and the data stays exact
+    assert t.read(spark, filters=[("score", ">=", 2000)]).count() == 50
+
+
+def test_drop_column_refuses_when_stats_col(spark, tmp_path):
+    import pyspark.sql.functions as _F
+
+    t = DeltaTable(str(tmp_path / "t"))
+    t.write(
+        spark.range(10).select(
+            _F.col("id").alias("k"), (_F.col("id") * 2).alias("v")
+        ),
+        configuration={"delta.dataSkippingStatsColumns": "v"},
+    )
+    t.enable_column_mapping()
+    with pytest.raises(DeltaProtocolError, match="dataSkippingStatsColumns"):
+        t.drop_column("v")
+
+
+def test_unknown_stats_column_refuses(spark, tmp_path):
+    """ADVICE r11: a typo'd delta.dataSkippingStatsColumns used to be
+    silently intersected away, shrinking the allowlist to
+    identity-only with no signal; delta-spark validates and errors."""
+    import pyspark.sql.functions as _F
+
+    t = DeltaTable(str(tmp_path / "t"))
+    with pytest.raises(DeltaProtocolError, match="not in the table schema"):
+        t.write(
+            spark.range(10).select(_F.col("id").alias("k")),
+            configuration={"delta.dataSkippingStatsColumns": "k, oops"},
+        )
