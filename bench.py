@@ -111,6 +111,9 @@ HEADLINE = [
     "q_clone_shallow",
     "q_reorg_purge",
     "q_stream_rate_limit",
+    # round 12: the sink-cost-isolated drain twin — the gap between
+    # these two IS the memory sink's share of the rate-limit wall time
+    "q_stream_rate_limit_drain",
     # round 11: MPEG frame probe (metadata without decode) and the two
     # curation regex chains (PII scrub / boilerplate extraction)
     "q_multimodal_audio_probe",

@@ -671,3 +671,40 @@ _R11_WINDOW = [
 ]
 promote(_R11_WINDOW, after="q_stream_tumbling")
 WINDOW_MUST_INCLUDE = _R11_WINDOW
+
+# Round-12 window (slots 1-49 after the q_stream_tumbling canary),
+# composed per the r11 verdict #1: (a) ALL 35 queries whose latest
+# driver row is r7 (the full remaining r7 pool — after this round no
+# query's latest driver row is older than r8); (b) the four queries
+# changed or added in r12: q_pii_scrub (widened to phone/SSN/IPv6
+# classes with new count columns), q_html_extract (comment strip
+# before the tag pass + comment-heavy fixture), q_multimodal_audio_probe
+# (batch-vectorized numpy wavefront + truncated-frame refusal), and
+# the new q_stream_rate_limit_drain (sink-cost-isolated foreachBatch
+# twin); (c) ten r8-stale fills led by q_cdc_source, q_filter_project,
+# q_join_inner per the r11 verdict. The remaining 24 r8 rows lead the
+# r13 (c) pool.
+_R12_WINDOW = [
+    # (a) r7-stale — the whole pool
+    "q_agg_approx", "q_agg_approx_quantiles", "q_anomaly_zscore",
+    "q_bitwise_funcs", "q_bm25_topdocs", "q_curation_pipeline",
+    "q_dedup_incremental", "q_dedup_keep_best", "q_ewma", "q_geo_join",
+    "q_geohash", "q_hampel_filter", "q_hash_funcs", "q_interval_join",
+    "q_join_bucketed", "q_json_typed", "q_lm_score",
+    "q_markov_transitions", "q_mixture_sample", "q_pit_join",
+    "q_profile_stats", "q_scd2_dim", "q_shard_assign", "q_sim_ann_ivf",
+    "q_sketch_countmin", "q_source_logs", "q_source_orc",
+    "q_sql_recursive_series", "q_stratified_sample", "q_stream_enrich",
+    "q_stream_join_outer", "q_stream_late_data", "q_text_fingerprint",
+    "q_time_rollup_multires", "q_winsorize",
+    # (b) changed/new in r12
+    "q_pii_scrub", "q_html_extract", "q_multimodal_audio_probe",
+    "q_stream_rate_limit_drain",
+    # (c) r8-stale fill
+    "q_cdc_source", "q_filter_project", "q_join_inner",
+    "q_cdc_schema_evolution", "q_cdf_source", "q_column_mapping_read",
+    "q_column_rename_drop", "q_dedup_exact", "q_dedup_substr",
+    "q_generated_columns",
+]
+promote(_R12_WINDOW, after="q_stream_tumbling")
+WINDOW_MUST_INCLUDE = _R12_WINDOW

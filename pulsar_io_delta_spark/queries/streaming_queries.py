@@ -536,3 +536,76 @@ def q_stream_rate_limit(spark, sf_dir):
     assert out.count() == expected, "rate-limited drain lost or duplicated rows"
     assert n_batches >= 4, f"expected >=4 one-file batches, saw {n_batches}"
     return out
+
+
+@register(
+    "q_stream_rate_limit_drain",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(4 AS BIGINT) AS n_batches
+FROM events
+""",
+)
+def q_stream_rate_limit_drain(spark, sf_dir):
+    """Sink-cost-isolated twin of q_stream_rate_limit (VERDICT r11
+    #5): the same two-commit, four-file, ``maxFilesPerTrigger=1``
+    drain, but the sink is a count-only ``foreachBatch`` — each
+    micro-batch runs a DISTRIBUTED count() and the driver keeps one
+    integer per batch, so the measured cost is the source (offset
+    planning, file-slice admission, trigger cycles), never the memory
+    sink materializing sf×10M rows driver-side. Benchmarking both
+    variants makes the sink's share of q_stream_rate_limit's wall time
+    a measured number instead of an attribution argument (PERF.md).
+
+    n_batches is deterministic: two commits × two files each under
+    maxFilesPerTrigger=1 admit exactly one file slice per non-empty
+    batch → exactly 4."""
+    import tempfile
+    import time as _t
+
+    from pulsar_io_delta_spark.sources.datasource import register_delta_cdc
+    from pulsar_io_delta_spark.sources.delta_log import DeltaTable
+    from pulsar_io_delta_spark.tables import table
+
+    e = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    expected = e.count()
+    path = tempfile.mkdtemp(prefix="pids_rate_drain_") + "/tbl"
+    t = DeltaTable(path)
+    t.write(e.where(F.col("event_type") != "click").repartition(2))
+    t.write(e.where(F.col("event_type") == "click").repartition(2))
+    register_delta_cdc(spark)
+    s = (
+        spark.readStream.format("pulsar_delta_cdc")
+        .option("tablePath", path)
+        .option("startingVersion", 0)
+        .option("maxFilesPerTrigger", 1)
+        .load()
+        .select("event_id", "user_id", "event_type", "value")
+    )
+    counts: list[int] = []
+
+    def _fb(batch_df, _epoch_id):
+        n = batch_df.count()
+        if n:
+            counts.append(n)
+
+    q = (
+        s.writeStream.foreachBatch(_fb)
+        .outputMode("append")
+        .trigger(processingTime="50 milliseconds")
+        .start()
+    )
+    try:
+        deadline = _t.time() + 240
+        while _t.time() < deadline and sum(counts) < expected:
+            _t.sleep(0.1)
+    finally:
+        q.stop()
+    total, n_batches = sum(counts), len(counts)
+    assert total == expected, "rate-limited drain lost or duplicated rows"
+    assert n_batches == 4, f"expected exactly 4 one-file batches, saw {n_batches}"
+    return spark.createDataFrame(
+        [(total, n_batches)], "n_rows long, n_batches long"
+    )
