@@ -630,7 +630,12 @@ class DeltaCdcDataSource(DataSource):
         snap = t.snapshot(int(as_of)) if as_of is not None else t.snapshot()
         if snap.schema_string is None:
             raise ValueError("table has no metaData/schemaString")
-        from pulsar_io_delta_spark.sources.delta_log import _column_mapping
+        from pulsar_io_delta_spark.sources.delta_log import (
+            _column_mapping,
+            _guard_collations,
+        )
+
+        _guard_collations(snap.schema_string)
 
         if _column_mapping(snap.schema_string, snap.configuration):
             # the arrow slice reader matches FILE column names against

@@ -395,6 +395,11 @@ _SUPPORTED_WRITER_FEATURES = {
     # every write path enforces delta.constraints.* via
     # _validate_constraints (violating commits refuse loudly)
     "checkConstraints",
+    # UTF8_BINARY-collated columns are pass-through (binary ordering =
+    # collation ordering, so writes and their footer stats are sound);
+    # non-binary collations refuse by name in _guard_writable /
+    # _guard_collations
+    "collations-preview",
     # _commit stamps a monotonic commitInfo.inCommitTimestamp when
     # delta.enableInCommitTimestamps is armed; time travel trusts it.
     # The -preview alias is what pre-GA delta-spark/Databricks builds
@@ -653,6 +658,46 @@ def _apply_column_defaults(df: DataFrame, schema_string: str | None) -> DataFram
             f["name"], F.expr(dflt).cast(struct[f["name"]].dataType)
         )
     return df
+
+
+def _guard_collations(schema_string: str | None) -> None:
+    """Collated string columns (Delta collations preview, table
+    feature ``collations-preview``): collation identifiers live in
+    field metadata under ``__COLLATIONS`` ({path: "PROVIDER.NAME"}).
+    The BYTES of a collated column are plain UTF-8 either way, so a
+    column collated ``*.UTF8_BINARY`` reads identically through this
+    engine — metadata-only pass-through. Any OTHER collation changes
+    comparison/ordering semantics (e.g. ``ICU.en_US`` equality folds
+    case) that this engine would silently evaluate binary-wise — and
+    file stats min/max under a non-binary collation ordering would
+    mis-prune — so non-binary collations refuse BY NAME instead of
+    returning subtly wrong comparisons. collations-preview is a
+    writer-level feature: tables stay readable up to this guard."""
+    if not schema_string or "__COLLATIONS" not in schema_string:
+        return
+
+    def walk(fields: list, prefix: str) -> None:
+        for f in fields:
+            name = f.get("name", "?")
+            meta = f.get("metadata") or {}
+            for path, ident in (meta.get("__COLLATIONS") or {}).items():
+                base = str(ident).rsplit(".", 1)[-1]
+                if base != "UTF8_BINARY":
+                    raise DeltaProtocolError(
+                        f"column {prefix}{name!r} (path {path!r}) is "
+                        f"collated {ident!r}: only UTF8_BINARY "
+                        "collations are supported (identical binary "
+                        "semantics); non-binary collations would "
+                        "compare and prune incorrectly in this engine"
+                    )
+            t = f.get("type")
+            while isinstance(t, dict):
+                if t.get("type") == "struct":
+                    walk(t.get("fields", []), f"{prefix}{name}.")
+                    break
+                t = t.get("elementType") or t.get("valueType")
+
+    walk(json.loads(schema_string).get("fields", []), "")
 
 
 def _cdf_enabled(configuration: dict | None) -> bool:
@@ -2627,6 +2672,7 @@ class DeltaTable:
         pin_session(spark)
         from pyspark.sql.types import StructType
 
+        _guard_collations(schema_string)
         schema = (
             StructType.fromJson(json.loads(schema_string))
             if schema_string is not None
@@ -4576,6 +4622,10 @@ class DeltaTable:
                 "column invariants present in the schema are not enforced "
                 "by this writer; refusing to commit"
             )
+        # collations-preview: UTF8_BINARY-only tables are writable —
+        # binary ordering IS the collation ordering, so footer stats
+        # stay sound; any non-binary collation refuses by name here
+        _guard_collations(snap.schema_string)
 
     @staticmethod
     def _remove_action(

@@ -1690,3 +1690,70 @@ def test_writer_gates_commit_coordination_features(spark, tmp_path):
         assert t.read(spark).count() == 2  # reads fine
         with pytest.raises(DeltaProtocolError, match=feature.split("-")[0]):
             t.write(events_df(spark, range(2, 4)))
+
+
+def test_collated_columns_pass_through_or_refuse_by_name(spark, tmp_path):
+    """Collations preview (round 12, VERDICT r11 #9): a handwritten log
+    whose schema collates a column UTF8_BINARY reads identically
+    (bytes unchanged, binary semantics = this engine's semantics); any
+    NON-binary collation refuses by column and collation name — this
+    engine would otherwise evaluate comparisons binary-wise and prune
+    on stats whose min/max follow a different ordering."""
+
+    def mk(root, collations):
+        os.makedirs(os.path.join(root, "_delta_log"))
+        df = spark.createDataFrame(
+            [(1, "Apple"), (2, "apple"), (3, "Banana")], "k long, s string"
+        )
+        df.coalesce(1).write.parquet(os.path.join(root, "data"))
+        part = next(
+            f for f in os.listdir(os.path.join(root, "data"))
+            if f.endswith(".parquet")
+        )
+        schema = {
+            "type": "struct",
+            "fields": [
+                {"name": "k", "type": "long", "nullable": True, "metadata": {}},
+                {"name": "s", "type": "string", "nullable": True,
+                 "metadata": {"__COLLATIONS": collations}},
+            ],
+        }
+        actions = [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 7,
+                          "writerFeatures": ["collations-preview"]}},
+            {"metaData": {"id": "c", "schemaString": json.dumps(schema),
+                          "partitionColumns": [], "configuration": {}}},
+            {"add": {"path": f"data/{part}", "partitionValues": {},
+                     "size": 1, "modificationTime": 1700000000000,
+                     "dataChange": True}},
+        ]
+        with open(os.path.join(root, "_delta_log", f"{0:020d}.json"), "w") as f:
+            for a in actions:
+                f.write(json.dumps(a) + "\n")
+        return DeltaTable(root)
+
+    # UTF8_BINARY (any provider): metadata-only pass-through
+    t1 = mk(str(tmp_path / "bin"), {"s": "SPARK.UTF8_BINARY"})
+    got = t1.read(spark)
+    assert got.count() == 3
+    assert {r.s for r in got.collect()} == {"Apple", "apple", "Banana"}
+    # and binary comparison semantics apply unchanged
+    assert got.where(F.col("s") == "apple").count() == 1
+
+    # UTF8_BINARY tables are also WRITABLE (binary ordering IS the
+    # collation ordering, so footer stats stay sound)
+    t1.write(spark.createDataFrame([(4, "cherry")], "k long, s string"))
+    assert t1.read(spark).count() == 4
+
+    # non-binary collation: refuses by name, batch AND stream
+    t2 = mk(str(tmp_path / "icu"), {"s": "ICU.en_US"})
+    with pytest.raises(DeltaProtocolError, match="ICU.en_US"):
+        t2.write(spark.createDataFrame([(9, "x")], "k long, s string"))
+    with pytest.raises(DeltaProtocolError, match="ICU.en_US"):
+        t2.read(spark).count()
+    from pulsar_io_delta_spark.sources.datasource import register_delta_cdc
+
+    register_delta_cdc(spark)
+    with pytest.raises(Exception, match="ICU.en_US|collated"):
+        (spark.read.format("pulsar_delta_cdc")
+         .option("tablePath", str(tmp_path / "icu")).load().count())
