@@ -1757,3 +1757,34 @@ def test_collated_columns_pass_through_or_refuse_by_name(spark, tmp_path):
     with pytest.raises(Exception, match="ICU.en_US|collated"):
         (spark.read.format("pulsar_delta_cdc")
          .option("tablePath", str(tmp_path / "icu")).load().count())
+
+
+def test_ict_enablement_version_beyond_retained_refuses(spark, tmp_path):
+    """ADVICE r11: a foreign writer (or corrupt property) claiming ICT
+    enablement at a version beyond every retained commit used to
+    IndexError inside _resolve_timestamp; now it refuses by name."""
+    root = str(tmp_path / "ict_bad")
+    log = os.path.join(root, "_delta_log")
+    os.makedirs(log)
+    schema = json.dumps({"type": "struct", "fields": [
+        {"name": "event_id", "type": "long", "nullable": True, "metadata": {}},
+    ]})
+    cfg = {"delta.enableInCommitTimestamps": "true",
+           "delta.inCommitTimestampEnablementVersion": "999"}
+    v0 = [
+        {"commitInfo": {"timestamp": 99, "operation": "WRITE",
+                        "inCommitTimestamp": 5000}},
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 7,
+                      "writerFeatures": ["inCommitTimestamp"]}},
+        {"metaData": {"id": "m0", "format": {"provider": "parquet", "options": {}},
+                      "schemaString": schema, "partitionColumns": [],
+                      "configuration": cfg}},
+    ]
+    with open(os.path.join(log, f"{0:020d}.json"), "w") as f:
+        for a in v0:
+            f.write(json.dumps(a) + "\n")
+    t = DeltaTable(root)
+    with pytest.raises(DeltaProtocolError, match="exceeds every retained"):
+        t.resolve_version(timestamp_ms=5000)
+    # version addressing still works
+    assert t.resolve_version(version=0) == 0
