@@ -114,6 +114,11 @@ HEADLINE = [
     # round 12: the sink-cost-isolated drain twin — the gap between
     # these two IS the memory sink's share of the rate-limit wall time
     "q_stream_rate_limit_drain",
+    # round 12: C4-style cross-doc line dedup (hash-only boilerplate
+    # shuffle + per-doc reassembly) and URL-canonicalization dedup
+    # (narrow canonicalize map + one grouped aggregate)
+    "q_line_dedup",
+    "q_dedup_url",
     # round 11: MPEG frame probe (metadata without decode) and the two
     # curation regex chains (PII scrub / boilerplate extraction)
     "q_multimodal_audio_probe",

@@ -459,3 +459,85 @@ def duplicated_spans(
         )
         .drop("grp")
     )
+
+
+def line_chunks_col(text: Column, width: int = 8) -> Column:
+    """Deterministic 'lines' for a corpus without newlines: the token
+    stream re-chunked into non-overlapping ``width``-token windows
+    (space-joined). Real crawl text splits on '\\n' instead; the
+    downstream operator is identical."""
+    toks = F.filter(F.split(F.lower(text), "[^a-z0-9]+"), lambda x: x != "")
+    n_chunks = F.ceil(F.size(toks) / F.lit(width)).cast("int")
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(n_chunks, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, (i - 1) * width + 1, width)),
+    )
+
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """C4-style cross-document LINE deduplication (round 12): any line
+    appearing in >= ``min_docs`` DISTINCT documents is boilerplate
+    (navigation chrome, cookie banners, licence footers) and is removed
+    from EVERY document; remaining lines are re-joined in original
+    order. This is the curation pass between exact-doc dedup and
+    span-level substring dedup that the surface was missing.
+
+    Scale shape: explode to (doc, line_idx, line-hash) — narrow;
+    boilerplate detection is ONE map-side-combined groupBy on the
+    64-bit line hash (the shuffle carries hashes and counts, never
+    line text); membership is a join on the hash against the
+    boilerplate set (small by the min_docs filter) followed by a
+    per-document re-aggregation. The only full-width shuffle is the
+    doc re-assembly, bounded by input size. No driver collects."""
+    lines = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(line_chunks_col(F.col(text_col), width)).alias(
+                "line_idx", "line"
+            ),
+        )
+        .where(F.col("line") != "")
+        .withColumn("h", F.xxhash64("line"))
+    )
+    boiler = (
+        lines.groupBy("h")
+        .agg(F.count_distinct(F.col(id_col)).alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("h")
+    )
+    marked = lines.join(boiler.withColumn("_boiler", F.lit(True)), "h", "left")
+    kept = (
+        marked.groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.sum(F.when(F.col("_boiler"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_removed"),
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_boiler").isNull(),
+                                F.struct("line_idx", "line"),
+                            )
+                        )
+                    ),
+                    lambda s: s.getField("line"),
+                ),
+            ).alias("clean_text"),
+        )
+    )
+    return df.select(id_col).join(kept, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("n_lines"), F.lit(0)).cast("long").alias("n_lines"),
+        F.coalesce(F.col("n_removed"), F.lit(0)).cast("long").alias("n_removed"),
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+    )

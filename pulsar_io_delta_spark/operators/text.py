@@ -284,3 +284,45 @@ def html_extract(
             F.length(F.trim(cleaned)).cast("double") / F.length(c), 4
         ),
     )
+
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Crawl-grade URL canonicalization (round 12), entirely JVM-side
+    regex/array expressions: drop the #fragment, lowercase scheme and
+    host, strip a leading 'www.', strip default ports (:80 http /
+    :443 https), strip one trailing path slash, drop utm_* tracking
+    params and SORT the survivors so parameter order never splits a
+    dedup group. Path case is preserved (paths are case-sensitive).
+    Narrow map — fuses into the scan at any scale. Mirrored verbatim
+    by the q_dedup_url DuckDB oracle."""
+    u = F.regexp_replace(url, r"#.*$", "")  # fragment never reaches origin
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
+    host = F.lower(
+        F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)", 1)
+    )
+    host = F.regexp_replace(host, r"^www\.", "")
+    host = F.when(
+        scheme == "https", F.regexp_replace(host, r":443$", "")
+    ).when(
+        scheme == "http", F.regexp_replace(host, r":80$", "")
+    ).otherwise(host)
+    path = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)", 1)
+    path = F.regexp_replace(path, r"/$", "")
+    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    params = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(query, "&"),
+                lambda p: (p != "") & ~p.rlike("^utm_"),
+            )
+        ),
+        "&",
+    )
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(params != "", F.concat(F.lit("?"), params)).otherwise(F.lit("")),
+    )

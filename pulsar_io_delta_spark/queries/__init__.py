@@ -697,14 +697,16 @@ _R12_WINDOW = [
     "q_sql_recursive_series", "q_stratified_sample", "q_stream_enrich",
     "q_stream_join_outer", "q_stream_late_data", "q_text_fingerprint",
     "q_time_rollup_multires", "q_winsorize",
-    # (b) changed/new in r12
+    # (b) changed/new in r12 (q_line_dedup = C4-style cross-doc line
+    # dedup; q_dedup_url = URL-canonicalization dedup)
     "q_pii_scrub", "q_html_extract", "q_multimodal_audio_probe",
-    "q_stream_rate_limit_drain",
-    # (c) r8-stale fill
+    "q_stream_rate_limit_drain", "q_line_dedup", "q_dedup_url",
+    # (c) r8-stale fill (q_dedup_substr / q_generated_columns yield
+    # their slots to the two new queries; they lead the r13 (c) pool
+    # with the other 24 r8 rows)
     "q_cdc_source", "q_filter_project", "q_join_inner",
     "q_cdc_schema_evolution", "q_cdf_source", "q_column_mapping_read",
-    "q_column_rename_drop", "q_dedup_exact", "q_dedup_substr",
-    "q_generated_columns",
+    "q_column_rename_drop", "q_dedup_exact",
 ]
 promote(_R12_WINDOW, after="q_stream_tumbling")
 WINDOW_MUST_INCLUDE = _R12_WINDOW

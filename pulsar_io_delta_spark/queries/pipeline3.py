@@ -2303,3 +2303,164 @@ def q_html_extract(spark, sf_dir):
         F.expr("CAST(length(clean_text) * 10000 DIV length(html) AS BIGINT)")
         .alias("density_bp"),
     )
+
+
+@register(
+    "q_line_dedup",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS t
+  FROM documents
+), lines AS (
+  SELECT doc_id, i - 1 AS line_idx,
+         array_to_string(list_slice(t, (i - 1) * 8 + 1, (i - 1) * 8 + 8),
+                         ' ') AS line
+  FROM toks JOIN range(1, 8192) r(i)
+    ON i <= CAST(ceil(len(t) / 8.0) AS BIGINT)
+), lf AS (
+  SELECT * FROM lines WHERE line <> ''
+), boiler AS (
+  SELECT line FROM lf GROUP BY line HAVING count(DISTINCT doc_id) >= 2
+), marked AS (
+  SELECT lf.doc_id, lf.line_idx, lf.line, b.line IS NOT NULL AS is_b
+  FROM lf LEFT JOIN boiler b USING (line)
+), agg AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_lines,
+         CAST(sum(CASE WHEN is_b THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+         coalesce(string_agg(CASE WHEN NOT is_b THEN line END, chr(10)
+                             ORDER BY line_idx), '') AS clean_text
+  FROM marked GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(a.n_lines, CAST(0 AS BIGINT)) AS n_lines,
+       coalesce(a.n_removed, CAST(0 AS BIGINT)) AS n_removed,
+       coalesce(a.clean_text, '') AS clean_text
+FROM documents d LEFT JOIN agg a USING (doc_id)
+""",
+)
+def q_line_dedup(spark, sf_dir):
+    """C4-style cross-document line deduplication (round 12): any
+    'line' (deterministic 8-token chunk — the corpus has no newlines;
+    real crawl text splits on them) appearing in >= 2 distinct
+    documents is boilerplate and removed from every document, the
+    survivors re-joined in original order. Fills the curation gap
+    between exact-doc dedup and span-level substring dedup. The
+    corpus's planted byte-identical duplicate pairs guarantee the
+    boilerplate branch fires (dup-pair docs clean to empty).
+
+    Scale shape: boilerplate detection is one map-side-combined
+    groupBy on xxhash64(line) — the shuffle carries hashes + counts,
+    never text; membership joins on the hash; the only full-width
+    shuffle is per-doc reassembly. The oracle groups on the line
+    STRING itself (same semantics, different implementation), so a
+    hash collision would fail the contract loudly instead of hiding.
+    """
+    from pulsar_io_delta_spark.operators.dedup import line_dedup
+
+    d = table(spark, sf_dir, "documents")
+    return line_dedup(d, id_col="doc_id", text_col="text", width=8, min_docs=2)
+
+
+@register(
+    "q_dedup_url",
+    oracle="""
+WITH raw AS (
+  SELECT doc_id,
+         'HTTPS://WWW.Site' || CAST(doc_id % 5 AS VARCHAR)
+         || '.COM:443/Doc/' || CAST(doc_id % 100 AS VARCHAR)
+         || CASE WHEN doc_id % 3 = 0
+                 THEN '/?utm_source=feed&b=' || CAST(doc_id % 4 AS VARCHAR)
+                      || '&a=1'
+                 WHEN doc_id % 3 = 1
+                 THEN '?a=1&b=' || CAST(doc_id % 4 AS VARCHAR)
+                 ELSE '' END
+         || CASE WHEN doc_id % 7 = 0
+                 THEN '#sec' || CAST(doc_id % 3 AS VARCHAR)
+                 ELSE '' END AS url
+  FROM documents
+), parts AS (
+  SELECT doc_id,
+         regexp_replace(url, '#.*$', '') AS u
+  FROM raw
+), split_up AS (
+  SELECT doc_id,
+         lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1))
+           AS scheme,
+         regexp_replace(
+           lower(regexp_extract(u,
+             '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)', 1)),
+           '^www\\.', '') AS host0,
+         regexp_replace(
+           regexp_extract(u,
+             '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*([^?#]*)', 1),
+           '/$', '') AS path,
+         regexp_extract(u, '\\?([^#]*)', 1) AS query
+  FROM parts
+), canon AS (
+  SELECT doc_id,
+         scheme || '://'
+         || CASE WHEN scheme = 'https'
+                 THEN regexp_replace(host0, ':443$', '')
+                 WHEN scheme = 'http'
+                 THEN regexp_replace(host0, ':80$', '')
+                 ELSE host0 END
+         || path
+         || CASE WHEN params <> '' THEN '?' || params ELSE '' END
+           AS canonical_url
+  FROM (
+    SELECT *,
+           array_to_string(
+             list_sort(list_filter(string_split(query, '&'),
+               x -> x <> '' AND NOT regexp_matches(x, '^utm_'))),
+             '&') AS params
+    FROM split_up
+  )
+)
+SELECT canonical_url,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS keep_doc
+FROM canon GROUP BY canonical_url
+""",
+)
+def q_dedup_url(spark, sf_dir):
+    """URL-canonicalization dedup (round 12): the crawl-frontier pass
+    that collapses tracking-param / fragment / case / default-port /
+    www-prefix variants of the same resource BEFORE any content is
+    fetched — at 100 TB this is the cheapest dedup there is, a narrow
+    canonicalize map + one map-side-combined groupBy on the canonical
+    string. URLs are synthesized deterministically from doc_id in BOTH
+    engines (the corpus has no URL column); the %3∈{0,1} branches
+    produce byte-DIFFERENT raw URLs with the SAME canonical form, so
+    real collapsing is exercised, not just identity grouping.
+
+    Canonicalization (operators/text.py::canonicalize_url, mirrored
+    verbatim in the oracle): drop #fragment, lowercase scheme+host,
+    strip www., strip :443/:80 default ports, strip one trailing path
+    slash, drop utm_* params, sort survivors."""
+    from pulsar_io_delta_spark.operators.text import canonicalize_url
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    raw = F.concat(
+        F.lit("HTTPS://WWW.Site"), s(did % 5),
+        F.lit(".COM:443/Doc/"), s(did % 100),
+        F.when(
+            did % 3 == 0,
+            F.concat(F.lit("/?utm_source=feed&b="), s(did % 4), F.lit("&a=1")),
+        ).when(
+            did % 3 == 1,
+            F.concat(F.lit("?a=1&b="), s(did % 4)),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 7 == 0, F.concat(F.lit("#sec"), s(did % 3))
+        ).otherwise(F.lit("")),
+    )
+    canon = d.select("doc_id", canonicalize_url(raw).alias("canonical_url"))
+    return canon.groupBy("canonical_url").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.min("doc_id").cast("long").alias("keep_doc"),
+    )

@@ -636,3 +636,65 @@ class TestHtmlExtract:
         got = {r.id: r for r in html_extract(df).collect()}
         assert got[1].clean_text == "a b" and "-->" not in got[1].clean_text
         assert got[2].clean_text == "kept"
+
+
+class TestLineDedup:
+    def test_boilerplate_lines_removed_cross_doc(self, spark):
+        # round 12: C4-style cross-doc line dedup on 2-token 'lines'
+        from pulsar_io_delta_spark.operators.dedup import line_dedup
+
+        df = spark.createDataFrame(
+            [
+                (1, "cookie banner unique one text here"),
+                (2, "cookie banner other words entirely now"),
+                (3, "totally fresh document body words"),
+            ],
+            "doc_id long, text string",
+        )
+        got = {r.doc_id: r for r in
+               line_dedup(df, width=2, min_docs=2).collect()}
+        # 'cookie banner' appears in docs 1 and 2 -> removed from both
+        assert got[1].n_removed == 1 and got[2].n_removed == 1
+        assert "cookie banner" not in got[1].clean_text
+        assert got[1].clean_text == "unique one\ntext here"
+        assert got[3].n_removed == 0
+        assert got[3].clean_text == "totally fresh\ndocument body\nwords"
+
+    def test_identical_docs_clean_to_empty(self, spark):
+        from pulsar_io_delta_spark.operators.dedup import line_dedup
+
+        df = spark.createDataFrame(
+            [(1, "same words again"), (2, "same words again")],
+            "doc_id long, text string",
+        )
+        got = {r.doc_id: r for r in
+               line_dedup(df, width=3, min_docs=2).collect()}
+        assert got[1].clean_text == "" and got[1].n_removed == got[1].n_lines
+
+
+class TestUrlCanonicalization:
+    def test_variants_collapse(self, spark):
+        from pulsar_io_delta_spark.operators.text import canonicalize_url
+
+        urls = [
+            "HTTPS://WWW.Example.COM:443/Doc/1?b=2&a=1#frag",
+            "https://example.com/Doc/1/?utm_source=x&a=1&b=2",
+            "https://example.com/Doc/1?a=1&b=2",
+        ]
+        df = spark.createDataFrame([(u,) for u in urls], "url string")
+        got = {r[0] for r in df.select(canonicalize_url(F.col("url"))).collect()}
+        assert got == {"https://example.com/Doc/1?a=1&b=2"}
+
+    def test_distinct_resources_stay_distinct(self, spark):
+        from pulsar_io_delta_spark.operators.text import canonicalize_url
+
+        urls = [
+            "http://a.com:8080/x",      # non-default port kept
+            "http://a.com/x",
+            "https://a.com/X",          # path case kept
+            "https://a.com/x?a=2",      # different param value
+            "https://a.com/x?a=1",
+        ]
+        df = spark.createDataFrame([(u,) for u in urls], "url string")
+        got = [r[0] for r in df.select(canonicalize_url(F.col("url"))).collect()]
+        assert len(set(got)) == 5
