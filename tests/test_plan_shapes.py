@@ -335,3 +335,40 @@ def test_liquid_optimize_single_range_exchange(spark, sf_dir, tmp_path):
     assert plan.lower().count("rangepartitioning") == 1, plan
     assert "hashpartitioning" not in plan.lower(), plan
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_dedup_url_single_exchange_jvm_only(spark, sf_dir):
+    """URL-canonicalization dedup is a narrow canonicalize map + ONE
+    grouped aggregate: exactly one exchange, zero Python, no
+    cartesian — the cheapest dedup in the pipeline by construction."""
+    from pulsar_io_delta_spark.registry import all_queries
+
+    df = all_queries()["q_dedup_url"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_line_dedup_boilerplate_shuffle_is_hash_only(spark, sf_dir):
+    """C4-style line dedup: boilerplate detection must shuffle only
+    (xxhash64, doc_id) pairs — the distinct + count exchanges
+    partition on the hash column, never on line text; full rows move
+    only in the per-document reassembly. No Python, no cartesian."""
+    from pulsar_io_delta_spark.registry import all_queries
+
+    df = all_queries()["q_line_dedup"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    import re
+
+    hash_exchanges = [
+        ln for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln
+    ]
+    # distinct-pair + per-hash count + doc reassembly = exactly 3
+    assert len(hash_exchanges) == 3, plan
+    assert not [ln for ln in hash_exchanges if "line#" in ln], (
+        "an exchange partitions on raw line text:\n" + plan
+    )
