@@ -340,3 +340,24 @@ def test_geohash_matches_classic_bisection(spark):
     assert got[(57_649_110, 10_407_440)] == "u4pruydq"  # published value
     for lat, lng in pts:
         assert got[(lat, lng)] == classic(lat / 1e6, lng / 1e6), (lat, lng)
+
+
+def test_read_blobs_caps_partition_count(spark, tmp_path):
+    """Round 12: the blob-fixture scan must coalesce to <= 2 tasks per
+    core — the 4MB open-cost heuristic splits a tiny-file corpus into
+    ~1 partition per ~30 files, and every partition downstream pays an
+    Arrow/Python round trip in the codec mapInPandas stage (measured:
+    1,563 partitions for the sf1 50k-file MP3 corpus)."""
+    import os
+
+    from pulsar_io_delta_spark.queries.pipeline3 import _read_blobs
+
+    outdir = str(tmp_path / "blobs")
+    os.makedirs(outdir)
+    for i in range(3000):
+        with open(os.path.join(outdir, f"{i}.bin"), "wb") as f:
+            f.write(b"x" * 64)
+    bf = _read_blobs(spark, outdir, "*.bin")
+    cap = spark.sparkContext.defaultParallelism * 2
+    assert bf.rdd.getNumPartitions() <= cap
+    assert bf.count() == 3000
