@@ -474,10 +474,16 @@ def line_chunks_col(toks_col: str, width: int = 8) -> Column:
     measured 4.5× on the sf1 explode)."""
     toks = F.col(toks_col)
     n_chunks = F.ceil(F.size(toks) / F.lit(width)).cast("int")
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(n_chunks, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, (i - 1) * width + 1, width)),
-    )
+    # Empty input must yield an EMPTY array, not sequence(1,0)'s
+    # auto-stepped [1,0] (two empty-string "chunks") — guard with
+    # when(), not greatest() (ADVICE r12).
+    return F.when(
+        n_chunks > 0,
+        F.transform(
+            F.sequence(F.lit(1), n_chunks),
+            lambda i: F.concat_ws(" ", F.slice(toks, (i - 1) * width + 1, width)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def line_dedup(
@@ -486,6 +492,7 @@ def line_dedup(
     text_col: str = "text",
     width: int = 8,
     min_docs: int = 2,
+    delimiter: str | None = None,
 ) -> DataFrame:
     """C4-style cross-document LINE deduplication (round 12): any line
     appearing in >= ``min_docs`` DISTINCT documents is boilerplate
@@ -500,19 +507,38 @@ def line_dedup(
     line text); membership is a join on the hash against the
     boilerplate set (small by the min_docs filter) followed by a
     per-document re-aggregation. The only full-width shuffle is the
-    doc re-assembly, bounded by input size. No driver collects."""
-    toked = df.select(
-        F.col(id_col),
-        F.filter(
-            F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda x: x != ""
-        ).alias("_toks"),
-    )
+    doc re-assembly, bounded by input size. No driver collects.
+
+    Two line definitions (round 13, VERDICT r12 #4):
+    - ``delimiter=None`` (default): fixture mode — corpora without
+      newlines get deterministic ``width``-token windows as "lines"
+      (``line_chunks_col``).
+    - ``delimiter="\\n"`` (or any split regex): newline-native mode —
+      the C4 semantics users expect; lines are the literal delimited
+      segments (whitespace-trimmed, empties dropped), compared and
+      re-joined verbatim."""
+    if delimiter is not None:
+        chunks = F.filter(
+            F.transform(
+                F.split(F.col(text_col), delimiter), lambda s: F.trim(s)
+            ),
+            lambda s: s != "",
+        ).alias("_chunks")
+        toked = df.select(F.col(id_col), chunks)
+    else:
+        toked = df.select(
+            F.col(id_col),
+            F.filter(
+                F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+                lambda x: x != "",
+            ).alias("_toks"),
+        ).select(
+            F.col(id_col), line_chunks_col("_toks", width).alias("_chunks")
+        )
     lines = (
         toked.select(
             F.col(id_col),
-            F.posexplode(line_chunks_col("_toks", width)).alias(
-                "line_idx", "line"
-            ),
+            F.posexplode(F.col("_chunks")).alias("line_idx", "line"),
         )
         .where(F.col("line") != "")
         .withColumn("h", F.xxhash64("line"))

@@ -2314,11 +2314,13 @@ WITH toks AS (
                      x -> x <> '') AS t
   FROM documents
 ), lines AS (
+  -- chunk count derived per document (ADVICE r12: the old
+  -- range(1, 8192) join silently capped docs at 8191 chunks)
   SELECT doc_id, i - 1 AS line_idx,
          array_to_string(list_slice(t, (i - 1) * 8 + 1, (i - 1) * 8 + 8),
                          ' ') AS line
-  FROM toks JOIN range(1, 8192) r(i)
-    ON i <= CAST(ceil(len(t) / 8.0) AS BIGINT)
+  FROM toks, LATERAL unnest(
+    generate_series(1, CAST(ceil(len(t) / 8.0) AS BIGINT))) AS r(i)
 ), lf AS (
   SELECT * FROM lines WHERE line <> ''
 ), boiler AS (
@@ -2362,6 +2364,72 @@ def q_line_dedup(spark, sf_dir):
 
     d = table(spark, sf_dir, "documents")
     return line_dedup(d, id_col="doc_id", text_col="text", width=8, min_docs=2)
+
+
+@register(
+    "q_line_dedup_nl",
+    oracle="""
+WITH raw AS (
+  SELECT doc_id,
+         'accept all cookies to continue' || chr(10)
+         || replace(text, ' a ', chr(10)) AS nl_text
+  FROM documents
+), segs AS (
+  SELECT doc_id,
+         list_filter(
+           list_transform(string_split(nl_text, chr(10)), x -> trim(x)),
+           x -> x <> '') AS ls
+  FROM raw
+), lf AS (
+  SELECT doc_id, i - 1 AS line_idx, ls[i] AS line
+  FROM segs, LATERAL unnest(generate_series(1, len(ls))) AS r(i)
+), boiler AS (
+  SELECT line FROM lf GROUP BY line HAVING count(DISTINCT doc_id) >= 2
+), marked AS (
+  SELECT lf.doc_id, lf.line_idx, lf.line, b.line IS NOT NULL AS is_b
+  FROM lf LEFT JOIN boiler b USING (line)
+), agg AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_lines,
+         CAST(sum(CASE WHEN is_b THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+         coalesce(string_agg(CASE WHEN NOT is_b THEN line END, chr(10)
+                             ORDER BY line_idx), '') AS clean_text
+  FROM marked GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(a.n_lines, CAST(0 AS BIGINT)) AS n_lines,
+       coalesce(a.n_removed, CAST(0 AS BIGINT)) AS n_removed,
+       coalesce(a.clean_text, '') AS clean_text
+FROM documents d LEFT JOIN agg a USING (doc_id)
+""",
+)
+def q_line_dedup_nl(spark, sf_dir):
+    """Newline-NATIVE line dedup (round 13, VERDICT r12 #4): the C4
+    semantics users expect — lines are literal '\\n'-delimited segments
+    compared and re-joined verbatim (case/punctuation preserved), not
+    token windows. The fixture corpus has no newlines, so both engines
+    synthesize the same newline text deterministically: a planted
+    cookie-banner first line (guaranteed cross-doc boilerplate) plus
+    ' a ' -> '\\n' substitution (left-to-right non-overlapping in both
+    engines), which yields variable-length real lines; the corpus's
+    byte-identical duplicate pairs additionally clean to banner-only.
+
+    Same scale shape as q_line_dedup: the boilerplate shuffle carries
+    (xxhash64(line), doc_id) only; the oracle groups on the line string
+    itself so a hash collision fails the contract loudly."""
+    from pulsar_io_delta_spark.operators.dedup import line_dedup
+
+    d = table(spark, sf_dir, "documents")
+    synth = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("accept all cookies to continue\n"),
+            F.expr("replace(text, ' a ', '\n')"),
+        ).alias("nl_text"),
+    )
+    return line_dedup(
+        synth, id_col="doc_id", text_col="nl_text", min_docs=2, delimiter="\n"
+    )
 
 
 @register(

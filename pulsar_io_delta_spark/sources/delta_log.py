@@ -169,19 +169,44 @@ def _stats_index_cols(
 
     explicit = cfg.get("delta.dataSkippingStatsColumns")
     if explicit is not None:
-        names = {c.strip().strip("`") for c in explicit.split(",") if c.strip()}
-        known = {f["name"] for f in fields}
-        unknown = sorted(names - known)
+        out = set()
+        unknown: list[str] = []
+        for raw in explicit.split(","):
+            raw = raw.strip()
+            if not raw:
+                continue
+            # Delta accepts dotted paths into nested structs
+            # (e.g. 'addr.city'); resolve each segment through the
+            # schema tree and emit the PHYSICAL dotted path. A name
+            # whose path does not resolve is a typo — delta-spark
+            # validates the configured list against the schema and
+            # errors; silently intersecting would let a typo shrink
+            # the allowlist to identity-only and disable data
+            # skipping with no signal.
+            segs = [s.strip().strip("`") for s in raw.split(".")]
+            cur = fields
+            phys_path: list[str] = []
+            for seg in segs:
+                match = next((f for f in cur if f["name"] == seg), None)
+                if match is None:
+                    phys_path = []
+                    break
+                phys_path.append(phys(match))
+                t = match.get("type")
+                cur = (
+                    t.get("fields", [])
+                    if isinstance(t, dict) and t.get("type") == "struct"
+                    else []
+                )
+            if not phys_path:
+                unknown.append(raw)
+            else:
+                out.add(".".join(phys_path))
         if unknown:
-            # delta-spark validates the configured list against the
-            # schema and errors; silently intersecting would let a
-            # typo shrink the allowlist to identity-only and disable
-            # data skipping with no signal.
             raise DeltaProtocolError(
                 "delta.dataSkippingStatsColumns names column(s) not in "
-                f"the table schema: {', '.join(unknown)}"
+                f"the table schema: {', '.join(sorted(unknown))}"
             )
-        out = {phys(f) for f in fields if f["name"] in names}
     else:
         n = int(cfg.get("delta.dataSkippingNumIndexedCols", 32))
         if n < 0 or n >= len(fields):

@@ -460,3 +460,55 @@ def test_unknown_stats_column_refuses(spark, tmp_path):
             spark.range(10).select(_F.col("id").alias("k")),
             configuration={"delta.dataSkippingStatsColumns": "k, oops"},
         )
+
+
+def test_nested_stats_column_paths_accepted(spark, tmp_path):
+    """ADVICE r12: delta.dataSkippingStatsColumns legitimately accepts
+    dotted paths into nested structs ('addr.city'); the r12 typo guard
+    over-rejected them by matching only top-level names, making a
+    validly-configured table unwritable. Dotted paths must resolve
+    through the schema tree (write succeeds, top-level stats intact);
+    a genuinely unresolvable path still refuses loudly."""
+    import json as _json
+
+    import pyspark.sql.functions as _F
+
+    from pulsar_io_delta_spark.sources.delta_log import _stats_index_cols
+
+    nested = spark.range(20).select(
+        _F.col("id").alias("k"),
+        _F.struct(
+            _F.concat(_F.lit("c"), _F.col("id")).alias("city"),
+            (_F.col("id") % 5).alias("zip"),
+        ).alias("addr"),
+    )
+    t = DeltaTable(str(tmp_path / "nested"))
+    # must not raise: 'addr.city' is a valid nested path
+    t.write(
+        nested.coalesce(1),
+        configuration={"delta.dataSkippingStatsColumns": "addr.city, k"},
+    )
+    stats = _json.loads(next(iter(t.snapshot().adds.values()))["stats"])
+    assert "k" in stats["minValues"]  # top-level entry still indexed
+    # appends inherit the policy without raising
+    t.write(nested.coalesce(1))
+    assert t.read(spark).count() == 40
+
+    # the resolver emits the dotted physical path
+    idx = _stats_index_cols(t.snapshot().schema_string, t.snapshot().configuration)
+    assert idx is not None and "addr.city" in idx and "k" in idx
+
+    # unresolvable nested leaf still refuses (typo guard intact)
+    t2 = DeltaTable(str(tmp_path / "bad"))
+    with pytest.raises(DeltaProtocolError, match="not in the table schema"):
+        t2.write(
+            nested.coalesce(1),
+            configuration={"delta.dataSkippingStatsColumns": "addr.nope"},
+        )
+    # non-struct first segment with a dotted tail refuses too
+    t3 = DeltaTable(str(tmp_path / "bad2"))
+    with pytest.raises(DeltaProtocolError, match="not in the table schema"):
+        t3.write(
+            nested.coalesce(1),
+            configuration={"delta.dataSkippingStatsColumns": "k.city"},
+        )
