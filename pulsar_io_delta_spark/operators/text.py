@@ -287,7 +287,7 @@ def html_extract(
 
 
 
-def canonicalize_url(url: Column) -> Column:
+def canonicalize_url(url: Column, *, fragment_stripped: bool = False) -> Column:
     """Crawl-grade URL canonicalization (round 12), entirely JVM-side
     regex/array expressions: drop the #fragment, lowercase scheme and
     host, strip a leading 'www.', strip default ports (:80 http /
@@ -295,8 +295,20 @@ def canonicalize_url(url: Column) -> Column:
     params and SORT the survivors so parameter order never splits a
     dedup group. Path case is preserved (paths are case-sensitive).
     Narrow map — fuses into the scan at any scale. Mirrored verbatim
-    by the q_dedup_url DuckDB oracle."""
-    u = F.regexp_replace(url, r"#.*$", "")  # fragment never reaches origin
+    by the q_dedup_url DuckDB oracle.
+
+    The fragment-stripped URL ``u`` feeds every component extraction,
+    so this EXPRESSION inlines it ~10x; whole-stage codegen CSE mostly
+    rescues that, but when ``url`` is itself an expensive expression
+    the honest cost shape is to materialize it as a named column first
+    and pass ``fragment_stripped=True`` (the line_chunks_col lesson:
+    CollapseProject never re-inlines a non-cheap alias referenced more
+    than once, so the named column is computed once per row)."""
+    u = (
+        url
+        if fragment_stripped
+        else F.regexp_replace(url, r"#.*$", "")  # fragment never reaches origin
+    )
     scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
     host = F.lower(
         F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)", 1)

@@ -2527,7 +2527,20 @@ def q_dedup_url(spark, sf_dir):
             did % 7 == 0, F.concat(F.lit("#sec"), s(did % 3))
         ).otherwise(F.lit("")),
     )
-    canon = d.select("doc_id", canonicalize_url(raw).alias("canonical_url"))
+    # Materialize the fragment-stripped URL ONCE as a named column
+    # (round 13, VERDICT r12 #7): the canonicalize expression references
+    # it ~10x and CollapseProject won't re-inline a non-cheap alias used
+    # more than once, so the synthesized-URL subexpression is computed
+    # once per row instead of repeating per component in the plan.
+    stripped = d.select(
+        "doc_id", F.regexp_replace(raw, r"#.*$", "").alias("_u")
+    )
+    canon = stripped.select(
+        "doc_id",
+        canonicalize_url(F.col("_u"), fragment_stripped=True).alias(
+            "canonical_url"
+        ),
+    )
     return canon.groupBy("canonical_url").agg(
         F.count("*").cast("long").alias("n_docs"),
         F.min("doc_id").cast("long").alias("keep_doc"),

@@ -136,7 +136,7 @@ def q_cdc_schema_evolution(spark, sf_dir):
     from pulsar_io_delta_spark.streaming.runner import run_cdc_with_schema_evolution
 
     base = tempfile.mkdtemp(prefix="pids_evo_")
-    path, ck = base + "/tbl", base + "/ck"
+    path, ck, out = base + "/tbl", base + "/ck", base + "/out"
     t = DeltaTable(path)
     t.write(spark.range(0, 10).select(F.col("id").alias("doc_id")))
     t.write(spark.range(10, 20).select(F.col("id").alias("doc_id")))
@@ -145,17 +145,23 @@ def q_cdc_schema_evolution(spark, sf_dir):
             F.col("id").alias("doc_id"), (F.col("id") * 1.5).alias("score")
         )
     )
-    rows: list[tuple] = []
 
+    # Each micro-batch appends to a parquet sink and the result is one
+    # distributed read-back — no driver-side row accumulation, so the
+    # pattern transplants to 100x data unchanged (VERDICT r12 #3; the
+    # old sink collect()ed every batch into a python list).
     def sink(df, _batch_id):
         score = F.col("score") if "score" in df.columns else F.lit(None).cast("double")
-        for r in df.select("doc_id", score.alias("score"), "_commit_version").collect():
-            rows.append((r.doc_id, r.score, r._commit_version))
+        df.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            score.cast("double").alias("score"),
+            F.col("_commit_version").cast("long").alias("_commit_version"),
+        ).write.mode("append").parquet(out)
 
     run_cdc_with_schema_evolution(spark, path, ck, sink)
-    return spark.createDataFrame(
-        rows, "doc_id long, score double, _commit_version long"
-    )
+    return spark.read.schema(
+        "doc_id long, score double, _commit_version long"
+    ).parquet(out)
 
 
 @register(
