@@ -710,3 +710,38 @@ _R12_WINDOW = [
 ]
 promote(_R12_WINDOW, after="q_stream_tumbling")
 WINDOW_MUST_INCLUDE = _R12_WINDOW
+
+# Round-13 window (slots 1-49 after the q_stream_tumbling canary),
+# composed per the r12 verdict #1: (a) ALL 26 queries whose latest
+# driver row is r8 (the full remaining r8 pool — after this round no
+# query's latest driver row is older than r9); (b) the queries changed
+# or added in r13: q_line_dedup_nl (NEW — newline-native C4 line
+# dedup), q_line_dedup (empty-chunk guard + derived oracle bound),
+# q_dedup_url (fragment-stripped URL materialized once),
+# q_cdc_schema_evolution (sink de-collected to parquet append +
+# read-back); (c) r9-stale fills, delta-metadata-plane and curation
+# headliners first. The remaining r9 rows lead the r14 (c) pool.
+_R13_WINDOW = [
+    # (a) r8-stale — the whole pool
+    "q_dedup_substr", "q_generated_columns", "q_identity_columns",
+    "q_join_anti", "q_join_range", "q_join_semi", "q_mapping_upgrade",
+    "q_merge_upsert", "q_multimodal_project", "q_pulsar_wire",
+    "q_reorg_purge", "q_restore", "q_schema_widening", "q_sim_ann_pq",
+    "q_snapshot_diff", "q_stream_cdc", "q_stream_cdf", "q_string_funcs",
+    "q_table_detail", "q_text_langid", "q_text_quality", "q_text_tokens",
+    "q_udaf_weighted_mean", "q_update_where", "q_variant", "q_window_rank",
+    # (b) changed/new in r13 (q_domain_metadata = Domain Metadata
+    # lifecycle; its window slot comes from q_pack_sequences, which
+    # rotates to lead the r14 (c) pool)
+    "q_line_dedup_nl", "q_line_dedup", "q_dedup_url",
+    "q_cdc_schema_evolution", "q_domain_metadata",
+    # (c) r9-stale fill: metadata plane + curation headliners
+    "q_snapshot_scan", "q_time_travel_filter", "q_checkpoint_v2",
+    "q_nested_mapping", "q_column_mapping_id", "q_column_mapping_write",
+    "q_liquid_cluster", "q_row_tracking", "q_log_compaction",
+    "q_log_lifecycle", "q_compact_roundtrip", "q_clone_shallow",
+    "q_cdf_merge", "q_multimodal_jpeg", "q_multimodal_png",
+    "q_dedup_semantic", "q_column_defaults", "q_quality_filter",
+]
+promote(_R13_WINDOW, after="q_stream_tumbling")
+WINDOW_MUST_INCLUDE = _R13_WINDOW

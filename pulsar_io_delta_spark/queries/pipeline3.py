@@ -1206,6 +1206,54 @@ def q_table_detail(spark, sf_dir):
     )
 
 
+@register(
+    "q_domain_metadata",
+    oracle="""
+SELECT 'curation.cursor' AS domain,
+       CAST(max(doc_id) AS VARCHAR) AS configuration
+FROM documents
+UNION ALL
+SELECT 'curation.schema', 'v2'
+""",
+)
+def q_domain_metadata(spark, sf_dir):
+    """Domain Metadata lifecycle end-to-end (round 13, Delta
+    PROTOCOL.md "Domain Metadata"): a curation pipeline records its
+    resume cursor and schema tag as table domains — SET (protocol
+    auto-upgrade), survival across data commits, last-wins re-SET,
+    tombstone removal, and checkpoint+expiry preservation all exercised
+    in one pass; the final live domain map is the verified result. The
+    cursor value is data-derived (max doc_id) so the oracle checks real
+    state, not a constant echo.
+
+    Scale shape: domain commits are metadata-only (O(1) JSON actions);
+    the single aggregate for the cursor is map-side combined; the
+    domain map itself is O(domains) driver-side control plane, exactly
+    like the reference's checkpoint metadata."""
+    import tempfile
+
+    from pulsar_io_delta_spark.sources.delta_log import DeltaTable
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "source")
+    path = tempfile.mkdtemp(prefix="pids_dom_") + "/tbl"
+    t = DeltaTable(path)
+    t.write(d)
+    cursor = t.read(spark).agg(F.max("doc_id")).first()[0]
+    t.set_domain_metadata("curation.cursor", "0")
+    t.set_domain_metadata("curation.schema", "v1")
+    t.write(d)  # domains must survive ordinary data commits
+    t.set_domain_metadata("curation.cursor", str(cursor))  # last-wins
+    t.set_domain_metadata("curation.schema", "v2")
+    t.set_domain_metadata("curation.tmp", "drop-me")
+    t.remove_domain_metadata("curation.tmp")
+    t.checkpoint()
+    t.expire_log()  # the map below replays exclusively from the checkpoint
+    dm = t.domain_metadata()
+    return spark.createDataFrame(
+        sorted(dm.items()), "domain string, configuration string"
+    )
+
+
 # ---------------------------------------------------------------------------
 # interval overlap join (bucket-blocked, exactly-once)
 

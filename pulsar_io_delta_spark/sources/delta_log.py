@@ -5158,6 +5158,106 @@ class DeltaTable:
             [md], operation="DROP CONSTRAINT", read_version=snap.version
         )
 
+    # domains whose semantics THIS writer implements and maintains via
+    # their own feature paths (row tracking's high-water mark, liquid
+    # clustering's column list) — the user-facing domain API must never
+    # mutate them, nor any other system-controlled 'delta.' domain
+    # (Delta PROTOCOL.md "Domain Metadata": system domains may only be
+    # modified by writers that understand them)
+    _SYSTEM_DOMAIN_PREFIX = "delta."
+
+    def _guard_user_domain(self, domain: str) -> None:
+        if not domain:
+            raise DeltaProtocolError("domain metadata needs a non-empty domain")
+        if domain.startswith(self._SYSTEM_DOMAIN_PREFIX):
+            raise DeltaProtocolError(
+                f"domain '{domain}' is system-controlled ('delta.' prefix): "
+                "it may only be modified by the feature that owns it "
+                "(e.g. delta.clustering via optimize_clustered, "
+                "delta.rowTracking via the commit path), never by the "
+                "user domain-metadata API"
+            )
+
+    def domain_metadata(self) -> dict[str, str]:
+        """Non-removed domain → configuration string at the latest
+        snapshot (replay is last-wins, removed = dropped; checkpoints
+        preserve every live domain)."""
+        snap = self.snapshot()
+        return {
+            d: dm.get("configuration", "")
+            for d, dm in sorted(snap.domain_metadata.items())
+        }
+
+    def set_domain_metadata(self, domain: str, configuration: str) -> int:
+        """SET a user-controlled metadata domain (Delta PROTOCOL.md
+        "Domain Metadata", round 13): one metadata-only commit carrying
+        a domainMetadata action; auto-upgrades the protocol to the
+        table-features form with the domainMetadata writer feature on
+        first use (merging, never dropping, prior features). System
+        ('delta.'-prefixed) domains refuse loudly — their state is
+        owned by the features that maintain it."""
+        self._guard_user_domain(domain)
+        if not isinstance(configuration, str):
+            raise DeltaProtocolError(
+                "domain configuration must be a string (the spec stores "
+                "an opaque string payload; serialize JSON yourself)"
+            )
+        snap = self.snapshot()
+        self._guard_writable(snap, data_change_removes=False)
+        actions: list[dict] = []
+        if "domainMetadata" not in (snap.protocol.get("writerFeatures") or ()):
+            actions.append(
+                {
+                    "protocol": _upgraded_protocol(
+                        snap.protocol, (), ("domainMetadata",)
+                    )
+                }
+            )
+        actions.append(
+            {
+                "domainMetadata": {
+                    "domain": domain,
+                    "configuration": configuration,
+                    "removed": False,
+                }
+            }
+        )
+        return self._commit(
+            actions,
+            operation="SET DOMAIN METADATA",
+            read_version=snap.version,
+            configuration=snap.configuration,
+        )
+
+    def remove_domain_metadata(self, domain: str) -> int:
+        """REMOVE a user-controlled metadata domain: commits the spec's
+        tombstone form (removed=true, configuration cleared) so replay
+        and checkpoints drop it. Removing a domain that is not present
+        refuses loudly — a typo'd domain name must not look like a
+        successful removal."""
+        self._guard_user_domain(domain)
+        snap = self.snapshot()
+        self._guard_writable(snap, data_change_removes=False)
+        if domain not in snap.domain_metadata:
+            raise DeltaProtocolError(
+                f"domain '{domain}' is not set on this table "
+                f"(live domains: {sorted(snap.domain_metadata) or 'none'})"
+            )
+        return self._commit(
+            [
+                {
+                    "domainMetadata": {
+                        "domain": domain,
+                        "configuration": "",
+                        "removed": True,
+                    }
+                }
+            ],
+            operation="REMOVE DOMAIN METADATA",
+            read_version=snap.version,
+            configuration=snap.configuration,
+        )
+
     def restore(self, version: int | None = None, timestamp_ms: int | None = None) -> int:
         """RESTORE TABLE TO VERSION/TIMESTAMP AS OF: one commit whose
         add/remove actions make the latest snapshot's file set equal the

@@ -1788,3 +1788,114 @@ def test_ict_enablement_version_beyond_retained_refuses(spark, tmp_path):
         t.resolve_version(timestamp_ms=5000)
     # version addressing still works
     assert t.resolve_version(version=0) == 0
+
+
+def test_domain_metadata_user_api_roundtrip(spark, table_path):
+    """Domain Metadata user API (round 13, VERDICT r12 #9): SET
+    auto-upgrades the protocol (merging prior features), replay is
+    last-wins, removal tombstones drop the domain, and checkpoints
+    preserve live domains across log expiry."""
+    t = DeltaTable(table_path)
+    t.write(events_df(spark, range(4)))
+    assert t.domain_metadata() == {}
+    t.set_domain_metadata("myapp.ingest", '{"cursor": 5}')
+    p = t.snapshot().protocol
+    assert "domainMetadata" in p["writerFeatures"]
+    assert t.domain_metadata() == {"myapp.ingest": '{"cursor": 5}'}
+    # domains survive ordinary data commits
+    t.write(events_df(spark, range(4, 7)))
+    assert t.domain_metadata() == {"myapp.ingest": '{"cursor": 5}'}
+    # last-wins on re-set
+    t.set_domain_metadata("myapp.ingest", '{"cursor": 9}')
+    t.set_domain_metadata("myapp.flags", "beta")
+    assert t.domain_metadata() == {
+        "myapp.flags": "beta",
+        "myapp.ingest": '{"cursor": 9}',
+    }
+    # checkpoint preservation: replay exclusively from the checkpoint
+    t.checkpoint()
+    t.expire_log()
+    assert t.domain_metadata() == {
+        "myapp.flags": "beta",
+        "myapp.ingest": '{"cursor": 9}',
+    }
+    # removal tombstone drops it, and survives the NEXT checkpoint too
+    t.remove_domain_metadata("myapp.flags")
+    assert t.domain_metadata() == {"myapp.ingest": '{"cursor": 9}'}
+    t.checkpoint()
+    t.expire_log()
+    assert t.domain_metadata() == {"myapp.ingest": '{"cursor": 9}'}
+    # data unaffected throughout
+    assert t.read(spark).count() == 7
+
+
+def test_domain_metadata_guards(spark, table_path):
+    """System ('delta.'-prefixed) domains refuse via the user API, and
+    removing an absent domain refuses loudly (a typo must never look
+    like a successful removal)."""
+    t = DeltaTable(table_path)
+    t.write(events_df(spark, range(3)))
+    with pytest.raises(DeltaProtocolError, match="system-controlled"):
+        t.set_domain_metadata("delta.clustering", "{}")
+    with pytest.raises(DeltaProtocolError, match="system-controlled"):
+        t.remove_domain_metadata("delta.rowTracking")
+    with pytest.raises(DeltaProtocolError, match="not set on this table"):
+        t.remove_domain_metadata("myapp.ghost")
+    with pytest.raises(DeltaProtocolError, match="non-empty"):
+        t.set_domain_metadata("", "x")
+    with pytest.raises(DeltaProtocolError, match="must be a string"):
+        t.set_domain_metadata("myapp.cfg", {"not": "a string"})
+
+
+def test_domain_metadata_foreign_handwritten_log_preserved(spark, tmp_path):
+    """A domain written by ANOTHER writer (handwritten log) replays,
+    survives our checkpoint + data commits (spec: writers preserve
+    domains they don't own), and stays untouchable via the user API
+    when system-prefixed."""
+    root = str(tmp_path / "hand")
+    os.makedirs(os.path.join(root, "_delta_log"))
+    df = events_df(spark, range(5))
+    df.coalesce(1).write.parquet(os.path.join(root, "data"))
+    part = next(
+        f for f in os.listdir(os.path.join(root, "data")) if f.endswith(".parquet")
+    )
+    schema = df.schema.json()
+    actions = [
+        {"commitInfo": {"timestamp": 1700000000000, "operation": "WRITE"}},
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 7,
+                      "writerFeatures": ["domainMetadata"]}},
+        {"metaData": {"id": "x", "format": {"provider": "parquet", "options": {}},
+                      "schemaString": schema, "partitionColumns": [],
+                      "configuration": {}}},
+        {"add": {"path": f"data/{part}", "partitionValues": {}, "size": 1,
+                 "modificationTime": 1700000000000, "dataChange": True}},
+        {"domainMetadata": {"domain": "delta.someVendorFeature",
+                            "configuration": '{"opaque": true}',
+                            "removed": False}},
+        {"domainMetadata": {"domain": "acme.notes", "configuration": "v1",
+                            "removed": False}},
+    ]
+    with open(os.path.join(root, "_delta_log", f"{0:020d}.json"), "w") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+    t = DeltaTable(root)
+    assert t.domain_metadata() == {
+        "acme.notes": "v1",
+        "delta.someVendorFeature": '{"opaque": true}',
+    }
+    # our data commit + checkpoint + expiry must PRESERVE both domains
+    t.write(events_df(spark, range(5, 8)))
+    t.checkpoint()
+    t.expire_log()
+    assert t.domain_metadata() == {
+        "acme.notes": "v1",
+        "delta.someVendorFeature": '{"opaque": true}',
+    }
+    # the foreign system domain stays untouchable via the user API
+    with pytest.raises(DeltaProtocolError, match="system-controlled"):
+        t.set_domain_metadata("delta.someVendorFeature", "{}")
+    # but the user domain another writer created is ours to manage
+    t.remove_domain_metadata("acme.notes")
+    assert t.domain_metadata() == {
+        "delta.someVendorFeature": '{"opaque": true}'
+    }
