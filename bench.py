@@ -139,13 +139,50 @@ def _read_proc_stat() -> dict[str, int]:
         return {}
 
 
-def rig_fingerprint(stat_before: dict[str, int] | None = None) -> dict:
+def _proc_tree_jiffies() -> int:
+    """utime+stime jiffies of THIS process and every live descendant
+    (the py4j-launched Spark JVM and its children), by one /proc scan.
+    Used to split busy_frac into self vs EXTERNAL load: the bench's own
+    Spark work puts total busy_frac at ~0.2 on a 32-cpu rig even on an
+    otherwise idle machine (round 13 — r12 misread that as external)."""
+    me = os.getpid()
+    ppid: dict[int, int] = {}
+    cpu: dict[int, int] = {}
+    for ent in os.listdir("/proc"):
+        if not ent.isdigit():
+            continue
+        try:
+            with open(f"/proc/{ent}/stat") as fh:
+                raw = fh.read()
+        except OSError:
+            continue
+        # field 2 (comm) may contain spaces/parens — split after ')'
+        rest = raw.rsplit(")", 1)[-1].split()
+        pid = int(ent)
+        ppid[pid] = int(rest[1])  # field 4
+        cpu[pid] = int(rest[11]) + int(rest[12])  # utime+stime
+    kids: dict[int, list[int]] = {}
+    for p, pp in ppid.items():
+        kids.setdefault(pp, []).append(p)
+    total, stack = 0, [me]
+    while stack:
+        p = stack.pop()
+        total += cpu.get(p, 0)
+        stack.extend(kids.get(p, ()))
+    return total
+
+
+def rig_fingerprint(
+    stat_before: dict[str, int] | None = None, self_before: int | None = None
+) -> dict:
     """Machine-state provenance for the bench payload (VERDICT r9 #4:
     a 35% total swing on unchanged plans needs to be attributable to
     the rig, not argued from spreads after the fact). Records load
     average, cpu count, frequency governor, and — when a before-run
     /proc/stat snapshot is given — the busy and steal fractions over
-    the run itself."""
+    the run itself. ``ext_busy_frac`` (round 13) subtracts the bench's
+    OWN process tree from the busy time: the number a quiet-rig gate
+    must read (total busy_frac is ~0.2 from self-load alone)."""
     rig: dict = {"cpus": os.cpu_count()}
     try:
         rig["load1"], rig["load5"], rig["load15"] = (
@@ -166,6 +203,14 @@ def rig_fingerprint(stat_before: dict[str, int] | None = None) -> dict:
             busy = total - delta.get("idle", 0) - delta.get("iowait", 0)
             rig["busy_frac"] = round(busy / total, 3)
             rig["steal_frac"] = round(delta.get("steal", 0) / total, 4)
+            if self_before is not None:
+                try:
+                    self_delta = _proc_tree_jiffies() - self_before
+                    rig["ext_busy_frac"] = round(
+                        max(busy - self_delta, 0) / total, 3
+                    )
+                except OSError:
+                    pass
     return rig
 
 
@@ -186,6 +231,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     specs = all_queries()
     stat_before = _read_proc_stat()
+    self_before = _proc_tree_jiffies()
 
     def run(name: str) -> float:
         # q_tfidf_topterms persist()s its tf subplan (the aggregate-once
@@ -240,7 +286,7 @@ def main() -> None:
         "sf": sf,
         "trials": trials,
         "spread": spreads,
-        "rig": rig_fingerprint(stat_before),
+        "rig": rig_fingerprint(stat_before, self_before),
     }
     if errors:
         payload["errors"] = errors

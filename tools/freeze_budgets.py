@@ -47,16 +47,23 @@ def main() -> None:
         run = json.load(fh)
     queries = run.get("queries") or {}
     rig = run.get("rig") or {}
-    busy = rig.get("busy_frac")
+    # gate on EXTERNAL load: total busy_frac includes the bench's own
+    # Spark tree (~0.2 on 32 cpus even on an idle machine — the r12
+    # "external load" misread); ext_busy_frac subtracts it
+    busy = rig.get("ext_busy_frac")
+    busy_kind = "ext_busy_frac"
+    if busy is None:
+        busy = rig.get("busy_frac")
+        busy_kind = "busy_frac (TOTAL incl. self — pre-r13 payload)"
     if not queries:
         sys.exit(f"{src_path} has no 'queries' medians — not a bench payload")
     if run.get("errors"):
         sys.exit(f"refusing: the run recorded errors: {sorted(run['errors'])}")
     if busy is None:
-        sys.exit("refusing: the run payload records no rig.busy_frac")
+        sys.exit("refusing: the run payload records no rig busy fraction")
     if busy > threshold and allow_note is None:
         sys.exit(
-            f"refusing to freeze budgets from a loaded rig: busy_frac "
+            f"refusing to freeze budgets from a loaded rig: {busy_kind} "
             f"{busy} > {threshold}. Re-run bench.py in a quiet window, or "
             f"pass --allow-loaded '<why no quiet window exists>' to "
             f"override with the load trace recorded in the budget file."
@@ -66,7 +73,8 @@ def main() -> None:
         q: round(max(2.0 * sec, FLOOR_SEC), 3) for q, sec in queries.items()
     }
     rig_note = (
-        f"rig: load1 {rig.get('load1')} busy_frac {busy} "
+        f"rig: load1 {rig.get('load1')} busy_frac {rig.get('busy_frac')} "
+        f"ext_busy_frac {rig.get('ext_busy_frac')} "
         f"steal {rig.get('steal_frac')}"
     )
     source = (
