@@ -594,3 +594,46 @@ def line_dedup(
         F.coalesce(F.col("n_removed"), F.lit(0)).cast("long").alias("n_removed"),
         F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
     )
+
+
+def containment_on_candidates(
+    df: DataFrame, cand: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """(id_a, id_b, cont_ab, cont_ba) — asymmetric char-n-gram
+    containment |G(a) ∩ G(b)| / |G(side)| for the given candidate
+    pairs, the doc-inside-doc signal Jaccard misses: a short document
+    fully embedded in a long one has near-1.0 containment but low
+    Jaccard (the union is dominated by the long side), so boilerplate-
+    wrapped copies and quote-expansions survive a Jaccard threshold
+    yet fall to a containment one (the standard complement in
+    suffix/substring dedup literature — Lee et al.'s "Deduplicating
+    Training Data Makes Language Models Better" motivates exactly this
+    asymmetric containment pass).
+
+    Same 100 TB verify-on-candidates shape as jaccard_on_candidates:
+    gram equi-joins restricted by candidate ids, cost proportional to
+    |candidates| × grams-per-doc, never all-pairs."""
+    grams = df.select(
+        F.col(id_col).alias("gid"),
+        F.explode(char_ngrams_col(F.col(text_col), n)).alias("g"),
+    )
+    counts = grams.groupBy("gid").agg(F.count("*").alias("gcnt"))
+    ga = grams.withColumnRenamed("gid", "id_a")
+    gb = grams.withColumnRenamed("gid", "id_b")
+    inter = (
+        cand.join(ga, "id_a")
+        .join(gb.withColumnRenamed("g", "g_b"), "id_b")
+        .where(F.col("g") == F.col("g_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(counts.select(F.col("gid").alias("id_a"), F.col("gcnt").alias("ca")), "id_a")
+        .join(counts.select(F.col("gid").alias("id_b"), F.col("gcnt").alias("cb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("inter") / F.col("ca"), 4).alias("cont_ab"),
+            F.round(F.col("inter") / F.col("cb"), 4).alias("cont_ba"),
+        )
+    )

@@ -731,17 +731,23 @@ _R13_WINDOW = [
     "q_table_detail", "q_text_langid", "q_text_quality", "q_text_tokens",
     "q_udaf_weighted_mean", "q_update_where", "q_variant", "q_window_rank",
     # (b) changed/new in r13 (q_domain_metadata = Domain Metadata
-    # lifecycle; its window slot comes from q_pack_sequences, which
-    # rotates to lead the r14 (c) pool)
+    # lifecycle; q_graph_triangles = degree-oriented triangle counting;
+    # q_dedup_containment = asymmetric n-gram containment on LSH
+    # candidates; q_inverted_index = salted two-phase top-k posting
+    # lists. Their window slots come from q_pack_sequences and the
+    # last three (c) fills below, which rotate to lead the r14 (c)
+    # pool)
     "q_line_dedup_nl", "q_line_dedup", "q_dedup_url",
     "q_cdc_schema_evolution", "q_domain_metadata",
+    "q_graph_triangles", "q_dedup_containment", "q_inverted_index",
     # (c) r9-stale fill: metadata plane + curation headliners
+    # (q_dedup_semantic / q_column_defaults / q_quality_filter yielded
+    # their slots to the three new r13 queries)
     "q_snapshot_scan", "q_time_travel_filter", "q_checkpoint_v2",
     "q_nested_mapping", "q_column_mapping_id", "q_column_mapping_write",
     "q_liquid_cluster", "q_row_tracking", "q_log_compaction",
     "q_log_lifecycle", "q_compact_roundtrip", "q_clone_shallow",
     "q_cdf_merge", "q_multimodal_jpeg", "q_multimodal_png",
-    "q_dedup_semantic", "q_column_defaults", "q_quality_filter",
 ]
 promote(_R13_WINDOW, after="q_stream_tumbling")
 WINDOW_MUST_INCLUDE = _R13_WINDOW

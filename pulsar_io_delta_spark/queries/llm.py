@@ -273,6 +273,50 @@ def q_ngram_jaccard(spark, sf_dir):
     return plants.join(jac, ["id_a", "id_b"]).select("id_a", "id_b", "jaccard")
 
 
+@register(
+    "q_dedup_containment",
+    oracle="""
+WITH g AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 3) AS g
+      FROM documents JOIN range(1, 4096) t(i) ON i <= greatest(length(text) - 2, 1)),
+gm AS (SELECT DISTINCT doc_id, substr(text || ' .', CAST(i AS INT), 3) AS g
+      FROM documents JOIN range(1, 4096) t(i) ON i <= greatest(length(text || ' .') - 2, 1)),
+c AS (SELECT doc_id, count(*) AS cnt FROM g GROUP BY doc_id),
+cm AS (SELECT doc_id, count(*) AS cnt FROM gm GROUP BY doc_id),
+i AS (SELECT g.doc_id, count(*) AS inter FROM g
+      JOIN gm ON g.doc_id = gm.doc_id AND g.g = gm.g GROUP BY g.doc_id)
+SELECT i.doc_id AS id_a, i.doc_id + 1000000 AS id_b,
+       round(CAST(inter AS DOUBLE) / c.cnt, 4) AS cont_ab,
+       round(CAST(inter AS DOUBLE) / cm.cnt, 4) AS cont_ba
+FROM i JOIN c ON c.doc_id = i.doc_id JOIN cm ON cm.doc_id = i.doc_id
+""",
+)
+def q_dedup_containment(spark, sf_dir):
+    """Asymmetric n-gram CONTAINMENT on MinHash-LSH candidates — the
+    doc-inside-doc pass of a near-dup pipeline (a short doc embedded in
+    a long one reads near-1.0 containment but low Jaccard, so it
+    survives q_ngram_jaccard's threshold; this query is the complement
+    that catches it). Same verify-on-candidates plan shape as
+    q_ngram_jaccard: candidate generation is the banded LSH join, the
+    exact pass is gram equi-joins restricted by candidate ids — no
+    all-pairs stage. Output restricted to the planted pairs so the
+    oracle recomputes BOTH direction ratios directly from
+    (text, text || ' .'): cont_ab is structurally 1.0 (every n-gram of
+    A is a substring of A + " ."), cont_ba varies per document — a
+    value the hash check actually exercises."""
+    docs = table(spark, sf_dir, "documents")
+    corpus = _planted_corpus(docs)
+    sig = dd.minhash_signature(corpus, "doc_id", "text")
+    cand = dd.lsh_candidate_pairs(sig, "doc_id")
+    cont = dd.containment_on_candidates(corpus, cand, "doc_id", "text", n=3)
+    plants = docs.select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + PLANT_OFFSET).alias("id_b"),
+    )
+    return plants.join(cont, ["id_a", "id_b"]).select(
+        "id_a", "id_b", "cont_ab", "cont_ba"
+    )
+
+
 def _adaptive_bits_sql() -> tuple[str, str]:
     """(plane-count CASE chain, gated bucket-bit expression) — the
     SQL twin of the scale-adaptive sign-LSH bucketing the Spark plans

@@ -968,3 +968,98 @@ def q_profile_stats(spark, sf_dir):
         one.select(F.explode(rows).alias("p"))
         .select("p.col", "p.n_rows", "p.n_nonnull", "p.n_distinct", "p.min_v", "p.max_v")
     )
+
+
+@register(
+    "q_inverted_index",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(
+           string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS token
+  FROM documents
+), tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token
+), stats AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS cf
+  FROM tf GROUP BY token
+), rk AS (
+  SELECT token, doc_id, tf,
+         row_number() OVER (PARTITION BY token ORDER BY tf DESC, doc_id) AS rk
+  FROM tf
+), post AS (
+  SELECT token, string_agg(doc_id || ':' || tf, ',' ORDER BY rk) AS postings
+  FROM rk WHERE rk <= 8 GROUP BY token
+)
+SELECT s.token, s.df, s.cf, p.postings
+FROM stats s JOIN post p USING (token)
+""",
+)
+def q_inverted_index(spark, sf_dir):
+    """Inverted-index build: token → (document frequency, collection
+    frequency, top-8 posting list "doc:tf" ordered by tf desc / doc_id)
+    — the retrieval-index artifact a decontamination / search-serving
+    pipeline materializes from a corpus.
+
+    Scale shape: ONE corpus-sized (doc,token) exchange builds tf
+    (map-side combined, persisted, reused by all three consumers —
+    the aggregate-once contract from q_tfidf_topterms); df/cf are a
+    vocab-sized partial agg on top. The top-8 posting selection is the
+    part a naive plan gets wrong: a window keyed on token alone hashes
+    every row of a stopword into ONE reducer (no partial aggregation in
+    windows — the same hot-key failure PERF.md documents for the tfidf
+    df-by-window form). Here top-k runs in TWO phases: phase 1 windows
+    over (token, salt-of-doc_id) — a stopword's rows split across SALT
+    reducers, per-reducer group size = docs-with-token / SALT (size
+    SALT to the corpus like adaptive_planes does for LSH planes) —
+    phase 2 re-ranks the ≤ 8×SALT salt-winners per token, a bounded
+    set, so the token-keyed window touches O(vocab × 8·SALT) rows
+    total. Postings assemble from ≤ 8 rank-carrying structs per token
+    (array_sort on the unique rank is deterministic), never an
+    unbounded collect_list."""
+    return inverted_index(table(spark, sf_dir, "documents"))
+
+
+def inverted_index(d, k: int = 8, salt: int = 16):
+    """token → (df, cf, top-k postings) over (doc_id, text). See
+    :func:`q_inverted_index` for the salted two-phase top-k rationale."""
+    from pyspark.sql import Window
+
+    tok = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower("text"), "[^a-z0-9]+"), lambda x: x != "")
+        ).alias("token"),
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf")).persist()
+    stats = tf.groupBy("token").agg(
+        F.count("*").cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("cf"),
+    )
+    salted = tf.withColumn(
+        "_salt", F.pmod(F.xxhash64("doc_id"), F.lit(salt)).cast("int")
+    )
+    w1 = Window.partitionBy("token", "_salt").orderBy(F.desc("tf"), F.asc("doc_id"))
+    survivors = (
+        salted.withColumn("_rk", F.row_number().over(w1))
+        .where(F.col("_rk") <= k)
+        .drop("_salt", "_rk")
+    )
+    w2 = Window.partitionBy("token").orderBy(F.desc("tf"), F.asc("doc_id"))
+    top = survivors.withColumn("rk", F.row_number().over(w2)).where(F.col("rk") <= k)
+    postings = (
+        top.groupBy("token")
+        .agg(F.array_sort(F.collect_list(F.struct("rk", "doc_id", "tf"))).alias("ps"))
+        .select(
+            "token",
+            F.array_join(
+                F.transform(
+                    F.col("ps"),
+                    lambda s: F.concat_ws(
+                        ":", s["doc_id"].cast("string"), s["tf"].cast("string")
+                    ),
+                ),
+                ",",
+            ).alias("postings"),
+        )
+    )
+    return stats.join(postings, "token").select("token", "df", "cf", "postings")

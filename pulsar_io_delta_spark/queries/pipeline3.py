@@ -2593,3 +2593,99 @@ def q_dedup_url(spark, sf_dir):
         F.count("*").cast("long").alias("n_docs"),
         F.min("doc_id").cast("long").alias("keep_doc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# triangle counting (degree-ordered orientation) over the user
+# co-interaction graph
+
+
+@register(
+    "q_graph_triangles",
+    oracle="""
+WITH adj AS (
+  SELECT user_id AS u,
+         lag(user_id) OVER (PARTITION BY event_type, date_trunc('day', ts)
+                            ORDER BY ts, event_id) AS pu
+  FROM events),
+t_e AS (
+  SELECT least(u, pu) AS a, greatest(u, pu) AS b FROM adj
+  WHERE pu IS NOT NULL AND pu <> u),
+users AS (SELECT DISTINCT user_id AS uid FROM events),
+anchors AS (
+  SELECT uid FROM users
+  WHERE uid % 5 = 0
+    AND uid + 1 IN (SELECT uid FROM users)
+    AND uid + 2 IN (SELECT uid FROM users)),
+p_e AS (
+  SELECT uid AS a, uid + 1 AS b FROM anchors
+  UNION ALL SELECT uid AS a, uid + 2 AS b FROM anchors
+  UNION ALL SELECT uid + 1 AS a, uid + 2 AS b FROM anchors),
+e AS (SELECT DISTINCT a, b
+      FROM (SELECT a, b FROM t_e UNION ALL SELECT a, b FROM p_e)),
+deg AS (
+  SELECT node, count(*) AS deg
+  FROM (SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e)
+  GROUP BY node),
+tri AS (
+  SELECT t1.a AS x, t1.b AS y, t2.b AS z
+  FROM e t1
+  JOIN e t2 ON t2.a = t1.a AND t2.b > t1.b
+  JOIN e t3 ON t3.a = t1.b AND t3.b = t2.b),
+pn AS (
+  SELECT node, count(*) AS tri_cnt
+  FROM (SELECT x AS node FROM tri
+        UNION ALL SELECT y AS node FROM tri
+        UNION ALL SELECT z AS node FROM tri)
+  GROUP BY node)
+SELECT CAST(deg.node AS BIGINT) AS user_id, CAST(deg.deg AS BIGINT) AS deg,
+       CAST(coalesce(pn.tri_cnt, 0) AS BIGINT) AS tri_cnt
+FROM deg LEFT JOIN pn ON pn.node = deg.node
+""",
+)
+def q_graph_triangles(spark, sf_dir):
+    """Per-user triangle participation (node clustering signal — the
+    community-density feature a crawl/curation pipeline uses to
+    separate organic interaction neighborhoods from spam farms) over
+    the user co-interaction graph: within-day temporal adjacency per
+    event_type (lag over (event_type, day) — the window key scales
+    with the corpus' time span, never a per-type single reducer) ∪
+    deterministic cohort links ((u, u+1, u+2) closed triples for
+    u ≡ 0 mod 5, semi-joined against the observed user set so sparse
+    id spaces can't emit dangling edges — guarantees a non-degenerate
+    triangle population at every sf).
+
+    The counting itself is operators/graph.triangle_counts: degree-
+    ordered orientation bounds every out-list at O(sqrt|E|), wedge +
+    closure are equi-joins — no all-pairs stage anywhere. The oracle
+    recomputes the triangle set with the orientation-free a<b<c
+    formulation (the triangle SET is orientation-invariant), so a
+    hash match verifies the oriented plan against an independent
+    algorithm, not a re-run of the same one."""
+    from pulsar_io_delta_spark.operators.graph import triangle_counts
+
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type", F.to_date("ts")).orderBy("ts", "event_id")
+    adj = ev.select(
+        F.col("user_id").alias("u"), F.lag("user_id").over(w).alias("pu")
+    )
+    temporal = adj.where(F.col("pu").isNotNull() & (F.col("pu") != F.col("u"))).select(
+        F.least("u", "pu").alias("a"), F.greatest("u", "pu").alias("b")
+    )
+    users = ev.select(F.col("user_id").alias("uid")).distinct()
+    anchors = (
+        users.where(F.col("uid") % 5 == 0)
+        .join(users.select((F.col("uid") - 1).alias("uid")), "uid", "semi")
+        .join(users.select((F.col("uid") - 2).alias("uid")), "uid", "semi")
+    )
+    planted = (
+        anchors.select(F.col("uid").alias("a"), (F.col("uid") + 1).alias("b"))
+        .unionAll(anchors.select(F.col("uid").alias("a"), (F.col("uid") + 2).alias("b")))
+        .unionAll(
+            anchors.select((F.col("uid") + 1).alias("a"), (F.col("uid") + 2).alias("b"))
+        )
+    )
+    edges = temporal.unionAll(planted)
+    return triangle_counts(edges, "a", "b").select(
+        F.col("node").cast("long").alias("user_id"), "deg", "tri_cnt"
+    )

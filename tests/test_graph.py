@@ -158,3 +158,70 @@ def test_hub_skew_graph_correct_and_bounded_rounds(spark):
     assert abs(total - 10**12) < 20 * n  # ≈ scale, floor-loss bounded
     # the hub must hold the highest rank (it absorbs 10% of all mass)
     assert got[0] == max(got.values())
+
+
+def _brute_triangles(edges):
+    """Per-node triangle counts by literal enumeration over the
+    canonical undirected edge set."""
+    import itertools
+
+    eset = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    nodes = sorted({v for e in eset for v in e})
+    deg = {v: 0 for v in nodes}
+    for a, b in eset:
+        deg[a] += 1
+        deg[b] += 1
+    tri = {v: 0 for v in nodes}
+    for x, y, z in itertools.combinations(nodes, 3):
+        if (x, y) in eset and (x, z) in eset and (y, z) in eset:
+            tri[x] += 1
+            tri[y] += 1
+            tri[z] += 1
+    return {v: (deg[v], tri[v]) for v in nodes}
+
+
+def _run_triangles(spark, edges):
+    from pulsar_io_delta_spark.operators.graph import triangle_counts
+
+    e = spark.createDataFrame(edges, "src long, dst long")
+    return {
+        r["node"]: (r["deg"], r["tri_cnt"]) for r in triangle_counts(e).collect()
+    }
+
+
+def test_triangle_counts_match_brute_force_random(spark):
+    rng = random.Random(20260816)
+    for _ in range(3):
+        n = rng.randrange(20, 60)
+        m = rng.randrange(n, 4 * n)
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        assert _run_triangles(spark, edges) == _brute_triangles(edges)
+
+
+def test_triangle_counts_canonicalizes_input(spark):
+    # duplicates, self-loops, and both directions must not inflate
+    # counts: the graph is one triangle {0,1,2}
+    edges = [(0, 1), (1, 0), (0, 1), (1, 2), (2, 0), (0, 0), (2, 0)]
+    assert _run_triangles(spark, edges) == {
+        0: (2, 1),
+        1: (2, 1),
+        2: (2, 1),
+    }
+
+
+def test_triangle_counts_star_is_triangle_free(spark):
+    # A hub star has wedges everywhere but zero closures; the
+    # degree-ordered orientation must also keep the hub's out-list
+    # EMPTY (every edge points low-degree leaf → high-degree hub), so
+    # the wedge stage never enumerates C(hub_degree, 2).
+    edges = [(0, i) for i in range(1, 40)]
+    got = _run_triangles(spark, edges)
+    assert got[0] == (39, 0)
+    assert all(got[i] == (1, 0) for i in range(1, 40))
+
+
+def test_triangle_counts_clique(spark):
+    # K6: every node sits in C(5,2) = 10 triangles.
+    edges = [(a, b) for a in range(6) for b in range(a + 1, 6)]
+    got = _run_triangles(spark, edges)
+    assert got == {v: (5, 10) for v in range(6)}

@@ -734,3 +734,69 @@ class TestUrlCanonicalization:
         df = spark.createDataFrame([(u,) for u in urls], "url string")
         got = [r[0] for r in df.select(canonicalize_url(F.col("url"))).collect()]
         assert len(set(got)) == 5
+
+
+def test_containment_asymmetric_on_plants(spark, sf_dir):
+    """Containment of A inside A + " ." is structurally 1.0 (every
+    char-3-gram of A is a substring of the extension); the reverse
+    direction must be < 1.0 whenever the plant gained a new distinct
+    gram, and both ratios must agree with a Python recomputation on a
+    sample — exact values, not bounds."""
+    docs = table(spark, sf_dir, "documents").where(F.col("doc_id") < 30)
+    corpus = _planted_corpus(docs)
+    cand = docs.select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + PLANT_OFFSET).alias("id_b"),
+    )
+    got = {
+        (r.id_a, r.id_b): (r.cont_ab, r.cont_ba)
+        for r in dd.containment_on_candidates(
+            corpus, cand, "doc_id", "text"
+        ).collect()
+    }
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    assert len(got) == len(texts)
+    for (ia, ib), (cab, cba) in got.items():
+        a, b = texts[ia], texts[ia] + " ."
+        ga = {a[i : i + 3] for i in range(max(len(a) - 2, 1))}
+        gb = {b[i : i + 3] for i in range(max(len(b) - 2, 1))}
+        inter = len(ga & gb)
+        assert cab == round(inter / len(ga), 4) == 1.0
+        assert cba == round(inter / len(gb), 4)
+        if len(gb) > len(ga):
+            assert cba < 1.0
+
+
+def test_containment_short_inside_long(spark):
+    """The signal Jaccard misses: a short doc embedded verbatim in a
+    much longer one reads containment(short→long) = 1.0 while Jaccard
+    stays low."""
+    short = "the quick brown fox jumps over the lazy dog"
+    long = short + " " + "filler words stretch this document much longer " * 8
+    df = spark.createDataFrame([(1, short), (2, long)], "doc_id long, text string")
+    cand = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    row = dd.containment_on_candidates(df, cand, "doc_id", "text").collect()[0]
+    assert row.cont_ab == 1.0
+    assert row.cont_ba < 0.5
+    jac = dd.jaccard_on_candidates(df, cand, "doc_id", "text").collect()[0]
+    assert jac.jaccard < 0.5
+
+
+def test_inverted_index_postings_exact(spark):
+    """Posting lists, df and cf against a hand-built corpus: top-8 by
+    (tf desc, doc_id), truncation at 8, and the salted two-phase
+    selection agreeing with the direct single-window answer."""
+    from pulsar_io_delta_spark.queries.pipeline2 import inverted_index
+
+    rows = [(i, "alpha " * (i + 1) + ("beta " if i % 2 == 0 else "")) for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.token: (r.df, r.cf, r.postings) for r in inverted_index(df).collect()}
+    # alpha: in all 12 docs, tf = doc_id + 1 → top-8 = docs 11..4
+    exp_alpha = ",".join(f"{d}:{d + 1}" for d in range(11, 3, -1))
+    assert got["alpha"] == (12, sum(range(1, 13)), exp_alpha)
+    # beta: even docs only, tf = 1 each → ties broken by doc_id asc
+    exp_beta = ",".join(f"{d}:1" for d in [0, 2, 4, 6, 8, 10])
+    assert got["beta"] == (6, 6, exp_beta)
+    # salt granularity must not change the answer
+    got2 = {r.token: r.postings for r in inverted_index(df, salt=3).collect()}
+    assert got2["alpha"] == exp_alpha and got2["beta"] == exp_beta

@@ -376,3 +376,34 @@ def test_line_dedup_boilerplate_shuffle_is_hash_only(spark, sf_dir):
     assert not [ln for ln in hash_exchanges if "line#" in ln], (
         "an exchange partitions on raw line text:\n" + plan
     )
+
+
+def test_graph_triangles_plan_equijoins_only(spark, sf_dir):
+    """Triangle counting must plan the wedge and closure stages as hash
+    EQUI-joins on (u) and (v1, v2) — no nested-loop / cartesian stage
+    anywhere, or a dense neighborhood at 100 TB turns into an all-pairs
+    scan. Also pins Python staying out of the per-edge path."""
+    plan = _plan(spark, sf_dir, "q_graph_triangles")
+    assert "NestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_dedup_containment_plan_no_allpairs(spark, sf_dir):
+    """Same verify-on-candidates guarantee as q_ngram_jaccard: gram
+    joins restricted by candidate ids plan as equi-joins."""
+    plan = _plan(spark, sf_dir, "q_dedup_containment")
+    assert "NestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_inverted_index_topk_is_salted_two_phase(spark, sf_dir):
+    """The posting-list top-k must run its FIRST window over
+    (token, _salt) — two window stages in the plan, with the salted key
+    ahead of the token-only re-rank — so a stopword's rows never
+    single-reduce (windows have no partial aggregation; PERF.md's tfidf
+    df-by-window lesson)."""
+    plan = _plan(spark, sf_dir, "q_inverted_index")
+    assert plan.count("RunningWindowFunction") + plan.count("Window") >= 2, plan
+    assert "_salt" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
