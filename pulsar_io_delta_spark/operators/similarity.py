@@ -448,3 +448,38 @@ def ann_topk_pq(
         .where(F.col("rn") <= k)
         .select("qid", F.col("vec_id").alias("cid"), F.round("d", 4).alias("adc_r"), "rn")
     )
+
+
+def knn_graph(nodes: DataFrame, k: int = 5) -> DataFrame:
+    """Mutual k-NN graph over a node set (vec_id, embedding): an
+    undirected edge (id_a < id_b, cos_r) exists iff each endpoint is in
+    the other's exact cosine top-k. The mutual filter is the standard
+    symmetrization for clustering/SemDeDup-style pipelines — one-sided
+    kNN edges from hub nodes (near-everything's neighbor) vanish unless
+    the hub reciprocates, so cluster boundaries stay crisp.
+
+    Shape: exact top-k via brute_force_topk (broadcast the node set,
+    per-partition window rank — the node set is a designated sample, so
+    the broadcast side is bounded by construction); the mutual filter
+    is a self EQUI-join of the directed top-k list on the reversed key
+    pair, O(n·k) rows, never O(n²). For full-corpus graphs swap the
+    candidate generator for ann_topk_ivf/ann_topk_lsh — the
+    symmetrization is identical.
+    """
+    base = with_norm2(nodes)
+    q = base.select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("v_n2").alias("qv_n2"),
+    )
+    directed = brute_force_topk(q, base, k=k).select("qid", "cid", "cos_r")
+    rev = directed.select(
+        F.col("cid").alias("qid"), F.col("qid").alias("cid")
+    )
+    return (
+        directed.join(rev, ["qid", "cid"])
+        .where(F.col("qid") < F.col("cid"))
+        .select(
+            F.col("qid").alias("id_a"), F.col("cid").alias("id_b"), "cos_r"
+        )
+    )

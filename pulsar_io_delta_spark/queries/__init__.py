@@ -740,6 +740,13 @@ _R13_WINDOW = [
     "q_line_dedup_nl", "q_line_dedup", "q_dedup_url",
     "q_cdc_schema_evolution", "q_domain_metadata",
     "q_graph_triangles", "q_dedup_containment", "q_inverted_index",
+    # (b continued) second r13 batch: q_knn_graph = mutual k-NN graph
+    # over a designated node sample; q_rank_fusion = RRF hybrid
+    # BM25+cosine retrieval; q_constraints_lifecycle = CHECK constraint
+    # add/refuse/drop lifecycle. Their slots come from the last three
+    # (c) fills (q_cdf_merge / q_multimodal_jpeg / q_multimodal_png),
+    # which rotate to lead the r14 (c) pool.
+    "q_knn_graph", "q_rank_fusion", "q_constraints_lifecycle",
     # (c) r9-stale fill: metadata plane + curation headliners
     # (q_dedup_semantic / q_column_defaults / q_quality_filter yielded
     # their slots to the three new r13 queries)
@@ -747,7 +754,6 @@ _R13_WINDOW = [
     "q_nested_mapping", "q_column_mapping_id", "q_column_mapping_write",
     "q_liquid_cluster", "q_row_tracking", "q_log_compaction",
     "q_log_lifecycle", "q_compact_roundtrip", "q_clone_shallow",
-    "q_cdf_merge", "q_multimodal_jpeg", "q_multimodal_png",
 ]
 promote(_R13_WINDOW, after="q_stream_tumbling")
 WINDOW_MUST_INCLUDE = _R13_WINDOW

@@ -1076,3 +1076,45 @@ def q_dedup_substr(spark, sf_dir):
     return dd.duplicated_spans(
         table(spark, sf_dir, "documents"), "doc_id", "text", k=40, min_docs=2
     )
+
+
+@register(
+    "q_knn_graph",
+    oracle="""
+WITH n AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS n2
+  FROM embeddings WHERE vec_id % 17 = 0),
+p AS (
+  SELECT q.vec_id AS qid, c.vec_id AS cid,
+         list_dot_product(q.v, c.v) / sqrt(q.n2 * c.n2) AS cos
+  FROM n q JOIN n c ON c.vec_id <> q.vec_id),
+r AS (
+  SELECT qid, cid, cos,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+  FROM p),
+t AS (SELECT qid, cid, cos FROM r WHERE rn <= 5)
+SELECT a.qid AS id_a, a.cid AS id_b, round(a.cos, 4) AS cos_r
+FROM t a JOIN t b ON a.qid = b.cid AND a.cid = b.qid
+WHERE a.qid < a.cid
+""",
+)
+def q_knn_graph(spark, sf_dir):
+    """Mutual k-NN graph construction (k=5) over a deterministic ~6%
+    node sample (vec_id % 17 == 0) — the graph-building prelude to
+    SemDeDup-style cluster pruning and kNN-graph community detection.
+    Exact cosine top-5 per node (broadcast the sampled node set,
+    windowed rank — same bit-exact dot-product contract as q_sim_topk),
+    then the mutual filter as a self equi-join on the reversed
+    (qid, cid) key: only reciprocated edges survive, emitted once with
+    id_a < id_b.
+
+    Scale shape: the sample IS the broadcast bound — at 100 TB the
+    designated node set stays a fixed fraction chosen to fit the
+    broadcast budget, and the mutual join moves O(n·k) directed edges,
+    never O(n²) pairs; a full-corpus graph swaps in the IVF/LSH
+    candidate generators with the identical symmetrization."""
+    nodes = table(spark, sf_dir, "embeddings").where(
+        F.col("vec_id") % 17 == 0
+    ).select("vec_id", "embedding")
+    return sim.knn_graph(nodes, k=5)

@@ -1063,3 +1063,165 @@ def inverted_index(d, k: int = 8, salt: int = 16):
         )
     )
     return stats.join(postings, "token").select("token", "df", "cf", "postings")
+
+
+@register(
+    "q_rank_fusion",
+    oracle="""
+WITH cand AS (
+  SELECT d.doc_id, d.text, e.embedding::DOUBLE[] AS v
+  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+  WHERE d.doc_id <> 0),
+qv AS (
+  SELECT embedding::DOUBLE[] AS qv,
+         list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS qn2
+  FROM embeddings WHERE vec_id = 0),
+tok AS (
+  SELECT doc_id, unnest(list_filter(
+           string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS token
+  FROM cand),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+dl AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl FROM tf GROUP BY doc_id),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+qdf AS (SELECT token, CAST(count(*) AS DOUBLE) AS df FROM tf
+        WHERE token IN ('spark', 'merge', 'window') GROUP BY token),
+lex AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (s.n_docs - qdf.df + 0.5) / (qdf.df + 0.5))
+             * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)))
+           AS score
+  FROM tf JOIN qdf USING (token)
+  JOIN dl USING (doc_id) CROSS JOIN stats s
+  GROUP BY tf.doc_id),
+lexr AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY round(score, 4) DESC, doc_id)
+              AS BIGINT) AS lex_rk
+  FROM lex),
+denser AS (
+  SELECT c.doc_id,
+         CAST(row_number() OVER (
+                ORDER BY list_dot_product(c.v, q.qv)
+                         / sqrt(list_dot_product(c.v, c.v) * q.qn2) DESC,
+                         c.doc_id)
+              AS BIGINT) AS dense_rk
+  FROM cand c CROSS JOIN qv q),
+fused AS (
+  SELECT doc_id, l.lex_rk, d2.dense_rk,
+         COALESCE(1.0 / (60 + l.lex_rk), 0)
+           + COALESCE(1.0 / (60 + d2.dense_rk), 0) AS rrf
+  FROM (SELECT * FROM lexr WHERE lex_rk <= 50) l
+  FULL JOIN (SELECT * FROM denser WHERE dense_rk <= 50) d2 USING (doc_id))
+SELECT doc_id, lex_rk, dense_rk, round(rrf, 6) AS rrf_r,
+       CAST(row_number() OVER (ORDER BY round(rrf, 6) DESC, doc_id)
+            AS BIGINT) AS rk
+FROM fused
+ORDER BY rk LIMIT 10
+""",
+)
+def q_rank_fusion(spark, sf_dir):
+    """Hybrid retrieval via Reciprocal Rank Fusion (RRF, k=60 — the
+    Cormack/Clarke/Buettcher fusion that needs only RANKS, no score
+    calibration): fuse a BM25 lexical ranking with a dense
+    embedding-cosine ranking over the documents that carry embeddings
+    (doc_id = vec_id), query = doc 0's embedding + the fixed 3-term
+    lexical query. Top-50 from each ranker, rrf = Σ 1/(60+rank) with
+    absent-from-a-list contributing 0, final top-10 by (rrf, doc_id).
+    This is the standard training-data curation shape for
+    query-targeted subcorpus selection when neither ranker alone is
+    trusted.
+
+    Determinism: both rankings order by ROUNDED/bit-exact keys with
+    doc_id tiebreaks (BM25 on round(score,4) like q_bm25_topdocs;
+    cosine on the raw double — same sequential-fold dot product both
+    engines, the q_sim_topk contract), and the RRF sum is two exact
+    divisions + one add, identical across engines; ranked on round 6dp.
+
+    Scale shape: the lexical side is the q_bm25_topdocs plan (one
+    (doc,token) shuffle, broadcast query-term df + corpus stats); the
+    dense side broadcasts ONE query vector; each ranker emits a top-50
+    via windowed rank (at 100 TB: per-partition partial top-k then a
+    50-row global merge); the fusion join touches ≤100 rows total."""
+    from pyspark.sql import Window
+
+    from pulsar_io_delta_spark.operators import similarity as sim
+
+    K1, B, RRF_K, TOP = 1.2, 0.75, 60, 50
+    terms = ["spark", "merge", "window"]
+    emb = sim.with_norm2(table(spark, sf_dir, "embeddings"))
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    cand = docs.join(
+        emb.select(F.col("vec_id").alias("doc_id"), "v", "v_n2"), "doc_id"
+    ).where(F.col("doc_id") != 0)
+
+    # lexical: BM25 over the candidate subcorpus (q_bm25_topdocs formula)
+    tok = cand.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower("text"), "[^a-z0-9]+"), lambda x: x != "")
+        ).alias("token"),
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf")).persist()
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("double").alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    qdf = (
+        tf.where(F.col("token").isin(terms))
+        .groupBy("token")
+        .agg(F.count("*").cast("double").alias("df"))
+    )
+    idf = F.log(
+        F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    sat = (F.col("tf") * (K1 + 1)) / (
+        F.col("tf") + K1 * ((1 - B) + B * F.col("dl") / F.col("avgdl"))
+    )
+    lex = (
+        tf.where(F.col("token").isin(terms))
+        .join(F.broadcast(qdf), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(idf * sat).alias("score"))
+    )
+    wl = Window.orderBy(F.round("score", 4).desc(), "doc_id")
+    lexr = (
+        lex.select("doc_id", F.row_number().over(wl).cast("long").alias("lex_rk"))
+        .where(F.col("lex_rk") <= TOP)
+    )
+
+    # dense: cosine to doc 0's embedding, broadcast single query vector
+    q = emb.where(F.col("vec_id") == 0).select(
+        F.col("v").alias("qv"), F.col("v_n2").alias("qv_n2")
+    )
+    wd = Window.orderBy(
+        F.desc(sim.cosine_col("v", "qv", "v_n2", "qv_n2")), F.asc("doc_id")
+    )
+    denser = (
+        cand.crossJoin(F.broadcast(q))
+        .select("doc_id", F.row_number().over(wd).cast("long").alias("dense_rk"))
+        .where(F.col("dense_rk") <= TOP)
+    )
+
+    fused = lexr.join(denser, "doc_id", "full").select(
+        "doc_id",
+        "lex_rk",
+        "dense_rk",
+        (
+            F.coalesce(F.lit(1.0) / (RRF_K + F.col("lex_rk")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (RRF_K + F.col("dense_rk")), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    wf = Window.orderBy(F.round("rrf", 6).desc(), "doc_id")
+    return (
+        fused.select(
+            "doc_id",
+            "lex_rk",
+            "dense_rk",
+            F.round("rrf", 6).alias("rrf_r"),
+            F.row_number().over(wf).cast("long").alias("rk"),
+        )
+        .where(F.col("rk") <= 10)
+        .orderBy("rk")
+    )

@@ -2689,3 +2689,68 @@ def q_graph_triangles(spark, sf_dir):
     return triangle_counts(edges, "a", "b").select(
         F.col("node").cast("long").alias("user_id"), "deg", "tri_cnt"
     )
+
+
+@register(
+    "q_constraints_lifecycle",
+    oracle="""
+SELECT 'conforming_rows' AS phase, count(*) AS n
+FROM documents WHERE n_chars >= 150
+UNION ALL
+SELECT 'violating_write_refused', count(*) FROM documents WHERE n_chars < 150
+UNION ALL
+SELECT 'unsatisfiable_constraint_refused', 1
+UNION ALL
+SELECT 'rows_after_drop', count(*) FROM documents
+""",
+)
+def q_constraints_lifecycle(spark, sf_dir):
+    """CHECK constraint lifecycle end-to-end (Delta PROTOCOL.md
+    "CHECK Constraints", writer feature ``checkConstraints``): a
+    curation table declares ``n_chars >= 150``; the conforming slice
+    writes clean, a violating batch is REFUSED at commit time
+    (DeltaConstraintViolation — the table never sees the rows), adding
+    a constraint the EXISTING data violates is refused on its full-scan
+    validation, and after DROP CONSTRAINT the previously-refused batch
+    lands. Every count in the result is data-derived, so the oracle
+    checks real enforcement, not a constant echo: a write that slipped
+    through reports -1 and hash-mismatches.
+
+    Scale shape: validation is one ``NOT (expr)`` probe per constraint
+    over the incoming batch — predicate-pushed, limit(1) short-circuit,
+    zero cost on constraint-free tables; the ADD-time scan is the same
+    probe over the table scan. Constraint storage is O(1) table
+    configuration, replayed from checkpoint like any metaData."""
+    import tempfile
+
+    from pulsar_io_delta_spark.sources.delta_log import (
+        DeltaConstraintViolation,
+        DeltaTable,
+    )
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    ok, bad = d.where("n_chars >= 150"), d.where("n_chars < 150")
+    n_ok, n_bad = ok.count(), bad.count()
+    path = tempfile.mkdtemp(prefix="pids_ck_") + "/tbl"
+    t = DeltaTable(path)
+    t.write(ok)
+    t.set_constraint(spark, "min_len", "n_chars >= 150")
+    try:
+        t.write(bad)
+        refused = False
+    except DeltaConstraintViolation:
+        refused = True
+    try:
+        t.set_constraint(spark, "impossible", "n_chars >= 100000")
+        add_refused = False
+    except DeltaConstraintViolation:
+        add_refused = True
+    t.drop_constraint("min_len")
+    t.write(bad)
+    rows = [
+        ("conforming_rows", n_ok),
+        ("violating_write_refused", n_bad if refused else -1),
+        ("unsatisfiable_constraint_refused", 1 if add_refused else 0),
+        ("rows_after_drop", t.read(spark).count()),
+    ]
+    return spark.createDataFrame(rows, "phase string, n long")

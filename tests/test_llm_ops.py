@@ -800,3 +800,40 @@ def test_inverted_index_postings_exact(spark):
     # salt granularity must not change the answer
     got2 = {r.token: r.postings for r in inverted_index(df, salt=3).collect()}
     assert got2["alpha"] == exp_alpha and got2["beta"] == exp_beta
+
+
+def test_knn_graph_mutual_only(spark):
+    """Hand-built geometry: a tight trio of near-parallel vectors plus
+    one hub-adjacent outlier. With k=1 each trio member picks its
+    nearest trio sibling; the outlier picks a trio member that does NOT
+    reciprocate — the outlier must have no edge, and every emitted edge
+    must appear exactly once with id_a < id_b."""
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.999, 0.04, 0.0]),   # 0's nearest, and 0 is 1's nearest
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.04, 0.999, 0.0]),   # 2<->3 mutual
+        (4, [0.5, 0.5, 0.0]),      # nearest to others but nobody's top-1
+    ]
+    nodes = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    edges = {
+        (r.id_a, r.id_b) for r in sim.knn_graph(nodes, k=1).collect()
+    }
+    assert edges == {(0, 1), (2, 3)}
+
+
+def test_knn_graph_k_bounds_degree(spark, sf_dir):
+    """Every node's degree in the mutual graph is <= k, and each edge is
+    reciprocated in the directed top-k (the defining property)."""
+    nodes = table(spark, sf_dir, "embeddings").where(
+        F.col("vec_id") % 17 == 0
+    ).select("vec_id", "embedding")
+    k = 3
+    g = sim.knn_graph(nodes, k=k)
+    deg = (
+        g.select(F.col("id_a").alias("v"))
+        .unionAll(g.select(F.col("id_b").alias("v")))
+        .groupBy("v")
+        .count()
+    )
+    assert deg.where(F.col("count") > k).count() == 0

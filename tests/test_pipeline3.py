@@ -361,3 +361,40 @@ def test_read_blobs_caps_partition_count(spark, tmp_path):
     cap = spark.sparkContext.defaultParallelism * 2
     assert bf.rdd.getNumPartitions() <= cap
     assert bf.count() == 3000
+
+
+def test_rank_fusion_rrf_math(spark, sf_dir):
+    """RRF invariants on the real fixture: rrf_r equals the closed form
+    from the two rank columns (0 contribution when absent), ranks are
+    within top-50, and the output is the rk-ordered top-10."""
+    from pulsar_io_delta_spark.queries.pipeline2 import q_rank_fusion
+
+    out = q_rank_fusion(spark, sf_dir).collect()
+    assert len(out) == 10
+    assert [r.rk for r in out] == list(range(1, 11))
+    for r in out:
+        expect = 0.0
+        if r.lex_rk is not None:
+            assert 1 <= r.lex_rk <= 50
+            expect += 1.0 / (60 + r.lex_rk)
+        if r.dense_rk is not None:
+            assert 1 <= r.dense_rk <= 50
+            expect += 1.0 / (60 + r.dense_rk)
+        assert abs(r.rrf_r - round(expect, 6)) < 1e-9
+    # fused scores are non-increasing in rk
+    vals = [r.rrf_r for r in out]
+    assert vals == sorted(vals, reverse=True)
+
+
+def test_constraints_lifecycle_query(spark, sf_dir):
+    """The lifecycle query's refusal phases report the data-derived
+    counts (a slipped-through write would report -1)."""
+    from pulsar_io_delta_spark.queries.pipeline3 import q_constraints_lifecycle
+    from pulsar_io_delta_spark.tables import table as _t
+
+    rows = {r.phase: r.n for r in q_constraints_lifecycle(spark, sf_dir).collect()}
+    d = _t(spark, sf_dir, "documents")
+    n_bad = d.where("n_chars < 150").count()
+    assert rows["violating_write_refused"] == n_bad
+    assert rows["unsatisfiable_constraint_refused"] == 1
+    assert rows["rows_after_drop"] == d.count()

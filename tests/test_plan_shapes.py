@@ -407,3 +407,31 @@ def test_inverted_index_topk_is_salted_two_phase(spark, sf_dir):
     assert plan.count("RunningWindowFunction") + plan.count("Window") >= 2, plan
     assert "_salt" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_knn_graph_mutual_join_is_equijoin(spark, sf_dir):
+    """The symmetrization self-join must be a hash/merge EQUI-join on
+    (qid, cid) — O(n·k) edge rows — and the only nested-loop stage is
+    the intended broadcast query×candidate scorer (never a plain
+    CartesianProduct)."""
+    plan = _plan(spark, sf_dir, "q_knn_graph")
+    assert "CartesianProduct" not in plan
+    assert (
+        plan.count("SortMergeJoin")
+        + plan.count("BroadcastHashJoin")
+        + plan.count("ShuffledHashJoin")
+        >= 1
+    ), plan
+    # the scorer's NLJ must be broadcast-side, if present at all
+    assert "BroadcastNestedLoopJoin" in plan or "NestedLoop" not in plan
+
+
+def test_rank_fusion_broadcasts_query_side(spark, sf_dir):
+    """Both fusion inputs keep their small sides broadcast (query-term
+    df, corpus stats, the single dense query vector): the plan carries
+    BroadcastExchanges and never a CartesianProduct, so the corpus-sized
+    side shuffles exactly once for the (doc,token) build."""
+    plan = _plan(spark, sf_dir, "q_rank_fusion")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
