@@ -124,6 +124,14 @@ HEADLINE = [
     "q_multimodal_audio_probe",
     "q_pii_scrub",
     "q_html_extract",
+    # round 13: mutual k-NN graph construction (broadcast sample topk +
+    # reversed-key equi-join) and RRF hybrid retrieval (BM25 ⊕ cosine)
+    "q_knn_graph",
+    "q_rank_fusion",
+    # round 13: bloom-pruned semi-join (blob-literal probe pre-shuffle)
+    # and vocabulary-level BPE tokenizer apply
+    "q_bloom_prune",
+    "q_tokenize_bpe",
 ]
 
 

@@ -1,0 +1,101 @@
+"""Bloom-filter semi-join pruning — the pre-shuffle big-side filter.
+
+A 100 TB pipeline repeatedly needs ``big LEFT SEMI JOIN keys`` where
+``keys`` is too large to broadcast as a hash relation but its BLOOM
+FILTER fits in kilobytes-to-megabytes (decontamination against a
+benchmark fingerprint store, incremental-dedup against a seen-set, CDC
+key routing). Spark's optimizer injects runtime bloom filters only
+within one query; this operator makes the technique available ACROSS
+stages and pipelines: build the bit array once (distributed bit_or,
+only the set bytes ever reach the driver), embed it as ONE BinaryType
+literal, and prune the big side BEFORE its shuffle. False positives
+are possible, false negatives are not — so correctness-sensitive
+callers follow with the exact semi-join (bloom_semi_join), which then
+shuffles only the pruned survivors.
+
+Representation matters at this size: a list literal would plan as a
+CreateArray with m/64 CHILD EXPRESSIONS (16k children at 2^20 bits —
+measured ~10 s of analyzer/codegen overhead per query); the byte blob
+is a single Literal node whatever its size, and the per-row probe is
+hex(substring(blob, p>>3, 1)) → conv → shift — five codegen'd JVM ops
+per hash, no UDF, no join.
+
+Hashing: position_i = pmod(xxhash64(lit(i), key), m) — Spark's
+built-in JVM xxhash64 (no Python in the row path); the seed index is
+mixed in as a hashed literal column, giving k independent positions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def _positions(key: Column, m_bits: int, k: int) -> list[Column]:
+    return [
+        F.pmod(F.xxhash64(F.lit(i), key), F.lit(m_bits)) for i in range(k)
+    ]
+
+
+def bloom_build(keys: DataFrame, key_col: str, m_bits: int = 1 << 20, k: int = 2) -> bytes:
+    """Distributed Bloom-filter build: k positions per key, bit-packed
+    per BYTE via a grouped BIT_OR (map-side combined — the shuffle
+    carries at most one partial byte per task per set byte, never the
+    key set). Only set bytes are collected: driver materialization is
+    O(min(n·k, m/8)), and the returned blob is m/8 bytes."""
+    if m_bits % 8:
+        raise ValueError("m_bits must be a multiple of 8")
+    pos = keys.select(
+        F.explode(F.array(*_positions(F.col(key_col), m_bits, k))).alias("p")
+    )
+    set_bytes = (
+        pos.select(
+            (F.col("p") / 8).cast("long").alias("i"),
+            F.call_function(
+                "shiftleft", F.lit(1), (F.col("p") % 8).cast("int")
+            ).alias("b"),
+        )
+        .groupBy("i")
+        .agg(F.bit_or("b").alias("bits"))
+        .collect()
+    )
+    arr = bytearray(m_bits // 8)
+    for r in set_bytes:
+        arr[r.i] = r.bits
+    return bytes(arr)
+
+
+def bloom_might_contain(blob: bytes, key: Column, k: int = 2) -> Column:
+    """JVM-side membership test against a built filter: k byte probes
+    into the blob literal (substring → hex → conv → shift → mask),
+    fully codegen'd — no UDF, no join, one Literal node however large
+    the filter."""
+    m_bits = len(blob) * 8
+    lit_blob = F.lit(blob)
+    cond = F.lit(True)
+    for p in _positions(key, m_bits, k):
+        byte_hex = F.call_function(
+            "substring", lit_blob, (p / 8).cast("int") + 1, F.lit(1)
+        )
+        byte_val = F.conv(F.hex(byte_hex), 16, 10).cast("int")
+        bit = F.call_function("shiftright", byte_val, (p % 8).cast("int"))
+        cond = cond & (bit.bitwiseAND(F.lit(1)) == 1)
+    return cond
+
+
+def bloom_semi_join(
+    big: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    m_bits: int = 1 << 20,
+    k: int = 2,
+) -> DataFrame:
+    """EXACT semi-join with bloom pre-pruning: the big side is filtered
+    by the bloom BEFORE its exchange (the filter is a codegen'd literal
+    probe, so it lands below the shuffle in the physical plan), then
+    the surviving rows — true members plus the bloom's ~n·k/m false
+    positives — flow into a plain semi-join that removes the false
+    positives. Result is bit-identical to ``big SEMI JOIN keys``; the
+    bloom only changes how many big-side rows ever reach a shuffle."""
+    filt = bloom_build(keys, key_col, m_bits=m_bits, k=k)
+    pruned = big.where(bloom_might_contain(filt, F.col(key_col), k=k))
+    return pruned.join(keys.hint("merge"), key_col, "left_semi")

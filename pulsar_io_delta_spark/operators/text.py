@@ -338,3 +338,46 @@ def canonicalize_url(url: Column, *, fragment_stripped: bool = False) -> Column:
         path,
         F.when(params != "", F.concat(F.lit("?"), params)).otherwise(F.lit("")),
     )
+
+
+# Ordered BPE merge table for bpe_tokens_col / q_tokenize_bpe: the
+# inference-side artifact a trained tokenizer ships. Multi-level on
+# purpose — 'the' needs (t,h) then (th,e); 'ing' needs (i,n) then
+# (in,g); 'ers' needs (e,r) then (er,s) — so the ordered, repeated
+# application is actually exercised, not just independent pair joins.
+BPE_MERGES: list[tuple[str, str]] = [
+    ("e", "r"),
+    ("t", "h"),
+    ("th", "e"),
+    ("i", "n"),
+    ("o", "n"),
+    ("a", "n"),
+    ("an", "d"),
+    ("e", "n"),
+    ("in", "g"),
+    ("er", "s"),
+]
+
+
+def bpe_tokens_col(word: Column, merges: list[tuple[str, str]] = BPE_MERGES) -> Column:
+    """Apply a trained BPE merge table to one word — the tokenizer
+    INFERENCE path (training happens once, offline, on a sample; a
+    100 TB pipeline only ever applies the frozen merge list).
+
+    Standard BPE semantics, expressed entirely in codegen'd string
+    ops: the word is encoded with '||' boundaries between symbols
+    ('||h||e||r||'), and each merge (a,b) in table order is one plain
+    (non-regex) substring replace of '|a||b|' with '|ab|'. The doubled
+    boundary is the trick that makes a single left-to-right
+    non-overlapping replace equal BPE's repeated-scan semantics: each
+    match consumes one '|' from each neighbor's pair and re-emits it,
+    so back-to-back occurrences ('|a||b||a||b|') both merge in one
+    pass, while overlapping ones ('|a||a||a|' under (a,a)) correctly
+    merge left-first only — byte-for-byte the greedy BPE apply. The
+    final '||'-split yields the subword tokens.
+    """
+    enc = F.concat(F.lit("||"), F.regexp_replace(word, "(.)", "$1||"))
+    s = enc
+    for a, b in merges:
+        s = F.call_function("replace", s, F.lit(f"|{a}||{b}|"), F.lit(f"|{a}{b}|"))
+    return F.filter(F.split(s, "\\|\\|"), lambda x: x != "")

@@ -747,13 +747,19 @@ _R13_WINDOW = [
     # (c) fills (q_cdf_merge / q_multimodal_jpeg / q_multimodal_png),
     # which rotate to lead the r14 (c) pool.
     "q_knn_graph", "q_rank_fusion", "q_constraints_lifecycle",
+    # (b continued) third r13 batch: q_bloom_prune = bloom-pruned exact
+    # semi-join (binary-blob literal probe below the shuffle);
+    # q_tokenize_bpe = trained-merge-table BPE apply at vocabulary
+    # granularity. Slots from the last two (c) fills
+    # (q_compact_roundtrip / q_clone_shallow → r14 (c) pool).
+    "q_bloom_prune", "q_tokenize_bpe",
     # (c) r9-stale fill: metadata plane + curation headliners
     # (q_dedup_semantic / q_column_defaults / q_quality_filter yielded
     # their slots to the three new r13 queries)
     "q_snapshot_scan", "q_time_travel_filter", "q_checkpoint_v2",
     "q_nested_mapping", "q_column_mapping_id", "q_column_mapping_write",
     "q_liquid_cluster", "q_row_tracking", "q_log_compaction",
-    "q_log_lifecycle", "q_compact_roundtrip", "q_clone_shallow",
+    "q_log_lifecycle",
 ]
 promote(_R13_WINDOW, after="q_stream_tumbling")
 WINDOW_MUST_INCLUDE = _R13_WINDOW

@@ -1118,3 +1118,64 @@ def q_knn_graph(spark, sf_dir):
         F.col("vec_id") % 17 == 0
     ).select("vec_id", "embedding")
     return sim.knn_graph(nodes, k=5)
+
+
+def _bpe_oracle() -> str:
+    """10 chained plain replaces — the SQL twin of bpe_tokens_col (the
+    doubled-'||'-boundary trick makes plain left-to-right replace equal
+    greedy BPE; see operators/text.py)."""
+    s = "'||' || regexp_replace(w, '(.)', '\\1||', 'g')"
+    for a, b in tx.BPE_MERGES:
+        s = f"replace({s}, '|{a}||{b}|', '|{a}{b}|')"
+    return f"""
+WITH w AS (
+  SELECT unnest(list_filter(
+           string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS w
+  FROM documents),
+tok AS (
+  SELECT unnest(list_filter(string_split({s}, '||'), x -> x <> '')) AS token
+  FROM w),
+c AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token)
+SELECT token, cnt,
+       CAST(row_number() OVER (ORDER BY cnt DESC, token) AS BIGINT) AS rk
+FROM c ORDER BY rk LIMIT 20
+"""
+
+
+@register("q_tokenize_bpe", oracle=_bpe_oracle())
+def q_tokenize_bpe(spark, sf_dir):
+    """BPE tokenizer APPLY (the inference path of a trained tokenizer —
+    what token-counting and sequence-packing over a 100 TB corpus
+    actually run): apply the frozen 10-entry merge table to every word,
+    report the top-20 subword tokens by corpus frequency.
+
+    Scale shape — vocabulary-level application: the corpus token
+    stream reduces to (word, count) pairs FIRST (one map-side-combined
+    shuffle whose width is the VOCABULARY, not the stream — Zipf makes
+    that orders of magnitude smaller), BPE string work then runs once
+    per DISTINCT word, and per-token counts are the weighted sum of
+    word counts. The oracle applies BPE to the raw stream — identical
+    counts by construction, which is exactly the property the
+    optimization relies on. All string work is codegen'd JVM (regexp
+    encode + 10 plain replaces, no UDF)."""
+    d = table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(tx.tokens_col(F.col("text"))).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("wc"))
+    )
+    toks = words.select(
+        F.explode(tx.bpe_tokens_col(F.col("w"))).alias("token"), "wc"
+    )
+    counts = toks.groupBy("token").agg(F.sum("wc").alias("cnt"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    return (
+        counts.select(
+            "token", "cnt", F.row_number().over(w).cast("long").alias("rk")
+        )
+        .where(F.col("rk") <= 20)
+        .orderBy("rk")
+    )

@@ -2754,3 +2754,56 @@ def q_constraints_lifecycle(spark, sf_dir):
         ("rows_after_drop", t.read(spark).count()),
     ]
     return spark.createDataFrame(rows, "phase string, n long")
+
+
+@register(
+    "q_bloom_prune",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id
+  FROM events GROUP BY user_id
+  ORDER BY sum(CAST(value AS DECIMAL(18,2))) DESC, user_id
+  LIMIT 10)
+SELECT event_type, count(*) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+WHERE user_id IN (SELECT user_id FROM flagged)
+GROUP BY event_type
+""",
+)
+def q_bloom_prune(spark, sf_dir):
+    """Bloom-pruned exact semi-join (the cross-pipeline runtime-filter
+    shape Spark's optimizer only injects within one query): all
+    activity of the top-10 users by exact decimal spend, computed as
+    big-side events bloom-PRUNED before their shuffle (2^20-bit filter,
+    k=2 xxhash64 probes, codegen'd literal-array bit tests) then
+    exact-semi-joined so bloom false positives are removed — the result
+    is bit-identical to the plain semi-join the oracle runs; the bloom
+    only changes how many rows ever reach an exchange.
+
+    Scale shape: the filter build shuffles at most m/64 partial words
+    per task (grouped BIT_OR, map-side combined) and the driver holds
+    m/64 longs (128 KB) regardless of key-set size — the decontamination
+    / seen-set shape where the key set is too big to broadcast as a
+    hash relation but its bits travel as one literal. The exact join
+    afterward touches only bloom survivors (true members + ~n·k/m
+    false positives)."""
+    from pyspark.sql import Window
+
+    from pulsar_io_delta_spark.operators.bloom import bloom_semi_join
+    from pulsar_io_delta_spark.queries._util import dsum
+
+    e = table(spark, sf_dir, "events")
+    w = Window.orderBy(F.desc("sv"), F.asc("user_id"))
+    flagged = (
+        e.groupBy("user_id")
+        .agg(dsum("value", "18,2").alias("sv"))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 10)
+        .select("user_id")
+    )
+    hits = bloom_semi_join(e, flagged, "user_id")
+    return hits.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.count_distinct("user_id").cast("long").alias("n_users"),
+    )

@@ -837,3 +837,49 @@ def test_knn_graph_k_bounds_degree(spark, sf_dir):
         .count()
     )
     assert deg.where(F.col("count") > k).count() == 0
+
+
+def _py_bpe(word, merges):
+    """Reference greedy BPE apply: for each merge in table order,
+    repeatedly scan left-to-right merging non-overlapping pairs."""
+    toks = list(word)
+    for a, b in merges:
+        out, i = [], 0
+        while i < len(toks):
+            if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(toks[i])
+                i += 1
+        toks = out
+    return toks
+
+
+def test_bpe_tokens_matches_reference_impl(spark):
+    """The doubled-boundary replace trick must equal the classic greedy
+    BPE apply on adversarial shapes: back-to-back pairs ('erer'),
+    overlapping candidates ('aaa' under (a,a)), multi-level merges
+    ('the', 'ing', 'ers'), and non-participating chars."""
+    from pulsar_io_delta_spark.operators.text import BPE_MERGES, bpe_tokens_col
+
+    words = ["the", "thermal", "erer", "ering", "bothering", "zzz",
+             "and", "standing", "banana", "intheend"]
+    merges = BPE_MERGES
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    got = {r.w: r.t for r in df.select("w", bpe_tokens_col(F.col("w")).alias("t")).collect()}
+    for w in words:
+        assert got[w] == _py_bpe(w, merges), (w, got[w], _py_bpe(w, merges))
+
+
+def test_bpe_overlap_merges_left_first(spark):
+    """(a,a) on 'aaaa' -> [aa, aa]; on 'aaa' -> [aa, a] — the greedy
+    non-overlapping left-to-right contract."""
+    from pulsar_io_delta_spark.operators.text import bpe_tokens_col
+
+    df = spark.createDataFrame([("aaa",), ("aaaa",), ("aaaaa",)], "w string")
+    got = {r.w: r.t for r in df.select(
+        "w", bpe_tokens_col(F.col("w"), [("a", "a")]).alias("t")).collect()}
+    assert got["aaa"] == ["aa", "a"]
+    assert got["aaaa"] == ["aa", "aa"]
+    assert got["aaaaa"] == ["aa", "aa", "a"]

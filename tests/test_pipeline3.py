@@ -398,3 +398,38 @@ def test_constraints_lifecycle_query(spark, sf_dir):
     assert rows["violating_write_refused"] == n_bad
     assert rows["unsatisfiable_constraint_refused"] == 1
     assert rows["rows_after_drop"] == d.count()
+
+
+def test_bloom_no_false_negatives_and_fp_bounded(spark):
+    """Construction property: every true member passes (zero false
+    negatives — the correctness half), and on a disjoint probe set the
+    false-positive rate stays within ~4x of the n*k/m expectation (the
+    efficiency half)."""
+    from pulsar_io_delta_spark.operators.bloom import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    members = spark.range(0, 2000).select(F.col("id").alias("k"))
+    blob = bloom_build(members, "k", m_bits=1 << 16, k=2)
+    assert len(blob) == (1 << 16) // 8
+    kept = members.where(bloom_might_contain(blob, F.col("k"))).count()
+    assert kept == 2000  # no false negatives, ever
+    probes = spark.range(1_000_000, 1_050_000).select(F.col("id").alias("k"))
+    fp = probes.where(bloom_might_contain(blob, F.col("k"))).count()
+    # expected fp rate ~ (set_bits/m)^2 <= (n*k/m)^2 = (4000/65536)^2 ~ 0.37%
+    assert fp / 50_000 < 0.015, fp
+
+
+def test_bloom_semi_join_exact(spark, sf_dir):
+    """bloom_semi_join is bit-identical to the plain semi-join — false
+    positives never escape the exact stage."""
+    from pulsar_io_delta_spark.operators.bloom import bloom_semi_join
+    from pulsar_io_delta_spark.tables import table as _t
+
+    e = _t(spark, sf_dir, "events")
+    keys = e.where(F.col("user_id") % 37 == 0).select("user_id").distinct()
+    got = bloom_semi_join(e, keys, "user_id")
+    exact = e.join(keys, "user_id", "left_semi")
+    assert got.count() == exact.count()
+    assert got.exceptAll(exact).count() == 0
