@@ -303,3 +303,74 @@ def triangle_counts(edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
         F.col("deg").cast("long").alias("deg"),
         F.coalesce(F.col("tri_cnt"), F.lit(0)).cast("long").alias("tri_cnt"),
     )
+
+
+def bfs_distances(
+    edges: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    source: int | None = None,
+    max_iter: int = 20,
+    work_dir: str | None = None,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Single-source unweighted BFS: ``(node, dist)`` hop distances from
+    ``source`` (default: the minimum node id in the edge set) over the
+    undirected edge set. Unreached nodes are absent from the result —
+    callers LEFT-join if they want NULL-distance rows.
+
+    Frontier supersteps, not whole-table relaxation: each round joins
+    ONLY the newly-discovered frontier against the adjacency (one hash
+    equi-join), anti-joins the visited set, and appends. Every edge is
+    therefore relaxed exactly once over the whole run — total work
+    O(|E| + |V|·diameter) with no per-round full-graph pass, the
+    Pregel/GraphX BFS shape. Rounds barrier to parquet like
+    connected_components (durable, resumable supersteps; Dataset
+    .checkpoint re-executes prior rounds — measured there). Raises if
+    the frontier is still non-empty after ``max_iter`` rounds — never
+    silently-partial distances. Pass ``stats`` to receive
+    {'rounds': k} (== eccentricity of the source + 1)."""
+    spark = edges.sparkSession
+    workdir = work_dir or tempfile.mkdtemp(prefix="pids_bfs_")
+
+    def barrier(df: DataFrame, name: str) -> DataFrame:
+        path = os.path.join(workdir, name)
+        df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
+    e = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+    sym = barrier(
+        e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .where(F.col("a") != F.col("b"))
+        .distinct(),
+        "edges",
+    )
+    if source is None:
+        source = sym.agg(F.min("a")).first()[0]
+        if source is None:
+            return spark.createDataFrame([], "node long, dist long")
+    frontier = barrier(
+        spark.createDataFrame([(int(source), 0)], "node long, dist long"),
+        "frontier_0",
+    )
+    dist = barrier(frontier, "dist_0")
+    for i in range(max_iter):
+        reached = (
+            sym.join(frontier, sym.a == frontier.node)
+            .select(F.col("b").alias("node"), (F.col("dist") + 1).alias("dist"))
+            .distinct()
+        )
+        nxt = barrier(
+            reached.join(dist.select("node"), "node", "left_anti"),
+            f"frontier_{i + 1}",
+        )
+        if nxt.limit(1).count() == 0:
+            if stats is not None:
+                stats["rounds"] = i + 1
+            return dist
+        dist = barrier(dist.unionAll(nxt), f"dist_{i + 1}")
+        frontier = nxt
+        shutil.rmtree(os.path.join(workdir, f"frontier_{i}"), ignore_errors=True)
+        shutil.rmtree(os.path.join(workdir, f"dist_{i}"), ignore_errors=True)
+    raise RuntimeError(f"bfs_distances did not converge in {max_iter} rounds")

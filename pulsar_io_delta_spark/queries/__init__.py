@@ -753,13 +753,16 @@ _R13_WINDOW = [
     # granularity. Slots from the last two (c) fills
     # (q_compact_roundtrip / q_clone_shallow → r14 (c) pool).
     "q_bloom_prune", "q_tokenize_bpe",
+    # (b continued) fourth r13 batch: q_graph_bfs = frontier-superstep
+    # single-source BFS vs an independent recursive-CTE walk oracle.
+    # Slot from the last (c) fill (q_log_lifecycle → r14 (c) pool).
+    "q_graph_bfs",
     # (c) r9-stale fill: metadata plane + curation headliners
     # (q_dedup_semantic / q_column_defaults / q_quality_filter yielded
     # their slots to the three new r13 queries)
     "q_snapshot_scan", "q_time_travel_filter", "q_checkpoint_v2",
     "q_nested_mapping", "q_column_mapping_id", "q_column_mapping_write",
     "q_liquid_cluster", "q_row_tracking", "q_log_compaction",
-    "q_log_lifecycle",
 ]
 promote(_R13_WINDOW, after="q_stream_tumbling")
 WINDOW_MUST_INCLUDE = _R13_WINDOW

@@ -2807,3 +2807,58 @@ def q_bloom_prune(spark, sf_dir):
         F.count("*").alias("n_events"),
         F.count_distinct("user_id").cast("long").alias("n_users"),
     )
+
+
+@register(
+    "q_graph_bfs",
+    oracle="""
+WITH RECURSIVE adj AS (
+  SELECT user_id AS u,
+         lag(user_id) OVER (PARTITION BY event_type, date_trunc('day', ts)
+                            ORDER BY ts, event_id) AS pu
+  FROM events),
+te AS (
+  SELECT least(u, pu) AS a, greatest(u, pu) AS b FROM adj
+  WHERE pu IS NOT NULL AND pu <> u),
+e AS (SELECT DISTINCT a, b
+      FROM (SELECT a, b FROM te UNION ALL SELECT b AS a, a AS b FROM te)),
+src AS (SELECT min(a) AS s FROM e),
+walk(node, d) AS (
+  SELECT s, 0 FROM src
+  UNION
+  SELECT e.b, walk.d + 1 FROM walk JOIN e ON e.a = walk.node
+  WHERE walk.d < 30)
+SELECT CAST(node AS BIGINT) AS user_id, CAST(min(d) AS BIGINT) AS dist
+FROM walk GROUP BY node
+""",
+)
+def q_graph_bfs(spark, sf_dir):
+    """Single-source BFS hop distances (the reachability/influence
+    primitive — how far does a contamination or referral front spread
+    through the interaction graph) from the minimum user id over the
+    same within-day temporal adjacency q_graph_triangles uses.
+
+    Engine side is operators/graph.bfs_distances: frontier supersteps
+    with parquet barriers — each round joins only the NEWLY discovered
+    frontier against the adjacency and anti-joins the visited set, so
+    every edge relaxes exactly once across the whole run (O(|E|) total,
+    never rounds×|E|), the Pregel BFS shape. The oracle is an
+    INDEPENDENT algorithm: DuckDB's recursive CTE enumerates bounded
+    walks and takes min hop count per node — equality checks the
+    superstep machinery against exhaustive path enumeration, not a
+    re-run of itself."""
+    from pulsar_io_delta_spark.operators.graph import bfs_distances
+
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type", F.to_date("ts")).orderBy("ts", "event_id")
+    adj = ev.select(
+        F.col("user_id").alias("u"), F.lag("user_id").over(w).alias("pu")
+    )
+    edges = adj.where(F.col("pu").isNotNull() & (F.col("pu") != F.col("u"))).select(
+        F.least("u", "pu").alias("a"), F.greatest("u", "pu").alias("b")
+    )
+    d = bfs_distances(edges, src_col="a", dst_col="b", max_iter=30)
+    return d.select(
+        F.col("node").cast("long").alias("user_id"),
+        F.col("dist").cast("long").alias("dist"),
+    )

@@ -225,3 +225,39 @@ def test_triangle_counts_clique(spark):
     edges = [(a, b) for a in range(6) for b in range(a + 1, 6)]
     got = _run_triangles(spark, edges)
     assert got == {v: (5, 10) for v in range(6)}
+
+
+def test_bfs_distances_hand_graph(spark):
+    """Path + branch + unreachable island: 0-1-2-3 chain, 1-4 branch,
+    island 7-8. From source 0: exact hop counts, island absent."""
+    from pulsar_io_delta_spark.operators.graph import bfs_distances
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (1, 4), (7, 8)], "src long, dst long"
+    )
+    stats = {}
+    got = {
+        r.node: r.dist
+        for r in bfs_distances(edges, source=0, stats=stats).collect()
+    }
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3, 4: 2}
+    # eccentricity of 0 is 3 -> frontier empties on round 4
+    assert stats["rounds"] == 4
+
+
+def test_bfs_default_source_is_min_node(spark):
+    from pulsar_io_delta_spark.operators.graph import bfs_distances
+
+    edges = spark.createDataFrame([(5, 3), (3, 9)], "src long, dst long")
+    got = {r.node: r.dist for r in bfs_distances(edges).collect()}
+    assert got == {3: 0, 5: 1, 9: 1}
+
+
+def test_bfs_nonconvergence_raises(spark):
+    from pulsar_io_delta_spark.operators.graph import bfs_distances
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        bfs_distances(edges, source=0, max_iter=2)
