@@ -757,12 +757,16 @@ _R13_WINDOW = [
     # single-source BFS vs an independent recursive-CTE walk oracle.
     # Slot from the last (c) fill (q_log_lifecycle → r14 (c) pool).
     "q_graph_bfs",
+    # (b continued) fifth r13 batch: q_source_xml = Spark 4 native XML
+    # ingestion under the shared format contract. Slot from the last
+    # (c) fill (q_log_compaction → r14 (c) pool).
+    "q_source_xml",
     # (c) r9-stale fill: metadata plane + curation headliners
     # (q_dedup_semantic / q_column_defaults / q_quality_filter yielded
     # their slots to the three new r13 queries)
     "q_snapshot_scan", "q_time_travel_filter", "q_checkpoint_v2",
     "q_nested_mapping", "q_column_mapping_id", "q_column_mapping_write",
-    "q_liquid_cluster", "q_row_tracking", "q_log_compaction",
+    "q_liquid_cluster", "q_row_tracking",
 ]
 promote(_R13_WINDOW, after="q_stream_tumbling")
 WINDOW_MUST_INCLUDE = _R13_WINDOW

@@ -36,6 +36,8 @@ def _roundtrip_dir(spark, sf_dir: str, fmt: str):
             writer.option("header", True).csv(out)
         elif fmt == "orc":
             writer.orc(out)
+        elif fmt == "xml":
+            writer.option("rootTag", "events").option("rowTag", "event").xml(out)
         else:
             writer.json(out)
     return out
@@ -421,4 +423,22 @@ def q_agg_approx_quantiles(spark, sf_dir):
         ((F.col("ap")[1] >= F.col("lo95")) & (F.col("ap")[1] <= F.col("hi95"))).alias(
             "p95_in_bounds"
         ),
+    )
+
+
+@register("q_source_xml", oracle=FMT_ORACLE)
+def q_source_xml(spark, sf_dir):
+    """XML source (Spark 4 native, the spark-xml lineage): rowTag-bound
+    record parsing with an EXPLICIT schema — like the other ingestion
+    formats, never schema inference (an extra full pass at 100 TB), and
+    the same value contract as csv/jsonl/orc so all four formats are
+    interchangeable at the pipeline boundary."""
+    path = _roundtrip_dir(spark, sf_dir, "xml")
+    df = (
+        spark.read.schema("event_id long, user_id long, event_type string, value double")
+        .option("rowTag", "event")
+        .xml(path)
+    )
+    return df.select(
+        "event_id", "user_id", "event_type", r4(F.col("value")).alias("value_r")
     )
