@@ -44,7 +44,18 @@ def brute_force_topk(
     """Exact cosine top-k: broadcast queries × candidates, windowed rank.
 
     queries must have columns (qid, qv, qv_n2); candidates (vec_id, v, v_n2).
-    """
+
+    The broadcast join preserves the candidate side's partitioning, and
+    a small/filtered parquet scan often yields 1-2 partitions — which
+    would serialize the O(|q|·|c|) scoring onto 1-2 cores (measured
+    8× at sf1: the sampled knn-graph scorer ran 2-wide on a 32-core
+    rig). Widen BEFORE the join when the scan under-partitions; on a
+    real cluster a large candidate table already carries enough
+    partitions and the repartition is skipped."""
+    spark = candidates.sparkSession
+    width = spark.sparkContext.defaultParallelism
+    if candidates.rdd.getNumPartitions() < width:
+        candidates = candidates.repartition(width)
     j = candidates.join(F.broadcast(queries), F.col(id_q) != F.col(id_c))
     j = j.withColumn("cos", cosine_col("qv", "v", "qv_n2", "v_n2"))
     w = Window.partitionBy(id_q).orderBy(F.desc("cos"), F.asc(id_c))
