@@ -761,12 +761,17 @@ _R13_WINDOW = [
     # ingestion under the shared format contract. Slot from the last
     # (c) fill (q_log_compaction → r14 (c) pool).
     "q_source_xml",
+    # (b continued) sixth r13 batch: q_sketch_kmv = mergeable
+    # k-minimum-values distinct sketch with an exact-integer estimate
+    # and a SQL xxhash64 twin. Slot from the last (c) fill
+    # (q_row_tracking → r14 (c) pool).
+    "q_sketch_kmv",
     # (c) r9-stale fill: metadata plane + curation headliners
     # (q_dedup_semantic / q_column_defaults / q_quality_filter yielded
     # their slots to the three new r13 queries)
     "q_snapshot_scan", "q_time_travel_filter", "q_checkpoint_v2",
     "q_nested_mapping", "q_column_mapping_id", "q_column_mapping_write",
-    "q_liquid_cluster", "q_row_tracking",
+    "q_liquid_cluster",
 ]
 promote(_R13_WINDOW, after="q_stream_tumbling")
 WINDOW_MUST_INCLUDE = _R13_WINDOW

@@ -2862,3 +2862,102 @@ def q_graph_bfs(spark, sf_dir):
         F.col("node").cast("long").alias("user_id"),
         F.col("dist").cast("long").alias("dist"),
     )
+
+
+def _kmv_oracle() -> str:
+    from pulsar_io_delta_spark.functions.xxhash_sql import xxhash64_long_ctes
+
+    big = 63 * (1 << 64)  # (k-1) * 2^64, exact HUGEINT
+    return f"""
+WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+{xxhash64_long_ctes("du", "user_id")},
+hashed AS (
+  SELECT DISTINCT du.event_type, x.h
+  FROM du JOIN xx64 x ON x.v = du.user_id),
+ranked AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM hashed),
+topk AS (
+  SELECT event_type, count(*) AS kk, max(h) AS hk
+  FROM ranked WHERE rn <= 64 GROUP BY event_type),
+exact AS (
+  SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+  FROM events GROUP BY event_type),
+est AS (
+  SELECT t.event_type, e.exact_distinct,
+         CASE WHEN t.kk < 64 THEN t.kk::HUGEINT
+              ELSE {big}::HUGEINT // (t.hk::HUGEINT + 1) END AS kmv
+  FROM topk t JOIN exact e USING (event_type))
+SELECT event_type, CAST(exact_distinct AS BIGINT) AS exact_distinct,
+       CAST(kmv AS BIGINT) AS kmv_est,
+       round(abs(CAST(kmv AS DOUBLE) - CAST(exact_distinct AS DOUBLE))
+             / CAST(exact_distinct AS DOUBLE), 4) AS rel_err
+FROM est
+"""
+
+
+@register("q_sketch_kmv", oracle=_kmv_oracle())
+def q_sketch_kmv(spark, sf_dir):
+    """KMV (k-minimum-values, k=64) distinct-count sketch per event
+    type — the MERGEABLE estimator family (Bar-Yossef et al.;
+    DataSketches theta): keep the k smallest hash values; the kth
+    normalized value estimates density, est = (k-1)/u_k. Unlike the
+    engine-internal HLL behind approx_count_distinct, the sketch STATE
+    here is explicit (k longs per group), so sketches from different
+    partitions/days union by 'merge and re-truncate' — the property a
+    100 TB rollup store needs.
+
+    Exactly reproducible across engines, no tolerance band: the hash
+    is Spark's native JVM xxhash64 (seed 42) — reimplemented in the
+    oracle with exact 64-bit wrapping SQL arithmetic
+    (functions/xxhash_sql.py, parity pinned in tests) — ranking is on
+    the UNSIGNED hash (Spark side flips the sign bit so signed order
+    equals unsigned order), and the estimate floor((k-1)·2^64/(h_k+1))
+    is computed in exact DECIMAL/HUGEINT integer arithmetic, so even
+    the 'approximate' estimate hash-matches. Groups with fewer than k
+    distinct hashes report exactly (the sketch degenerates to the set).
+
+    Scale shape: one distinct-combine on (event_type, user_id), then a
+    per-group top-k window over hashes — at 100 TB the window input is
+    already the distinct-hash set (map-side combined), and per-group
+    state is bounded at k longs."""
+    from pyspark.sql import Window
+
+    k = 64
+    e = table(spark, sf_dir, "events")
+    du = e.select("event_type", "user_id").distinct()
+    hashed = du.select(
+        "event_type",
+        F.expr(
+            "xxhash64(user_id) ^ CAST(-9223372036854775808 AS BIGINT)"
+        ).alias("f"),
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy("f")
+    topk = (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("kk"), F.max("f").alias("fk"))
+    )
+    exact = e.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_distinct")
+    )
+    big = 63 * (1 << 64)
+    est = F.when(F.col("kk") < k, F.col("kk").cast("decimal(38,0)")).otherwise(
+        F.expr(
+            f"CAST({big} AS DECIMAL(38,0)) div "
+            "(CAST(fk AS DECIMAL(38,0)) + 9223372036854775808 + 1)"
+        )
+    )
+    out = topk.join(exact, "event_type").withColumn("kmv", est)
+    return out.select(
+        "event_type",
+        F.col("exact_distinct").cast("long").alias("exact_distinct"),
+        F.col("kmv").cast("long").alias("kmv_est"),
+        F.round(
+            F.abs(F.col("kmv").cast("double") - F.col("exact_distinct").cast("double"))
+            / F.col("exact_distinct").cast("double"),
+            4,
+        ).alias("rel_err"),
+    )
