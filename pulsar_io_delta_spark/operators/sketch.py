@@ -1,0 +1,109 @@
+"""KMV (k-minimum-values) distinct sketch — explicit, mergeable state.
+
+The sketch of a key set is its k smallest xxhash64 values (unsigned
+order); estimate = (k-1)·2^64/(h_k+1). State is k longs per group, and
+two sketches MERGE by union-then-retruncate — the property that lets a
+100 TB rollup store combine per-partition/per-day sketches without
+raw-data access (Bar-Yossef et al.; the Druid/DataSketches theta
+family). The estimate is computed in exact DECIMAL integer arithmetic
+so even approximate answers hash-match a SQL oracle
+(functions/xxhash_sql.py is the DuckDB twin of the JVM hash).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+K_DEFAULT = 64
+# xxhash64 returns a SIGNED long; flipping the sign bit makes signed
+# order equal unsigned order, so min-k under ASC is min-k of the
+# unsigned hash space.
+FLIP = "CAST(-9223372036854775808 AS BIGINT)"
+
+
+def kmv_hash_col(key: str | Column) -> Column:
+    c = F.col(key) if isinstance(key, str) else key
+    return F.xxhash64(c).bitwiseXOR(F.expr(FLIP))
+
+
+def kmv_topk(df: DataFrame, group_col: str, key_col: str, k: int = K_DEFAULT) -> DataFrame:
+    """Per-group sketch rows: (group, f) — the k smallest flipped
+    hashes of the DISTINCT keys. One distinct-combine (map-side
+    partial) then a per-group top-k window."""
+    from pyspark.sql import Window
+
+    hashed = (
+        df.select(F.col(group_col), kmv_hash_col(key_col).alias("f")).distinct()
+    )
+    w = Window.partitionBy(group_col).orderBy("f")
+    return (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select(group_col, "f")
+    )
+
+
+def kmv_merge(a: DataFrame, b: DataFrame, group_col: str, k: int = K_DEFAULT) -> DataFrame:
+    """Union-then-retruncate: the merged sketch of the merged sets."""
+    from pyspark.sql import Window
+
+    u = a.unionByName(b).distinct()
+    w = Window.partitionBy(group_col).orderBy("f")
+    return (
+        u.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select(group_col, "f")
+    )
+
+
+def kmv_estimate(sk: DataFrame, group_col: str, k: int = K_DEFAULT) -> DataFrame:
+    """(group, kmv_est): floor((k-1)·2^64/(h_k+1)) in exact decimal
+    integer math; groups holding fewer than k hashes report exactly."""
+    big = (k - 1) * (1 << 64)
+    agg = sk.groupBy(group_col).agg(
+        F.count("*").alias("kk"), F.max("f").alias("fk")
+    )
+    est = F.when(F.col("kk") < k, F.col("kk").cast("decimal(38,0)")).otherwise(
+        F.expr(
+            f"CAST({big} AS DECIMAL(38,0)) div "
+            "(CAST(fk AS DECIMAL(38,0)) + 9223372036854775808 + 1)"
+        )
+    )
+    return agg.select(group_col, est.cast("long").alias("kmv_est"))
+
+
+def kmv_oracle_sql(group_col: str = "event_type", key_col: str = "user_id",
+                   table: str = "events", k: int = K_DEFAULT) -> str:
+    """DuckDB oracle for a per-group KMV estimate over a table — shared
+    by q_sketch_kmv (batch) and q_stream_sketch_kmv (incremental merge;
+    mergeability makes the rebuilt sketch THE streaming answer)."""
+    from pulsar_io_delta_spark.functions.xxhash_sql import xxhash64_long_ctes
+
+    big = (k - 1) * (1 << 64)
+    return f"""
+WITH du AS (SELECT DISTINCT {group_col}, {key_col} FROM {table}),
+{xxhash64_long_ctes("du", key_col)},
+hashed AS (
+  SELECT DISTINCT du.{group_col}, x.h
+  FROM du JOIN xx64 x ON x.v = du.{key_col}),
+ranked AS (
+  SELECT {group_col}, h,
+         row_number() OVER (PARTITION BY {group_col} ORDER BY h) AS rn
+  FROM hashed),
+topk AS (
+  SELECT {group_col}, count(*) AS kk, max(h) AS hk
+  FROM ranked WHERE rn <= {k} GROUP BY {group_col}),
+exact AS (
+  SELECT {group_col}, count(DISTINCT {key_col}) AS exact_distinct
+  FROM {table} GROUP BY {group_col}),
+est AS (
+  SELECT t.{group_col}, e.exact_distinct,
+         CASE WHEN t.kk < {k} THEN t.kk::HUGEINT
+              ELSE {big}::HUGEINT // (t.hk::HUGEINT + 1) END AS kmv
+  FROM topk t JOIN exact e USING ({group_col}))
+SELECT {group_col}, CAST(exact_distinct AS BIGINT) AS exact_distinct,
+       CAST(kmv AS BIGINT) AS kmv_est,
+       round(abs(CAST(kmv AS DOUBLE) - CAST(exact_distinct AS DOUBLE))
+             / CAST(exact_distinct AS DOUBLE), 4) AS rel_err
+FROM est
+"""

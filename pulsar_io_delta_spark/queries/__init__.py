@@ -765,13 +765,13 @@ _R13_WINDOW = [
     # k-minimum-values distinct sketch with an exact-integer estimate
     # and a SQL xxhash64 twin. Slot from the last (c) fill
     # (q_row_tracking → r14 (c) pool).
-    "q_sketch_kmv", "q_sketch_kmv_intersect",
+    "q_sketch_kmv", "q_sketch_kmv_intersect", "q_stream_sketch_kmv",
     # (c) r9-stale fill: metadata plane + curation headliners
     # (q_dedup_semantic / q_column_defaults / q_quality_filter yielded
-    # their slots to the three new r13 queries; q_liquid_cluster to
-    # q_sketch_kmv_intersect → r14 (c) pool)
+    # their slots to the three new r13 queries; q_liquid_cluster /
+    # q_column_mapping_write to the sketch family → r14 (c) pool)
     "q_snapshot_scan", "q_time_travel_filter", "q_checkpoint_v2",
-    "q_nested_mapping", "q_column_mapping_id", "q_column_mapping_write",
+    "q_nested_mapping", "q_column_mapping_id",
 ]
 promote(_R13_WINDOW, after="q_stream_tumbling")
 WINDOW_MUST_INCLUDE = _R13_WINDOW

@@ -2865,36 +2865,9 @@ def q_graph_bfs(spark, sf_dir):
 
 
 def _kmv_oracle() -> str:
-    from pulsar_io_delta_spark.functions.xxhash_sql import xxhash64_long_ctes
+    from pulsar_io_delta_spark.operators.sketch import kmv_oracle_sql
 
-    big = 63 * (1 << 64)  # (k-1) * 2^64, exact HUGEINT
-    return f"""
-WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
-{xxhash64_long_ctes("du", "user_id")},
-hashed AS (
-  SELECT DISTINCT du.event_type, x.h
-  FROM du JOIN xx64 x ON x.v = du.user_id),
-ranked AS (
-  SELECT event_type, h,
-         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
-  FROM hashed),
-topk AS (
-  SELECT event_type, count(*) AS kk, max(h) AS hk
-  FROM ranked WHERE rn <= 64 GROUP BY event_type),
-exact AS (
-  SELECT event_type, count(DISTINCT user_id) AS exact_distinct
-  FROM events GROUP BY event_type),
-est AS (
-  SELECT t.event_type, e.exact_distinct,
-         CASE WHEN t.kk < 64 THEN t.kk::HUGEINT
-              ELSE {big}::HUGEINT // (t.hk::HUGEINT + 1) END AS kmv
-  FROM topk t JOIN exact e USING (event_type))
-SELECT event_type, CAST(exact_distinct AS BIGINT) AS exact_distinct,
-       CAST(kmv AS BIGINT) AS kmv_est,
-       round(abs(CAST(kmv AS DOUBLE) - CAST(exact_distinct AS DOUBLE))
-             / CAST(exact_distinct AS DOUBLE), 4) AS rel_err
-FROM est
-"""
+    return kmv_oracle_sql()
 
 
 @register("q_sketch_kmv", oracle=_kmv_oracle())
@@ -2922,41 +2895,22 @@ def q_sketch_kmv(spark, sf_dir):
     per-group top-k window over hashes — at 100 TB the window input is
     already the distinct-hash set (map-side combined), and per-group
     state is bounded at k longs."""
-    from pyspark.sql import Window
+    from pulsar_io_delta_spark.operators import sketch as sk
 
-    k = 64
     e = table(spark, sf_dir, "events")
-    du = e.select("event_type", "user_id").distinct()
-    hashed = du.select(
-        "event_type",
-        F.expr(
-            "xxhash64(user_id) ^ CAST(-9223372036854775808 AS BIGINT)"
-        ).alias("f"),
-    ).distinct()
-    w = Window.partitionBy("event_type").orderBy("f")
-    topk = (
-        hashed.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= k)
-        .groupBy("event_type")
-        .agg(F.count("*").alias("kk"), F.max("f").alias("fk"))
-    )
+    est = sk.kmv_estimate(sk.kmv_topk(e, "event_type", "user_id"), "event_type")
     exact = e.groupBy("event_type").agg(
         F.count_distinct("user_id").alias("exact_distinct")
     )
-    big = 63 * (1 << 64)
-    est = F.when(F.col("kk") < k, F.col("kk").cast("decimal(38,0)")).otherwise(
-        F.expr(
-            f"CAST({big} AS DECIMAL(38,0)) div "
-            "(CAST(fk AS DECIMAL(38,0)) + 9223372036854775808 + 1)"
-        )
-    )
-    out = topk.join(exact, "event_type").withColumn("kmv", est)
-    return out.select(
+    return est.join(exact, "event_type").select(
         "event_type",
         F.col("exact_distinct").cast("long").alias("exact_distinct"),
-        F.col("kmv").cast("long").alias("kmv_est"),
+        "kmv_est",
         F.round(
-            F.abs(F.col("kmv").cast("double") - F.col("exact_distinct").cast("double"))
+            F.abs(
+                F.col("kmv_est").cast("double")
+                - F.col("exact_distinct").cast("double")
+            )
             / F.col("exact_distinct").cast("double"),
             4,
         ).alias("rel_err"),

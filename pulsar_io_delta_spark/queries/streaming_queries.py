@@ -609,3 +609,91 @@ def q_stream_rate_limit_drain(spark, sf_dir):
     return spark.createDataFrame(
         [(total, n_batches)], "n_rows long, n_batches long"
     )
+
+
+@register(
+    "q_stream_sketch_kmv",
+    oracle=__import__(
+        "pulsar_io_delta_spark.operators.sketch", fromlist=["kmv_oracle_sql"]
+    ).kmv_oracle_sql(),
+)
+def q_stream_sketch_kmv(spark, sf_dir):
+    """Incremental KMV sketch maintenance over a stream — the rollup-
+    store shape: each micro-batch's per-type sketch MERGES into a
+    persistent parquet sketch store (union-then-retruncate, state
+    bounded at types×k longs forever), and mergeability guarantees the
+    final store equals the batch-rebuilt sketch — which is exactly what
+    the oracle computes, so the 'approximate streaming' answer still
+    value-hash-matches SQL. HLL state would give the same union but no
+    intersections downstream; the KMV store keeps the set-operation
+    algebra available (q_sketch_kmv_intersect).
+
+    Shape: the fixture is written as 4 parquet files and admitted one
+    file per trigger (>=4 real merge steps asserted); per batch the
+    merge reads types×k rows, unions the batch sketch, re-truncates and
+    writes a NEW store generation (a durable, resumable superstep —
+    nothing driver-side but the store path)."""
+    import tempfile
+    import time as _t
+
+    from pulsar_io_delta_spark.operators import sketch as sk
+    from pulsar_io_delta_spark.tables import table
+
+    e = table(spark, sf_dir, "events").select("event_type", "user_id")
+    root = tempfile.mkdtemp(prefix="pids_kmv_stream_")
+    src = root + "/src"
+    e.repartition(4).write.parquet(src)
+    expected = e.count()
+
+    state = {"path": None, "gen": 0, "rows": 0, "batches": 0}
+
+    def _fb(batch_df, _epoch_id):
+        n = batch_df.count()
+        if not n:
+            return
+        new = sk.kmv_topk(batch_df, "event_type", "user_id")
+        if state["path"] is not None:
+            prev = spark.read.parquet(state["path"])
+            new = sk.kmv_merge(prev, new, "event_type")
+        state["gen"] += 1
+        out = f"{root}/store_{state['gen']}"
+        new.write.parquet(out)
+        state["path"] = out
+        state["rows"] += n
+        state["batches"] += 1
+
+    s = (
+        spark.readStream.schema("event_type string, user_id bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        s.writeStream.foreachBatch(_fb)
+        .outputMode("append")
+        .trigger(processingTime="50 milliseconds")
+        .start()
+    )
+    try:
+        deadline = _t.time() + 240
+        while _t.time() < deadline and state["rows"] < expected:
+            _t.sleep(0.1)
+    finally:
+        q.stop()
+    assert state["rows"] == expected, "stream lost or duplicated rows"
+    assert state["batches"] >= 4, f"merge path unexercised: {state['batches']} batches"
+
+    store = spark.read.parquet(state["path"])
+    est = sk.kmv_estimate(store, "event_type")
+    exact = e.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_distinct")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type",
+        F.col("exact_distinct").cast("long").alias("exact_distinct"),
+        "kmv_est",
+        F.round(
+            F.abs(F.col("kmv_est").cast("double") - F.col("exact_distinct").cast("double"))
+            / F.col("exact_distinct").cast("double"),
+            4,
+        ).alias("rel_err"),
+    )

@@ -51,6 +51,8 @@ CLAIMS = {
     "q_bloom_prune": "bloom probe is a Filter of codegen'd blob-literal byte tests BELOW the big side's exchange; exact semi-join sees only survivors",
     "q_tokenize_bpe": "corpus reduces to (word,count) FIRST (vocabulary-width shuffle); BPE string work runs once per distinct word, zero Python",
     "q_graph_bfs": "per-round frontier-adjacency hash equi-join + visited anti-join; no full-graph pass, no cartesian",
+    "q_sketch_kmv": "ONE (type,user) distinct combine; per-group top-k window over hashes; estimate in exact decimal integer math",
+    "q_sketch_kmv_intersect": "pair algebra over k-long sketches (10 pairs x <=128 rows); corpus touched once in the distinct combine",
 }
 
 
