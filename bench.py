@@ -132,6 +132,9 @@ HEADLINE = [
     # and vocabulary-level BPE tokenizer apply
     "q_bloom_prune",
     "q_tokenize_bpe",
+    # round 13: mergeable KMV distinct sketch + its set-operation algebra
+    "q_sketch_kmv",
+    "q_sketch_kmv_intersect",
 ]
 
 
