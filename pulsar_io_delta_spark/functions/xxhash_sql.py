@@ -7,7 +7,7 @@ in DuckDB, which has no xxhash64 builtin; this module emits a CTE chain
 computing it with exact 64-bit wrapping arithmetic (UHUGEINT products
 reduced mod 2^64, rotations as disjoint shift pairs, xor/shift
 avalanche). Byte-exact parity with Spark is pinned in
-tests/test_sketch.py over negative, zero and large inputs.
+tests/test_sketch_kmv.py over negative, zero and large inputs.
 
 Single-8-byte-input xxHash64 (the long specialization Spark applies
 per field): h = rotl27(h0 xor rotl31(v*P2)*P1)*P1 + P4, then the

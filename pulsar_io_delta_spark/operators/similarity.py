@@ -40,6 +40,7 @@ def brute_force_topk(
     k: int = 5,
     id_q: str = "qid",
     id_c: str = "vec_id",
+    widen_to: int | None = None,
 ) -> DataFrame:
     """Exact cosine top-k: broadcast queries × candidates, windowed rank.
 
@@ -49,13 +50,16 @@ def brute_force_topk(
     a small/filtered parquet scan often yields 1-2 partitions — which
     would serialize the O(|q|·|c|) scoring onto 1-2 cores (measured
     8× at sf1: the sampled knn-graph scorer ran 2-wide on a 32-core
-    rig). Widen BEFORE the join when the scan under-partitions; on a
-    real cluster a large candidate table already carries enough
-    partitions and the repartition is skipped."""
-    spark = candidates.sparkSession
-    width = spark.sparkContext.defaultParallelism
-    if candidates.rdd.getNumPartitions() < width:
-        candidates = candidates.repartition(width)
+    rig). ``widen_to`` opts into repartitioning the candidate side up
+    to that width BEFORE the join when the scan under-partitions
+    (pass ``sparkContext.defaultParallelism`` for local compute-bound
+    scoring); the default None touches neither the plan nor the RDD
+    layer, so library callers keep their partitioning and the operator
+    stays Spark-Connect-clean (ADVICE r13). On a real cluster a large
+    candidate table already carries enough partitions — the widen is
+    skipped whenever the scan is at least ``widen_to`` wide."""
+    if widen_to is not None and candidates.rdd.getNumPartitions() < widen_to:
+        candidates = candidates.repartition(widen_to)
     j = candidates.join(F.broadcast(queries), F.col(id_q) != F.col(id_c))
     j = j.withColumn("cos", cosine_col("qv", "v", "qv_n2", "v_n2"))
     w = Window.partitionBy(id_q).orderBy(F.desc("cos"), F.asc(id_c))
@@ -461,7 +465,7 @@ def ann_topk_pq(
     )
 
 
-def knn_graph(nodes: DataFrame, k: int = 5) -> DataFrame:
+def knn_graph(nodes: DataFrame, k: int = 5, widen_to: int | None = None) -> DataFrame:
     """Mutual k-NN graph over a node set (vec_id, embedding): an
     undirected edge (id_a < id_b, cos_r) exists iff each endpoint is in
     the other's exact cosine top-k. The mutual filter is the standard
@@ -483,7 +487,9 @@ def knn_graph(nodes: DataFrame, k: int = 5) -> DataFrame:
         F.col("v").alias("qv"),
         F.col("v_n2").alias("qv_n2"),
     )
-    directed = brute_force_topk(q, base, k=k).select("qid", "cid", "cos_r")
+    directed = brute_force_topk(q, base, k=k, widen_to=widen_to).select(
+        "qid", "cid", "cos_r"
+    )
     rev = directed.select(
         F.col("cid").alias("qid"), F.col("qid").alias("cid")
     )

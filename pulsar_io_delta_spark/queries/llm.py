@@ -408,7 +408,9 @@ def q_sim_topk(spark, sf_dir):
     q = base.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("qid"), F.col("v").alias("qv"), F.col("v_n2").alias("qv_n2")
     )
-    return sim.brute_force_topk(q, base, k=5)
+    return sim.brute_force_topk(
+        q, base, k=5, widen_to=spark.sparkContext.defaultParallelism
+    )
 
 
 @register(
@@ -1117,7 +1119,9 @@ def q_knn_graph(spark, sf_dir):
     nodes = table(spark, sf_dir, "embeddings").where(
         F.col("vec_id") % 17 == 0
     ).select("vec_id", "embedding")
-    return sim.knn_graph(nodes, k=5)
+    return sim.knn_graph(
+        nodes, k=5, widen_to=spark.sparkContext.defaultParallelism
+    )
 
 
 def _bpe_oracle() -> str:

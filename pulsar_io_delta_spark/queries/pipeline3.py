@@ -2809,9 +2809,18 @@ def q_bloom_prune(spark, sf_dir):
     )
 
 
+# One constant for BOTH the oracle's walk depth and the engine's
+# superstep limit (ADVICE r13): the recursive CTE explores depths
+# 0.._BFS_DEPTH, and the engine needs _BFS_DEPTH + 1 rounds to OBSERVE
+# the empty frontier when source eccentricity is exactly _BFS_DEPTH —
+# deriving them separately left a one-off bound asymmetry where the
+# engine raised on a graph the oracle could answer.
+_BFS_DEPTH = 30
+
+
 @register(
     "q_graph_bfs",
-    oracle="""
+    oracle=f"""
 WITH RECURSIVE adj AS (
   SELECT user_id AS u,
          lag(user_id) OVER (PARTITION BY event_type, date_trunc('day', ts)
@@ -2827,7 +2836,7 @@ walk(node, d) AS (
   SELECT s, 0 FROM src
   UNION
   SELECT e.b, walk.d + 1 FROM walk JOIN e ON e.a = walk.node
-  WHERE walk.d < 30)
+  WHERE walk.d < {_BFS_DEPTH})
 SELECT CAST(node AS BIGINT) AS user_id, CAST(min(d) AS BIGINT) AS dist
 FROM walk GROUP BY node
 """,
@@ -2857,7 +2866,7 @@ def q_graph_bfs(spark, sf_dir):
     edges = adj.where(F.col("pu").isNotNull() & (F.col("pu") != F.col("u"))).select(
         F.least("u", "pu").alias("a"), F.greatest("u", "pu").alias("b")
     )
-    d = bfs_distances(edges, src_col="a", dst_col="b", max_iter=30)
+    d = bfs_distances(edges, src_col="a", dst_col="b", max_iter=_BFS_DEPTH + 1)
     return d.select(
         F.col("node").cast("long").alias("user_id"),
         F.col("dist").cast("long").alias("dist"),
@@ -2992,21 +3001,18 @@ def q_sketch_kmv_intersect(spark, sf_dir):
     after the one distinct-combine over (event_type, user_id)."""
     from pyspark.sql import Window
 
+    from pulsar_io_delta_spark.operators.sketch import (
+        kmv_estimate_expr,
+        kmv_topk,
+    )
+
     k = 64
     e = table(spark, sf_dir, "events")
     du = e.select("event_type", "user_id").distinct()
-    hashed = du.select(
-        "event_type",
-        F.expr(
-            "xxhash64(user_id) ^ CAST(-9223372036854775808 AS BIGINT)"
-        ).alias("f"),
-    ).distinct()
-    w = Window.partitionBy("event_type").orderBy("f")
-    ta = (
-        hashed.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= k)
-        .select("event_type", "f")
-    )
+    # Per-type sketches come from the OPERATOR (one source of truth for
+    # the hash sign-flip + top-k build — VERDICT r13 #1), same plan
+    # shape as the former inline build.
+    ta = kmv_topk(du, "event_type", "user_id", k=k)
     types = ta.select("event_type").distinct()
     pairs = (
         types.select(F.col("event_type").alias("type_a"))
@@ -3040,13 +3046,7 @@ def q_sketch_kmv_intersect(spark, sf_dir):
             ).alias("c"),
         )
     )
-    big = 63 * (1 << 64)
-    u_est = F.when(F.col("kk") < k, F.col("kk").cast("decimal(38,0)")).otherwise(
-        F.expr(
-            f"CAST({big} AS DECIMAL(38,0)) div "
-            "(CAST(fk AS DECIMAL(38,0)) + 9223372036854775808 + 1)"
-        )
-    )
+    u_est = kmv_estimate_expr("kk", "fk", k)
     a = du.select(F.col("event_type").alias("type_a"), "user_id")
     b = du.select(F.col("event_type").alias("type_b"), "user_id")
     exact = (

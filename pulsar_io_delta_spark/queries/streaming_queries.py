@@ -631,12 +631,18 @@ def q_stream_sketch_kmv(spark, sf_dir):
     Shape: the fixture is written as 4 parquet files and admitted one
     file per trigger (>=4 real merge steps asserted); per batch the
     merge reads types×k rows, unions the batch sketch, re-truncates and
-    writes a NEW store generation (a durable, resumable superstep —
-    nothing driver-side but the store path)."""
+    OVERWRITE-commits into the repo's own DeltaTable (VERDICT r13 #3:
+    the former loose-parquet store grew one orphan generation per
+    batch forever; the Delta log gives the store checkpointed state
+    with an idempotent txn marker per batch — exactly-once across
+    micro-batch retries — plus time travel over past sketch
+    generations and bounded retention via the table's own
+    vacuum/log-compaction machinery, dogfooding the log layer)."""
     import tempfile
     import time as _t
 
     from pulsar_io_delta_spark.operators import sketch as sk
+    from pulsar_io_delta_spark.sources.delta_log import DeltaTable
     from pulsar_io_delta_spark.tables import table
 
     e = table(spark, sf_dir, "events").select("event_type", "user_id")
@@ -645,20 +651,18 @@ def q_stream_sketch_kmv(spark, sf_dir):
     e.repartition(4).write.parquet(src)
     expected = e.count()
 
-    state = {"path": None, "gen": 0, "rows": 0, "batches": 0}
+    store_t = DeltaTable(root + "/store")
+    state = {"rows": 0, "batches": 0}
 
-    def _fb(batch_df, _epoch_id):
+    def _fb(batch_df, epoch_id):
         n = batch_df.count()
         if not n:
             return
         new = sk.kmv_topk(batch_df, "event_type", "user_id")
-        if state["path"] is not None:
-            prev = spark.read.parquet(state["path"])
+        if store_t.exists() and store_t.versions():
+            prev = store_t.read(spark)
             new = sk.kmv_merge(prev, new, "event_type")
-        state["gen"] += 1
-        out = f"{root}/store_{state['gen']}"
-        new.write.parquet(out)
-        state["path"] = out
+        store_t.write(new, mode="overwrite", txn=("kmv_store", int(epoch_id)))
         state["rows"] += n
         state["batches"] += 1
 
@@ -682,7 +686,7 @@ def q_stream_sketch_kmv(spark, sf_dir):
     assert state["rows"] == expected, "stream lost or duplicated rows"
     assert state["batches"] >= 4, f"merge path unexercised: {state['batches']} batches"
 
-    store = spark.read.parquet(state["path"])
+    store = store_t.read(spark)
     est = sk.kmv_estimate(store, "event_type")
     exact = e.groupBy("event_type").agg(
         F.count_distinct("user_id").alias("exact_distinct")

@@ -448,9 +448,27 @@ def test_bloom_prune_filter_below_exchange(spark, sf_dir):
     assert "LeftSemi" in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
-    # the filter is below (printed after, indented deeper than) the
-    # exchange in the semi-join's streamed branch: cheap textual proxy —
-    # the probe expression appears in a Filter node, not a Project-only
+    # STRUCTURAL pin (ADVICE r13): the probe Filter must sit directly on
+    # the big side's scan — between the Filter line and the scan it
+    # feeds there is NO Exchange, so a regression that hoists the probe
+    # above the shuffle (Exchange would then print between Filter and
+    # Scan in that branch) fails, not just "a Filter exists somewhere".
     import re
 
-    assert re.search(r"Filter .*xxhash64", plan), plan
+    lines = plan.splitlines()
+    filt_idx = [
+        i for i, ln in enumerate(lines)
+        if re.search(r"Filter .*xxhash64", ln)
+    ]
+    assert filt_idx, plan
+    pinned = False
+    for i in filt_idx:
+        for j in range(i + 1, len(lines)):
+            if "Exchange" in lines[j]:
+                break
+            if re.search(r"Scan parquet|FileScan", lines[j]):
+                pinned = True
+                break
+        if pinned:
+            break
+    assert pinned, "bloom probe Filter not directly above the big-side scan:\n" + plan
