@@ -85,6 +85,108 @@ def kmv_estimate(sk: DataFrame, group_col: str, k: int = K_DEFAULT) -> DataFrame
     )
 
 
+# ---------------------------------------------------------------------------
+# Mergeable QUANTILE sketch (bottom-k hash sample)
+#
+# Completes the explicit-state sketch algebra: distinct = KMV, quantiles
+# = this. The sketch of a group is the (hash, value) pairs of the k rows
+# whose xxhash64(row_key) is smallest in unsigned order — a
+# deterministic uniform sample (coordinated/bottom-k sampling, Cohen &
+# Kaplan) whose p-quantile estimates the group's p-quantile with rank
+# error ε = sqrt(ln(2/δ)/(2k)) (DKW over a k-sample; ≈0.095 at k=256,
+# δ=0.02). Chosen over KLL and GK DELIBERATELY: KLL's compaction is
+# randomized and GK's state depends on scan order, so neither yields
+# the same sketch twice under Spark's nondeterministic partition order
+# — this sketch is a pure function of the data, which is what lets an
+# approximate answer value-hash-match a SQL oracle exactly (the KMV
+# precedent). Merge = union-then-retruncate: bottom-k of a union of
+# bottom-k's IS the bottom-k of the union, so shard/stream merges are
+# exact, order-free, and state stays k pairs per group forever.
+#
+# All rank arithmetic is INTEGER (p as permille, ceil-div as
+# (p·m+999) div 1000): 0.9·n in double arithmetic rounds UP through
+# binary representation error (0.9·2000 → 1800.0000000000002 → ceil
+# 1801) while DECIMAL SQL gets 1800 — permille integers make Spark and
+# DuckDB agree on every rank at every scale.
+# ---------------------------------------------------------------------------
+
+QK_DEFAULT = 256
+QEPS_PM = 100  # contract rank tolerance ε as permille (0.1)
+
+
+def quantile_truncate(
+    df: DataFrame, group_col: str | list[str], k: int = QK_DEFAULT
+) -> DataFrame:
+    """Keep each group's k smallest-flipped-hash (f, v) pairs — the ONE
+    primitive behind both build and merge (bottom-k is idempotent and
+    composable). ``group_col`` may be a list for sharded builds (e.g.
+    per type×day shards that later merge per type). Map-side
+    WindowGroupLimit truncates before the exchange, so the shuffle
+    carries ≤ k×tasks rows per group."""
+    from pyspark.sql import Window
+
+    cols = [group_col] if isinstance(group_col, str) else list(group_col)
+    w = Window.partitionBy(*cols).orderBy("f")
+    return (
+        df.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select(*cols, "f", "v")
+    )
+
+
+def quantile_sketch(
+    df: DataFrame,
+    group_col: str | list[str],
+    val_col: str,
+    id_col: str,
+    k: int = QK_DEFAULT,
+) -> DataFrame:
+    """Per-group quantile sketch rows (group…, f, v). ``id_col`` must
+    be a UNIQUE row key (it drives the sample membership — a duplicated
+    key would under-weight its rows); ``val_col`` is carried verbatim
+    so estimates are actual data values, never interpolations."""
+    cols = [group_col] if isinstance(group_col, str) else list(group_col)
+    hashed = df.select(
+        *[F.col(c) for c in cols],
+        kmv_hash_col(id_col).alias("f"),
+        F.col(val_col).alias("v"),
+    )
+    return quantile_truncate(hashed, cols, k=k)
+
+
+def quantile_sketch_merge(
+    a: DataFrame, b: DataFrame, group_col: str, k: int = QK_DEFAULT
+) -> DataFrame:
+    """Union-then-retruncate; exact by the bottom-k composition
+    property (merged sketch == sketch of the merged data)."""
+    return quantile_truncate(a.unionByName(b).distinct(), group_col, k=k)
+
+
+def quantile_estimate(
+    sk: DataFrame, group_col: str, ps_pm: list[int], k: int = QK_DEFAULT
+) -> DataFrame:
+    """(group, p_pm, est_q): the sketch's value at sample rank
+    ceil(p·m) for each requested permille quantile. The per-group size
+    m comes from a count window over the SAME partition the rank
+    window needs (one exchange, the bm25 lesson), and the tiny permille
+    table is broadcast."""
+    from pyspark.sql import Window
+
+    spark = sk.sparkSession
+    wg = Window.partitionBy(group_col)
+    sv = sk.withColumn("mk", F.count("*").over(wg)).withColumn(
+        "vr", F.row_number().over(wg.orderBy("v", "f"))
+    )
+    ps = spark.createDataFrame([(int(p),) for p in ps_pm], "p_pm int")
+    return (
+        sv.join(
+            F.broadcast(ps),
+            F.col("vr") == F.expr("(p_pm * mk + 999) div 1000"),
+        )
+        .select(group_col, "p_pm", F.col("v").alias("est_q"))
+    )
+
+
 def kmv_oracle_sql(group_col: str = "event_type", key_col: str = "user_id",
                    table: str = "events", k: int = K_DEFAULT) -> str:
     """DuckDB oracle for a per-group KMV estimate over a table — shared
@@ -119,4 +221,68 @@ SELECT {group_col}, CAST(exact_distinct AS BIGINT) AS exact_distinct,
        round(abs(CAST(kmv AS DOUBLE) - CAST(exact_distinct AS DOUBLE))
              / CAST(exact_distinct AS DOUBLE), 4) AS rel_err
 FROM est
+"""
+
+
+def quantile_oracle_sql(
+    ps_pm: tuple[int, ...] = (250, 500, 900),
+    group_col: str = "event_type",
+    val_col: str = "value",
+    id_col: str = "event_id",
+    table: str = "events",
+    k: int = QK_DEFAULT,
+    eps_pm: int = QEPS_PM,
+) -> str:
+    """DuckDB oracle for the bottom-k quantile sketch over a table —
+    shared by q_sketch_quantile (batch) and q_stream_sketch_quantile
+    (incremental merge; exact mergeability makes the rebuilt sketch THE
+    streaming answer, the kmv_oracle_sql precedent). Emits per
+    (group, p_pm): the sketch estimate, the exact discrete quantiles at
+    rank ceil((p±ε)·n) (the DKW contract bounds), and in_bounds. Every
+    rank is integer permille arithmetic so Spark and DuckDB agree."""
+    from pulsar_io_delta_spark.functions.xxhash_sql import xxhash64_long_ctes
+
+    vals = ",".join(f"({p})" for p in ps_pm)
+    return f"""
+WITH ev AS (SELECT {group_col}, {id_col}, {val_col} FROM {table}),
+{xxhash64_long_ctes("ev", id_col)},
+hashed AS (
+  SELECT ev.{group_col}, x.h, ev.{val_col} AS v
+  FROM ev JOIN xx64 x ON x.v = ev.{id_col}),
+sk AS (
+  SELECT {group_col}, h, v FROM (
+    SELECT {group_col}, h, v,
+           row_number() OVER (PARTITION BY {group_col} ORDER BY h) AS rn
+    FROM hashed) WHERE rn <= {k}),
+sv AS (
+  SELECT {group_col}, v,
+         count(*) OVER (PARTITION BY {group_col}) AS mk,
+         row_number() OVER (PARTITION BY {group_col} ORDER BY v, h) AS vr
+  FROM sk),
+ps AS (SELECT * FROM (VALUES {vals}) t(p_pm)),
+est AS (
+  SELECT s.{group_col}, p.p_pm, s.v AS est_q
+  FROM sv s JOIN ps p ON s.vr = (p.p_pm * s.mk + 999) // 1000),
+fullv AS (
+  SELECT {group_col}, {val_col} AS v,
+         count(*) OVER (PARTITION BY {group_col}) AS n,
+         row_number() OVER (PARTITION BY {group_col}
+                            ORDER BY {val_col}, {id_col}) AS vr
+  FROM ev),
+bounds AS (
+  SELECT f.{group_col}, p.p_pm,
+         max(CASE WHEN f.vr =
+               greatest(1, ((p.p_pm - {eps_pm}) * f.n + 999) // 1000)
+             THEN f.v END) AS lo_q,
+         max(CASE WHEN f.vr =
+               least(f.n, ((p.p_pm + {eps_pm}) * f.n + 999) // 1000)
+             THEN f.v END) AS hi_q
+  FROM fullv f JOIN ps p
+    ON f.vr IN (greatest(1, ((p.p_pm - {eps_pm}) * f.n + 999) // 1000),
+                least(f.n, ((p.p_pm + {eps_pm}) * f.n + 999) // 1000))
+  GROUP BY 1, 2)
+SELECT e.{group_col}, CAST(e.p_pm AS INTEGER) AS p_pm, e.est_q,
+       b.lo_q, b.hi_q,
+       (b.lo_q <= e.est_q AND e.est_q <= b.hi_q) AS in_bounds
+FROM est e JOIN bounds b USING ({group_col}, p_pm)
 """

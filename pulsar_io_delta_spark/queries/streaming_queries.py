@@ -701,3 +701,80 @@ def q_stream_sketch_kmv(spark, sf_dir):
             4,
         ).alias("rel_err"),
     )
+
+
+def _stream_quantile_oracle() -> str:
+    from pulsar_io_delta_spark.operators.sketch import quantile_oracle_sql
+
+    return quantile_oracle_sql()
+
+
+@register("q_stream_sketch_quantile", oracle=_stream_quantile_oracle())
+def q_stream_sketch_quantile(spark, sf_dir):
+    """Incremental QUANTILE sketch maintenance over a stream — the
+    quantile side of the rollup store q_stream_sketch_kmv pins for
+    distinct counts: each micro-batch's bottom-k hash-sample sketch
+    MERGES into a Delta-table sketch store (union-then-retruncate,
+    state bounded at groups×k (hash, value) pairs forever; idempotent
+    txn per batch, so exactly-once across retries and bounded retention
+    via the table's own log machinery). Bottom-k composition makes the
+    merge EXACT — the final store IS the batch-rebuilt sketch, so the
+    streaming answer value-hash-matches the same oracle as the batch
+    query, including the DKW in_bounds contract columns.
+
+    Shape: 4 parquet files admitted one per trigger (>=4 real merges
+    asserted); per batch the merge reads groups×k rows, never raw
+    history."""
+    import tempfile
+    import time as _t
+
+    from pulsar_io_delta_spark.operators import sketch as sk
+    from pulsar_io_delta_spark.sources.delta_log import DeltaTable
+    from pulsar_io_delta_spark.tables import table
+
+    from pulsar_io_delta_spark.queries.pipeline3 import _quantile_contract
+
+    e = table(spark, sf_dir, "events").select("event_type", "event_id", "value")
+    root = tempfile.mkdtemp(prefix="pids_qsk_stream_")
+    src = root + "/src"
+    e.repartition(4).write.parquet(src)
+    expected = e.count()
+
+    store_t = DeltaTable(root + "/store")
+    state = {"rows": 0, "batches": 0}
+
+    def _fb(batch_df, epoch_id):
+        n = batch_df.count()
+        if not n:
+            return
+        new = sk.quantile_sketch(batch_df, "event_type", "value", "event_id")
+        if store_t.exists() and store_t.versions():
+            prev = store_t.read(spark)
+            new = sk.quantile_sketch_merge(prev, new, "event_type")
+        store_t.write(new, mode="overwrite", txn=("qsk_store", int(epoch_id)))
+        state["rows"] += n
+        state["batches"] += 1
+
+    s = (
+        spark.readStream.schema("event_type string, event_id bigint, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        s.writeStream.foreachBatch(_fb)
+        .outputMode("append")
+        .trigger(processingTime="50 milliseconds")
+        .start()
+    )
+    try:
+        deadline = _t.time() + 240
+        while _t.time() < deadline and state["rows"] < expected:
+            _t.sleep(0.1)
+    finally:
+        q.stop()
+    assert state["rows"] == expected, "stream lost or duplicated rows"
+    assert state["batches"] >= 4, f"merge path unexercised: {state['batches']} batches"
+
+    ps_pm = [250, 500, 900]
+    est = sk.quantile_estimate(store_t.read(spark), "event_type", ps_pm)
+    return _quantile_contract(spark, sf_dir, est, ps_pm, sk.QEPS_PM)
