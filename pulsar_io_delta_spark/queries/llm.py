@@ -1183,3 +1183,77 @@ def q_tokenize_bpe(spark, sf_dir):
         .where(F.col("rk") <= 20)
         .orderBy("rk")
     )
+
+
+def _bpe_train_oracle(n: int = 10) -> str:
+    """Unrolled n-round BPE training replay in pure SQL: each round is
+    a CTE chain (pair explode → weighted count → deterministic arg-max
+    → scalar-subquery replace), so DuckDB re-derives the SAME merge
+    sequence the engine's supersteps learn — an independent
+    formulation, not a re-run of the engine (the
+    tools/probe_sf10_dedup.py precedent). The engine's tie-break
+    (cnt DESC, a ASC, b ASC) is pure ASCII binary order, so both
+    engines agree on every borderline round."""
+    parts = [
+        """
+WITH w0 AS MATERIALIZED (
+  SELECT w, count(*) AS wc FROM (
+    SELECT unnest(list_filter(
+             string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS w
+    FROM documents) GROUP BY w),
+enc0 AS MATERIALIZED (SELECT w, wc, '||' || regexp_replace(w, '(.)', '\\1||', 'g') AS enc
+         FROM w0)"""
+    ]
+    for k in range(n):
+        parts.append(f"""
+pr{k} AS (
+  SELECT syms[i] AS a, syms[i + 1] AS b, wc
+  FROM (SELECT wc, list_filter(string_split(enc, '||'), x -> x <> '') AS syms
+        FROM enc{k}),
+       unnest(range(1, len(syms))) AS t(i)),
+best{k} AS MATERIALIZED (
+  SELECT a, b, CAST(sum(wc) AS BIGINT) AS cnt FROM pr{k}
+  GROUP BY a, b ORDER BY cnt DESC, a, b LIMIT 1)""")
+        if k + 1 < n:
+            parts.append(f"""
+enc{k + 1} AS MATERIALIZED (
+  SELECT w, wc, replace(enc,
+      '|' || (SELECT a FROM best{k}) || '||' || (SELECT b FROM best{k}) || '|',
+      '|' || (SELECT a FROM best{k}) || (SELECT b FROM best{k}) || '|') AS enc
+  FROM enc{k})""")
+    union = "\nUNION ALL ".join(
+        f"SELECT CAST({k + 1} AS BIGINT) AS rk, a, b, cnt FROM best{k}"
+        for k in range(n)
+    )
+    return ",".join(parts) + "\n" + union
+
+
+@register("q_tokenize_bpe_train", oracle=_bpe_train_oracle(10))
+def q_tokenize_bpe_train(spark, sf_dir):
+    """BPE tokenizer TRAINING over the documents corpus — the induction
+    side of q_tokenize_bpe's frozen-table apply (VERDICT r13 #4): learn
+    the first 10 merges by iterative supersteps (count adjacent symbol
+    pairs over the (word, count) vocabulary, take the deterministic
+    arg-max, apply the merge, repeat) and emit the learned table
+    (rk, a, b, cnt). operators/text.bpe_train carries the scale
+    contract: vocabulary-granularity state barriered to parquet per
+    round, map-side-combined pair counts, one arg-max row to the
+    driver per round. The oracle replays the same rounds as one
+    unrolled SQL chain — an independent re-derivation of the whole
+    merge SEQUENCE (each round's winner feeds the next round's
+    encodings, so a single wrong count anywhere diverges every later
+    row)."""
+    from pulsar_io_delta_spark.operators.text import bpe_train, tokens_col
+
+    d = table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(tokens_col(F.col("text"))).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("wc"))
+    )
+    merges = bpe_train(words, n_merges=10)
+    return spark.createDataFrame(
+        [(i + 1, a, b, c) for i, (a, b, c) in enumerate(merges)],
+        "rk long, a string, b string, cnt long",
+    )

@@ -883,3 +883,49 @@ def test_bpe_overlap_merges_left_first(spark):
     assert got["aaa"] == ["aa", "a"]
     assert got["aaaa"] == ["aa", "aa"]
     assert got["aaaaa"] == ["aa", "aa", "a"]
+
+
+def test_bpe_train_learns_known_merges(spark):
+    """Hand-checkable corpus: 'the' x3, 'then' x1, 'her' x2. Round 1:
+    (h,e) appears in all three words = 6, beating (t,h)=4 and (e,r)=2,
+    so (h,e) must win; later rounds re-count over the merged
+    encodings. Checked against an independent Python trainer that
+    shares only the tie-break rule."""
+    from pulsar_io_delta_spark.operators.text import bpe_train
+
+    wc = {"the": 3, "then": 1, "her": 2}
+    df = spark.createDataFrame(list(wc.items()), "w string, wc long")
+    got = bpe_train(df, n_merges=3)
+
+    # independent reference trainer over token lists
+    encs = {w: list(w) for w in wc}
+    want = []
+    for _ in range(3):
+        counts = {}
+        for w, toks in encs.items():
+            for i in range(len(toks) - 1):
+                p = (toks[i], toks[i + 1])
+                counts[p] = counts.get(p, 0) + wc[w]
+        (a, b), cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        want.append((a, b, cnt))
+        encs = {w: _py_bpe(w, [m[:2] for m in want]) for w in wc}
+    assert got == want, (got, want)
+
+
+def test_bpe_train_feeds_apply(spark):
+    """The learned table drops straight into bpe_tokens_col: training
+    then applying reproduces the trained encodings (induction and
+    inference agree on the same greedy semantics)."""
+    from pulsar_io_delta_spark.operators.text import bpe_tokens_col, bpe_train
+
+    wc = {"sing": 4, "ring": 3, "thing": 2, "banana": 2}
+    df = spark.createDataFrame(list(wc.items()), "w string, wc long")
+    merges = [(a, b) for a, b, _ in bpe_train(df, n_merges=4)]
+    got = {
+        r.w: r.t
+        for r in df.select(
+            "w", bpe_tokens_col(F.col("w"), merges).alias("t")
+        ).collect()
+    }
+    for w in wc:
+        assert got[w] == _py_bpe(w, merges), (w, got[w])
