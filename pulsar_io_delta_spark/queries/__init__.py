@@ -774,4 +774,43 @@ _R13_WINDOW = [
     "q_nested_mapping", "q_column_mapping_id",
 ]
 promote(_R13_WINDOW, after="q_stream_tumbling")
-WINDOW_MUST_INCLUDE = _R13_WINDOW
+
+# Round-14 window (slots 1-49 after the q_stream_tumbling canary), per
+# the r13 verdict #1: (a) ALL 41 queries whose latest driver row is r9
+# — the complete remaining r9 pool (after this round the freshness
+# floor advances to r10), every one judge-re-verified green in the r13
+# session, so this is evidence refresh, not risk; (b) the 8 remaining
+# slots go to queries new or changed in r14: the quantile sketch
+# family q_sketch_quantile / q_sketch_quantile_merge /
+# q_stream_sketch_quantile (bottom-k hash sample — deterministic,
+# exactly mergeable), q_tokenize_bpe_train (BPE merge-table induction
+# vs an unrolled SQL replay), and the four queries the r13
+# verdict/advice fixes touched: q_sketch_kmv_intersect (now consumes
+# operators/sketch), q_bloom_prune (MAX_M_BITS cap + probe parity),
+# q_graph_bfs (one shared depth constant with its oracle),
+# q_stream_sketch_kmv (store re-pointed at the DeltaTable sink).
+# q_knn_graph / q_sim_topk also changed (widen_to now threaded
+# explicitly) — q_sim_topk is in the (a) pool; q_knn_graph's plan is
+# unchanged by construction and it was r13-window green, so it yields
+# its slot to the older evidence.
+_R14_WINDOW = [
+    # (a) r9-stale — the whole pool
+    "q_agg_variance", "q_array_funcs", "q_cdf_merge", "q_clone_shallow",
+    "q_column_defaults", "q_column_mapping_write", "q_compact_roundtrip",
+    "q_date_funcs", "q_date_funcs2", "q_decontaminate", "q_dedup_hash",
+    "q_dedup_semantic", "q_domain_cap", "q_join_cross", "q_join_full",
+    "q_join_left", "q_join_right", "q_liquid_cluster", "q_log_compaction",
+    "q_log_lifecycle", "q_math_funcs", "q_minmax_scale", "q_multimodal_jpeg",
+    "q_multimodal_png", "q_null_funcs", "q_pack_sequences", "q_pivot",
+    "q_quality_filter", "q_repetition_metrics", "q_row_tracking",
+    "q_sample_hash", "q_sim_topk", "q_split_assign", "q_sql_conditional_agg",
+    "q_sql_in_subquery", "q_stream_stateful_count", "q_string_funcs2",
+    "q_text_redact", "q_text_stats", "q_text_token_count", "q_udtf_tokens",
+    # (b) new/changed in r14
+    "q_sketch_quantile", "q_sketch_quantile_merge", "q_stream_sketch_quantile",
+    "q_tokenize_bpe_train",
+    "q_sketch_kmv_intersect", "q_bloom_prune", "q_graph_bfs",
+    "q_stream_sketch_kmv",
+]
+promote(_R14_WINDOW, after="q_stream_tumbling")
+WINDOW_MUST_INCLUDE = _R14_WINDOW
