@@ -135,6 +135,30 @@ HEADLINE = [
     # round 13: mergeable KMV distinct sketch + its set-operation algebra
     "q_sketch_kmv",
     "q_sketch_kmv_intersect",
+    # round 14 (VERDICT r13 #2): the nine r13 queries the budget
+    # machinery could not yet see — led by the two graph heavyweights
+    # (the cc/pagerank precedent: graph queries dominate the tail, so a
+    # regression there must be budget-visible). q_domain_metadata and
+    # q_constraints_lifecycle are metadata-plane-sized; included rather
+    # than exempted so EVERY registered-and-benchable query family has
+    # a frozen number.
+    "q_graph_triangles",
+    "q_graph_bfs",
+    "q_inverted_index",
+    "q_dedup_containment",
+    "q_line_dedup_nl",
+    "q_source_xml",
+    "q_stream_sketch_kmv",
+    "q_domain_metadata",
+    "q_constraints_lifecycle",
+    # round 14: the quantile sketch family (batch build, shard merge,
+    # streaming Delta store) and BPE merge-table training (10 iterative
+    # supersteps — its wall time IS the materialized rounds, the
+    # dedup_cc precedent)
+    "q_sketch_quantile",
+    "q_sketch_quantile_merge",
+    "q_stream_sketch_quantile",
+    "q_tokenize_bpe_train",
 ]
 
 
