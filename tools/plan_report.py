@@ -53,6 +53,8 @@ CLAIMS = {
     "q_graph_bfs": "per-round frontier-adjacency hash equi-join + visited anti-join; no full-graph pass, no cartesian",
     "q_sketch_kmv": "ONE (type,user) distinct combine; per-group top-k window over hashes; estimate in exact decimal integer math",
     "q_sketch_kmv_intersect": "pair algebra over k-long sketches (10 pairs x <=128 rows); corpus touched once in the distinct combine",
+    "q_sketch_quantile": "sketch build = map-side Partial WindowGroupLimit BELOW the single per-group exchange (shuffle carries <= k x tasks rows/group); estimate rank + sample size share ONE window exchange; 3-row permille table broadcast",
+    "q_sketch_quantile_merge": "per-(type,day) shards truncate map-side; the merge consumes shards x k sketch rows, never the corpus; merged and direct estimates share the broadcast permille join",
 }
 
 
