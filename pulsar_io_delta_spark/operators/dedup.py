@@ -333,12 +333,20 @@ def jaccard_on_candidates(
     """(id_a, id_b, jaccard) — exact char-n-gram Jaccard computed ONLY
     for the given candidate pairs, via gram equi-joins restricted by
     candidate ids. This is the 100 TB verify stage: cost is proportional
-    to |candidates| × grams-per-doc, never all-pairs."""
+    to |candidates| × grams-per-doc, never all-pairs.
+
+    The gram and gram-count relations scale with the CORPUS, so they
+    carry merge hints: Catalyst's size estimate for an explode is
+    input-row-based and can read a multi-hundred-million-row gram
+    relation as broadcastable (measured at sf10: a 1M-doc corpus'
+    grams chosen as the build side → driver OOM building the hashed
+    relation). The candidate side is the one a caller may legitimately
+    keep small — never the grams."""
     grams = df.select(
         F.col(id_col).alias("gid"),
         F.explode(char_ngrams_col(F.col(text_col), n)).alias("g"),
-    )
-    counts = grams.groupBy("gid").agg(F.count("*").alias("gcnt"))
+    ).hint("merge")
+    counts = grams.groupBy("gid").agg(F.count("*").alias("gcnt")).hint("merge")
     ga = grams.withColumnRenamed("gid", "id_a")
     gb = grams.withColumnRenamed("gid", "id_b")
     inter = (
@@ -612,12 +620,15 @@ def containment_on_candidates(
 
     Same 100 TB verify-on-candidates shape as jaccard_on_candidates:
     gram equi-joins restricted by candidate ids, cost proportional to
-    |candidates| × grams-per-doc, never all-pairs."""
+    |candidates| × grams-per-doc, never all-pairs. Grams and counts
+    carry merge hints for the same reason documented there — the
+    explode's size estimate invited a corpus-sized broadcast (sf10
+    driver OOM) and those relations scale with the corpus."""
     grams = df.select(
         F.col(id_col).alias("gid"),
         F.explode(char_ngrams_col(F.col(text_col), n)).alias("g"),
-    )
-    counts = grams.groupBy("gid").agg(F.count("*").alias("gcnt"))
+    ).hint("merge")
+    counts = grams.groupBy("gid").agg(F.count("*").alias("gcnt")).hint("merge")
     ga = grams.withColumnRenamed("gid", "id_a")
     gb = grams.withColumnRenamed("gid", "id_b")
     inter = (

@@ -809,8 +809,16 @@ _R14_WINDOW = [
     # (b) new/changed in r14
     "q_sketch_quantile", "q_sketch_quantile_merge", "q_stream_sketch_quantile",
     "q_tokenize_bpe_train",
-    "q_sketch_kmv_intersect", "q_bloom_prune", "q_graph_bfs",
-    "q_stream_sketch_kmv",
+    "q_bloom_prune", "q_stream_sketch_kmv",
+    # (b continued) the sf10 broadcast-OOM fix changed the PLAN of the
+    # candidate-scoring pair (plants restriction pushed below the gram
+    # join; merge hints on corpus-sized gram relations) — plan-changing
+    # queries outrank the two refactor-only candidates for the last
+    # slots: q_sketch_kmv_intersect (routes through operators/sketch,
+    # hash-identical by construction) and q_graph_bfs (engine iteration
+    # bound only, oracle text unchanged) stay outside, both green in
+    # this session's full local gates at sf0.01 AND sf1.
+    "q_dedup_containment", "q_ngram_jaccard",
 ]
 promote(_R14_WINDOW, after="q_stream_tumbling")
 WINDOW_MUST_INCLUDE = _R14_WINDOW

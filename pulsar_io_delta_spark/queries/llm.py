@@ -265,11 +265,22 @@ def q_ngram_jaccard(spark, sf_dir):
     corpus = _planted_corpus(docs)
     sig = dd.minhash_signature(corpus, "doc_id", "text")
     cand = dd.lsh_candidate_pairs(sig, "doc_id")
-    jac = dd.jaccard_on_candidates(corpus, cand, "doc_id", "text", n=3)
     plants = docs.select(
         F.col("doc_id").alias("id_a"),
         (F.col("doc_id") + PLANT_OFFSET).alias("id_b"),
     )
+    # Push the planted-pair restriction BELOW the gram scoring (r14
+    # sf10 finding): the fixture's byte-identical replicas densify LSH
+    # buckets quadratically (109.7M candidate pairs at sf10 from 1M
+    # docs), and scoring them all before the final inner join both
+    # wastes grams-per-pair work and invites a mis-estimated broadcast
+    # of a candidate-derived relation (driver OOM at sf10). The result
+    # is identical — scoring is per-pair, so score(cand) ⋈ plants ==
+    # score(cand ∩ plants). Full-candidate scoring stays available via
+    # the operator; corpora WANTING all replica pairs should collapse
+    # byte-identical docs first (the q_fuzzy_pairs exact-group guard).
+    cand = cand.join(plants, ["id_a", "id_b"], "left_semi")
+    jac = dd.jaccard_on_candidates(corpus, cand, "doc_id", "text", n=3)
     return plants.join(jac, ["id_a", "id_b"]).select("id_a", "id_b", "jaccard")
 
 
@@ -307,11 +318,17 @@ def q_dedup_containment(spark, sf_dir):
     corpus = _planted_corpus(docs)
     sig = dd.minhash_signature(corpus, "doc_id", "text")
     cand = dd.lsh_candidate_pairs(sig, "doc_id")
-    cont = dd.containment_on_candidates(corpus, cand, "doc_id", "text", n=3)
     plants = docs.select(
         F.col("doc_id").alias("id_a"),
         (F.col("doc_id") + PLANT_OFFSET).alias("id_b"),
     )
+    # Same pushdown as q_ngram_jaccard (r14 sf10 finding): restrict the
+    # candidate set to the requested pairs BEFORE the gram join —
+    # identical result, and the 109.7M replica-densified sf10 candidate
+    # set never reaches the scorer (which OOMed on a mis-estimated
+    # broadcast when it did).
+    cand = cand.join(plants, ["id_a", "id_b"], "left_semi")
+    cont = dd.containment_on_candidates(corpus, cand, "doc_id", "text", n=3)
     return plants.join(cont, ["id_a", "id_b"]).select(
         "id_a", "id_b", "cont_ab", "cont_ba"
     )
