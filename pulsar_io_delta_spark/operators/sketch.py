@@ -112,6 +112,10 @@ def kmv_estimate(sk: DataFrame, group_col: str, k: int = K_DEFAULT) -> DataFrame
 
 QK_DEFAULT = 256
 QEPS_PM = 100  # contract rank tolerance ε as permille (0.1)
+# THE permille list the quantile gate queries and their oracles share —
+# one source of truth so engine and oracle cannot desynchronize
+# (ADVICE r14: the merge oracle used to freeze these as literals).
+PS_PM_DEFAULT = (250, 500, 900)
 
 
 def quantile_truncate(
@@ -126,7 +130,14 @@ def quantile_truncate(
     from pyspark.sql import Window
 
     cols = [group_col] if isinstance(group_col, str) else list(group_col)
-    w = Window.partitionBy(*cols).orderBy("f")
+    # Tie-break on the VALUE too: two DISTINCT row keys colliding on
+    # xxhash64 (~2^-64 per pair, but expected somewhere at 10^12 rows)
+    # would otherwise tie at rank k and leave the boundary row
+    # partition-order-dependent — the exact nondeterminism this sketch
+    # family exists to exclude. (f, v) makes the kept set a pure
+    # function of the data even under collision; the oracles' rn
+    # windows order the same way (ORDER BY h, v).
+    w = Window.partitionBy(*cols).orderBy("f", "v")
     return (
         df.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= k)
@@ -163,15 +174,22 @@ def quantile_sketch_merge(
 
 
 def quantile_estimate(
-    sk: DataFrame, group_col: str, ps_pm: list[int], k: int = QK_DEFAULT
+    sk: DataFrame, group_col: str, ps_pm: list[int]
 ) -> DataFrame:
     """(group, p_pm, est_q): the sketch's value at sample rank
     ceil(p·m) for each requested permille quantile. The per-group size
     m comes from a count window over the SAME partition the rank
     window needs (one exchange, the bm25 lesson), and the tiny permille
-    table is broadcast."""
+    table is broadcast. A permille outside [1, 1000] can never match a
+    rank (0 → rank 0, 1001+ → rank > m) and would silently shorten the
+    result, so it raises instead (the repo's fail-loudly discipline)."""
     from pyspark.sql import Window
 
+    bad = [p for p in ps_pm if not 1 <= int(p) <= 1000]
+    if bad:
+        raise ValueError(
+            f"quantile_estimate: permille values must be in [1, 1000], got {bad}"
+        )
     spark = sk.sparkSession
     wg = Window.partitionBy(group_col)
     sv = sk.withColumn("mk", F.count("*").over(wg)).withColumn(
@@ -225,7 +243,7 @@ FROM est
 
 
 def quantile_oracle_sql(
-    ps_pm: tuple[int, ...] = (250, 500, 900),
+    ps_pm: tuple[int, ...] = PS_PM_DEFAULT,
     group_col: str = "event_type",
     val_col: str = "value",
     id_col: str = "event_id",
@@ -252,7 +270,7 @@ hashed AS (
 sk AS (
   SELECT {group_col}, h, v FROM (
     SELECT {group_col}, h, v,
-           row_number() OVER (PARTITION BY {group_col} ORDER BY h) AS rn
+           row_number() OVER (PARTITION BY {group_col} ORDER BY h, v) AS rn
     FROM hashed) WHERE rn <= {k}),
 sv AS (
   SELECT {group_col}, v,

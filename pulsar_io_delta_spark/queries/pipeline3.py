@@ -3139,7 +3139,7 @@ def q_sketch_quantile(spark, sf_dir):
     is k (long, double) pairs per group forever."""
     from pulsar_io_delta_spark.operators import sketch as sk
 
-    ps_pm = [250, 500, 900]
+    ps_pm = list(sk.PS_PM_DEFAULT)
     e = table(spark, sf_dir, "events")
     skq = sk.quantile_sketch(e, "event_type", "value", "event_id")
     est = sk.quantile_estimate(skq, "event_type", ps_pm)
@@ -3147,36 +3147,39 @@ def q_sketch_quantile(spark, sf_dir):
 
 
 def _quantile_merge_oracle() -> str:
+    """Generated from the SAME constants the engine uses — sk.QK_DEFAULT
+    and sk.PS_PM_DEFAULT (ADVICE r14: a frozen literal template
+    desynchronizes silently when either constant moves). The rn windows
+    order by (h, v) to mirror quantile_truncate's collision-proof
+    tie-break."""
     from pulsar_io_delta_spark.functions.xxhash_sql import xxhash64_long_ctes
+    from pulsar_io_delta_spark.operators import sketch as sk
 
-    return _QUANTILE_MERGE_ORACLE_TEMPLATE.replace(
-        "{XX}", xxhash64_long_ctes("ev", "event_id")
-    )
-
-
-_QUANTILE_MERGE_ORACLE_TEMPLATE = """
+    k = sk.QK_DEFAULT
+    vals = ",".join(f"({p})" for p in sk.PS_PM_DEFAULT)
+    return f"""
 WITH ev AS (SELECT event_type, date_trunc('day', ts) AS day, event_id, value
             FROM events),
-{XX},
+{xxhash64_long_ctes("ev", "event_id")},
 hashed AS (
   SELECT ev.event_type, ev.day, x.h, ev.value AS v
   FROM ev JOIN xx64 x ON x.v = ev.event_id),
 shard AS (
   SELECT event_type, day, h, v FROM (
     SELECT event_type, day, h, v,
-           row_number() OVER (PARTITION BY event_type, day ORDER BY h) AS rn
-    FROM hashed) WHERE rn <= 256),
+           row_number() OVER (PARTITION BY event_type, day ORDER BY h, v) AS rn
+    FROM hashed) WHERE rn <= {k}),
 merged AS (
   SELECT event_type, h, v FROM (
     SELECT event_type, h, v,
-           row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
-    FROM shard) WHERE rn <= 256),
+           row_number() OVER (PARTITION BY event_type ORDER BY h, v) AS rn
+    FROM shard) WHERE rn <= {k}),
 direct AS (
   SELECT event_type, h, v FROM (
     SELECT event_type, h, v,
-           row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
-    FROM hashed) WHERE rn <= 256),
-ps AS (SELECT * FROM (VALUES (250),(500),(900)) t(p_pm)),
+           row_number() OVER (PARTITION BY event_type ORDER BY h, v) AS rn
+    FROM hashed) WHERE rn <= {k}),
+ps AS (SELECT * FROM (VALUES {vals}) t(p_pm)),
 mest AS (
   SELECT s.event_type, p.p_pm, s.v AS merged_q
   FROM (SELECT event_type, v,
@@ -3213,7 +3216,7 @@ def q_sketch_quantile_merge(spark, sf_dir):
     merge input is shards×k rows (metadata-sized), never the corpus."""
     from pulsar_io_delta_spark.operators import sketch as sk
 
-    ps_pm = [250, 500, 900]
+    ps_pm = list(sk.PS_PM_DEFAULT)
     e = table(spark, sf_dir, "events").withColumn(
         "day", F.date_trunc("day", F.col("ts"))
     )

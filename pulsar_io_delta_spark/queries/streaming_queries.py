@@ -775,6 +775,6 @@ def q_stream_sketch_quantile(spark, sf_dir):
     assert state["rows"] == expected, "stream lost or duplicated rows"
     assert state["batches"] >= 4, f"merge path unexercised: {state['batches']} batches"
 
-    ps_pm = [250, 500, 900]
+    ps_pm = list(sk.PS_PM_DEFAULT)
     est = sk.quantile_estimate(store_t.read(spark), "event_type", ps_pm)
     return _quantile_contract(spark, sf_dir, est, ps_pm, sk.QEPS_PM)

@@ -442,8 +442,15 @@ def test_bloom_build_refuses_oversized_filter(spark):
     # the probe enforces the same cap, so build/probe can never diverge
     with pytest.raises(ValueError, match="MAX_M_BITS"):
         bloom_might_contain(bytes((MAX_M_BITS // 8) + 8), F.col("k"))
-    # at the cap itself the build still works (boundary not off-by-one)
+    # a mid-range size builds fine…
     assert len(bloom_build(members, "k", m_bits=1 << 20)) == (1 << 20) // 8
+    # …and the cap ITSELF is accepted (boundary not off-by-one) — pinned
+    # on the check directly so we don't pay a 16 MiB build (ADVICE r14).
+    from pulsar_io_delta_spark.operators.bloom import _check_m_bits
+
+    _check_m_bits(MAX_M_BITS)
+    with pytest.raises(ValueError):
+        _check_m_bits(MAX_M_BITS + 8)
 
 
 def test_bloom_semi_join_exact(spark, sf_dir):
