@@ -205,6 +205,202 @@ def quantile_estimate(
     )
 
 
+# ---------------------------------------------------------------------------
+# Mergeable WEIGHTED-SAMPLE sketch (deterministic priority sampling)
+#
+# Completes the explicit-state sketch algebra: distinct = KMV, counts =
+# CMS, quantiles = bottom-k; weighted sampling is the leg a 100 TB
+# curation pipeline uses for corpus MIXING — "sample documents with
+# probability proportional to quality/length, per language, without
+# holding the corpus". Scheme: PRIORITY SAMPLING (Duffield, Lund,
+# Thorup, JACM 2007): each item draws priority q = w/u with u uniform
+# (0,1]; keep the k largest priorities; the (k+1)-th priority is the
+# threshold τ, and Σ max(w_i, τ) over the sample is an unbiased — and
+# per Szegedy near-variance-optimal — estimator of any subset's total
+# weight. Equivalently (our form) keep the k+1 SMALLEST of r = u/w, so
+# the same bottom-(k+1) composition theorem as the KMV/quantile
+# sketches makes the merge exact: bottom-(k+1) of a union of
+# bottom-(k+1)'s IS the bottom-(k+1) of the union, state stays k+1
+# rows per group forever.
+#
+# Determinism contract (the reason Efraimidis–Spirakis' u^(1/w) float
+# form was NOT used): u is not random() but the low 32 hash bits
+# +1 — u1 = pmod(xxhash64(id), 2^32) + 1 ∈ [1, 2^32] — and the
+# priority key is the INTEGER r = (u1 · 2^20) div w, totally ordered by
+# (r, u1, id). Every quantity is exact BIGINT arithmetic both engines
+# reproduce bit-for-bit (max intermediate: w·u1 ≤ 10^6·2^32 ≈ 4.3e15;
+# the estimate sum ≤ (k+1)·4.3e15 ≪ 2^63), so the approximate answer
+# value-hash-matches a SQL oracle — the same reason KLL lost to
+# bottom-k for quantiles. The 2^20 quantization only coarsens WHICH
+# item wins a near-tie (broken deterministically), never the algebra.
+# ---------------------------------------------------------------------------
+
+WK_DEFAULT = 64        # sample size k; sketch state is k+1 rows/group
+WS_SCALE = 1 << 20     # priority quantization: r = (u1 << 20) div w
+WU_MOD = 1 << 32       # uniform domain: u1 = (hash mod 2^32) + 1
+WMAX_WEIGHT = 1_000_000  # keeps w·u1 and the estimate sum in BIGINT
+WERR_PM = 500          # contract bound: |est-exact| ≤ 0.5·exact
+                       # (~4σ at k=64: rel. std ≤ 1/sqrt(k-1) ≈ 0.126)
+
+
+def wsample_weight_col(weight: str | Column) -> Column:
+    """Validated weight: integers in [1, WMAX_WEIGHT]. Out-of-domain
+    weights RAISE at execution (assert_true is load-bearing inside the
+    surviving expression, so Catalyst cannot prune it): a zero/negative
+    weight has no priority and a giant one would silently overflow the
+    estimate sum — both must fail loudly, not sample wrongly."""
+    c = (F.col(weight) if isinstance(weight, str) else weight).cast("long")
+    ok = (c >= 1) & (c <= WMAX_WEIGHT)
+    return F.when(ok, c).otherwise(
+        F.assert_true(
+            F.lit(False),
+            F.lit(f"wsample: weight must be an integer in [1, {WMAX_WEIGHT}]"),
+        ).cast("long")
+    )
+
+
+def wsample_truncate(
+    df: DataFrame, group_col: str | list[str], k: int = WK_DEFAULT
+) -> DataFrame:
+    """Keep each group's k+1 smallest-priority rows in the total order
+    (r, u1, v) — sample (ranks 1..k) plus threshold row (rank k+1).
+    The ONE primitive behind build and merge; map-side WindowGroupLimit
+    truncates before the exchange (the quantile_truncate plan)."""
+    from pyspark.sql import Window
+
+    cols = [group_col] if isinstance(group_col, str) else list(group_col)
+    w = Window.partitionBy(*cols).orderBy("r", "u1", "v")
+    return (
+        df.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k + 1)
+        .select(*cols, "r", "u1", "w", "v")
+    )
+
+
+def wsample_sketch(
+    df: DataFrame,
+    group_col: str | list[str],
+    weight_col: str,
+    id_col: str,
+    k: int = WK_DEFAULT,
+) -> DataFrame:
+    """Per-group weighted-sample sketch rows (group…, r, u1, w, v).
+    ``id_col`` must be a UNIQUE row key (it drives both the uniform u1
+    and the deterministic tie-break); ``weight_col`` must be integral
+    in [1, WMAX_WEIGHT] — enforced loudly by wsample_weight_col."""
+    cols = [group_col] if isinstance(group_col, str) else list(group_col)
+    hashed = df.select(
+        *[F.col(c) for c in cols],
+        (F.pmod(F.xxhash64(F.col(id_col)), F.lit(WU_MOD)) + 1).alias("u1"),
+        wsample_weight_col(weight_col).alias("w"),
+        F.col(id_col).alias("v"),
+    ).withColumn("r", F.expr(f"(u1 * {WS_SCALE}) div w"))
+    return wsample_truncate(hashed, cols, k=k)
+
+
+def wsample_merge(
+    a: DataFrame, b: DataFrame, group_col: str, k: int = WK_DEFAULT
+) -> DataFrame:
+    """Union-then-retruncate; exact by bottom-(k+1) composition
+    (merged sketch == sketch of the merged data)."""
+    return wsample_truncate(a.unionByName(b).distinct(), group_col, k=k)
+
+
+def wsample_estimate(
+    sk: DataFrame, group_col: str, k: int = WK_DEFAULT
+) -> DataFrame:
+    """(group, sample_k, est_total_w): the priority-sampling estimate
+    Σ max(w_i, τ) over the k sampled rows, τ = w_t/u_t·2^32 from the
+    threshold row (rank k+1); groups holding ≤ k rows report their
+    exact weight sum (τ absent ⇒ max(w_i, τ) = w_i). All arithmetic is
+    the division-free scaled-integer form Σ max(w_i·u1_t, w_t·2^32)
+    div u1_t, so Spark and the SQL oracle agree bit-for-bit. The
+    threshold is derived by a window over the SAME partition the rank
+    window uses — one exchange total (the bm25 lesson)."""
+    from pyspark.sql import Window
+
+    wo = Window.partitionBy(group_col).orderBy("r", "u1", "v")
+    wg = Window.partitionBy(group_col)
+    thr = F.col("rn") == k + 1
+    ranked = (
+        sk.withColumn("rn", F.row_number().over(wo))
+        .withColumn("u1_t", F.max(F.when(thr, F.col("u1"))).over(wg))
+        .withColumn("w_t", F.max(F.when(thr, F.col("w"))).over(wg))
+        .where(F.col("rn") <= k)
+    )
+    agg = ranked.groupBy(group_col).agg(
+        F.count("*").alias("sample_k"),
+        F.max("u1_t").alias("u1_t"),
+        F.sum("w").alias("sw"),
+        F.sum(
+            F.greatest(
+                F.col("w") * F.col("u1_t"), F.col("w_t") * F.lit(WU_MOD)
+            )
+        ).alias("sm"),
+    )
+    return agg.select(
+        group_col,
+        "sample_k",
+        F.when(F.col("u1_t").isNull(), F.col("sw"))
+        .otherwise(F.expr("sm div u1_t"))
+        .cast("long")
+        .alias("est_total_w"),
+    )
+
+
+def wsample_oracle_sql(
+    group_col: str = "lang",
+    weight_expr: str = "greatest(1, least(n_chars, 1000000))",
+    id_col: str = "doc_id",
+    table: str = "documents",
+    k: int = WK_DEFAULT,
+    err_pm: int = WERR_PM,
+) -> str:
+    """DuckDB oracle for the weighted-sample sketch over a table —
+    shared by q_sketch_wsample (batch) and q_stream_sketch_wsample
+    (incremental merge; exact mergeability makes the rebuilt sketch THE
+    streaming answer — the kmv/quantile precedent). Replays the full
+    algebra: u1 from the xxhash64 twin, integer priorities, bottom-k+1,
+    the scaled-integer estimator, and the ±err_pm/1000 contract."""
+    from pulsar_io_delta_spark.functions.xxhash_sql import xxhash64_long_ctes
+
+    return f"""
+WITH dd AS (SELECT {group_col}, {id_col} AS v,
+                   CAST({weight_expr} AS BIGINT) AS w FROM {table}),
+{xxhash64_long_ctes("dd", "v")},
+pri AS (
+  SELECT dd.{group_col},
+         CAST(x.h % {WU_MOD} AS BIGINT) + 1 AS u1, dd.w, dd.v,
+         (CAST(x.h % {WU_MOD} AS BIGINT) + 1) * {WS_SCALE} // dd.w AS r
+  FROM dd JOIN xx64 x ON x.v = dd.v),
+sk AS (
+  SELECT {group_col}, r, u1, w, v,
+         row_number() OVER (PARTITION BY {group_col}
+                            ORDER BY r, u1, v) AS rn
+  FROM pri),
+thr AS (
+  SELECT {group_col}, u1 AS u1_t, w AS w_t FROM sk WHERE rn = {k + 1}),
+est AS (
+  SELECT s.{group_col}, count(*) AS sample_k,
+         CASE WHEN max(t.u1_t) IS NULL THEN sum(s.w)
+              ELSE sum(greatest(s.w * t.u1_t, t.w_t * {WU_MOD}))
+                   // max(t.u1_t) END AS est_total_w
+  FROM sk s LEFT JOIN thr t USING ({group_col})
+  WHERE s.rn <= {k}
+  GROUP BY s.{group_col}),
+exact AS (
+  SELECT {group_col}, sum(w) AS exact_total_w FROM dd GROUP BY {group_col})
+SELECT e.{group_col}, CAST(e.sample_k AS BIGINT) AS sample_k,
+       CAST(e.est_total_w AS BIGINT) AS est_total_w,
+       CAST(x.exact_total_w AS BIGINT) AS exact_total_w,
+       round(abs(CAST(e.est_total_w AS DOUBLE) - CAST(x.exact_total_w AS DOUBLE))
+             / CAST(x.exact_total_w AS DOUBLE), 4) AS rel_err,
+       (abs(e.est_total_w - x.exact_total_w) * 1000
+          <= {err_pm} * x.exact_total_w) AS in_bounds
+FROM est e JOIN exact x USING ({group_col})
+"""
+
+
 def kmv_oracle_sql(group_col: str = "event_type", key_col: str = "user_id",
                    table: str = "events", k: int = K_DEFAULT) -> str:
     """DuckDB oracle for a per-group KMV estimate over a table — shared

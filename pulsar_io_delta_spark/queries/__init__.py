@@ -822,3 +822,41 @@ _R14_WINDOW = [
 ]
 promote(_R14_WINDOW, after="q_stream_tumbling")
 WINDOW_MUST_INCLUDE = _R14_WINDOW
+
+# Round-15 window (slots 1-49 after the q_stream_tumbling canary), per
+# the r14 verdict #1: (a) ALL 46 queries whose latest driver row is r10
+# — the complete remaining r10 pool (after this round the freshness
+# floor advances to r11), every one judge-re-verified 46/46 at sf0.01
+# in the r14 session, so this is evidence refresh, not risk; (b) the 3
+# remaining slots go to the queries new in r15: the weighted-sample
+# sketch pair q_sketch_wsample (deterministic priority sampling —
+# estimator contract AND shard-merge replay folded into one gate, which
+# is what makes 46+3+canary fit the 50-slot window) /
+# q_stream_sketch_wsample (Delta-table rollup store), and
+# q_tokenize_bpe_e2e (train-then-apply BPE — VERDICT r14 #6). The
+# r15-hardened quantile family (tie-break on (f, v), permille domain
+# guard, parameterized merge oracle) is hash-identical by construction
+# — the tie never fires below a 64-bit collision — and stays outside on
+# the r14-window evidence plus this round's full local gates at sf0.01
+# AND sf1, the same refactor-only precedent as r14's
+# q_sketch_kmv_intersect.
+_R15_WINDOW = [
+    # (a) r10-stale — the whole pool
+    "q_agg_cube", "q_agg_distinct", "q_agg_groupby", "q_agg_percentiles",
+    "q_agg_rollup", "q_cdc_envelope", "q_convert_delta", "q_dedup_embcos",
+    "q_dedup_minhash", "q_dedup_near", "q_dedup_pipeline", "q_dedup_simhash",
+    "q_dv_read", "q_fuzzy_pairs", "q_hash_route", "q_join_broadcast",
+    "q_join_skew_salted", "q_multimodal_decode", "q_multimodal_real_decode",
+    "q_partition_encode", "q_retention_cohort", "q_sessionize",
+    "q_sim_ann_lsh", "q_sql_tpch_q1", "q_sql_tpch_q2", "q_sql_tpch_q4",
+    "q_sql_tpch_q7", "q_sql_tpch_q8", "q_sql_tpch_q9", "q_sql_tpch_q11",
+    "q_sql_tpch_q12", "q_sql_tpch_q13", "q_sql_tpch_q15", "q_sql_tpch_q16",
+    "q_sql_tpch_q17", "q_sql_tpch_q18", "q_sql_tpch_q20", "q_sql_tpch_q21",
+    "q_sql_tpch_q22", "q_stream_watermark_dedup", "q_topk", "q_type_widening",
+    "q_unpivot", "q_window_firstlast", "q_window_range_frame",
+    "q_window_variants",
+    # (b) new in r15
+    "q_sketch_wsample", "q_stream_sketch_wsample", "q_tokenize_bpe_e2e",
+]
+promote(_R15_WINDOW, after="q_stream_tumbling")
+WINDOW_MUST_INCLUDE = _R15_WINDOW

@@ -1274,3 +1274,96 @@ def q_tokenize_bpe_train(spark, sf_dir):
         [(i + 1, a, b, c) for i, (a, b, c) in enumerate(merges)],
         "rk long, a string, b string, cnt long",
     )
+
+
+def _bpe_e2e_oracle(n: int = 10, topk: int = 20) -> str:
+    """The train oracle's unrolled round chain EXTENDED THROUGH THE
+    APPLY: build enc0..enc{n} (so the n-th learned merge is applied
+    too), then tokenize the final encodings and rank the top-k subword
+    tokens by weighted corpus count. One SQL statement independently
+    re-derives the full production tokenizer path — a single wrong
+    pair count in any round diverges the merge sequence, the final
+    encodings, and every emitted row."""
+    parts = [
+        """
+WITH w0 AS MATERIALIZED (
+  SELECT w, count(*) AS wc FROM (
+    SELECT unnest(list_filter(
+             string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS w
+    FROM documents) GROUP BY w),
+enc0 AS MATERIALIZED (SELECT w, wc, '||' || regexp_replace(w, '(.)', '\\1||', 'g') AS enc
+         FROM w0)"""
+    ]
+    for k in range(n):
+        parts.append(f"""
+pr{k} AS (
+  SELECT syms[i] AS a, syms[i + 1] AS b, wc
+  FROM (SELECT wc, list_filter(string_split(enc, '||'), x -> x <> '') AS syms
+        FROM enc{k}),
+       unnest(range(1, len(syms))) AS t(i)),
+best{k} AS MATERIALIZED (
+  SELECT a, b, CAST(sum(wc) AS BIGINT) AS cnt FROM pr{k}
+  GROUP BY a, b ORDER BY cnt DESC, a, b LIMIT 1),
+enc{k + 1} AS MATERIALIZED (
+  SELECT w, wc, replace(enc,
+      '|' || (SELECT a FROM best{k}) || '||' || (SELECT b FROM best{k}) || '|',
+      '|' || (SELECT a FROM best{k}) || (SELECT b FROM best{k}) || '|') AS enc
+  FROM enc{k})""")
+    parts.append(f"""
+tok AS (
+  SELECT unnest(list_filter(string_split(enc, '||'), x -> x <> '')) AS token, wc
+  FROM enc{n}),
+c AS (SELECT token, CAST(sum(wc) AS BIGINT) AS cnt FROM tok GROUP BY token)""")
+    return ",".join(parts) + f"""
+SELECT token, cnt,
+       CAST(row_number() OVER (ORDER BY cnt DESC, token) AS BIGINT) AS rk
+FROM c ORDER BY rk LIMIT {topk}
+"""
+
+
+@register("q_tokenize_bpe_e2e", oracle=_bpe_e2e_oracle(10, 20))
+def q_tokenize_bpe_e2e(spark, sf_dir):
+    """BPE tokenizer TRAIN-THEN-APPLY as one gate query (VERDICT r14
+    #6): learn the first 10 merges on the corpus vocabulary
+    (q_tokenize_bpe_train's superstep path), apply the LEARNED table —
+    not the frozen one — to the same vocabulary, and emit the top-20
+    subword tokens by weighted corpus count. This is the full
+    production tokenizer path under the hash gate; the composition
+    previously existed only as a unit test
+    (tests/test_llm_ops.py's trainer-feeds-apply check).
+
+    Scale shape: training input and apply input are the SAME
+    (word, count) vocabulary frame (one map-side-combined shuffle off
+    the corpus, Zipf-bounded width); bpe_train barriers it to parquet
+    once and each round rescans O(vocab) with one argmax row to the
+    driver; the apply is n chained codegen'd replaces over the
+    vocabulary with counts re-weighted by wc — no second corpus
+    pass, no UDFs."""
+    from pulsar_io_delta_spark.operators.text import (
+        bpe_tokens_col,
+        bpe_train,
+        tokens_col,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(tokens_col(F.col("text"))).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("wc"))
+    )
+    learned = [(a, b) for a, b, _ in bpe_train(words, n_merges=10)]
+    toks = words.select(
+        F.explode(bpe_tokens_col(F.col("w"), learned)).alias("token"), "wc"
+    )
+    counts = toks.groupBy("token").agg(F.sum("wc").alias("cnt"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    return (
+        counts.select(
+            "token", "cnt", F.row_number().over(w).cast("long").alias("rk")
+        )
+        .where(F.col("rk") <= 20)
+        .orderBy("rk")
+    )

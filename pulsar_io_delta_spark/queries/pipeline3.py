@@ -3236,3 +3236,168 @@ def q_sketch_quantile_merge(spark, sf_dir):
         "direct_q",
         (F.col("merged_q") == F.col("direct_q")).alias("merge_exact"),
     )
+
+
+def _wsample_weighted_docs(spark, sf_dir):
+    """documents with the gate's weight: n_chars clamped to the sketch
+    domain [1, WMAX_WEIGHT] — the corpus-mixing weight 'longer/higher-
+    quality documents sample proportionally more often'."""
+    from pulsar_io_delta_spark.operators import sketch as sk
+
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "lang",
+        "source",
+        "doc_id",
+        F.greatest(F.lit(1), F.least(F.col("n_chars"), F.lit(sk.WMAX_WEIGHT)))
+        .cast("long")
+        .alias("wt"),
+    )
+
+
+def _wsample_contract(est, exact, err_pm):
+    """Attach the estimator contract: exact_total_w, rel_err, and the
+    integer-arithmetic in_bounds |est-exact|·1000 ≤ err_pm·exact (no
+    float compare can disagree between engines)."""
+    return est.join(exact, est.columns[0]).select(
+        est.columns[0],
+        "sample_k",
+        "est_total_w",
+        "exact_total_w",
+        F.round(
+            F.abs(
+                F.col("est_total_w").cast("double")
+                - F.col("exact_total_w").cast("double")
+            )
+            / F.col("exact_total_w").cast("double"),
+            4,
+        ).alias("rel_err"),
+        (
+            F.abs(F.col("est_total_w") - F.col("exact_total_w")) * 1000
+            <= F.lit(err_pm) * F.col("exact_total_w")
+        ).alias("in_bounds"),
+    )
+
+
+def _wsample_batch_oracle() -> str:
+    """The batch gate's oracle: wsample_oracle_sql's estimator-contract
+    algebra EXTENDED with the shard/merge replay (per-(lang, source)
+    shards → merge per lang → estimate), so one SQL statement checks
+    build, estimate, error contract, AND exact mergeability. Generated
+    from the engine's own constants (the parameterized-template
+    discipline ADVICE r14 set)."""
+    from pulsar_io_delta_spark.functions.xxhash_sql import xxhash64_long_ctes
+    from pulsar_io_delta_spark.operators import sketch as sk
+
+    k, s, m = sk.WK_DEFAULT, sk.WS_SCALE, sk.WU_MOD
+    return f"""
+WITH dd AS (SELECT lang, source, doc_id AS v,
+                   CAST(greatest(1, least(n_chars, {sk.WMAX_WEIGHT})) AS BIGINT) AS w
+            FROM documents),
+{xxhash64_long_ctes("dd", "v")},
+pri AS (
+  SELECT dd.lang, dd.source,
+         CAST(x.h % {m} AS BIGINT) + 1 AS u1, dd.w, dd.v,
+         (CAST(x.h % {m} AS BIGINT) + 1) * {s} // dd.w AS r
+  FROM dd JOIN xx64 x ON x.v = dd.v),
+shard AS (
+  SELECT lang, r, u1, w, v FROM (
+    SELECT lang, source, r, u1, w, v,
+           row_number() OVER (PARTITION BY lang, source
+                              ORDER BY r, u1, v) AS rn
+    FROM pri) WHERE rn <= {k + 1}),
+merged AS (
+  SELECT lang, r, u1, w, v,
+         row_number() OVER (PARTITION BY lang ORDER BY r, u1, v) AS rn
+  FROM shard),
+direct AS (
+  SELECT lang, r, u1, w, v,
+         row_number() OVER (PARTITION BY lang ORDER BY r, u1, v) AS rn
+  FROM pri),
+mthr AS (SELECT lang, u1 AS u1_t, w AS w_t FROM merged WHERE rn = {k + 1}),
+dthr AS (SELECT lang, u1 AS u1_t, w AS w_t FROM direct WHERE rn = {k + 1}),
+mest AS (
+  SELECT s.lang,
+         CASE WHEN max(t.u1_t) IS NULL THEN sum(s.w)
+              ELSE sum(greatest(s.w * t.u1_t, t.w_t * {m}))
+                   // max(t.u1_t) END AS merged_w
+  FROM merged s LEFT JOIN mthr t USING (lang)
+  WHERE s.rn <= {k} GROUP BY s.lang),
+dest AS (
+  SELECT s.lang, count(*) AS sample_k,
+         CASE WHEN max(t.u1_t) IS NULL THEN sum(s.w)
+              ELSE sum(greatest(s.w * t.u1_t, t.w_t * {m}))
+                   // max(t.u1_t) END AS est_total_w
+  FROM direct s LEFT JOIN dthr t USING (lang)
+  WHERE s.rn <= {k} GROUP BY s.lang),
+exact AS (SELECT lang, sum(w) AS exact_total_w FROM dd GROUP BY lang)
+SELECT d.lang, CAST(d.sample_k AS BIGINT) AS sample_k,
+       CAST(d.est_total_w AS BIGINT) AS est_total_w,
+       CAST(x.exact_total_w AS BIGINT) AS exact_total_w,
+       round(abs(CAST(d.est_total_w AS DOUBLE) - CAST(x.exact_total_w AS DOUBLE))
+             / CAST(x.exact_total_w AS DOUBLE), 4) AS rel_err,
+       (abs(d.est_total_w - x.exact_total_w) * 1000
+          <= {sk.WERR_PM} * x.exact_total_w) AS in_bounds,
+       CAST(m.merged_w AS BIGINT) AS merged_w,
+       (m.merged_w = d.est_total_w) AS merge_exact
+FROM dest d JOIN exact x USING (lang) JOIN mest m USING (lang)
+"""
+
+
+@register("q_sketch_wsample", oracle=_wsample_batch_oracle())
+def q_sketch_wsample(spark, sf_dir):
+    """Mergeable WEIGHTED-SAMPLE sketch (deterministic priority
+    sampling, k=64) per language over documents weighted by length —
+    the fourth leg of the explicit-state sketch algebra (distinct =
+    KMV, counts = CMS, quantiles = bottom-k; VERDICT r14 #2): the
+    corpus-mixing primitive 'keep a weight-proportional document sample
+    per language without holding the corpus'. Priority sampling
+    (Duffield–Lund–Thorup JACM 2007): keep the k+1 smallest r = u/w;
+    Σ max(w_i, τ) over the k sampled rows with τ the (k+1)-th priority
+    is an unbiased, near-variance-optimal estimator of the group's
+    total weight — emitted next to the exact total with rel_err and the
+    ±0.5 (~4σ at k=64) in_bounds contract. Every quantity is exact
+    BIGINT arithmetic (u1 = low 32 hash bits + 1, r = (u1·2^20) div w,
+    estimate in the division-free scaled form Σ max(w_i·u1_t, w_t·2^32)
+    div u1_t), which is what lets an approximate answer value-hash-
+    match the SQL oracle — the KMV/quantile determinism contract, and
+    the reason Efraimidis–Spirakis' float u^(1/w) form was rejected.
+
+    The result ALSO carries the rollup-store mergeability check the
+    quantile/KMV families pin in their _merge queries (folded here so
+    one gate covers the algebra end-to-end): per-(lang, source) shard
+    sketches merge per language (union-then-retruncate) and the merged
+    estimate is emitted with merge_exact — true by the bottom-(k+1)
+    composition theorem (tests/test_sketch_wsample.py pins sketch-ROW
+    equality, not just estimate equality); the oracle REPLAYS the
+    shard/merge algebra rather than assuming it.
+
+    Scale shape: build is one map-side WindowGroupLimit before the
+    single per-group exchange (≤ (k+1)×tasks rows shuffle per group,
+    plan-pinned); estimate derives threshold + ranks from ONE window
+    exchange (the bm25 lesson); shard merges read shards×(k+1) rows,
+    never the corpus; state is k+1 rows per group forever. At sf0.01
+    'en' (218 docs) exercises the threshold path and 'fr' (64 = k) the
+    exact path."""
+    from pulsar_io_delta_spark.operators import sketch as sk
+
+    d = _wsample_weighted_docs(spark, sf_dir)
+    direct = sk.wsample_sketch(d, "lang", "wt", "doc_id")
+    est = sk.wsample_estimate(direct, "lang")
+    exact = d.groupBy("lang").agg(F.sum("wt").alias("exact_total_w"))
+    contract = _wsample_contract(est, exact, sk.WERR_PM)
+    shards = sk.wsample_sketch(d, ["lang", "source"], "wt", "doc_id")
+    merged = sk.wsample_truncate(shards.select("lang", "r", "u1", "w", "v"), "lang")
+    mest = sk.wsample_estimate(merged, "lang").select(
+        "lang", F.col("est_total_w").alias("merged_w")
+    )
+    return contract.join(mest, "lang").select(
+        "lang",
+        "sample_k",
+        "est_total_w",
+        "exact_total_w",
+        "rel_err",
+        "in_bounds",
+        "merged_w",
+        (F.col("merged_w") == F.col("est_total_w")).alias("merge_exact"),
+    )

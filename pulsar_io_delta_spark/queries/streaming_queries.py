@@ -778,3 +778,81 @@ def q_stream_sketch_quantile(spark, sf_dir):
     ps_pm = list(sk.PS_PM_DEFAULT)
     est = sk.quantile_estimate(store_t.read(spark), "event_type", ps_pm)
     return _quantile_contract(spark, sf_dir, est, ps_pm, sk.QEPS_PM)
+
+
+def _stream_wsample_oracle() -> str:
+    from pulsar_io_delta_spark.operators.sketch import wsample_oracle_sql
+
+    return wsample_oracle_sql()
+
+
+@register("q_stream_sketch_wsample", oracle=_stream_wsample_oracle())
+def q_stream_sketch_wsample(spark, sf_dir):
+    """Incremental WEIGHTED-SAMPLE sketch maintenance over a stream —
+    the corpus-mixing side of the rollup store q_stream_sketch_kmv /
+    q_stream_sketch_quantile pin for their legs: each micro-batch's
+    priority-sample sketch MERGES into a Delta-table sketch store
+    (union-then-retruncate, state bounded at groups×(k+1) rows forever;
+    idempotent txn per batch, exactly-once across retries). Bottom-(k+1)
+    composition makes the merge EXACT — the final store IS the
+    batch-rebuilt sketch, so the streaming answer value-hash-matches
+    the same oracle as q_sketch_wsample, including the estimator
+    contract columns.
+
+    Shape: 4 parquet files admitted one per trigger (>=4 real merges
+    asserted); per batch the merge reads groups×(k+1) rows, never raw
+    history."""
+    import tempfile
+    import time as _t
+
+    from pulsar_io_delta_spark.operators import sketch as sk
+    from pulsar_io_delta_spark.sources.delta_log import DeltaTable
+    from pulsar_io_delta_spark.queries.pipeline3 import (
+        _wsample_contract,
+        _wsample_weighted_docs,
+    )
+
+    d = _wsample_weighted_docs(spark, sf_dir).select("lang", "doc_id", "wt")
+    root = tempfile.mkdtemp(prefix="pids_wsk_stream_")
+    src = root + "/src"
+    d.repartition(4).write.parquet(src)
+    expected = d.count()
+
+    store_t = DeltaTable(root + "/store")
+    state = {"rows": 0, "batches": 0}
+
+    def _fb(batch_df, epoch_id):
+        n = batch_df.count()
+        if not n:
+            return
+        new = sk.wsample_sketch(batch_df, "lang", "wt", "doc_id")
+        if store_t.exists() and store_t.versions():
+            prev = store_t.read(spark)
+            new = sk.wsample_merge(prev, new, "lang")
+        store_t.write(new, mode="overwrite", txn=("wsk_store", int(epoch_id)))
+        state["rows"] += n
+        state["batches"] += 1
+
+    s = (
+        spark.readStream.schema("lang string, doc_id bigint, wt bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        s.writeStream.foreachBatch(_fb)
+        .outputMode("append")
+        .trigger(processingTime="50 milliseconds")
+        .start()
+    )
+    try:
+        deadline = _t.time() + 240
+        while _t.time() < deadline and state["rows"] < expected:
+            _t.sleep(0.1)
+    finally:
+        q.stop()
+    assert state["rows"] == expected, "stream lost or duplicated rows"
+    assert state["batches"] >= 4, f"merge path unexercised: {state['batches']} batches"
+
+    est = sk.wsample_estimate(store_t.read(spark), "lang")
+    exact = d.groupBy("lang").agg(F.sum("wt").alias("exact_total_w"))
+    return _wsample_contract(est, exact, sk.WERR_PM)

@@ -513,3 +513,32 @@ def test_quantile_merge_no_corpus_join(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastExchange" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_wsample_sketch_build_truncates_mapside(spark, sf_dir):
+    """The weighted-sample build must carry the same PARTIAL
+    WindowGroupLimit below the per-group exchange as the quantile/kmv
+    builds: the shuffle moves ≤ (k+1)×tasks rows per group, never the
+    corpus."""
+    import re
+
+    plan = _plan(spark, sf_dir, "q_sketch_wsample")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    lines = plan.splitlines()
+    part_idx = [
+        i for i, ln in enumerate(lines)
+        if "WindowGroupLimit" in ln and ", Partial" in ln
+    ]
+    assert part_idx, "no map-side WindowGroupLimit in:\n" + plan
+    pinned = False
+    for i in part_idx:
+        for j in range(i + 1, len(lines)):
+            if "Exchange" in lines[j]:
+                break
+            if re.search(r"Scan parquet|FileScan", lines[j]):
+                pinned = True
+                break
+        if pinned:
+            break
+    assert pinned, "Partial WindowGroupLimit not below the exchange:\n" + plan
