@@ -159,6 +159,13 @@ HEADLINE = [
     "q_sketch_quantile_merge",
     "q_stream_sketch_quantile",
     "q_tokenize_bpe_train",
+    # round 15: the weighted-sample sketch pair (batch build + estimate
+    # + shard-merge replay; streaming Delta store) and train-then-apply
+    # BPE (the full production tokenizer path — supersteps plus the
+    # learned-table apply, so its wall subsumes q_tokenize_bpe_train's)
+    "q_sketch_wsample",
+    "q_stream_sketch_wsample",
+    "q_tokenize_bpe_e2e",
 ]
 
 

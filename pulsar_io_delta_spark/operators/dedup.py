@@ -269,19 +269,41 @@ def near_dedup_keep_list(
     plan flat; rounds needed = graph diameter (chains A≈B≈C resolve
     C→A, not C→B). Returns (id, keep_id) for every row — keep_id == id
     for non-duplicates.
+
+    EXACT-CONTENT PRE-COLLAPSE (r15 sf10 finding): signatures,
+    candidates, and the Jaccard verify run over the DISTINCT texts
+    only — each content group (md5) is represented by its min id, and
+    component labels map back through the group afterwards. Without
+    this, a replica-dense corpus quadratically inflates the candidate
+    set with pairs of IDENTICAL documents and the verify's
+    |candidates| × grams-per-doc intersection shuffle with them — the
+    sf10 probe (500k docs, 4,992 distinct texts) filled 73 GB of
+    shuffle spill and died; post-collapse the same probe passes
+    hash-exact. Semantics are unchanged by construction: identical
+    texts are Jaccard-1.0 duplicates, the group representative IS the
+    group's min id, so the component minimum over representatives
+    equals the minimum over all members.
     """
-    sig = minhash_signature(df, id_col, text_col, num_perm=num_perm)
-    cand = lsh_candidate_pairs(sig, id_col, num_perm=num_perm, bands=bands)
+    hashed = df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("text")
+    ).withColumn("h", F.md5(F.encode("text", "UTF-8")))
+    reps = hashed.groupBy("h").agg(
+        F.min("id").alias("id"), F.min_by("text", "id").alias("text")
+    )
+    sig = minhash_signature(reps, "id", "text", num_perm=num_perm)
+    cand = lsh_candidate_pairs(sig, "id", num_perm=num_perm, bands=bands)
     verified = (
-        jaccard_on_candidates(df, cand, id_col, text_col, n=3)
+        jaccard_on_candidates(reps, cand, "id", "text", n=3)
         .where(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b")
     )
     labels = _min_label_fixpoint(verified)
-    ids = df.select(F.col(id_col).alias("id"))
-    return ids.join(labels, "id", "left").select(
-        "id", F.coalesce("keep_id", F.col("id")).alias("keep_id")
+    rep_of = hashed.select("id", "h").join(
+        reps.select(F.col("id").alias("rid"), "h"), "h"
     )
+    return rep_of.join(
+        labels.select(F.col("id").alias("rid"), "keep_id"), "rid", "left"
+    ).select("id", F.coalesce("keep_id", F.col("rid")).alias("keep_id"))
 
 
 def _min_label_fixpoint(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:

@@ -55,6 +55,8 @@ CLAIMS = {
     "q_sketch_kmv_intersect": "pair algebra over k-long sketches (10 pairs x <=128 rows); corpus touched once in the distinct combine",
     "q_sketch_quantile": "sketch build = map-side Partial WindowGroupLimit BELOW the single per-group exchange (shuffle carries <= k x tasks rows/group); estimate rank + sample size share ONE window exchange; 3-row permille table broadcast",
     "q_sketch_quantile_merge": "per-(type,day) shards truncate map-side; the merge consumes shards x k sketch rows, never the corpus; merged and direct estimates share the broadcast permille join",
+    "q_sketch_wsample": "priority-sample build = map-side Partial WindowGroupLimit BELOW the single per-group exchange (shuffle carries <= (k+1) x tasks rows/group); threshold + ranks from ONE window exchange; shard-merge consumes shards x (k+1) sketch rows, never the corpus",
+    "q_tokenize_bpe_e2e": "train + apply share the SAME vocabulary-width (word,count) frame; supersteps barrier to parquet (one argmax row/round to the driver); the learned-table apply is n chained codegen replaces, zero Python",
 }
 
 
