@@ -101,3 +101,40 @@ def test_wsample_heavier_items_sampled_more(spark):
     samp_mean = skw.agg(F.avg("w")).collect()[0][0]
     pop_mean = df.agg(F.avg("wt")).collect()[0][0]
     assert samp_mean > pop_mean * 1.15, (samp_mean, pop_mean)
+
+
+def test_wsample_threshold_boundary_and_independent_replay(spark):
+    """Group with EXACTLY k+1 rows — the smallest input where the
+    threshold path fires: the sketch keeps all k+1 rows, the sample is
+    the first k in priority order, and the estimate must equal an
+    INDEPENDENT pure-Python replay of the Duffield–Lund–Thorup
+    arithmetic computed from Spark's own xxhash64 values (the
+    independent-trainer pattern tests/test_llm_ops.py uses for BPE)."""
+    import pyspark.sql.functions as FF
+
+    n = sk.WK_DEFAULT + 1
+    rows = [("g", 1000 + i, (i * 37) % 100 + 1) for i in range(n)]
+    df = spark.createDataFrame(rows, "lang string, doc_id long, wt long")
+
+    # independent replay: fetch the engine's hash values, then do the
+    # whole priority/threshold/estimate arithmetic in plain Python
+    hs = {
+        r.doc_id: r.h
+        for r in df.select(
+            "doc_id", FF.xxhash64("doc_id").alias("h")
+        ).collect()
+    }
+    items = []
+    for _, did, wt in rows:
+        u1 = hs[did] % sk.WU_MOD + 1
+        r = (u1 * sk.WS_SCALE) // wt
+        items.append((r, u1, did, wt))
+    items.sort()  # (r, u1, v) total order; ids unique
+    sample, (rt, u1_t, _, w_t) = items[: sk.WK_DEFAULT], items[sk.WK_DEFAULT]
+    est_py = sum(max(wt * u1_t, w_t * sk.WU_MOD) for _, _, _, wt in sample) // u1_t
+
+    got = sk.wsample_estimate(
+        sk.wsample_sketch(df, "lang", "wt", "doc_id"), "lang"
+    ).collect()[0]
+    assert got.sample_k == sk.WK_DEFAULT
+    assert got.est_total_w == est_py
