@@ -284,9 +284,17 @@ def near_dedup_keep_list(
     group's min id, so the component minimum over representatives
     equals the minimum over all members.
     """
-    hashed = df.select(
-        F.col(id_col).alias("id"), F.col(text_col).alias("text")
-    ).withColumn("h", F.md5(F.encode("text", "UTF-8")))
+    rows = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    # NULL texts cannot be grouped (md5(NULL) is NULL, and NULL never
+    # equi-joins) and were never duplicates before this collapse either
+    # (an empty token set verifies no Jaccard edge): keep the documented
+    # every-row contract by routing them straight to keep_id = id.
+    nulls = rows.where(F.col("text").isNull()).select(
+        "id", F.col("id").alias("keep_id")
+    )
+    hashed = rows.where(F.col("text").isNotNull()).withColumn(
+        "h", F.md5(F.encode("text", "UTF-8"))
+    )
     reps = hashed.groupBy("h").agg(
         F.min("id").alias("id"), F.min_by("text", "id").alias("text")
     )
@@ -301,9 +309,10 @@ def near_dedup_keep_list(
     rep_of = hashed.select("id", "h").join(
         reps.select(F.col("id").alias("rid"), "h"), "h"
     )
-    return rep_of.join(
+    mapped = rep_of.join(
         labels.select(F.col("id").alias("rid"), "keep_id"), "rid", "left"
     ).select("id", F.coalesce("keep_id", F.col("rid")).alias("keep_id"))
+    return mapped.unionByName(nulls)
 
 
 def _min_label_fixpoint(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:

@@ -185,10 +185,11 @@ def quantile_estimate(
     result, so it raises instead (the repo's fail-loudly discipline)."""
     from pyspark.sql import Window
 
-    bad = [p for p in ps_pm if not 1 <= int(p) <= 1000]
+    bad = [p for p in ps_pm if int(p) != p or not 1 <= int(p) <= 1000]
     if bad:
         raise ValueError(
-            f"quantile_estimate: permille values must be in [1, 1000], got {bad}"
+            "quantile_estimate: permille values must be integers in "
+            f"[1, 1000], got {bad}"
         )
     spark = sk.sparkSession
     wg = Window.partitionBy(group_col)
@@ -350,7 +351,7 @@ def wsample_estimate(
 
 def wsample_oracle_sql(
     group_col: str = "lang",
-    weight_expr: str = "greatest(1, least(n_chars, 1000000))",
+    weight_expr: str = f"greatest(1, least(n_chars, {WMAX_WEIGHT}))",
     id_col: str = "doc_id",
     table: str = "documents",
     k: int = WK_DEFAULT,

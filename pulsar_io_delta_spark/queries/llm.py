@@ -1351,6 +1351,11 @@ def q_tokenize_bpe_e2e(spark, sf_dir):
         .where(F.col("w") != "")
         .groupBy("w")
         .agg(F.count("*").alias("wc"))
+        # materialize ONCE: both bpe_train's round-0 encoding and the
+        # apply below consume this frame — without the checkpoint the
+        # lazy plan would re-scan and re-tokenize the corpus a second
+        # time for the apply (the dominant cost at scale).
+        .localCheckpoint(eager=True)
     )
     learned = [(a, b) for a, b, _ in bpe_train(words, n_merges=10)]
     toks = words.select(

@@ -929,3 +929,20 @@ def test_bpe_train_feeds_apply(spark):
     }
     for w in wc:
         assert got[w] == _py_bpe(w, merges), (w, got[w])
+
+
+def test_keep_list_returns_null_text_rows(spark):
+    """The every-row contract survives the r15 exact-content collapse:
+    a NULL text cannot be md5-grouped (NULL never equi-joins), so it
+    must be routed straight to keep_id = id — not silently dropped."""
+    import pyspark.sql.functions as FF
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, None), (3, "alpha beta gamma delta")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.id: r.keep_id
+        for r in dd.near_dedup_keep_list(df, "doc_id", "text").collect()
+    }
+    assert got == {1: 1, 2: 2, 3: 1}

@@ -117,3 +117,17 @@ def test_quantile_stream_store_bounded_and_exact(spark, sf_dir):
     for key, (est_q, in_bounds) in got.items():
         assert est_q == want[key], key
         assert in_bounds, key
+
+
+def test_quantile_estimate_rejects_non_integer_permille(spark):
+    """int(250.5) slips inside [1, 1000] but would silently truncate to
+    the 250 permille — a different quantile than requested; the guard
+    must reject non-integers too."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [("g", 1, 1.0)], "event_type string, event_id long, value double"
+    )
+    skq = sk.quantile_sketch(df, "event_type", "value", "event_id")
+    with pytest.raises(ValueError, match="integers"):
+        sk.quantile_estimate(skq, "event_type", [250.5])
