@@ -34,6 +34,171 @@ def exact_dedup(df: DataFrame, keys: list[str] | None = None) -> DataFrame:
     return df.dropDuplicates(keys) if keys else df.dropDuplicates()
 
 
+def exact_content_groups(
+    df: DataFrame, id_col: str, text_col: str, include_null: bool = False
+) -> tuple[DataFrame, DataFrame]:
+    """Exact-content pre-collapse (the r15 sf10 keep-list fix, hoisted
+    into a shared primitive in r16 so the minhash/simhash candidate
+    generators get the same shape): group rows by byte-identical text
+    and represent each group by its MINIMUM id.
+
+    Returns ``(reps, members)``:
+
+    - ``reps``:    (id, text) — one row per distinct non-NULL text,
+                   id = min id of the group (so the representative IS
+                   a real corpus row, and min-over-reps == min-over-
+                   members for any downstream component labeling);
+    - ``members``: (id, rid) — every non-NULL-text row mapped to its
+                   representative. NULL texts are excluded by default
+                   (callers with an every-row output contract route
+                   them explicitly, as near_dedup_keep_list does);
+                   ``include_null=True`` instead groups all NULL texts
+                   as ONE content group (digest coalesced to a sentinel
+                   that cannot collide with 64-hex sha2 output). The
+                   pair generators need that: the row-level MinHash
+                   path coalesces a NULL token array to the single
+                   shingle ``""`` (concat_ws over a NULL slice), so
+                   NULL-text rows DO sketch — identically to
+                   empty-text rows — and must survive the collapse for
+                   the pair set to stay byte-identical. Whether the
+                   group actually emits pairs is then decided the same
+                   way as every other group: by whether its
+                   representative produces a sketch row (it does for
+                   MinHash, it does not for SimHash's token explode).
+
+    Grouping key is sha2-256 of the UTF-8 bytes, not md5 (ADVICE r15:
+    chosen-prefix MD5 collisions are practical, and a curation pipeline
+    ingests untrusted content — an adversarial pair must not silently
+    collapse into one group). Same shuffle shape, collision-resistant.
+
+    Scale shape: one groupBy on the digest (map-side partial; shuffle
+    carries digest + id + one text per group-per-partition) and one
+    digest equi-join to label members. Every downstream cost that was
+    quadratic IN REPLICAS becomes quadratic in distinct CONTENT —
+    the difference between 73 GB of spill and 36.9 s at sf10."""
+    rows = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    if not include_null:
+        rows = rows.where(F.col("text").isNotNull())
+    hashed = rows.withColumn(
+        "h",
+        F.coalesce(F.sha2(F.encode("text", "UTF-8"), 256), F.lit("null")),
+    )
+    reps = hashed.groupBy("h").agg(
+        F.min("id").alias("id"), F.min_by("text", "id").alias("text")
+    )
+    members = hashed.select("id", "h").join(
+        reps.select(F.col("id").alias("rid"), "h"), "h"
+    ).select("id", "rid")
+    return reps.select("id", "text"), members
+
+
+def expand_rep_pairs(
+    rep_pairs: DataFrame,
+    members: DataFrame,
+    value_cols: tuple[str, ...] = (),
+    within_values: tuple[Column, ...] = (),
+) -> DataFrame:
+    """Expand representative-level candidate pairs back to row level:
+    the pair/recall semantics of the uncollapsed operator, reproduced
+    exactly.
+
+    - CROSS-group: a rep pair (id_a, id_b) expands to every (a, b)
+      with a ∈ group(id_a), b ∈ group(id_b), re-ordered as
+      (least, greatest) — identical texts have identical signatures,
+      so two groups share a bucket iff every cross pair does.
+    - WITHIN-group: every pair inside a content group (identical text
+      ⇒ identical signature ⇒ same bucket in every band). ``members``
+      must already be restricted to rows whose representative HAS a
+      signature (zero-token texts drop out of the sketch aggregates
+      and must not resurface here — the composed wrappers handle it).
+
+    ``value_cols`` ride along from the rep pair (e.g. hamming — a
+    text-only function, so group-constant); ``within_values`` supplies
+    the same columns for within-group pairs (e.g. hamming = 0).
+
+    No ``distinct()`` is needed — and that is the structural win over
+    the row-level path: rep pairs are distinct and group() is a
+    function, so each row pair materializes exactly once, as narrow
+    (long, long) output of two equi-joins; the old path shuffled the
+    replica-quadratic pair set ×bands through a distinct first."""
+    ma = members.select(F.col("rid").alias("id_a"), F.col("id").alias("_a"))
+    mb = members.select(F.col("rid").alias("id_b"), F.col("id").alias("_b"))
+    cross = (
+        rep_pairs.join(ma, "id_a")
+        .join(mb, "id_b")
+        .select(
+            F.least("_a", "_b").alias("id_a"),
+            F.greatest("_a", "_b").alias("id_b"),
+            *[F.col(c) for c in value_cols],
+        )
+    )
+    wl = members.select("rid", F.col("id").alias("_a"))
+    wr = members.select("rid", F.col("id").alias("_b"))
+    within = (
+        wl.join(wr, "rid")
+        .where(F.col("_a") < F.col("_b"))
+        .select(
+            F.col("_a").alias("id_a"),
+            F.col("_b").alias("id_b"),
+            *[v.alias(c) for c, v in zip(value_cols, within_values)],
+        )
+    )
+    return cross.unionByName(within)
+
+
+def _members_with_signature(members: DataFrame, sig: DataFrame) -> DataFrame:
+    """Drop member rows whose representative produced no sketch row
+    (e.g. zero-token text under simhash): the uncollapsed operator
+    emits no pairs for them, so neither may the within-group expansion."""
+    return members.join(sig.select(F.col("id").alias("rid")), "rid", "left_semi")
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 32,
+    bands: int = 8,
+    salt: int = 1,
+) -> DataFrame:
+    """MinHash+LSH candidate pairs over (id, text) rows with the
+    exact-content pre-collapse: signatures, banding, and bucket pair
+    expansion run over DISTINCT texts only; row-level pairs come back
+    via expand_rep_pairs. Output is identical to
+    ``lsh_candidate_pairs(minhash_signature(df))`` by construction
+    (pinned by tests/test_llm_ops.py::test_collapsed_pairs_equivalence)
+    — but tokenize/shingle/hash cost and the bucket blow-up now scale
+    with distinct content, not row count (VERDICT r15 #3: the sf10
+    fixture holds 500k rows over 4,992 texts; the row-level path spent
+    154 s, mostly emitting 109.7M replica pairs through a ×8-band
+    distinct)."""
+    reps, members = exact_content_groups(df, id_col, text_col, include_null=True)
+    sig = minhash_signature(reps, "id", "text", num_perm=num_perm)
+    rep_pairs = lsh_candidate_pairs(sig, "id", num_perm=num_perm, bands=bands, salt=salt)
+    return expand_rep_pairs(rep_pairs, _members_with_signature(members, sig))
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """SimHash near-dup pairs (id_a, id_b, hamming) with the
+    exact-content pre-collapse: the 64 bit-majority aggregates and the
+    4×16-bit chunk-band join run over distinct texts; within-group
+    pairs carry hamming 0 (identical text ⇒ identical simhash), cross
+    pairs carry the rep-level hamming (a text-only function, so
+    group-constant). Zero-token texts produce no aggregate row and are
+    excluded from the expansion — matching the row-level operator."""
+    reps, members = exact_content_groups(df, id_col, text_col, include_null=True)
+    sig = simhash_signature(reps, "id", "text")
+    rep_pairs = simhash_near_pairs(sig, "id", max_hamming=max_hamming)
+    return expand_rep_pairs(
+        rep_pairs,
+        _members_with_signature(members, sig),
+        value_cols=("hamming",),
+        within_values=(F.lit(0).cast("long"),),
+    )
+
+
 def word_shingles_col(text: Column, k: int = 3) -> Column:
     """Distinct k-word shingles of the lowercased token stream."""
     toks = F.filter(tokens_col(text), lambda x: x != "")
@@ -272,7 +437,8 @@ def near_dedup_keep_list(
 
     EXACT-CONTENT PRE-COLLAPSE (r15 sf10 finding): signatures,
     candidates, and the Jaccard verify run over the DISTINCT texts
-    only — each content group (md5) is represented by its min id, and
+    only — each content group (sha2-256 of the UTF-8 bytes, via
+    ``exact_content_groups``) is represented by its min id, and
     component labels map back through the group afterwards. Without
     this, a replica-dense corpus quadratically inflates the candidate
     set with pairs of IDENTICAL documents and the verify's
@@ -285,19 +451,17 @@ def near_dedup_keep_list(
     equals the minimum over all members.
     """
     rows = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
-    # NULL texts cannot be grouped (md5(NULL) is NULL, and NULL never
-    # equi-joins) and were never duplicates before this collapse either
-    # (an empty token set verifies no Jaccard edge): keep the documented
-    # every-row contract by routing them straight to keep_id = id.
+    # NULL texts cannot be grouped (a digest of NULL is NULL, and NULL
+    # never equi-joins) and were never duplicates before this collapse
+    # either (an empty token set verifies no Jaccard edge): keep the
+    # documented every-row contract by routing them to keep_id = id.
     nulls = rows.where(F.col("text").isNull()).select(
         "id", F.col("id").alias("keep_id")
     )
-    hashed = rows.where(F.col("text").isNotNull()).withColumn(
-        "h", F.md5(F.encode("text", "UTF-8"))
-    )
-    reps = hashed.groupBy("h").agg(
-        F.min("id").alias("id"), F.min_by("text", "id").alias("text")
-    )
+    # sha2-256 grouping via the shared primitive (ADVICE r15: md5's
+    # practical chosen-prefix collisions could silently merge two
+    # adversarial distinct texts into one content group).
+    reps, members = exact_content_groups(df, id_col, text_col)
     sig = minhash_signature(reps, "id", "text", num_perm=num_perm)
     cand = lsh_candidate_pairs(sig, "id", num_perm=num_perm, bands=bands)
     verified = (
@@ -306,10 +470,7 @@ def near_dedup_keep_list(
         .select("id_a", "id_b")
     )
     labels = _min_label_fixpoint(verified)
-    rep_of = hashed.select("id", "h").join(
-        reps.select(F.col("id").alias("rid"), "h"), "h"
-    )
-    mapped = rep_of.join(
+    mapped = members.join(
         labels.select(F.col("id").alias("rid"), "keep_id"), "rid", "left"
     ).select("id", F.coalesce("keep_id", F.col("rid")).alias("keep_id"))
     return mapped.unionByName(nulls)

@@ -63,6 +63,67 @@ def _pair_recall(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     )
 
 
+def _rep_scored_plant_pairs(docs, corpus, score_fn):
+    """Shared r16 shape for the verify-on-candidates queries
+    (q_ngram_jaccard / q_dedup_containment): gram scoring at CONTENT
+    level, mapped back to the planted row pairs.
+
+    The r14 fix pushed the plant restriction below the gram join; the
+    remaining sf10 cost (containment 257.8 s — VERDICT r15 #5) was the
+    gram explosion itself, which ran over every ROW of the corpus.
+    Jaccard/containment are functions of (text_a, text_b) only, so:
+    collapse the corpus to distinct texts (``exact_content_groups``),
+    run LSH candidates and the gram equi-joins over representatives,
+    and join each planted row pair to the score of its (rep_a, rep_b)
+    key. Identical values by construction; gram volume now scales with
+    distinct content.
+
+    ``score_fn(reps, rep_cand) -> (id_a, id_b, v1[, v2...])`` scores
+    rep-level pairs; asymmetric scorers get a ``swapped`` flag back
+    (a rep pair is keyed (least, greatest), which may invert the
+    plant's (original, mutant) orientation when a group's min id
+    crosses the plant offset — e.g. an original whose text literally
+    equals another document's text + " ."), so directional columns can
+    be re-oriented by the caller.
+
+    Returns (id_a, id_b, swapped, *score_cols) for every planted pair
+    whose rep pair is an LSH candidate — the same inner-join contract
+    as the row-level path (a planted pair missing from candidates is
+    absent, which the recall queries, not these, assert against)."""
+    reps, members = dd.exact_content_groups(corpus, "doc_id", "text")
+    sig = dd.minhash_signature(reps, "id", "text")
+    cand = dd.lsh_candidate_pairs(sig, "id")
+    plants = docs.select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + PLANT_OFFSET).alias("id_b"),
+    )
+    rp = (
+        plants.join(
+            members.select(F.col("id").alias("id_a"), F.col("rid").alias("ra")),
+            "id_a",
+        )
+        .join(
+            members.select(F.col("id").alias("id_b"), F.col("rid").alias("rb")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.least("ra", "rb").alias("ka"),
+            F.greatest("ra", "rb").alias("kb"),
+            (F.col("ra") > F.col("rb")).alias("swapped"),
+        )
+    )
+    rep_keys = rp.select(
+        F.col("ka").alias("id_a"), F.col("kb").alias("id_b")
+    ).distinct()
+    rep_cand = cand.join(rep_keys, ["id_a", "id_b"], "left_semi")
+    scores = score_fn(reps, rep_cand)
+    return rp.join(
+        scores.withColumnsRenamed({"id_a": "ka", "id_b": "kb"}), ["ka", "kb"]
+    ).drop("ka", "kb")
+
+
 @register(
     "q_dedup_exact",
     oracle="""
@@ -164,11 +225,19 @@ def q_dedup_minhash(spark, sf_dir):
     """MinHash(32 perms) + LSH(8 bands × 4) recall contract: every
     planted (d, d+1e6) pair must surface as a candidate. The plant's
     signature is identical by construction (token-preserving mutation),
-    so the all-true oracle is exact — a false row is a sketch bug."""
+    so the all-true oracle is exact — a false row is a sketch bug.
+
+    r16 (VERDICT r15 #3): candidate generation goes through
+    ``minhash_lsh_pairs`` — the exact-content pre-collapse — so
+    signatures and bucket pair expansion run over distinct texts and
+    row pairs come back via group expansion. Pair set identical by
+    construction (operator-level equivalence pinned in
+    tests/test_llm_ops.py); the replica-quadratic in-bucket blow-up the
+    sf10 probe measured (154 s, 18.6× for 10× data) now scales with
+    distinct content."""
     docs = table(spark, sf_dir, "documents")
     corpus = _planted_corpus(docs)
-    sig = dd.minhash_signature(corpus, "doc_id", "text")
-    pairs = dd.lsh_candidate_pairs(sig, "doc_id")
+    pairs = dd.minhash_lsh_pairs(corpus, "doc_id", "text")
     return _pair_recall(docs, pairs)
 
 
@@ -184,8 +253,8 @@ def q_dedup_near(spark, sf_dir):
     per-document contract: every corpus row has ≥1 candidate partner
     (at minimum its plant), asserted exactly by the oracle."""
     corpus = _planted_corpus(table(spark, sf_dir, "documents"))
-    sig = dd.minhash_signature(corpus, "doc_id", "text")
-    pairs = dd.lsh_candidate_pairs(sig, "doc_id")
+    # Same exact-content pre-collapse as q_dedup_minhash (r16).
+    pairs = dd.minhash_lsh_pairs(corpus, "doc_id", "text")
     # Explode both endpoints from ONE reference to `pairs` — a unionAll
     # of two selects would evaluate the corpus→signature→pairs subplan
     # twice.
@@ -230,11 +299,15 @@ def q_dedup_pipeline(spark, sf_dir):
 def q_dedup_simhash(spark, sf_dir):
     """SimHash-64 (hamming ≤ 3 via 4×16-bit banding) recall contract:
     plants have hamming 0 by construction (identical token multiset),
-    so every planted pair must be recovered."""
+    so every planted pair must be recovered.
+
+    r16 (VERDICT r15 #3): the 64 bit-majority aggregates and the
+    chunk-band self-join run over distinct texts via ``simhash_pairs``
+    (exact-content pre-collapse); hamming is a text-only function so
+    group expansion carries it unchanged (0 within groups)."""
     docs = table(spark, sf_dir, "documents")
     corpus = _planted_corpus(docs)
-    sig = dd.simhash_signature(corpus, "doc_id", "text")
-    pairs = dd.simhash_near_pairs(sig, "doc_id", max_hamming=3)
+    pairs = dd.simhash_pairs(corpus, "doc_id", "text", max_hamming=3)
     return _pair_recall(docs, pairs)
 
 
@@ -263,25 +336,22 @@ def q_ngram_jaccard(spark, sf_dir):
     (text, text || ' .')."""
     docs = table(spark, sf_dir, "documents")
     corpus = _planted_corpus(docs)
-    sig = dd.minhash_signature(corpus, "doc_id", "text")
-    cand = dd.lsh_candidate_pairs(sig, "doc_id")
-    plants = docs.select(
-        F.col("doc_id").alias("id_a"),
-        (F.col("doc_id") + PLANT_OFFSET).alias("id_b"),
+    # r16 (VERDICT r15 #3/#5): candidates AND gram scoring at content
+    # level — Jaccard is a function of (text_a, text_b), so scoring the
+    # distinct-text representative pair and mapping the value back to
+    # each planted row pair is identical by construction (Jaccard is
+    # symmetric, so the swap flag needs no correction here). Supersedes
+    # the r14 row-level plant pushdown: the restriction still sits
+    # below the gram join, now at rep granularity, and the gram explode
+    # itself scales with distinct content instead of corpus rows.
+    scored = _rep_scored_plant_pairs(
+        docs,
+        corpus,
+        lambda reps, rep_cand: dd.jaccard_on_candidates(
+            reps, rep_cand, "id", "text", n=3
+        ),
     )
-    # Push the planted-pair restriction BELOW the gram scoring (r14
-    # sf10 finding): the fixture's byte-identical replicas densify LSH
-    # buckets quadratically (109.7M candidate pairs at sf10 from 1M
-    # docs), and scoring them all before the final inner join both
-    # wastes grams-per-pair work and invites a mis-estimated broadcast
-    # of a candidate-derived relation (driver OOM at sf10). The result
-    # is identical — scoring is per-pair, so score(cand) ⋈ plants ==
-    # score(cand ∩ plants). Full-candidate scoring stays available via
-    # the operator; corpora WANTING all replica pairs should collapse
-    # byte-identical docs first (the q_fuzzy_pairs exact-group guard).
-    cand = cand.join(plants, ["id_a", "id_b"], "left_semi")
-    jac = dd.jaccard_on_candidates(corpus, cand, "doc_id", "text", n=3)
-    return plants.join(jac, ["id_a", "id_b"]).select("id_a", "id_b", "jaccard")
+    return scored.select("id_a", "id_b", "jaccard")
 
 
 @register(
@@ -316,21 +386,23 @@ def q_dedup_containment(spark, sf_dir):
     value the hash check actually exercises."""
     docs = table(spark, sf_dir, "documents")
     corpus = _planted_corpus(docs)
-    sig = dd.minhash_signature(corpus, "doc_id", "text")
-    cand = dd.lsh_candidate_pairs(sig, "doc_id")
-    plants = docs.select(
-        F.col("doc_id").alias("id_a"),
-        (F.col("doc_id") + PLANT_OFFSET).alias("id_b"),
+    # r16 (VERDICT r15 #5 — the 257.8 s sf10 tail was the gram explode
+    # over every corpus ROW): same content-level scoring as
+    # q_ngram_jaccard, but containment is DIRECTIONAL, so when the rep
+    # key (least, greatest) inverted the plant's (original, mutant)
+    # orientation the two ratios swap back via the helper's flag.
+    scored = _rep_scored_plant_pairs(
+        docs,
+        corpus,
+        lambda reps, rep_cand: dd.containment_on_candidates(
+            reps, rep_cand, "id", "text", n=3
+        ),
     )
-    # Same pushdown as q_ngram_jaccard (r14 sf10 finding): restrict the
-    # candidate set to the requested pairs BEFORE the gram join —
-    # identical result, and the 109.7M replica-densified sf10 candidate
-    # set never reaches the scorer (which OOMed on a mis-estimated
-    # broadcast when it did).
-    cand = cand.join(plants, ["id_a", "id_b"], "left_semi")
-    cont = dd.containment_on_candidates(corpus, cand, "doc_id", "text", n=3)
-    return plants.join(cont, ["id_a", "id_b"]).select(
-        "id_a", "id_b", "cont_ab", "cont_ba"
+    return scored.select(
+        "id_a",
+        "id_b",
+        F.when(F.col("swapped"), F.col("cont_ba")).otherwise(F.col("cont_ab")).alias("cont_ab"),
+        F.when(F.col("swapped"), F.col("cont_ab")).otherwise(F.col("cont_ba")).alias("cont_ba"),
     )
 
 
@@ -1232,11 +1304,22 @@ best{k} AS MATERIALIZED (
   SELECT a, b, CAST(sum(wc) AS BIGINT) AS cnt FROM pr{k}
   GROUP BY a, b ORDER BY cnt DESC, a, b LIMIT 1)""")
         if k + 1 < n:
+            # ADVICE r15: on a corpus with < n learnable pairs best{k}
+            # is empty and the raw scalar subqueries go NULL — replace
+            # (enc, NULL, ...) would NULL every encoding and silently
+            # corrupt. Coalesce to '¤' (outside the [a-z0-9|] symbol
+            # alphabet, so the pattern can never match): the round
+            # becomes an explicit NO-OP, exactly what the engine's
+            # early `break` does when the pair stream runs dry (no
+            # pairs at round k ⇒ none at any later round, since merges
+            # only shrink encodings).
             parts.append(f"""
 enc{k + 1} AS MATERIALIZED (
   SELECT w, wc, replace(enc,
-      '|' || (SELECT a FROM best{k}) || '||' || (SELECT b FROM best{k}) || '|',
-      '|' || (SELECT a FROM best{k}) || (SELECT b FROM best{k}) || '|') AS enc
+      '|' || coalesce((SELECT a FROM best{k}), '¤') || '||'
+          || coalesce((SELECT b FROM best{k}), '¤') || '|',
+      '|' || coalesce((SELECT a FROM best{k}), '¤')
+          || coalesce((SELECT b FROM best{k}), '¤') || '|') AS enc
   FROM enc{k})""")
     union = "\nUNION ALL ".join(
         f"SELECT CAST({k + 1} AS BIGINT) AS rk, a, b, cnt FROM best{k}"
@@ -1283,7 +1366,12 @@ def _bpe_e2e_oracle(n: int = 10, topk: int = 20) -> str:
     tokens by weighted corpus count. One SQL statement independently
     re-derives the full production tokenizer path — a single wrong
     pair count in any round diverges the merge sequence, the final
-    encodings, and every emitted row."""
+    encodings, and every emitted row. Rounds past pair exhaustion
+    coalesce the merge pattern to the impossible '¤' sentinel — an
+    explicit no-op matching the engine's early ``break`` on a corpus
+    with fewer than n learnable pairs (ADVICE r15: the raw scalar
+    subqueries went NULL there and replace() silently NULLed every
+    encoding)."""
     parts = [
         """
 WITH w0 AS MATERIALIZED (
@@ -1306,8 +1394,10 @@ best{k} AS MATERIALIZED (
   GROUP BY a, b ORDER BY cnt DESC, a, b LIMIT 1),
 enc{k + 1} AS MATERIALIZED (
   SELECT w, wc, replace(enc,
-      '|' || (SELECT a FROM best{k}) || '||' || (SELECT b FROM best{k}) || '|',
-      '|' || (SELECT a FROM best{k}) || (SELECT b FROM best{k}) || '|') AS enc
+      '|' || coalesce((SELECT a FROM best{k}), '¤') || '||'
+          || coalesce((SELECT b FROM best{k}), '¤') || '|',
+      '|' || coalesce((SELECT a FROM best{k}), '¤')
+          || coalesce((SELECT b FROM best{k}), '¤') || '|') AS enc
   FROM enc{k})""")
     parts.append(f"""
 tok AS (
@@ -1364,11 +1454,12 @@ def q_tokenize_bpe_e2e(spark, sf_dir):
     counts = toks.groupBy("token").agg(F.sum("wc").alias("cnt"))
     from pyspark.sql import Window
 
+    # VERDICT r15 #2 (cosmetic): take the top-20 with orderBy().limit()
+    # — TakeOrderedAndProject, per-partition heaps, no global-window
+    # machinery — then rank the 20 survivors with a window that only
+    # ever sees 20 rows.
+    top = counts.orderBy(F.desc("cnt"), F.asc("token")).limit(20)
     w = Window.orderBy(F.desc("cnt"), F.asc("token"))
-    return (
-        counts.select(
-            "token", "cnt", F.row_number().over(w).cast("long").alias("rk")
-        )
-        .where(F.col("rk") <= 20)
-        .orderBy("rk")
-    )
+    return top.select(
+        "token", "cnt", F.row_number().over(w).cast("long").alias("rk")
+    ).orderBy("rk")

@@ -662,7 +662,16 @@ def q_stream_sketch_kmv(spark, sf_dir):
         if store_t.exists() and store_t.versions():
             prev = store_t.read(spark)
             new = sk.kmv_merge(prev, new, "event_type")
-        store_t.write(new, mode="overwrite", txn=("kmv_store", int(epoch_id)))
+        committed = store_t.write(
+            new, mode="overwrite", txn=("kmv_store", int(epoch_id))
+        )
+        if committed == -1:
+            # ADVICE r15: a Spark batch RETRY re-enters foreachBatch for
+            # an epoch the idempotent txn already committed — the store
+            # is correct (no-op write), but counting n again would make
+            # the rows == expected assertion fail spuriously. The first
+            # attempt already counted this epoch.
+            return
         state["rows"] += n
         state["batches"] += 1
 
@@ -751,7 +760,16 @@ def q_stream_sketch_quantile(spark, sf_dir):
         if store_t.exists() and store_t.versions():
             prev = store_t.read(spark)
             new = sk.quantile_sketch_merge(prev, new, "event_type")
-        store_t.write(new, mode="overwrite", txn=("qsk_store", int(epoch_id)))
+        committed = store_t.write(
+            new, mode="overwrite", txn=("qsk_store", int(epoch_id))
+        )
+        if committed == -1:
+            # ADVICE r15: a Spark batch RETRY re-enters foreachBatch for
+            # an epoch the idempotent txn already committed — the store
+            # is correct (no-op write), but counting n again would make
+            # the rows == expected assertion fail spuriously. The first
+            # attempt already counted this epoch.
+            return
         state["rows"] += n
         state["batches"] += 1
 
@@ -829,7 +847,16 @@ def q_stream_sketch_wsample(spark, sf_dir):
         if store_t.exists() and store_t.versions():
             prev = store_t.read(spark)
             new = sk.wsample_merge(prev, new, "lang")
-        store_t.write(new, mode="overwrite", txn=("wsk_store", int(epoch_id)))
+        committed = store_t.write(
+            new, mode="overwrite", txn=("wsk_store", int(epoch_id))
+        )
+        if committed == -1:
+            # ADVICE r15: a Spark batch RETRY re-enters foreachBatch for
+            # an epoch the idempotent txn already committed — the store
+            # is correct (no-op write), but counting n again would make
+            # the rows == expected assertion fail spuriously. The first
+            # attempt already counted this epoch.
+            return
         state["rows"] += n
         state["batches"] += 1
 

@@ -946,3 +946,134 @@ def test_keep_list_returns_null_text_rows(spark):
         for r in dd.near_dedup_keep_list(df, "doc_id", "text").collect()
     }
     assert got == {1: 1, 2: 2, 3: 1}
+
+
+# ---- r16: exact-content pre-collapse equivalence (VERDICT r15 #3) ----
+
+def _replica_corpus(spark):
+    """Replica-dense corpus exercising every collapse edge: byte-
+    identical replica groups, a NULL text, an empty text, a punct-only
+    (zero-token) text — replicated so its within-group handling is
+    observable — and two DISTINCT texts with an identical token stream
+    (must still pair cross-group)."""
+    rows = [
+        (1, "alpha beta gamma delta"),
+        (2, "alpha beta gamma delta"),
+        (7, "alpha beta gamma delta"),
+        (3, "epsilon zeta eta theta iota"),
+        (4, "epsilon zeta eta theta iota"),
+        (5, "totally different words here kappa"),
+        (6, None),
+        (8, ""),
+        (9, "!!! ..."),
+        (10, "!!! ..."),
+        (11, "Alpha, beta; GAMMA delta?"),  # same token stream as 1/2/7
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_collapsed_pairs_equivalence(spark):
+    df = _replica_corpus(spark)
+    sig = dd.minhash_signature(df, "doc_id", "text")
+    old = {(r.id_a, r.id_b) for r in dd.lsh_candidate_pairs(sig, "doc_id").collect()}
+    new_rows = dd.minhash_lsh_pairs(df, "doc_id", "text").collect()
+    new = {(r.id_a, r.id_b) for r in new_rows}
+    assert new == old
+    # the structural claim behind dropping distinct(): no duplicates
+    assert len(new_rows) == len(new)
+    # replicas of 1 actually pair (within-group path exercised)
+    assert (1, 2) in new and (2, 7) in new
+    # distinct texts with identical token streams pair cross-group
+    assert (1, 11) in new
+
+
+def test_simhash_collapsed_pairs_equivalence(spark):
+    df = _replica_corpus(spark)
+    sig = dd.simhash_signature(df, "doc_id", "text")
+    old = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dd.simhash_near_pairs(sig, "doc_id", max_hamming=6).collect()
+    }
+    new_rows = dd.simhash_pairs(df, "doc_id", "text", max_hamming=6).collect()
+    new = {(r.id_a, r.id_b): r.hamming for r in new_rows}
+    assert new == old
+    assert len(new_rows) == len(new)
+    # zero-token texts (9, 10) have no simhash row: the within-group
+    # expansion must NOT invent a pair for their content group
+    assert (9, 10) not in new
+    assert new[(1, 2)] == 0
+
+
+def test_rep_scored_plants_swap_orientation(spark):
+    """Containment map-back must re-orient when the rep key inverts the
+    plant direction: doc 3's text IS doc 10's text + ' .', so the plant
+    of 10 lands in 3's content group and the group rep (3) is SMALLER
+    than 10 — the scored pair is keyed (3, 10), backwards."""
+    from pulsar_io_delta_spark.queries import llm
+
+    docs = spark.createDataFrame(
+        [(10, "alpha beta gamma"), (3, "alpha beta gamma .")],
+        "doc_id long, text string",
+    )
+    corpus = _planted_corpus(docs)
+    scored = llm._rep_scored_plant_pairs(
+        docs,
+        corpus,
+        lambda reps, rc: dd.containment_on_candidates(reps, rc, "id", "text", n=3),
+    )
+    out = {
+        (r.id_a, r.id_b): (r.swapped, r.cont_ab, r.cont_ba)
+        for r in scored.collect()
+    }
+    assert out[(10, 10 + PLANT_OFFSET)][0] is True  # the swap fired
+    assert out[(3, 3 + PLANT_OFFSET)][0] is False
+    # row-level reference: the pre-r16 formulation
+    sig = dd.minhash_signature(corpus, "doc_id", "text")
+    cand = dd.lsh_candidate_pairs(sig, "doc_id")
+    plants = docs.select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + PLANT_OFFSET).alias("id_b"),
+    )
+    cand = cand.join(plants, ["id_a", "id_b"], "left_semi")
+    ref = {
+        (r.id_a, r.id_b): (r.cont_ab, r.cont_ba)
+        for r in plants.join(
+            dd.containment_on_candidates(corpus, cand, "doc_id", "text", n=3),
+            ["id_a", "id_b"],
+        ).collect()
+    }
+    corrected = {
+        k: ((v[2], v[1]) if v[0] else (v[1], v[2])) for k, v in out.items()
+    }
+    assert corrected == ref
+
+
+def test_bpe_e2e_degenerate_corpus_matches_oracle(spark, tmp_path):
+    """ADVICE r15: a corpus with fewer than 10 learnable pairs used to
+    NULL the oracle's encodings (empty best{k} → NULL scalar subquery →
+    replace(enc, NULL, ...)); the '¤' sentinel makes exhausted rounds
+    explicit no-ops, matching the engine's early break. Corpus: every
+    word is one character after round 1's single merge ('ab' appears,
+    then no adjacent pairs remain) — far fewer than 10 merges exist."""
+    import duckdb
+
+    from pulsar_io_delta_spark.queries.llm import _bpe_e2e_oracle, q_tokenize_bpe_e2e
+
+    docs = spark.createDataFrame(
+        [(1, "ab ab ab a b"), (2, "ab a b c d e"), (3, "c d e a b ab")],
+        "doc_id long, text string",
+    )
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        (r.token, r.cnt, r.rk)
+        for r in q_tokenize_bpe_e2e(spark, str(tmp_path)).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path}/documents.parquet/*.parquet'"
+    )
+    want = {
+        (t, int(c), int(rk)) for t, c, rk in con.sql(_bpe_e2e_oracle(10, 20)).fetchall()
+    }
+    assert got == want and len(got) > 0
