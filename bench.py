@@ -307,13 +307,37 @@ def main() -> None:
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
     errors: dict[str, str] = {}
+    query_rig: dict[str, dict[str, float]] = {}
     for name in HEADLINE:
         # Round-4 lesson: one failing query must cost ONE entry, not the
         # whole bench (the events-ts fixture drift crashed the warm-up
         # and left the round with no numbers at all).
         try:
             run(name)  # discarded: codegen compile + cache warm
+            # Per-query rig attribution (r16, VERDICT r15 #1): the
+            # whole-run ext_busy mean cannot see BURSTS — a host-steal
+            # spike during one query's 3 s window vanishes into a
+            # 100 s average, and the streaming family (latency-bound
+            # micro-batch machinery) is precisely the set it hits
+            # hardest. Record external-busy and steal over each
+            # query's own trial window so a slow sample is
+            # attributable without a re-run.
+            q_stat = _read_proc_stat()
+            q_self = _proc_tree_jiffies()
             samples = [run(name) for _ in range(trials)]
+            after = _read_proc_stat()
+            delta = {k: after.get(k, 0) - q_stat.get(k, 0) for k in q_stat}
+            qtot = sum(delta.values())
+            if qtot > 0:
+                qbusy = qtot - delta.get("idle", 0) - delta.get("iowait", 0)
+                try:
+                    self_d = _proc_tree_jiffies() - q_self
+                except OSError:
+                    self_d = 0
+                query_rig[name] = {
+                    "ext_busy": round(max(qbusy - self_d, 0) / qtot, 3),
+                    "steal": round(delta.get("steal", 0) / qtot, 4),
+                }
             timings[name] = round(statistics.median(samples), 3)
             spreads[name] = round(max(samples) - min(samples), 3)
         except Exception as exc:  # noqa: BLE001
@@ -329,6 +353,7 @@ def main() -> None:
         "trials": trials,
         "spread": spreads,
         "rig": rig_fingerprint(stat_before, self_before),
+        "query_rig": query_rig,
     }
     if errors:
         payload["errors"] = errors

@@ -234,22 +234,50 @@ def run_to_memory(
     streaming_df: DataFrame,
     output_mode: str,
     timeout_s: int = 300,
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Execute a streaming DataFrame with Trigger.AvailableNow into a
-    uniquely-named memory sink; return the sink contents as a DataFrame."""
+    uniquely-named memory sink; return the sink contents as a DataFrame.
+
+    ``state_partitions`` sizes the STATE STORE partitioning (Spark
+    derives it from ``spark.sql.shuffle.partitions`` at query start and
+    freezes it into the checkpoint forever): a stateful streaming query
+    pays per-micro-batch per-partition machinery — one state-store
+    provider, delta-file write + fsync, and a scheduled task per
+    partition per stateful stage — so partitions must be sized to the
+    STATE, not inherited from a batch-oriented global conf (r16
+    measured decomposition: the sf0.1 dedup holds ~240k keys; 32
+    inherited partitions spent 2.4 s of pure per-partition machinery
+    on them, 8 right-sized partitions 0.9 s, output identical). This
+    is the same sizing decision a production deployment makes when
+    creating the checkpoint — state partition count is immutable after
+    that. The conf is set for the DURATION of the run and restored
+    after termination (Spark's stream thread reads it asynchronously
+    after start(), so restoring earlier would race); harness execution
+    is serial, so no concurrent query observes the temporary value."""
     name = f"pids_sink_{uuid.uuid4().hex[:12]}"
-    query = (
-        streaming_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        if not query.awaitTermination(timeout_s):
-            raise TimeoutError(f"streaming query {name} did not finish in {timeout_s}s")
-    finally:
-        if query.isActive:
-            query.stop()
     spark = streaming_df.sparkSession
+    prev_parts: str | None = None
+    if state_partitions is not None:
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        query = (
+            streaming_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            if not query.awaitTermination(timeout_s):
+                raise TimeoutError(
+                    f"streaming query {name} did not finish in {timeout_s}s"
+                )
+        finally:
+            if query.isActive:
+                query.stop()
+    finally:
+        if prev_parts is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(name)
