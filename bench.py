@@ -166,6 +166,10 @@ HEADLINE = [
     "q_sketch_wsample",
     "q_stream_sketch_wsample",
     "q_tokenize_bpe_e2e",
+    # round 16: the wsample application — subset-sum mixture allocation
+    # from the priority sample (sketch-sized frames after one labeled
+    # broadcast join)
+    "q_corpus_mix",
 ]
 
 

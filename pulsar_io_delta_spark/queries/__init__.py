@@ -860,3 +860,48 @@ _R15_WINDOW = [
 ]
 promote(_R15_WINDOW, after="q_stream_tumbling")
 WINDOW_MUST_INCLUDE = _R15_WINDOW
+
+# Round-16 window (slots 1-49 after the q_stream_tumbling canary), per
+# the r15 verdict #2: (a) ALL 46 queries whose latest driver row is r11
+# — the complete remaining r11 pool (after this round the freshness
+# floor advances to r12), every one judge-re-verified 46/46 at sf0.01
+# in the r15 session; (b) q_dedup_pipeline — its operator changed in
+# r15 AFTER its last driver row (the keep-list exact-content collapse),
+# so the official record catches up with the code (verdict #3 process
+# note); (c) the 2 remaining slots go to r16 work: q_corpus_mix (NEW —
+# the wsample application query, verdict #7: subset-sum mixture
+# allocation from the priority sample) and q_dedup_minhash as the
+# representative of this round's candidate-generator pre-collapse
+# (verdict #3: signatures/banding now run over distinct texts).
+# q_dedup_near / q_dedup_simhash / q_ngram_jaccard /
+# q_dedup_containment share that operator change but stay outside on
+# the r15-window evidence plus this round's full local gates at sf0.01
+# AND sf1 AND the operator-level equivalence pins
+# (tests/test_llm_ops.py::test_*_collapsed_pairs_equivalence) — the
+# r14 precedent of seating the plan-changing representative and
+# documenting the rest. q_stream_watermark_dedup / q_stream_late_data
+# changed state-partition sizing only (output partitioning-invariant,
+# re-gated at both scales + plain session this round).
+_R16_WINDOW = [
+    # (a) r11-stale — the whole pool
+    "q_asof_join", "q_chunk_docs", "q_dedup_cc", "q_emb_centroid",
+    "q_emb_quantize", "q_except", "q_except_all", "q_funnel",
+    "q_intersect", "q_intersect_all", "q_json_funcs", "q_map_funcs",
+    "q_multimodal_audio", "q_multimodal_audio_flac",
+    "q_multimodal_audio_g711", "q_multimodal_resize", "q_multimodal_video",
+    "q_pagerank", "q_regex_funcs", "q_source_binary", "q_source_csv",
+    "q_source_jsonl", "q_sql_funnel", "q_sql_grouping_sets",
+    "q_sql_sessionize", "q_sql_subqueries", "q_sql_tpch_q3",
+    "q_sql_tpch_q5", "q_sql_tpch_q6", "q_sql_tpch_q10", "q_sql_tpch_q14",
+    "q_sql_tpch_q19", "q_stream_rate_limit", "q_stream_session",
+    "q_stream_sliding", "q_stream_stream_join", "q_struct_funcs",
+    "q_text_entropy", "q_tfidf_topterms", "q_time_travel_ict",
+    "q_timeseries_gapfill", "q_union_all", "q_union_distinct",
+    "q_window_lag", "q_window_running", "q_zorder_scan",
+    # (b) the r15 operator change whose driver row must catch up
+    "q_dedup_pipeline",
+    # (c) new/changed in r16
+    "q_corpus_mix", "q_dedup_minhash",
+]
+promote(_R16_WINDOW, after="q_stream_tumbling")
+WINDOW_MUST_INCLUDE = _R16_WINDOW

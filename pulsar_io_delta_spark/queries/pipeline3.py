@@ -3401,3 +3401,120 @@ def q_sketch_wsample(spark, sf_dir):
         "merged_w",
         (F.col("merged_w") == F.col("est_total_w")).alias("merge_exact"),
     )
+
+
+WMIX_BUDGET = 1_000_000  # corpus-mix allocation budget (weight units per lang)
+
+
+def _corpus_mix_oracle() -> str:
+    """SQL replay of the full corpus-mix path: sketch build (bottom-k+1
+    priorities), threshold, per-source subset-sum estimate in the same
+    division-free scaled-BIGINT form, and the integer share/allocation
+    arithmetic — every output digit reproduced bit-for-bit (the wsample
+    determinism contract; DuckDB's BIGINT `//` is the same floor
+    division as Spark's `div` on positives, and both engines ERROR
+    loudly on overflow rather than wrap)."""
+    from pulsar_io_delta_spark.functions.xxhash_sql import xxhash64_long_ctes
+    from pulsar_io_delta_spark.operators import sketch as sk
+
+    k, s, m = sk.WK_DEFAULT, sk.WS_SCALE, sk.WU_MOD
+    return f"""
+WITH dd AS (SELECT lang, source, doc_id AS v,
+                   CAST(greatest(1, least(n_chars, {sk.WMAX_WEIGHT})) AS BIGINT) AS w
+            FROM documents),
+{xxhash64_long_ctes("dd", "v")},
+pri AS (
+  SELECT dd.lang, dd.source,
+         CAST(x.h % {m} AS BIGINT) + 1 AS u1, dd.w, dd.v,
+         (CAST(x.h % {m} AS BIGINT) + 1) * {s} // dd.w AS r
+  FROM dd JOIN xx64 x ON x.v = dd.v),
+sk AS (
+  SELECT lang, source, r, u1, w, v,
+         row_number() OVER (PARTITION BY lang ORDER BY r, u1, v) AS rn
+  FROM pri),
+thr AS (SELECT lang, u1 AS u1_t, w AS w_t FROM sk WHERE rn = {k + 1}),
+samp AS (
+  SELECT s.lang, s.source, s.w, t.u1_t, t.w_t
+  FROM sk s LEFT JOIN thr t USING (lang) WHERE s.rn <= {k}),
+est AS (
+  SELECT lang, source, count(*) AS sample_rows,
+         CASE WHEN max(u1_t) IS NULL THEN sum(w)
+              ELSE sum(greatest(w * u1_t, w_t * {m})) // max(u1_t) END AS est_w
+  FROM samp GROUP BY lang, source),
+tot AS (SELECT lang, sum(est_w) AS tw FROM est GROUP BY lang)
+SELECT e.lang, e.source,
+       CAST(e.sample_rows AS BIGINT) AS sample_rows,
+       CAST(e.est_w AS BIGINT) AS est_w,
+       CAST(e.est_w * 1000 // t.tw AS BIGINT) AS share_pm,
+       CAST(e.est_w * {WMIX_BUDGET} // t.tw AS BIGINT) AS alloc_budget
+FROM est e JOIN tot t USING (lang)
+"""
+
+
+@register("q_corpus_mix", oracle=_corpus_mix_oracle())
+def q_corpus_mix(spark, sf_dir):
+    """Corpus-mixing draw driven by the weighted-sample sketch — the
+    wsample APPLICATION query (VERDICT r15 #7), completing the leg the
+    way q_tokenize_bpe_e2e completed BPE: from each language's k=64
+    priority sample alone (never the corpus), estimate every source's
+    weight share via the Duffield–Lund–Thorup SUBSET-SUM estimator
+    (Σ max(w_i, τ) restricted to sampled rows of that source — the
+    r15 memory note's subset-sum demo) and allocate an integer mixture
+    budget per (lang, source) proportionally. This is how a training-
+    data pipeline re-weights a 100 TB mixture: the mixing decision
+    reads groups×(k+1) sketch rows, not the corpus.
+
+    All arithmetic is the sketch family's exact-BIGINT algebra, so the
+    approximate answer value-hash-matches the SQL oracle: per-source
+    estimates in the division-free scaled form, shares in permille and
+    the budget split by integer floor division (identical to DuckDB's
+    `//` on positives). Sources absent from a language's sample get no
+    row — estimate 0 by construction, the honest behavior of a sample-
+    based mixer (q_sketch_wsample's in_bounds contract bounds the
+    TOTAL; per-source subsets concentrate only with their share).
+
+    Scale shape: the sketch build is the pinned map-side
+    WindowGroupLimit plan; the only corpus-width operation afterwards
+    is labeling the ≤ groups×k sampled rows with their source — a
+    broadcast of the SAMPLE side into one equi-join on the unique doc
+    id; estimates, shares, and allocations run on sketch-sized frames.
+    BIGINT safety: est_w·WMIX_BUDGET overflows only past est_w ≈
+    9.2e12 (≈ 9 TB of weight in ONE language) — both engines raise on
+    overflow rather than wrap (Spark via try-free arithmetic under
+    ANSI-off still widens to the same BIGINT product, pinned by the
+    gate at every tested scale)."""
+    from pulsar_io_delta_spark.operators import sketch as sk
+
+    from pyspark.sql import Window
+
+    d = _wsample_weighted_docs(spark, sf_dir)
+    sketch = sk.wsample_sketch(d, "lang", "wt", "doc_id")
+    rows = sk.wsample_sample_rows(sketch, "lang")
+    # Label each sampled doc with its source: broadcast the SAMPLE
+    # (groups×k rows) into one equi-join on the unique doc id — the
+    # only corpus-width stage after the sketch build.
+    labeled = d.select(F.col("doc_id").alias("v"), "source").join(
+        F.broadcast(rows), "v"
+    )
+    est = sk.wsample_subset_sum(labeled, "lang", ["source"])
+    # Per-language total from the SAME per-source integers (the window
+    # rides the exchange the groupBy already made), then the integer
+    # share / budget split — floor division on positives, identical in
+    # both engines.
+    tw = F.sum("est_w").over(Window.partitionBy("lang"))
+    return est.select(
+        "lang",
+        "source",
+        "sample_rows",
+        "est_w",
+        (F.col("est_w") * F.lit(1000)).alias("_n1"),
+        (F.col("est_w") * F.lit(WMIX_BUDGET)).alias("_n2"),
+        tw.alias("_tw"),
+    ).select(
+        "lang",
+        "source",
+        "sample_rows",
+        "est_w",
+        F.expr("_n1 div _tw").cast("long").alias("share_pm"),
+        F.expr("_n2 div _tw").cast("long").alias("alloc_budget"),
+    )

@@ -138,3 +138,51 @@ def test_wsample_threshold_boundary_and_independent_replay(spark):
     ).collect()[0]
     assert got.sample_k == sk.WK_DEFAULT
     assert got.est_total_w == est_py
+
+
+# ---- r16: subset-sum application primitives (q_corpus_mix) ----
+
+def test_subset_sum_partitions_the_total_estimate(spark, sf_dir):
+    """Per-label subset sums use the identical max(w·u1_t, w_t·2^32)
+    terms as the total estimator, split by label before the one div —
+    so Σ_label est_w can undershoot the group estimate by at most one
+    unit per label (floor once per label vs once total), never more,
+    and never overshoot."""
+    from pulsar_io_delta_spark.queries.pipeline3 import _wsample_weighted_docs
+
+    d = _wsample_weighted_docs(spark, sf_dir)
+    sketch = sk.wsample_sketch(d, "lang", "wt", "doc_id")
+    total = {
+        r.lang: r.est_total_w for r in sk.wsample_estimate(sketch, "lang").collect()
+    }
+    rows = sk.wsample_sample_rows(sketch, "lang")
+    labeled = d.select(F.col("doc_id").alias("v"), "source").join(rows, "v")
+    per = sk.wsample_subset_sum(labeled, "lang", ["source"]).collect()
+    by_lang = {}
+    nlabels = {}
+    for r in per:
+        by_lang[r.lang] = by_lang.get(r.lang, 0) + r.est_w
+        nlabels[r.lang] = nlabels.get(r.lang, 0) + 1
+    assert set(by_lang) == set(total)
+    for lang, s in by_lang.items():
+        assert total[lang] - nlabels[lang] < s <= total[lang], (lang, s, total[lang])
+
+
+def test_subset_sum_exact_path_without_threshold(spark):
+    """A group holding ≤ k rows has no threshold: every label's
+    estimate must be that label's EXACT weight sum."""
+    data = [("g", f"d{i}", (i % 7) + 1, "s" + str(i % 3)) for i in range(20)]
+    df = spark.createDataFrame(data, "lang string, doc_id string, wt long, source string")
+    sketch = sk.wsample_sketch(df, "lang", "wt", "doc_id")
+    rows = sk.wsample_sample_rows(sketch, "lang")
+    labeled = df.select(F.col("doc_id").alias("v"), "source").join(rows, "v")
+    got = {
+        (r.lang, r.source): (r.sample_rows, r.est_w)
+        for r in sk.wsample_subset_sum(labeled, "lang", ["source"]).collect()
+    }
+    import collections
+    want = collections.defaultdict(lambda: [0, 0])
+    for _, _, wt, src in data:
+        want[("g", src)][0] += 1
+        want[("g", src)][1] += wt
+    assert got == {k: tuple(v) for k, v in want.items()}
