@@ -423,6 +423,37 @@ def main() -> None:
     except (OSError, ValueError) as exc:
         print(f"# anchor drift skipped: {exc}", file=sys.stderr)
 
+    # Birth-anchor drift (VERDICT r15 #6): queries younger than the r7
+    # table are held to their BIRTH-round frozen median
+    # (BENCH_anchor_birth.json, generated once per query by
+    # tools/make_birth_anchors.py and immutable by provenance), so
+    # creep on them is visible from their first frozen round — the
+    # same discipline the r7 anchor enforces on the original 53.
+    birth_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_anchor_birth.json"
+    )
+    try:
+        with open(birth_path) as fh:
+            birth_spec = json.load(fh)
+        if abs(sf - float(birth_spec.get("sf", 0.1))) < 1e-9:
+            banchor = birth_spec.get("median_sec", {})
+            bdrift = {
+                name: round(timings[name] / banchor[name], 2)
+                for name in timings
+                if name in banchor and banchor[name] > 0
+            }
+            if bdrift:
+                payload["drift_vs_birth"] = bdrift
+                ratios = sorted(bdrift.values())
+                payload["drift_vs_birth_summary"] = {
+                    "n": len(ratios),
+                    "median": ratios[len(ratios) // 2],
+                    "max": ratios[-1],
+                    "n_gt_2x": sum(r > 2.0 for r in ratios),
+                }
+    except (OSError, ValueError) as exc:
+        print(f"# birth anchor drift skipped: {exc}", file=sys.stderr)
+
     # Round-7 fix (VERDICT r6 #1): the full payload (53 queries + spreads,
     # ~2.6 KB) overflows the driver's 2000-char tail capture, so round 6
     # recorded parsed=null and lost the official bench number.  Emit the

@@ -54,3 +54,47 @@ def pin_session(spark: SparkSession) -> SparkSession:
     # converted tables) match by field id, Delta-written files by name
     spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     return spark
+
+
+def session_scrub(spark: SparkSession) -> dict:
+    """Release session-accumulated state between queries in a
+    LONG-RUNNING driver (r16, VERDICT r15 #4): a single JVM that has
+    executed dozens of queries pins heap through four channels the
+    per-query plans never see — the SQL cache, finished memory-sink
+    tables (each holds its full result on the driver), loaded
+    streaming state-store providers (HDFS-backed providers keep every
+    maintained version's map in memory until unloaded), and
+    checkpointed RDD blocks + broadcasts whose cleanup waits on GC of
+    their Python/JVM handles (ContextCleaner is weak-reference-driven,
+    so an idle driver can sit on gigabytes that one collection would
+    free). The r15 sf10 sweep OOM'd a 16 GB JVM after 66 accumulated
+    queries on exactly this — the victim stage was innocent.
+
+    Call AFTER the previous query's result is fully consumed: dropping
+    a pids_sink_* view invalidates DataFrames still pointing at it.
+    Safe between streaming queries — StateStore.stop() tears down the
+    provider cache and maintenance thread, and the next streaming
+    query lazily restarts both (pinned by
+    tests/test_streaming.py::test_session_scrub_between_streams).
+
+    Returns counts for observability ({views_dropped, state_store_
+    stopped}); every step degrades gracefully on private-API drift."""
+    import gc
+
+    out: dict = {"views_dropped": 0, "state_store_stopped": False}
+    spark.catalog.clearCache()
+    for t in spark.catalog.listTables():
+        if t.name.startswith("pids_sink_") and t.isTemporary:
+            spark.catalog.dropTempView(t.name)
+            out["views_dropped"] += 1
+    try:
+        spark._jvm.org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+        out["state_store_stopped"] = True
+    except Exception:  # noqa: BLE001 — internal API; absence is survivable
+        pass
+    gc.collect()
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:  # noqa: BLE001
+        pass
+    return out

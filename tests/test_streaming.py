@@ -387,3 +387,19 @@ def test_transform_with_state_running_totals(spark, tmp_path):
         assert got == exp
     finally:
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_session_scrub_between_streams(spark, sf_dir):
+    """session_scrub (r16) must be safe to call between streaming
+    queries: it stops the state-store provider cache + maintenance
+    thread and drops finished memory sinks, and the NEXT streaming
+    query must lazily restart all of it and produce identical output."""
+    from pulsar_io_delta_spark.registry import all_queries
+    from pulsar_io_delta_spark.session import session_scrub
+
+    fn = all_queries()["q_stream_watermark_dedup"].fn
+    first = fn(spark, sf_dir).count()
+    info = session_scrub(spark)
+    assert info["views_dropped"] >= 1  # the sink the first run left
+    second = fn(spark, sf_dir).count()
+    assert first == second > 0
