@@ -542,3 +542,38 @@ def test_wsample_sketch_build_truncates_mapside(spark, sf_dir):
         if pinned:
             break
     assert pinned, "Partial WindowGroupLimit not below the exchange:\n" + plan
+
+
+def test_corpus_mix_label_join_broadcasts_sample(spark, sf_dir):
+    """q_corpus_mix's only corpus-width stage is labeling the sampled
+    rows: the sample side (groups×k rows) must BROADCAST into the
+    equi-join — a shuffled join would move the corpus for a
+    sketch-sized probe — and the sketch build keeps the map-side
+    WindowGroupLimit truncation."""
+    plan = _plan(spark, sf_dir, "q_corpus_mix")
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_collapsed_minhash_no_distinct_above_expansion(spark, sf_dir):
+    """The r16 pre-collapse's structural claim: row-level pairs come
+    from group expansion of DISTINCT rep pairs, so the final plan is a
+    Union of equi-join outputs with NO aggregate/deduplicate above it
+    (the old path shuffled the replica-quadratic pair set ×bands
+    through a distinct). The rep-level distinct below is fine — it
+    runs on content-scale data."""
+    from pulsar_io_delta_spark.operators import dedup as dd
+    from pulsar_io_delta_spark.tables import table as _table
+
+    corpus = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = dd.minhash_lsh_pairs(corpus, "doc_id", "text")
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    lines = plan.splitlines()
+    union_idx = next(
+        i for i, ln in enumerate(lines) if "Union" in ln
+    )
+    above = "\n".join(lines[:union_idx])
+    assert "HashAggregate" not in above and "SortAggregate" not in above, above
