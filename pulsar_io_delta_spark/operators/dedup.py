@@ -89,7 +89,20 @@ def exact_content_groups(
     members = hashed.select("id", "h").join(
         reps.select(F.col("id").alias("rid"), "h"), "h"
     ).select("id", "rid")
-    return reps.select("id", "text"), members
+    # Materialize the collapse ONCE (r16 plan audit): every consumer
+    # fans reps/members into several branches (signature build, pair
+    # expansion, label map-back), and without a persist Spark re-runs
+    # the corpus scan + sha2 groupBy per branch — the static plan for
+    # q_dedup_minhash showed 54 parquet scans / 26 sha2 aggregates of
+    # the SAME subtree and zero ReusedExchange. One cached copy is
+    # exactly what a 100 TB pipeline does with its collapsed corpus
+    # (guide §5: reuse + recompute-cost justify the persist; spill-safe
+    # MEMORY_AND_DISK). The tfidf/pagerank/triangles precedent applies:
+    # no unpersist — consumption outlives the operator, and the bench /
+    # long-driver hygiene (clearCache, session_scrub) reclaims blocks.
+    reps = reps.select("id", "text").persist()
+    members = members.persist()
+    return reps, members
 
 
 def expand_rep_pairs(
@@ -173,7 +186,11 @@ def minhash_lsh_pairs(
     154 s, mostly emitting 109.7M replica pairs through a ×8-band
     distinct)."""
     reps, members = exact_content_groups(df, id_col, text_col, include_null=True)
-    sig = minhash_signature(reps, "id", "text", num_perm=num_perm)
+    # sig feeds both the band explode and the within-group signature
+    # filter; persist so the shingle explode + 32 minhash aggregates
+    # run once (reps is already cached, but the sketch pass itself is
+    # the expensive part at content scale).
+    sig = minhash_signature(reps, "id", "text", num_perm=num_perm).persist()
     rep_pairs = lsh_candidate_pairs(sig, "id", num_perm=num_perm, bands=bands, salt=salt)
     return expand_rep_pairs(rep_pairs, _members_with_signature(members, sig))
 
@@ -189,7 +206,9 @@ def simhash_pairs(
     group-constant). Zero-token texts produce no aggregate row and are
     excluded from the expansion — matching the row-level operator."""
     reps, members = exact_content_groups(df, id_col, text_col, include_null=True)
-    sig = simhash_signature(reps, "id", "text")
+    # Same two-consumer shape as minhash_lsh_pairs: persist the 64
+    # bit-majority aggregate output once.
+    sig = simhash_signature(reps, "id", "text").persist()
     rep_pairs = simhash_near_pairs(sig, "id", max_hamming=max_hamming)
     return expand_rep_pairs(
         rep_pairs,

@@ -136,8 +136,21 @@ class LocalFileSystem(FileSystem):
             f.write(data)
 
     def create_exclusive(self, path: str, data: str) -> None:
-        with open(path, "x", encoding="utf-8") as f:
+        # Publish atomically: `open(path, "x")` + write makes the name
+        # visible EMPTY before the body lands, so a snapshot replay
+        # racing a commit can read a partial commit file and silently
+        # drop its actions (observed as a .crc/replay mismatch under
+        # concurrent committers, r16). Write-to-temp + os.link is POSIX
+        # put-if-absent: the final name appears only with its complete
+        # content, and the loser of the race gets FileExistsError from
+        # link(2) exactly as before.
+        tmp = f"{path}.{os.getpid()}.{threading.get_ident()}.tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
             f.write(data)
+        try:
+            os.link(tmp, path)
+        finally:
+            os.unlink(tmp)
 
     def open_read(self, path: str):
         return open(path, "rb")

@@ -610,6 +610,51 @@ def test_fs_conformance(occ_fs):
     assert not fs.exists(root + "/sub/a.txt") and not fs.isdir(root + "/sub")
 
 
+def test_create_exclusive_publishes_atomically(tmp_path):
+    """A commit file must never be visible with partial content: the
+    pre-r16 LocalFileSystem opened the final name with 'x' and THEN
+    wrote the body, so a snapshot replay racing a committer could read
+    an empty commit and silently drop its actions (observed once as a
+    .crc/replay mismatch in the OCC race test under heavy rig load).
+    The fix publishes via write-temp + os.link. This test pins both
+    properties: every .json a concurrent reader can see is complete,
+    and the losing side still gets FileExistsError with no .tmp debris."""
+    import threading
+
+    fs = LocalFileSystem()
+    d = str(tmp_path / "atomic")
+    fs.makedirs(d)
+    body = "x" * (1 << 20)  # 1 MiB: wide write window under the old code
+    bad: list[str] = []
+    stop = threading.Event()
+
+    def reader() -> None:
+        while not stop.is_set():
+            for name in os.listdir(d):
+                if not name.endswith(".json"):
+                    continue
+                try:
+                    txt = fs.read_text(os.path.join(d, name))
+                except FileNotFoundError:
+                    continue
+                if len(txt) != len(body):  # pragma: no cover - failure path
+                    bad.append(f"{name}: {len(txt)} bytes")
+
+    th = threading.Thread(target=reader)
+    th.start()
+    try:
+        for i in range(50):
+            fs.create_exclusive(os.path.join(d, f"{i:020d}.json"), body)
+    finally:
+        stop.set()
+        th.join()
+    assert bad == []
+    with pytest.raises(FileExistsError):
+        fs.create_exclusive(os.path.join(d, f"{0:020d}.json"), "loser")
+    assert fs.read_text(os.path.join(d, f"{0:020d}.json")) == body
+    assert [n for n in os.listdir(d) if n.endswith(".tmp")] == []
+
+
 def test_occ_concurrent_external_adds_all_land(occ_fs):
     """8 threads × 3 external-adds commits race on one log: optimistic
     retry lands every commit exactly once on BOTH backends."""
