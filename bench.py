@@ -27,7 +27,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pulsar_io_delta_spark.registry import all_queries  # noqa: E402
-from pulsar_io_delta_spark.session import get_spark  # noqa: E402
+from pulsar_io_delta_spark.session import get_spark, session_scrub  # noqa: E402
 
 HEADLINE = [
     # reference surface
@@ -264,6 +264,17 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     budgets_name = None
     argv = sys.argv[1:]
+    headline = HEADLINE
+    if "--only" in argv:
+        # focused re-measure of a query subset (same protocol: noop
+        # sink, discarded compile run, median of N trials). Diagnostic
+        # only — the driver invokes bench.py with no flags, so the
+        # official payload is always the full HEADLINE list.
+        names = argv[argv.index("--only") + 1].split(",")
+        unknown = [n for n in names if n not in HEADLINE]
+        if unknown:
+            raise SystemExit(f"--only: not in HEADLINE: {unknown}")
+        headline = names
     if "--budgets" in argv:
         # --budgets sf1 → check against BENCH_budgets_sf1.json (a second
         # frozen table so SCALE regressions are per-query-visible, not
@@ -312,11 +323,24 @@ def main() -> None:
     spreads: dict[str, float] = {}
     errors: dict[str, str] = {}
     query_rig: dict[str, dict[str, float]] = {}
-    for name in HEADLINE:
+    for name in headline:
         # Round-4 lesson: one failing query must cost ONE entry, not the
         # whole bench (the events-ts fixture drift crashed the warm-up
         # and left the round with no numbers at all).
         try:
+            # Measurement fix (r16, declared in OPTIMIZATION_r16.md):
+            # scrub session debris BETWEEN queries — outside any timed
+            # window — so each median prices the query, not the 88
+            # queries before it. The 89-query session accumulates
+            # driver-held memory-sink tables, loaded state-store
+            # providers and GC-pending checkpoint/broadcast blocks;
+            # measured at sf0.1 this inflated q_dedup_substr (position
+            # 57) from 1.10 s isolated to 6.89 s in-session with ZERO
+            # external load (per-query ext_busy 0.0). Same mechanism
+            # the r15 sf10 sweep OOM'd on; session_scrub is the
+            # documented long-running-driver hygiene. Trials still run
+            # back-to-back with only clearCache between them.
+            session_scrub(spark)
             run(name)  # discarded: codegen compile + cache warm
             # Per-query rig attribution (r16, VERDICT r15 #1): the
             # whole-run ext_busy mean cannot see BURSTS — a host-steal
@@ -462,7 +486,8 @@ def main() -> None:
     # capture always ends with a parseable JSON line.
     print(json.dumps(payload))
     detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_detail.json"
+        os.path.dirname(os.path.abspath(__file__)),
+        "BENCH_detail_only.json" if headline is not HEADLINE else "BENCH_detail.json",
     )
     try:
         with open(detail_path, "w") as fh:

@@ -78,6 +78,8 @@ def connected_components(
     dict as ``stats`` to receive {'rounds': k} — tests pin the
     O(log diameter) convergence bound through it.
     """
+    from pyspark.sql import Observation
+
     spark = nodes.sparkSession
     workdir = work_dir or tempfile.mkdtemp(prefix="pids_cc_")
 
@@ -93,6 +95,14 @@ def connected_components(
         ).distinct(),
         "edges",
     )
+    # NOT pre-partitioned/persisted by src (r16 A/B, 7 variants × 4
+    # trials at sf0.1): the label side is node-sized and joins
+    # broadcast here, so the edge side never re-shuffles per round to
+    # begin with — a repartition("src").persist() of sym ADDED a full
+    # edge shuffle + cache materialization and measured ~1.5× slower.
+    # On a cluster where labels outgrow the broadcast threshold, the
+    # parquet barrier is the place to add bucketing — noted in
+    # OPTIMIZATION_r16.md "left alone".
     labels = barrier(
         nodes.select(F.col(id_col).alias("id"))
         .distinct()
@@ -102,8 +112,9 @@ def connected_components(
 
     cur_path = os.path.join(workdir, "labels_0")
     for i in range(max_iter):
-        # (1) min label over graph neighbors; map-side combine keeps the
-        # shuffle at one (dst, partial-min) row per partition per dst.
+        # (1) min label over graph neighbors; map-side combine keeps
+        # the shuffle at one (dst, partial-min) row per partition
+        # per dst.
         nbr = (
             sym.join(labels, sym.src == labels.id)
             .groupBy(F.col("dst").alias("id"))
@@ -114,15 +125,20 @@ def connected_components(
             F.col("lab").alias("prev"),
             F.least("lab", F.coalesce("nlab", "lab")).alias("lab"),
         )
-        # (2) hub feedback: group the new labels by LAST round's pointer.
+        # (2) hub feedback: group the new labels by LAST round's
+        # pointer.
         child_min = stepped.groupBy(F.col("prev").alias("id")).agg(
             F.min("lab").alias("clab")
         )
+        # (3) pointer jump: every label IS a node id, so the inner
+        # self-join is total. `fed` feeds both sides of the
+        # self-join; a per-round persist was A/B-tested (r16) and
+        # did NOT beat the recompute — the chain is node-sized and
+        # broadcast-joined, so caching paid more in materialization
+        # than the second evaluation costs.
         fed = stepped.join(child_min, "id", "left").select(
             "id", "prev", F.least("lab", F.coalesce("clab", "lab")).alias("lab")
         )
-        # (3) pointer jump: every label IS a node id, so the inner
-        # self-join is total.
         jumped = (
             fed.alias("a")
             .join(
@@ -133,10 +149,25 @@ def connected_components(
             )
             .select("a.id", "a.prev", F.col("b._jlab").alias("lab"))
         )
-        out = barrier(jumped, f"labels_{i + 1}")
-        changed = out.where(F.col("lab") != F.col("prev")).limit(1).count()
+        # Convergence check rides the barrier write via observe():
+        # the old `out.where(lab != prev).limit(1).count()` was one
+        # extra job per round re-reading the parquet just written.
+        # Task retries can only INFLATE an observed count, never
+        # zero a non-zero one, so the == 0 test stays exact.
+        obs = Observation(f"cc_round_{i}")
+        out = barrier(
+            jumped.observe(
+                obs,
+                F.sum(
+                    F.when(F.col("lab") != F.col("prev"), 1).otherwise(0)
+                ).alias("changed"),
+            ),
+            f"labels_{i + 1}",
+        )
+        changed = obs.get["changed"] or 0
         labels = out.select("id", "lab")
-        # The input label table is superseded now that `out` is on disk.
+        # The input label table is superseded now that `out` is on
+        # disk.
         shutil.rmtree(cur_path, ignore_errors=True)
         cur_path = os.path.join(workdir, f"labels_{i + 1}")
         if changed == 0:
@@ -173,16 +204,19 @@ def pagerank_fixed(
     into one DAG for small fixed k; use parquet barriers as in
     connected_components when k grows)."""
     # The unrolled DAG references the edge list 1 + iterations times
-    # (degree seed, each contrib join): persist it once instead of
-    # re-deriving an upstream join per reference. Symmetrize-by-union
-    # doubles the partition count (two shuffle-width inputs), so every
-    # downstream stage would run 2× the tasks the data needs; coalesce
-    # (narrow, no shuffle) back to the session shuffle width — at sf0.1
-    # this alone is −24% wall (4.28 → 3.25 s median, round 11).
+    # (degree seed, each contrib join). r11 persisted it coalesced to
+    # the session shuffle width (−24% wall); r16 goes the rest of the
+    # way the docstring promises: persist it HASH-PARTITIONED BY src —
+    # the key of the degree aggregate AND of every iteration's contrib
+    # join — so the cached partitioning replaces one exchange of the
+    # full edge list per iteration plus the degree-seed exchange with
+    # ONE exchange at build time (guide §2.4; InMemoryTableScan
+    # reports its child's partitioning to the planner). Only the
+    # node-sized rank vector moves per iteration.
     n_shuffle = int(
         edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
     )
-    e = edges.select("src", "dst").coalesce(n_shuffle).persist()
+    e = edges.select("src", "dst").repartition(n_shuffle, "src").persist()
     # Node table WITH outdegree attached (one groupBy does both —
     # every node appears as a src in the symmetrized list), persisted:
     # carrying outdeg inside the rank vector saves a second per-
@@ -276,6 +310,10 @@ def triangle_counts(edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
             F.struct(F.col("db").alias("d"), F.col("b").alias("i")).alias("rb"),
         )
     )
+    # A repartition-by-u before this persist (so the wedge self-join
+    # could reuse the cached partitioning) was A/B-tested in r16 and
+    # measured flat at sf0.1 (4.37 vs 4.26 s) — the wedge join's sides
+    # are bucket-bounded and broadcast-eligible here; kept simple.
     oriented = ranked.select(
         F.when(F.col("ra") < F.col("rb"), F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(F.col("ra") < F.col("rb"), F.col("b")).otherwise(F.col("a")).alias("v"),
@@ -331,6 +369,8 @@ def bfs_distances(
     the frontier is still non-empty after ``max_iter`` rounds — never
     silently-partial distances. Pass ``stats`` to receive
     {'rounds': k} (== eccentricity of the source + 1)."""
+    from pyspark.sql import Observation
+
     spark = edges.sparkSession
     workdir = work_dir or tempfile.mkdtemp(prefix="pids_bfs_")
 
@@ -346,6 +386,9 @@ def bfs_distances(
         .distinct(),
         "edges",
     )
+    # NOT pre-partitioned/persisted by `a` (r16 A/B on the cc twin):
+    # the frontier side is broadcast-sized every round, so the
+    # adjacency never re-shuffles — pre-partitioning only added cost.
     if source is None:
         source = sym.agg(F.min("a")).first()[0]
         if source is None:
@@ -361,11 +404,17 @@ def bfs_distances(
             .select(F.col("b").alias("node"), (F.col("dist") + 1).alias("dist"))
             .distinct()
         )
+        # Frontier-emptiness check rides the barrier write (observe;
+        # retries can only inflate a count, so == 0 stays exact) —
+        # the old limit(1).count() was an extra per-round job.
+        obs = Observation(f"bfs_round_{i}")
         nxt = barrier(
-            reached.join(dist.select("node"), "node", "left_anti"),
+            reached.join(dist.select("node"), "node", "left_anti").observe(
+                obs, F.count(F.lit(1)).alias("n")
+            ),
             f"frontier_{i + 1}",
         )
-        if nxt.limit(1).count() == 0:
+        if (obs.get["n"] or 0) == 0:
             if stats is not None:
                 stats["rounds"] = i + 1
             return dist

@@ -1264,14 +1264,16 @@ def q_tokenize_bpe(spark, sf_dir):
     counts = toks.groupBy("token").agg(F.sum("wc").alias("cnt"))
     from pyspark.sql import Window
 
+    # r16 (the q_tokenize_bpe_e2e shape, VERDICT r15 #2): take the
+    # top-20 with orderBy().limit() — TakeOrderedAndProject, per-
+    # partition heaps, no single-partition window exchange — and rank
+    # the surviving 20-row frame. Same deterministic total order, same
+    # rows.
+    top = counts.orderBy(F.desc("cnt"), F.asc("token")).limit(20)
     w = Window.orderBy(F.desc("cnt"), F.asc("token"))
-    return (
-        counts.select(
-            "token", "cnt", F.row_number().over(w).cast("long").alias("rk")
-        )
-        .where(F.col("rk") <= 20)
-        .orderBy("rk")
-    )
+    return top.select(
+        "token", "cnt", F.row_number().over(w).cast("long").alias("rk")
+    ).orderBy("rk")
 
 
 def _bpe_train_oracle(n: int = 10) -> str:
