@@ -644,19 +644,34 @@ def duplicated_spans(
     # 20x too heavy downstream of it — fan the RAW docs out first
     # (measured locally: 5.3s -> 1.3s at sf0.1 on local[32]).
     df = fan_out(df, [id_col])
+    # r16: explode a PRIMITIVE position sequence and hash AFTER the
+    # explode, inside whole-stage codegen. The previous shape built an
+    # array of (pos, hash) structs per document through a higher-order
+    # transform lambda — higher-order functions evaluate on the
+    # INTERPRETED expression path, which (a) materializes the struct
+    # array per row and (b) rides the JVM's shared interpreter/eval
+    # methods, the exact frames a long-lived session's JIT deopt churn
+    # keeps knocking back to bytecode speed (r16 thread-dump diagnosis
+    # of the in-session 6× inflation: 30 executor threads RUNNABLE in
+    # ArrayTransform.nullSafeEval). Generate(explode(sequence)) +
+    # xxhash64(substring(...)) is fully codegen'd and pipelined — no
+    # per-row array of structs, no interpreted lambda. Same rows, same
+    # values: the sequence is the same 1..len-k+1 and the hash moved
+    # across the explode unchanged.
     grams = (
         df.where(F.length(text_col) >= k)
         .select(
             F.col(id_col),
+            F.col(text_col).alias("_t"),
             F.explode(
-                F.expr(
-                    f"transform(sequence(1, length({text_col}) - {k} + 1), "
-                    f"i -> struct(i AS pos, "
-                    f"xxhash64(substring({text_col}, i, {k})) AS gh))"
-                )
-            ).alias("g"),
+                F.sequence(F.lit(1), F.length(text_col) - F.lit(k - 1))
+            ).alias("pos"),
         )
-        .select(id_col, F.col("g.pos").alias("pos"), F.col("g.gh").alias("gh"))
+        .select(
+            id_col,
+            "pos",
+            F.expr(f"xxhash64(substring(_t, pos, {k}))").alias("gh"),
+        )
     )
     dup = (
         grams.groupBy("gh")

@@ -577,3 +577,20 @@ def test_collapsed_minhash_no_distinct_above_expansion(spark, sf_dir):
     )
     above = "\n".join(lines[:union_idx])
     assert "HashAggregate" not in above and "SortAggregate" not in above, above
+
+
+def test_substr_gram_stage_is_codegen_not_lambda(spark, sf_dir):
+    """The r16 in-session diagnosis: the gram window stage used a
+    higher-order transform lambda building an array of (pos, hash)
+    structs per document — higher-order functions evaluate on the
+    interpreted expression path, whose shared JVM methods a long-lived
+    session's JIT churn keeps deoptimizing (measured: 1.1 s isolated vs
+    6.9 s at position 56 of the 89-query bench, quiet rig, thread dumps
+    RUNNABLE in ArrayTransform.nullSafeEval). The rewrite explodes a
+    primitive sequence and hashes AFTER the explode in whole-stage
+    codegen. Pin the shape: no ArrayTransform/NamedLambda in the plan,
+    and the hash sits above a Generate(explode(sequence(...)))."""
+    plan = _plan(spark, sf_dir, "q_dedup_substr")
+    assert "transform(" not in plan and "lambdafunction" not in plan, plan[:2000]
+    assert "explode(sequence(" in plan, plan[:2000]
+    assert "xxhash64(substring(" in plan, plan[:2000]
