@@ -18,8 +18,11 @@ unchanged code came from best-of-2 sampling."""
 
 from __future__ import annotations
 
+import glob
 import json
+import math
 import os
+import re
 import statistics
 import sys
 import time
@@ -284,6 +287,14 @@ def main() -> None:
         sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf"))
     except ValueError:
         sf = -1.0
+    # r17 (VERDICT r16 #2): SPARK_GRAFT_SCRUB=0 disables the between-
+    # queries session scrub — DIAGNOSTIC ONLY, for quantifying the
+    # protocol delta behind the r16 budget refreeze (the r7 anchors
+    # were recorded under the warm-session protocol). The driver sets
+    # no env, so the official protocol stays scrubbed; the payload
+    # carries a "protocol" stamp either way (ADVICE r16 #4) so anchor-
+    # ratio consumers can tell the two apart.
+    scrub_on = os.environ.get("SPARK_GRAFT_SCRUB", "1") != "0"
     spark = get_spark(app_name="pids-bench")
     spark.sparkContext.setLogLevel("ERROR")
     specs = all_queries()
@@ -340,7 +351,8 @@ def main() -> None:
             # the r15 sf10 sweep OOM'd on; session_scrub is the
             # documented long-running-driver hygiene. Trials still run
             # back-to-back with only clearCache between them.
-            session_scrub(spark)
+            if scrub_on:
+                session_scrub(spark)
             run(name)  # discarded: codegen compile + cache warm
             # Per-query rig attribution (r16, VERDICT r15 #1): the
             # whole-run ext_busy mean cannot see BURSTS — a host-steal
@@ -382,6 +394,10 @@ def main() -> None:
         "spread": spreads,
         "rig": rig_fingerprint(stat_before, self_before),
         "query_rig": query_rig,
+        # measurement-protocol stamp (ADVICE r16 #4): "scrub-v1" is the
+        # r16+ between-queries session_scrub protocol; "warm-v0" is the
+        # pre-r16 warm-session protocol the r7 anchors were frozen under.
+        "protocol": "scrub-v1" if scrub_on else "warm-v0",
     }
     if errors:
         payload["errors"] = errors
@@ -394,6 +410,7 @@ def main() -> None:
     # check is informational only.
     over_budget: dict[str, list[float]] = {}
     no_budget: list[str] = []
+    budget_ratios: dict[str, float] = {}
     fname = (
         f"BENCH_budgets_{budgets_name}.json" if budgets_name else "BENCH_budgets.json"
     )
@@ -407,8 +424,10 @@ def main() -> None:
                 b = budgets.get(name)
                 if b is None:
                     no_budget.append(name)
-                elif sec > b:
-                    over_budget[name] = [sec, b]
+                else:
+                    budget_ratios[name] = round(sec / b, 2)
+                    if sec > b:
+                        over_budget[name] = [sec, b]
             payload["over_budget"] = over_budget
             if no_budget:
                 payload["no_budget"] = sorted(no_budget)
@@ -494,6 +513,41 @@ def main() -> None:
             json.dump(payload, fh, indent=1)
     except OSError as exc:
         print(f"# could not write {detail_path}: {exc}", file=sys.stderr)
+    # VERDICT r16 #4: the driver's per-query PERF comparison has been
+    # structurally empty every round (the full payload is ~10× the
+    # 2000-char tail capture). Spend the summary line's spare bytes on
+    # the top-3 now/budget ratios ("worst") and the top-3 |log-ratio|
+    # movers vs the previous committed freeze ("top_moves") so the
+    # official record names the worst per-query movers.
+    worst = dict(sorted(budget_ratios.items(), key=lambda kv: -kv[1])[:3])
+    top_moves: dict[str, float] = {}
+    try:
+        freezes = {
+            int(m.group(1)): p
+            for p in glob.glob(
+                os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_local_r*.json")
+            )
+            if (m := re.search(r"_r(\d+)\.json$", p))
+        }
+        if freezes:
+            with open(freezes[max(freezes)]) as fh:
+                prev = json.load(fh)
+            prev_q = (
+                prev.get("queries", {})
+                if abs(sf - float(prev.get("sf", 0.1))) < 1e-9
+                else {}
+            )
+            moves = {
+                n: round(max(sec / prev_q[n], 0.01), 2)
+                for n, sec in timings.items()
+                if prev_q.get(n)
+            }
+            top_moves = dict(
+                sorted(moves.items(), key=lambda kv: -abs(math.log(kv[1])))[:3]
+            )
+    except (OSError, ValueError):
+        pass
     rig = payload["rig"]
     summary = {
         "metric": "headline query wall time (noop sink, local)",
@@ -507,13 +561,20 @@ def main() -> None:
         "load1": rig.get("load1"),
         "busy_frac": rig.get("busy_frac"),
         "drift_r7": payload.get("drift_vs_r7_summary"),
+        "worst": worst,
+        "top_moves": top_moves,
         "detail": "BENCH_detail.json",
     }
     line = json.dumps(summary)
+    # tail-capture safety must hold under `python -O` too (an assert
+    # would be stripped, and failing after results are computed would
+    # lose the run) — shed the new fields first, then degrade to the
+    # minimal parseable summary.
+    for field in ("top_moves", "worst", "drift_r7"):
+        if len(line) >= 500:
+            summary.pop(field, None)
+            line = json.dumps(summary)
     if len(line) >= 500:
-        # tail-capture safety must hold under `python -O` too (an assert
-        # would be stripped, and failing after results are computed would
-        # lose the run) — degrade to the minimal parseable summary
         line = json.dumps({"metric": summary["metric"], "value": summary["value"],
                            "unit": "sec", "sf": sf})
     print(line)

@@ -1,7 +1,11 @@
 """Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
 
-All variants stay JVM-side (xxhash64 + higher-order array functions) —
-no Python in the hot path — and follow the standard scale shapes:
+All variants stay JVM-side — no Python in the hot path, and (r17) no
+higher-order lambdas in the gram/shingle/token stages either: those
+evaluate on the interpreted expression path, which the r16 in-session
+diagnosis proved session-age-sensitive (JIT deopt churn), so every hot
+stage is explode-a-primitive-sequence + codegen'd builtins. Standard
+scale shapes:
 
 - exact: hash-groupBy (one shuffle on the dedup key);
 - MinHash+LSH: per-row signature (narrow) → explode bands (xB rows) →
@@ -22,7 +26,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from pulsar_io_delta_spark.operators.par import fan_out
-from pulsar_io_delta_spark.operators.text import char_ngrams_col, tokens_col
+from pulsar_io_delta_spark.operators.text import tokens_col
 
 # 31-bit Mersenne prime: keeps a*x + b within int64 under ANSI mode
 # (a, x < 2^31 ⇒ a*x < 2^62), so the universal hash never overflows.
@@ -75,7 +79,14 @@ def exact_content_groups(
     carries digest + id + one text per group-per-partition) and one
     digest equi-join to label members. Every downstream cost that was
     quadratic IN REPLICAS becomes quadratic in distinct CONTENT —
-    the difference between 73 GB of spill and 36.9 s at sf10."""
+    the difference between 73 GB of spill and 36.9 s at sf10.
+
+    CACHING CONTRACT (ADVICE r16): the returned frames (and the
+    signature frames the pair generators build on them) are persist()ed
+    with no unpersist — consumption outlives the operator. A long-lived
+    session invoking these operators repeatedly must reclaim executor
+    storage itself (``spark.catalog.clearCache()`` or
+    ``session_scrub``), exactly as bench.py does between trials."""
     rows = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
     if not include_null:
         rows = rows.where(F.col("text").isNotNull())
@@ -254,23 +265,44 @@ def minhash_signature(
     lose to codegen'd explode + hash-aggregate; the tiny exchange is
     the cheaper currency. Plan-guarded: test_plan_shapes asserts the
     partial_min combine sits before the exchange.
+
+    r17 (VERDICT r16 #3): the shingle stage itself is codegen too — a
+    primitive position ``explode(sequence(...))`` with the shingle
+    assembled AFTER the explode (``concat_ws(slice(toks, pos, k))``),
+    the q_dedup_substr recipe. The previous shape built the shingle
+    array through ``transform``/``filter`` higher-order lambdas, which
+    always evaluate on the interpreted expression path — the frames a
+    long-lived session's JIT deopt churn keeps knocking back to
+    bytecode speed (r16 thread-dump diagnosis). Two semantics notes:
+    ``array_remove(split(...), "")`` replaces the filter lambda (split
+    never yields NULL elements, so removal-by-equality is identical),
+    and the old per-row ``array_distinct`` is DROPPED outright — the
+    min aggregate is duplicate-invariant, so the signature is
+    unchanged by construction (pinned by
+    test_llm_ops.py::test_minhash_signature_duplicate_invariance).
+    Empty/NULL token arrays still sketch exactly one "" shingle:
+    greatest(size-k+1, 1) keeps the sequence at [1] and
+    concat_ws over a NULL/empty slice yields "".
     """
     # Materialize the token array once per row before building shingles —
-    # referencing tokens_col() three times inside the higher-order exprs
-    # makes codegen re-split the text per reference (~3× the regex work).
+    # referencing tokens_col() twice (sequence bound + slice) makes
+    # codegen re-split the text per reference (~3× the regex work).
     # Shingle explosion amplifies ~15x; fan scan-starved inputs out first.
     df = fan_out(df, [id_col])
     toks = df.select(
         F.col(id_col),
-        F.filter(tokens_col(F.col(text_col)), lambda x: x != "").alias("toks"),
+        F.array_remove(tokens_col(F.col(text_col)), "").alias("toks"),
     )
-    shingles = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size("toks") - (shingle_k - 1), F.lit(1))),
-            lambda i: F.concat_ws(" ", F.slice("toks", i, shingle_k)),
-        )
+    sh = toks.select(
+        F.col(id_col),
+        F.col("toks"),
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.size("toks") - (shingle_k - 1), F.lit(1)))
+        ).alias("pos"),
+    ).select(
+        F.col(id_col),
+        F.concat_ws(" ", F.slice("toks", F.col("pos"), shingle_k)).alias("shingle"),
     )
-    sh = toks.select(F.col(id_col), F.explode(shingles).alias("shingle"))
     # Materialize the base hash once per shingle row; embedding it in all
     # num_perm aggregate children leans on codegen subexpression
     # elimination, which is not guaranteed across aggregates (~10%
@@ -293,7 +325,8 @@ def lsh_candidate_pairs(
     """Distinct candidate pairs (id_a < id_b) sharing ≥1 LSH band.
 
     Default path (``salt == 1``): groupBy (band, bh) → sorted id set →
-    in-bucket pair expansion via nested higher-order transforms. ONE
+    in-bucket pair expansion via two chained primitive Generates
+    (posexplode + explode(slice), whole-stage codegen — r17). ONE
     exchange, and the signature subplan is evaluated exactly once — a
     self-join evaluates its upstream twice (broadcast build + probe;
     exchange reuse only rescues the sort-merge case), which at 100 TB
@@ -344,18 +377,26 @@ def lsh_candidate_pairs(
         .agg(F.sort_array(F.collect_set(id_col)).alias("ids"))
         .filter(F.size("ids") > 1)
     )
-    pair_structs = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda x, i: F.transform(
-                F.slice("ids", i + F.lit(2), F.size("ids")),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
-        )
-    )
+    # r17: the in-bucket pair expansion is two chained primitive
+    # Generates instead of the nested transform lambdas that built a
+    # per-bucket array of pair structs — higher-order functions
+    # evaluate on the interpreted expression path (session-age-
+    # sensitive under JIT deopt churn, the r16 q_dedup_substr
+    # diagnosis), and the pair blow-up is exactly the stage a
+    # boilerplate-heavy bucket amplifies. posexplode picks each id with
+    # its 0-based position i; the partner set is the codegen'd
+    # slice(ids, i+2, size) — every LATER element of the sorted set —
+    # so each unordered pair materializes exactly once, identical to
+    # the flattened transform. Still no join: the signature subplan is
+    # evaluated once (plan-pinned by test_unsalted_lsh_plans_no_join).
     return (
-        grouped.select(F.explode(pair_structs).alias("p"))
-        .select("p.id_a", "p.id_b")
+        grouped.select("ids", F.posexplode("ids").alias("i", "id_a"))
+        .select(
+            "id_a",
+            F.explode(
+                F.slice("ids", F.col("i") + F.lit(2), F.size("ids"))
+            ).alias("id_b"),
+        )
         .distinct()
     )
 
@@ -382,11 +423,17 @@ def simhash_col_aggs(token_hash: Column) -> list[Column]:
 def simhash_signature(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, simhash BIGINT): 64-bit SimHash over token xxhash64 values.
     Token explosion + 64 per-bit aggregates amplify per-byte work; fan
-    a scan-starved input out first (no-op on well-split inputs)."""
+    a scan-starved input out first (no-op on well-split inputs).
+
+    r17: the empty-token filter is ``array_remove(split, "")`` — a
+    codegen'd builtin — instead of a ``filter`` lambda (higher-order
+    functions evaluate interpreted; split never yields NULL elements,
+    so removal-by-equality is identical). Zero-token texts still
+    produce an empty array → no explode row → no aggregate row."""
     df = fan_out(df, [id_col])
     toks = df.select(
         F.col(id_col),
-        F.explode(F.filter(tokens_col(F.col(text_col)), lambda x: x != "")).alias("tok"),
+        F.explode(F.array_remove(tokens_col(F.col(text_col)), "")).alias("tok"),
     )
     agg = toks.groupBy(id_col).agg(*simhash_col_aggs(F.xxhash64("tok")))
     sim = None
@@ -538,6 +585,44 @@ def _min_label_fixpoint(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
     return labels.select("id", F.col("label").alias("keep_id"))
 
 
+def _distinct_grams(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(gid, g): the distinct char-``n``-grams of each document.
+
+    r17 (VERDICT r16 #3): the gram is computed AFTER a primitive
+    position explode, inside whole-stage codegen —
+    ``explode(sequence(1, len-n+1))`` then ``substring(_t, pos, n)`` —
+    the exact q_dedup_substr recipe. The previous shape
+    (``explode(char_ngrams_col(...))``) built a per-row gram array
+    through a higher-order ``transform`` lambda, which always evaluates
+    on the INTERPRETED expression path — the session-age-sensitive
+    frames the r16 thread-dump diagnosis caught deoptimizing
+    (ArrayTransform.nullSafeEval). ``array_distinct`` semantics move to
+    a row-level distinct: one map-side-combined grouping on (gid, g),
+    whose exchange carries exactly the per-doc distinct grams the old
+    arrays held (a document's gram rows never span input partitions,
+    so the partial aggregate dedups them before the shuffle).
+
+    Edge parity with char_ngrams_col: length < n (incl. empty text)
+    yields the single gram substring(text, 1, n) — greatest(·, 1)
+    keeps the sequence at [1]; NULL text yields the single NULL gram
+    (sequence bound greatest(NULL, 1) = 1; substring of NULL is NULL).
+    """
+    return (
+        df.select(
+            F.col(id_col).alias("gid"),
+            F.col(text_col).alias("_t"),
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.length(F.col(text_col)) - (n - 1), F.lit(1)),
+                )
+            ).alias("pos"),
+        )
+        .select("gid", F.expr(f"substring(_t, pos, {n})").alias("g"))
+        .distinct()
+    )
+
+
 def jaccard_on_candidates(
     df: DataFrame, cand: DataFrame, id_col: str, text_col: str, n: int = 3
 ) -> DataFrame:
@@ -552,11 +637,9 @@ def jaccard_on_candidates(
     relation as broadcastable (measured at sf10: a 1M-doc corpus'
     grams chosen as the build side → driver OOM building the hashed
     relation). The candidate side is the one a caller may legitimately
-    keep small — never the grams."""
-    grams = df.select(
-        F.col(id_col).alias("gid"),
-        F.explode(char_ngrams_col(F.col(text_col), n)).alias("g"),
-    ).hint("merge")
+    keep small — never the grams. Gram generation is the codegen'd
+    explode-position shape (``_distinct_grams``, r17)."""
+    grams = _distinct_grams(df, id_col, text_col, n).hint("merge")
     counts = grams.groupBy("gid").agg(F.count("*").alias("gcnt")).hint("merge")
     ga = grams.withColumnRenamed("gid", "id_a")
     gb = grams.withColumnRenamed("gid", "id_b")
@@ -584,10 +667,7 @@ def ngram_jaccard_pairs(
     df: DataFrame, id_col: str, text_col: str, n: int = 3
 ) -> DataFrame:
     """All-pairs n-gram Jaccard via gram equi-join (id_a < id_b)."""
-    grams = df.select(
-        F.col(id_col).alias("gid"),
-        F.explode(char_ngrams_col(F.col(text_col), n)).alias("g"),
-    )
+    grams = _distinct_grams(df, id_col, text_col, n)
     counts = grams.groupBy("gid").agg(F.count("*").alias("gcnt"))
     a, b = grams.alias("a"), grams.alias("b")
     inter = (
@@ -625,8 +705,10 @@ def duplicated_spans(
     ``(id, span_start, span_end)`` intervals (1-based, inclusive) —
     the ranges a curation pipeline would cut before LM training.
 
-    Scale shape (the reason this is NOT a suffix array): windows are
-    hashed JVM-side INSIDE the explode lambda (xxhash64), so only
+    Scale shape (the reason this is NOT a suffix array): window
+    positions come from a primitive ``explode(sequence(...))`` and the
+    window is hashed JVM-side immediately after the explode
+    (``xxhash64(substring(...))``, whole-stage codegen — r16), so only
     (id, pos, int64) triples ever shuffle — the k-char substrings
     themselves never leave the scan stage, keeping the exploded
     intermediate at ~20 bytes/char regardless of k. The duplicated-
@@ -849,11 +931,10 @@ def containment_on_candidates(
     |candidates| × grams-per-doc, never all-pairs. Grams and counts
     carry merge hints for the same reason documented there — the
     explode's size estimate invited a corpus-sized broadcast (sf10
-    driver OOM) and those relations scale with the corpus."""
-    grams = df.select(
-        F.col(id_col).alias("gid"),
-        F.explode(char_ngrams_col(F.col(text_col), n)).alias("g"),
-    ).hint("merge")
+    driver OOM) and those relations scale with the corpus. Gram
+    generation is the codegen'd explode-position shape
+    (``_distinct_grams``, r17)."""
+    grams = _distinct_grams(df, id_col, text_col, n).hint("merge")
     counts = grams.groupBy("gid").agg(F.count("*").alias("gcnt")).hint("merge")
     ga = grams.withColumnRenamed("gid", "id_a")
     gb = grams.withColumnRenamed("gid", "id_b")

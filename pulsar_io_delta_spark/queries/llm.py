@@ -1160,10 +1160,11 @@ def q_dedup_substr(spark, sf_dir):
     spans a curation pass would excise, at char granularity rather than
     q_dedup_exact's whole-doc granularity. The oracle recomputes the
     identical fixed-window semantics over the raw substrings; Spark
-    groups on xxhash64 of the window (computed inside the explode
-    lambda) so only 8-byte hashes shuffle — identical output absent a
-    2^-65-scale hash collision. No plants needed: the templated corpus
-    carries genuine cross-document 40-char repeats."""
+    groups on xxhash64 of the window (computed right after a primitive
+    position explode, inside whole-stage codegen — r16) so only 8-byte
+    hashes shuffle — identical output absent a 2^-65-scale hash
+    collision. No plants needed: the templated corpus carries genuine
+    cross-document 40-char repeats."""
     return dd.duplicated_spans(
         table(spark, sf_dir, "documents"), "doc_id", "text", k=40, min_docs=2
     )

@@ -113,7 +113,9 @@ class FileSystem:
 
 
 class LocalFileSystem(FileSystem):
-    """POSIX implementation; O_EXCL provides the commit mutex."""
+    """POSIX implementation; hard-link put-if-absent provides the
+    commit mutex (``create_exclusive`` needs link(2) — filesystems
+    without hard-link support need a different FileSystem impl)."""
 
     def isdir(self, path: str) -> bool:
         return os.path.isdir(path)
@@ -144,13 +146,21 @@ class LocalFileSystem(FileSystem):
         # put-if-absent: the final name appears only with its complete
         # content, and the loser of the race gets FileExistsError from
         # link(2) exactly as before.
+        # The tmp write sits inside the same try/finally (ADVICE r16):
+        # a failed write (ENOSPC, interrupt) must not leak the .tmp —
+        # the finally unlinks it whether the write or the link failed.
+        # Requires hard-link support (true of the POSIX local
+        # filesystems this class is scoped to; see class docstring).
         tmp = f"{path}.{os.getpid()}.{threading.get_ident()}.tmp"
-        with open(tmp, "w", encoding="utf-8") as f:
-            f.write(data)
         try:
+            with open(tmp, "w", encoding="utf-8") as f:
+                f.write(data)
             os.link(tmp, path)
         finally:
-            os.unlink(tmp)
+            try:
+                os.unlink(tmp)
+            except FileNotFoundError:
+                pass
 
     def open_read(self, path: str):
         return open(path, "rb")

@@ -1077,3 +1077,77 @@ def test_bpe_e2e_degenerate_corpus_matches_oracle(spark, tmp_path):
         (t, int(c), int(rk)) for t, c, rk in con.sql(_bpe_e2e_oracle(10, 20)).fetchall()
     }
     assert got == want and len(got) > 0
+
+
+def test_minhash_signature_duplicate_invariance(spark):
+    """r17 shingle rewrite: the codegen explode-position shape drops
+    the per-row array_distinct (min aggregates are duplicate-invariant)
+    and swaps the filter lambda for array_remove. The signature must be
+    BIT-IDENTICAL to the pre-r17 higher-order formulation, including
+    the edges: NULL text and punctuation-only text sketch the single ""
+    shingle; short texts sketch one partial shingle."""
+    from pulsar_io_delta_spark.operators import text as tx
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta alpha beta alpha beta gamma"),  # duplicate shingles
+            (3, None),
+            (4, ""),
+            (5, "!!! ..."),
+            (6, "one two"),  # fewer tokens than shingle_k
+            (7, "Alpha, beta; GAMMA delta?"),
+        ],
+        "doc_id long, text string",
+    )
+    new = dd.minhash_signature(df, "doc_id", "text")
+    # pre-r17 reference shape: filter lambda + array_distinct(transform)
+    toks = df.select(
+        F.col("doc_id"),
+        F.filter(tx.tokens_col(F.col("text")), lambda x: x != "").alias("toks"),
+    )
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size("toks") - 2, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice("toks", i, 3)),
+        )
+    )
+    sh = toks.select(F.col("doc_id"), F.explode(shingles).alias("shingle")).select(
+        F.col("doc_id"),
+        F.pmod(F.xxhash64("shingle"), F.lit(dd.MERSENNE31)).alias("hx"),
+    )
+    aggs = [
+        F.min(
+            F.pmod(F.col("hx") * F.lit(a) + F.lit(b), F.lit(dd.MERSENNE31))
+        ).alias(f"m{i}")
+        for i, (a, b) in enumerate(dd._perm_coeffs(32))
+    ]
+    old = sh.groupBy("doc_id").agg(*aggs)
+    assert sorted(map(tuple, new.collect())) == sorted(map(tuple, old.collect()))
+
+
+def test_distinct_grams_matches_char_ngrams(spark):
+    """r17 gram rewrite: _distinct_grams (explode positions + substring
+    + row-level distinct) must emit exactly the rows
+    explode(char_ngrams_col(...)) did — including the single-gram edge
+    for texts shorter than n, the "" gram for empty text, and the NULL
+    gram row for NULL text."""
+    from pulsar_io_delta_spark.operators.text import char_ngrams_col
+
+    df = spark.createDataFrame(
+        [
+            (1, "abcabcab"),
+            (2, "ab"),
+            (3, ""),
+            (4, None),
+            (5, "aaaa"),
+        ],
+        "doc_id long, text string",
+    )
+    new = dd._distinct_grams(df, "doc_id", "text", 3).collect()
+    old = df.select(
+        F.col("doc_id").alias("gid"),
+        F.explode(char_ngrams_col(F.col("text"), 3)).alias("g"),
+    ).collect()
+    assert sorted(map(tuple, new), key=str) == sorted(map(tuple, old), key=str)
+    assert len(new) == len({tuple(r) for r in new})  # row-level distinct held

@@ -594,3 +594,20 @@ def test_substr_gram_stage_is_codegen_not_lambda(spark, sf_dir):
     assert "transform(" not in plan and "lambdafunction" not in plan, plan[:2000]
     assert "explode(sequence(" in plan, plan[:2000]
     assert "xxhash64(substring(" in plan, plan[:2000]
+
+
+def test_dedup_gram_and_shingle_stages_are_codegen_not_lambda(spark, sf_dir):
+    """r17 (VERDICT r16 #3): the remaining dedup hot paths — MinHash
+    shingles, SimHash tokens, and the char-n-gram verify relations —
+    must carry NO higher-order lambda (interpreted path,
+    session-age-sensitive; the q_dedup_substr diagnosis). Every gram/
+    shingle is computed after a primitive explode(sequence(...)) or
+    via codegen'd builtins (array_remove instead of a filter lambda)."""
+    for name in ("q_dedup_minhash", "q_dedup_simhash", "q_ngram_jaccard",
+                 "q_dedup_containment"):
+        plan = _plan(spark, sf_dir, name)
+        assert "lambdafunction" not in plan, (name, plan[:2000])
+    # the shingle/gram stages explode a primitive position sequence
+    # (simhash explodes the token array directly — no sequence there)
+    for name in ("q_dedup_minhash", "q_ngram_jaccard", "q_dedup_containment"):
+        assert "explode(sequence(" in _plan(spark, sf_dir, name), name
