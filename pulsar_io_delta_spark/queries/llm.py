@@ -114,9 +114,10 @@ def _rep_scored_plant_pairs(docs, corpus, score_fn):
             (F.col("ra") > F.col("rb")).alias("swapped"),
         )
     )
-    rep_keys = rp.select(
-        F.col("ka").alias("id_a"), F.col("kb").alias("id_b")
-    ).distinct()
+    # no distinct() on the key list: it feeds a left_semi probe, which
+    # tolerates duplicate build rows — the distinct was one whole
+    # exchange + aggregate of pure machinery (r17).
+    rep_keys = rp.select(F.col("ka").alias("id_a"), F.col("kb").alias("id_b"))
     rep_cand = cand.join(rep_keys, ["id_a", "id_b"], "left_semi")
     scores = score_fn(reps, rep_cand)
     return rp.join(

@@ -1127,11 +1127,13 @@ def test_minhash_signature_duplicate_invariance(spark):
 
 
 def test_distinct_grams_matches_char_ngrams(spark):
-    """r17 gram rewrite: _distinct_grams (explode positions + substring
-    + row-level distinct) must emit exactly the rows
-    explode(char_ngrams_col(...)) did — including the single-gram edge
-    for texts shorter than n, the "" gram for empty text, and the NULL
-    gram row for NULL text."""
+    """r17 gram rewrite: _distinct_grams (explode positions +
+    xxhash64(substring) + row-level distinct) must emit exactly the
+    xxhash64 image of the rows explode(char_ngrams_col(...)) did —
+    including the single-gram edge for texts shorter than n, the ""
+    gram for empty text, and the NULL gram row for NULL text (which
+    must stay NULL, never the seed hash — xxhash64 does not propagate
+    NULL on its own)."""
     from pulsar_io_delta_spark.operators.text import char_ngrams_col
 
     df = spark.createDataFrame(
@@ -1148,6 +1150,10 @@ def test_distinct_grams_matches_char_ngrams(spark):
     old = df.select(
         F.col("doc_id").alias("gid"),
         F.explode(char_ngrams_col(F.col("text"), 3)).alias("g"),
+    ).select(
+        "gid",
+        F.when(F.col("g").isNotNull(), F.xxhash64("g")).alias("g"),
     ).collect()
     assert sorted(map(tuple, new), key=str) == sorted(map(tuple, old), key=str)
     assert len(new) == len({tuple(r) for r in new})  # row-level distinct held
+    assert any(r.g is None for r in new)  # NULL-text gram stayed NULL
