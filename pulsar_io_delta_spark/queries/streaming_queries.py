@@ -23,6 +23,7 @@ from pulsar_io_delta_spark.streaming.runner import (
     events_stream,
     late_split_stream_dir,
     run_to_memory,
+    sized_shuffle,
 )
 
 
@@ -65,7 +66,11 @@ def q_stream_sliding(spark, sf_dir):
         F.count("*").alias("cnt"),
         r4(dsum("value", "18,2")).alias("sum_value"),
     )
-    out = run_to_memory(agg, output_mode="complete")
+    # r17 (VERDICT r16 #6): state = a few hundred sliding windows —
+    # size the state-store partitioning to the state, not the batch
+    # conf (the r16 watermark_dedup/late_data recipe; output is
+    # partitioning-invariant, oracle-gated).
+    out = run_to_memory(agg, output_mode="complete", state_partitions=8)
     return out.select(epoch_s(F.col("w.start")).alias("window_start"), "cnt", "sum_value")
 
 
@@ -95,7 +100,9 @@ def q_stream_session(spark, sf_dir):
     agg = s.groupBy(F.session_window("ts", "10 minutes").alias("w"), "user_id").agg(
         F.count("*").alias("cnt")
     )
-    out = run_to_memory(agg, output_mode="complete")
+    # r17 (VERDICT r16 #6): session state is user-keyed and small at
+    # the correctness scale — the r16 state-sizing recipe applies.
+    out = run_to_memory(agg, output_mode="complete", state_partitions=8)
     return out.select(
         "user_id", epoch_s(F.col("w.start")).alias("session_start"), "cnt"
     )
@@ -143,7 +150,9 @@ def q_stream_stream_join(spark, sf_dir):
         & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
         & (F.col("c_ts") <= F.col("p_ts") + F.expr("INTERVAL 30 MINUTES")),
     )
-    out = run_to_memory(joined, output_mode="append")
+    # r17 (VERDICT r16 #6): join state = watermark-bounded event rows,
+    # thousands at the correctness scale — state-sizing recipe.
+    out = run_to_memory(joined, output_mode="append", state_partitions=8)
     return out.select(
         "purchase_id",
         "click_id",
@@ -316,7 +325,10 @@ def q_stream_join_outer(spark, sf_dir):
         & (F.col("c_ts") <= F.col("p_ts") + F.expr("INTERVAL 30 MINUTES")),
         "leftOuter",
     )
-    out = run_to_memory(joined, output_mode="append")
+    # r17: same state-sizing recipe as q_stream_stream_join (the outer
+    # variant holds the same watermark-bounded state). Eviction/emit
+    # semantics depend only on watermarks, never on partition count.
+    out = run_to_memory(joined, output_mode="append", state_partitions=8)
     return out.select(
         "purchase_id",
         "click_id",
@@ -504,12 +516,22 @@ def q_stream_rate_limit(spark, sf_dir):
     tests/test_streaming.py::test_available_now_with_caps_underdrains).
     The trigger interval itself is NOT the floor: 50 ms vs 200 ms moves
     the sf1 drain ≤1 s (11.1 vs 12.2 s) — the cost is 4 micro-batch
-    plan/execute cycles + the memory sink collecting 1M rows."""
+    plan/execute cycles + the memory sink collecting 1M rows.
+
+    r17 (VERDICT r16 #5): completion is detected from progress events
+    (a StreamingQueryListener summing numInputRows per batchId), not by
+    polling ``spark.table(name).count()`` — the old 100 ms count-poll
+    launched a distributed count over the ever-growing memory sink per
+    poll (up to ~1,700 such jobs racing the drain itself across the
+    173 s sf10 tail — self-inflicted measurement load, the §1.4
+    mistake). One exact count still gates the row-conservation assert
+    after the stream stops."""
     import tempfile
     import time as _t
 
     from pulsar_io_delta_spark.sources.datasource import register_delta_cdc
     from pulsar_io_delta_spark.sources.delta_log import DeltaTable
+    from pulsar_io_delta_spark.streaming.runner import progress_row_counter
     from pulsar_io_delta_spark.tables import table
 
     e = table(spark, sf_dir, "events").select(
@@ -533,19 +555,20 @@ def q_stream_rate_limit(spark, sf_dir):
     import uuid as _uuid
 
     name = f"pids_rate_{_uuid.uuid4().hex[:12]}"
-    q = (
-        s.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(processingTime="50 milliseconds")
-        .start()
-    )
-    try:
-        deadline = _t.time() + 240
-        while _t.time() < deadline and spark.table(name).count() < expected:
-            _t.sleep(0.1)
-    finally:
-        q.stop()
+    with progress_row_counter(spark) as counter:
+        q = (
+            s.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(processingTime="50 milliseconds")
+            .start()
+        )
+        try:
+            deadline = _t.time() + 240
+            while _t.time() < deadline and counter.rows() < expected:
+                _t.sleep(0.1)
+        finally:
+            q.stop()
     n_batches = sum(
         1 for pr in q.recentProgress if pr and pr["numInputRows"] > 0
     )
@@ -697,18 +720,25 @@ def q_stream_sketch_kmv(spark, sf_dir):
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
-    q = (
-        s.writeStream.foreachBatch(_fb)
-        .outputMode("append")
-        .trigger(processingTime="50 milliseconds")
-        .start()
-    )
-    try:
-        deadline = _t.time() + 240
-        while _t.time() < deadline and state["rows"] < expected:
-            _t.sleep(0.1)
-    finally:
-        q.stop()
+    # r17 (VERDICT r16 #6): the foreachBatch aggregate groups a
+    # 3-4-group frame — size its shuffle to the group count for the
+    # stream's duration instead of inheriting the 32-partition batch
+    # conf (per-batch per-partition machinery ×>=4 triggers). The
+    # sketch is sort/truncate-based, so output is partitioning-
+    # invariant (oracle-gated).
+    with sized_shuffle(spark, 4):
+        q = (
+            s.writeStream.foreachBatch(_fb)
+            .outputMode("append")
+            .trigger(processingTime="50 milliseconds")
+            .start()
+        )
+        try:
+            deadline = _t.time() + 240
+            while _t.time() < deadline and state["rows"] < expected:
+                _t.sleep(0.1)
+        finally:
+            q.stop()
     assert state["rows"] == expected, "stream lost or duplicated rows"
     assert state["batches"] >= 4, f"merge path unexercised: {state['batches']} batches"
 
@@ -795,18 +825,25 @@ def q_stream_sketch_quantile(spark, sf_dir):
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
-    q = (
-        s.writeStream.foreachBatch(_fb)
-        .outputMode("append")
-        .trigger(processingTime="50 milliseconds")
-        .start()
-    )
-    try:
-        deadline = _t.time() + 240
-        while _t.time() < deadline and state["rows"] < expected:
-            _t.sleep(0.1)
-    finally:
-        q.stop()
+    # r17 (VERDICT r16 #6): the foreachBatch aggregate groups a
+    # 3-4-group frame — size its shuffle to the group count for the
+    # stream's duration instead of inheriting the 32-partition batch
+    # conf (per-batch per-partition machinery ×>=4 triggers). The
+    # sketch is sort/truncate-based, so output is partitioning-
+    # invariant (oracle-gated).
+    with sized_shuffle(spark, 4):
+        q = (
+            s.writeStream.foreachBatch(_fb)
+            .outputMode("append")
+            .trigger(processingTime="50 milliseconds")
+            .start()
+        )
+        try:
+            deadline = _t.time() + 240
+            while _t.time() < deadline and state["rows"] < expected:
+                _t.sleep(0.1)
+        finally:
+            q.stop()
     assert state["rows"] == expected, "stream lost or duplicated rows"
     assert state["batches"] >= 4, f"merge path unexercised: {state['batches']} batches"
 
@@ -882,18 +919,25 @@ def q_stream_sketch_wsample(spark, sf_dir):
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
-    q = (
-        s.writeStream.foreachBatch(_fb)
-        .outputMode("append")
-        .trigger(processingTime="50 milliseconds")
-        .start()
-    )
-    try:
-        deadline = _t.time() + 240
-        while _t.time() < deadline and state["rows"] < expected:
-            _t.sleep(0.1)
-    finally:
-        q.stop()
+    # r17 (VERDICT r16 #6): the foreachBatch aggregate groups a
+    # 3-4-group frame — size its shuffle to the group count for the
+    # stream's duration instead of inheriting the 32-partition batch
+    # conf (per-batch per-partition machinery ×>=4 triggers). The
+    # sketch is sort/truncate-based, so output is partitioning-
+    # invariant (oracle-gated).
+    with sized_shuffle(spark, 4):
+        q = (
+            s.writeStream.foreachBatch(_fb)
+            .outputMode("append")
+            .trigger(processingTime="50 milliseconds")
+            .start()
+        )
+        try:
+            deadline = _t.time() + 240
+            while _t.time() < deadline and state["rows"] < expected:
+                _t.sleep(0.1)
+        finally:
+            q.stop()
     assert state["rows"] == expected, "stream lost or duplicated rows"
     assert state["batches"] >= 4, f"merge path unexercised: {state['batches']} batches"
 

@@ -25,6 +25,7 @@ from __future__ import annotations
 import os
 import tempfile
 import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -228,6 +229,81 @@ def run_cdc_with_schema_evolution(
         if stop_after >= t.latest_version():
             break
     return runs
+
+
+class _ProgressRowCounter:
+    """Accumulates streamed input rows from progress events, keyed by
+    (runId, batchId) so a retried micro-batch overwrites its own entry
+    instead of double-counting. Listener delivery is asynchronous —
+    callers use the total only as a drain-completion signal and keep an
+    exact count/assert after the stream stops."""
+
+    def __init__(self) -> None:
+        self._rows: dict[tuple[str, int], int] = {}
+
+    def record(self, run_id: str, batch_id: int, n: int) -> None:
+        self._rows[(run_id, batch_id)] = n
+
+    def rows(self) -> int:
+        return sum(self._rows.values())
+
+
+@contextmanager
+def progress_row_counter(spark: SparkSession):
+    """Register a StreamingQueryListener that sums numInputRows per
+    batch for the duration of the block (r17, VERDICT r16 #5): the
+    cheap, event-driven way to watch a drain's progress. The
+    alternative — polling ``spark.table(sink).count()`` — launches a
+    distributed count over the ever-growing memory sink per poll and
+    RACES the stream it is measuring (at sf10 the rate-limit drain
+    spent most of its 173 s serving its own 100 ms count-polls). The
+    listener is removed on exit so no per-query state leaks into the
+    long-lived bench session."""
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    counter = _ProgressRowCounter()
+
+    class _L(StreamingQueryListener):
+        def onQueryStarted(self, event):  # noqa: N802 — Spark API
+            pass
+
+        def onQueryProgress(self, event):  # noqa: N802
+            p = event.progress
+            counter.record(str(p.runId), int(p.batchId), int(p.numInputRows))
+
+        def onQueryIdle(self, event):  # noqa: N802
+            pass
+
+        def onQueryTerminated(self, event):  # noqa: N802
+            pass
+
+    listener = _L()
+    spark.streams.addListener(listener)
+    try:
+        yield counter
+    finally:
+        spark.streams.removeListener(listener)
+
+
+@contextmanager
+def sized_shuffle(spark: SparkSession, n: int):
+    """Scope ``spark.sql.shuffle.partitions`` to a code block (r17,
+    VERDICT r16 #6): foreachBatch micro-batch jobs plan their shuffles
+    from the live session conf, so a 3-group sketch aggregate inherits
+    the 32-partition batch default and pays per-batch per-partition
+    machinery (task schedule + empty-partition commit) across every
+    trigger. Size it to the GROUP COUNT for the duration of the stream
+    and restore afterwards — same serial-harness justification as
+    run_to_memory's state_partitions (execution is serial, so no
+    concurrent query observes the temporary value); the value is a
+    per-stream decision exactly like state partitioning, never a
+    global retune of the batch conf."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def run_to_memory(
